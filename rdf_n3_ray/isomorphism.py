@@ -1,0 +1,151 @@
+"""Graph isomorphism under blank-node bijection.
+
+The reference's eval tests compare parsed output to golden graphs with
+`be_equivalent_graph` (rdf/isomorphic; /root/reference/spec/suite_parser_spec.rb:58-62).
+This is our equivalent oracle: two quad sets are equivalent iff some
+bijection over blank-node labels maps one onto the other.  Blank nodes
+may appear in subject/object AND in the graph slot (formula nodes).
+
+Algorithm: iterative color refinement to partition bnodes by structural
+signature, then backtracking search within color classes.  Intended for
+test-sized graphs (the reference's suite inputs are tiny); the
+production pipeline never needs isomorphism — it uses deterministic
+skolemization instead.
+"""
+from __future__ import annotations
+
+from collections import defaultdict
+from hashlib import blake2b
+
+Quad = tuple[str, str, str, str | None]
+
+
+def _is_bnode(t: str | None) -> bool:
+    return t is not None and t.startswith("_:")
+
+
+def _bnodes_of(quads: list[Quad]) -> set[str]:
+    out = set()
+    for s, p, o, g in quads:
+        for t in (s, p, o, g):
+            if _is_bnode(t):
+                out.add(t)
+    return out
+
+
+def _refine(quads: list[Quad], bnodes: set[str], rounds: int = 4) -> dict[str, str]:
+    """Color each bnode by iterated neighborhood hashing."""
+    color = {b: "init" for b in bnodes}
+    for _ in range(rounds):
+        nxt: dict[str, list[str]] = {b: [] for b in bnodes}
+        for s, p, o, g in quads:
+            sig_s = color.get(s, s) if _is_bnode(s) else s
+            sig_o = color.get(o, o) if _is_bnode(o) else o
+            sig_g = (color.get(g, g) if _is_bnode(g) else (g or "")) if g else ""
+            for t, role in ((s, "s"), (o, "o"), (g, "g")):
+                if _is_bnode(t):
+                    nxt[t].append(f"{role}|{p}|{sig_s if role != 's' else ''}|{sig_o if role != 'o' else ''}|{sig_g if role != 'g' else ''}")
+        color = {
+            b: blake2b("\x00".join(sorted(sigs)).encode(), digest_size=8).hexdigest()
+            for b, sigs in nxt.items()
+        }
+    return color
+
+
+def _canon_quads(quads: list[Quad], mapping: dict[str, str]) -> frozenset:
+    def m(t):
+        if _is_bnode(t):
+            return mapping.get(t, t)
+        return t
+    return frozenset((m(s), p if not _is_bnode(p) else m(p), m(o), m(g) if g else None) for s, p, o, g in quads)
+
+
+def isomorphic(quads_a: list[Quad], quads_b: list[Quad]) -> bool:
+    qa, qb = list(set(quads_a)), list(set(quads_b))
+    if len(qa) != len(qb):
+        return False
+    ba, bb = _bnodes_of(qa), _bnodes_of(qb)
+    if len(ba) != len(bb):
+        return False
+    # ground quads must match exactly
+    ground_a = {q for q in qa if not any(_is_bnode(t) for t in q)}
+    ground_b = {q for q in qb if not any(_is_bnode(t) for t in q)}
+    if ground_a != ground_b:
+        return False
+    if not ba:
+        return True
+
+    ca, cb = _refine(qa, ba), _refine(qb, bb)
+    # group by color
+    groups_a: dict[str, list[str]] = defaultdict(list)
+    groups_b: dict[str, list[str]] = defaultdict(list)
+    for b, c in ca.items():
+        groups_a[c].append(b)
+    for b, c in cb.items():
+        groups_b[c].append(b)
+    if sorted((c, len(g)) for c, g in groups_a.items()) != sorted(
+        (c, len(g)) for c, g in groups_b.items()
+    ):
+        return False
+
+    set_b = frozenset(qb)
+    order = sorted(ba, key=lambda b: (len(groups_a[ca[b]]), ca[b], b))
+    mapping: dict[str, str] = {}
+    used: set[str] = set()
+
+    def consistent(mapping: dict[str, str]) -> bool:
+        """Check quads whose bnodes are all mapped appear in B."""
+        for s, p, o, g in qa:
+            ts = [t for t in (s, p, o, g) if _is_bnode(t)]
+            if not ts or not all(t in mapping for t in ts):
+                continue
+            def m(t):
+                return mapping[t] if _is_bnode(t) else t
+            if (m(s), m(p), m(o), m(g) if g else None) not in set_b:
+                return False
+        return True
+
+    def backtrack(i: int) -> bool:
+        if i == len(order):
+            return _canon_quads(qa, mapping) == set_b
+        b = order[i]
+        for cand in groups_b[ca[b]]:
+            if cand in used:
+                continue
+            mapping[b] = cand
+            used.add(cand)
+            if consistent(mapping) and backtrack(i + 1):
+                return True
+            del mapping[b]
+            used.discard(cand)
+        return False
+
+    return backtrack(0)
+
+
+def precision_recall(
+    got: list[Quad], expected: list[Quad]
+) -> tuple[float, float]:
+    """Triple-level P/R after best-effort canonicalization: bnodes of
+    each side renamed by refinement color + disambiguation index.  Used
+    for the P/R >= 0.95 gate on suite-style corpora (BASELINE.md)."""
+    def canon(quads: list[Quad]) -> frozenset:
+        bn = _bnodes_of(quads)
+        colors = _refine(quads, bn, rounds=6)
+        # disambiguate same-color bnodes deterministically by sorted order
+        by_color: dict[str, list[str]] = defaultdict(list)
+        for b in sorted(bn):
+            by_color[colors[b]].append(b)
+        mapping = {}
+        for c, bs in by_color.items():
+            for i, b in enumerate(bs):
+                mapping[b] = f"_:c{c}_{i}"
+        return _canon_quads(quads, mapping)
+
+    g, e = canon(got), canon(expected)
+    if not g and not e:
+        return 1.0, 1.0
+    tp = len(g & e)
+    precision = tp / len(g) if g else 1.0
+    recall = tp / len(e) if e else 1.0
+    return precision, recall

@@ -1,0 +1,673 @@
+"""Recursive-descent N3/Turtle/N-Triples parser.
+
+Reimplements the grammar productions of the reference reader
+(/root/reference/lib/rdf/n3/reader.rb:218-900, EBNF at
+/root/reference/etc/n3.ebnf) as a pure function over a token list:
+``parse_n3(text, ...) -> ParseResult`` with quads encoded as N-Triples
+lexical strings (see rdf_n3_ray.terms).
+
+Faithfulness notes (each maps to a reference behavior):
+- verb sugar `a`/`has`/`is..of`/`<-`/`<=`/`=>`/`=` incl. inversion
+  (reader.rb:392-420)
+- paths `!`/`^` with chained bnode allocation (reader.rb:431-458,702-719)
+- literal lexical-quirk canonicalization: leading-"." decimals get "0"
+  prefixed, ".E" doubles get ".0E" (reader.rb:466-507)
+- collections: `list_terms` mode yields a first-class list term,
+  otherwise an rdf:first/rdf:rest ladder is emitted
+  (reader.rb:560-583, list.rb:389-411)
+- formulae `{}` named `_form_<n>` by an incrementing uniquifier; inner
+  statements carry graph_name = formula node (reader.rb:592-645)
+- deterministic bnode labels `b0,b1,...` allocated from a Ruby-succ
+  labeler, labeled bnodes interned per formula scope (reader.rb:743-758)
+- quickvars `?x` are document-scoped universals (reader.rb:681-689)
+- directives mutate a document-global prefix/base environment;
+  `@prefix` must be '.'-terminated, SPARQL `PREFIX` must not
+  (reader.rb:258-303); operator namespaces preseeded (reader.rb:105-117)
+
+This is a pure function: no I/O, no globals mutated — safe to run in
+parallel inside Ray map_batches workers and deterministic under retry.
+"""
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from urllib.parse import urljoin
+
+from .. import terms as T
+from .lexer import LexerError, Token, tokenize
+
+# preseeded operator namespaces (reader.rb:105-117)
+_SEED_PREFIXES = {
+    "rdf": T.RDF_NS,
+    "rdfs": T.RDFS_NS,
+    "xsd": T.XSD_NS,
+    "crypto": T.CRYPTO_NS,
+    "list": T.LIST_NS,
+    "log": T.LOG_NS,
+    "math": T.MATH_NS,
+    "rei": T.REI_NS,
+    "time": T.TIME_NS,
+}
+
+_PN_LOCAL_ESC_RE = re.compile(r"\\([_~\.\-\!\$&'\(\)\*\+,;=/\?#@%])")
+
+Quad = tuple[str, str, str, str | None]
+
+
+class ParseError(Exception):
+    def __init__(self, message: str, token: Token | None = None):
+        super().__init__(message)
+        self.token = token
+
+
+@dataclass
+class ParseResult:
+    quads: list[Quad] = field(default_factory=list)
+    errors: list[str] = field(default_factory=list)
+    prefixes: dict[str | None, str] = field(default_factory=dict)
+
+    @property
+    def ok(self) -> bool:
+        return not self.errors
+
+
+class ListTerm(tuple):
+    """First-class list term (``list_terms`` mode) — a tuple of encoded
+    terms; rendered `( a b c )` when placed in a statement slot.
+    Mirrors RDF::N3::List used as a term (list.rb:6-88)."""
+
+    def encode(self) -> str:
+        return "(" + " ".join(
+            e.encode() if isinstance(e, ListTerm) else e for e in self
+        ) + ")"
+
+
+def encode_term(t) -> str:
+    return t.encode() if isinstance(t, ListTerm) else t
+
+
+class N3Parser:
+    def __init__(
+        self,
+        text: str,
+        base_uri: str | None = None,
+        prefixes: dict[str | None, str] | None = None,
+        list_terms: bool = False,
+        validate: bool = False,
+        anon_base: str = "b0",
+    ):
+        self.validate = validate
+        self.list_terms = list_terms
+        self.base_uri = base_uri
+        self.result = ParseResult()
+        self.prefixes: dict[str | None, str] = {}
+        if not validate:
+            self.prefixes.update(_SEED_PREFIXES)
+        if prefixes:
+            self.prefixes.update(prefixes)
+        if base_uri:
+            self.prefixes[None] = (
+                base_uri if base_uri[-1] in "#/" else base_uri + "#"
+            )
+        # bnode machinery (reader.rb:92-98,743-758)
+        self.formulae: list[str] = []
+        self.label_uniquifier = "0"
+        self.bnodes: set[str] = set()
+        self.bn_labler = anon_base
+        self.bn_mapper: dict[str, dict[str, str]] = {}
+        self.variables: dict[str, str] = {}
+
+        try:
+            self.tokens, lex_errors = tokenize(text, recover=not validate)
+            self.result.errors.extend(lex_errors)
+        except LexerError as e:
+            raise ParseError(str(e)) from e
+        self.pos = 0
+
+    # --- token stream helpers ----------------------------------------
+    def first(self) -> Token | None:
+        return self.tokens[self.pos] if self.pos < len(self.tokens) else None
+
+    def shift(self) -> Token | None:
+        tok = self.first()
+        if tok is not None:
+            self.pos += 1
+        return tok
+
+    def error(self, message: str, token: Token | None = None) -> None:
+        """Record an error; raise in validate mode OR to trigger recovery."""
+        raise ParseError(message, token)
+
+    def soft_error(self, message: str) -> None:
+        """An error the reference logs without aborting the production
+        (e.g. terminator/downcase style violations, undefined prefixes
+        outside validate mode)."""
+        if self.validate:
+            raise ParseError(message)
+        self.result.errors.append(message)
+
+    # --- public entry -------------------------------------------------
+    def parse(self) -> ParseResult:
+        # [1] n3Doc ::= (n3Statement '.' | sparqlDirective)*   (reader.rb:218-235)
+        while self.first() is not None:
+            try:
+                tok = self.first()
+                if tok.type in ("BASE", "PREFIX"):
+                    self.read_directive()
+                else:
+                    self.read_n3Statement()
+                    dot = self.shift()
+                    if dot is None or dot.value != ".":
+                        self.error("Expected '.' following n3Statement", dot)
+            except ParseError as e:
+                self.result.errors.append(str(e))
+                if self.validate:
+                    break
+                self._recover({"."})
+        self.result.prefixes = dict(self.prefixes)
+        return self.result
+
+    def _recover(self, follow: set[str]) -> None:
+        """Skip tokens until one of `follow`, then consume it
+        (reader.rb:848-900 follow-set recovery, simplified to the
+        document/formula level)."""
+        while (tok := self.first()) is not None:
+            self.pos += 1
+            if tok.value in follow and tok.type is None:
+                return
+
+    # --- productions ---------------------------------------------------
+    def read_n3Statement(self) -> None:
+        # [2] n3Statement ::= n3Directive | triples  (reader.rb:243-252)
+        if self.first() is None:
+            self.error("Unexpected end of file")
+        self.read_triples()
+
+    def read_directive(self) -> None:
+        # [3] n3Directive ::= prefixID | base  (reader.rb:258-303)
+        token = self.first()
+        if token.type == "BASE":
+            self.shift()
+            terminated = token.value == "@base"
+            iri_tok = self.shift()
+            if iri_tok is None or iri_tok.type != "IRIREF":
+                self.error("Expected IRIREF", iri_tok)
+            new_base = self.process_iri(re.sub(r"\s", "", iri_tok.value[1:-1]))
+            self.base_uri = T.iri_value(new_base)
+            self.prefixes[None] = (
+                self.base_uri
+                if self.base_uri.endswith("#")
+                else self.base_uri + "#"
+            )
+            if token.value.startswith("@") and token.value != "@base":
+                self.soft_error(f"{token.value} should be downcased")
+            self._directive_terminator(terminated, token)
+        elif token.type == "PREFIX":
+            self.shift()
+            terminated = token.value == "@prefix"
+            pfx, iri_tok = self.shift(), self.shift()
+            if pfx is None or pfx.type not in ("PNAME_NS",):
+                self.error("Expected PNAME_NS", pfx)
+            if iri_tok is None or iri_tok.type != "IRIREF":
+                self.error("Expected IRIREF", iri_tok)
+            ns_iri = self.process_iri(re.sub(r"\s", "", iri_tok.value[1:-1]))
+            self.namespace(pfx.value[:-1] or None, T.iri_value(ns_iri))
+            if token.value.startswith("@") and token.value != "@prefix":
+                self.soft_error(f"{token.value} should be downcased")
+            self._directive_terminator(terminated, token)
+
+    def _directive_terminator(self, terminated: bool, token: Token) -> None:
+        nxt = self.first()
+        if terminated:
+            if nxt is None or nxt.value != ".":
+                self.error(f"Expected {token.value} to be terminated", nxt)
+            self.shift()
+        elif nxt is not None and nxt.value == "." and nxt.type is None:
+            self.error(f"Expected {token.value} not to be terminated", nxt)
+
+    def read_triples(self) -> None:
+        # [9] triples ::= subject predicateObjectList?  (reader.rb:311-327)
+        token = self.first()
+        if token is None:
+            self.error("Unexpected end of file")
+        if token.type == "IPLSTART":
+            subject = self.read_iriPropertyList()
+        elif token.value == "[" and token.type is None:
+            subject = self.read_blankNodePropertyList()
+        else:
+            subject = self.read_path()
+            if subject is None:
+                self.error("Failed to parse subject", token)
+        self.read_predicateObjectList(subject)
+
+    def read_predicateObjectList(self, subject) -> None:
+        # [10] predicateObjectList ::= verb objectList (';' (verb objectList)?)*
+        # (reader.rb:336-352)
+        tok = self.first()
+        if tok is None or (tok.type is None and tok.value in (".", "}")):
+            return
+        while True:
+            verb, invert = self.read_verb()
+            if verb is None:
+                break
+            self.read_objectList(subject, verb, invert)
+            tok = self.first()
+            if tok is None or tok.value != ";" or tok.type is not None:
+                break
+            while (tok := self.first()) is not None and tok.value == ";" and tok.type is None:
+                self.shift()
+            tok = self.first()
+            if tok is None or (tok.type is None and tok.value in (".", "}", "]", ")")):
+                break
+
+    def read_objectList(self, subject, predicate, invert: bool) -> None:
+        # [11] objectList ::= object (',' object)*  (reader.rb:360-377)
+        seen = False
+        while True:
+            obj = self.read_path()
+            if obj is None:
+                if not seen:
+                    self.error("Expected objectList", self.first())
+                break
+            seen = True
+            if invert:
+                self.add_statement(obj, predicate, subject)
+            else:
+                self.add_statement(subject, predicate, obj)
+            tok = self.first()
+            if tok is None or tok.value != "," or tok.type is not None:
+                break
+            while (tok := self.first()) is not None and tok.value == "," and tok.type is None:
+                self.shift()
+
+    def read_verb(self) -> tuple[str | None, bool]:
+        # [12] verb  (reader.rb:392-420)
+        token = self.first()
+        if token is None:
+            self.error("Unexpected end of file")
+        v = token.value if token.type is None else None
+        if v == "a":
+            self.shift()
+            return T.RDF_TYPE, False
+        if v == "has":
+            self.shift()
+            return self.read_path(), False
+        if v == "is":
+            self.shift()
+            verb = self.read_path()
+            nxt = self.first()
+            if nxt is None or nxt.value != "of":
+                self.error("Expected 'of'", nxt)
+            self.shift()
+            return verb, True
+        if v == "<-":
+            self.shift()
+            return self.read_path(), True
+        if v == "<=":
+            self.shift()
+            return T.LOG_IMPLIES, True
+        if v == "=>":
+            self.shift()
+            return T.LOG_IMPLIES, False
+        if v == "=":
+            self.shift()
+            return T.OWL_SAMEAS, False
+        return self.read_path(), False
+
+    def read_path(self):
+        # [17] path ::= pathItem ('!' path | '^' path)?  (reader.rb:431-458)
+        tok = self.first()
+        if tok is None or (tok.type is None and tok.value in (".", "}", ")", "]")):
+            return None
+        # build the chain then emit with process_path semantics (reader.rb:702-719)
+        pathitem = self.read_pathItem()
+        if pathitem is None:
+            return None
+        while (tok := self.first()) is not None and tok.type is None and tok.value in ("!", "^"):
+            direction = "forward" if self.shift().value == "!" else "reverse"
+            nxt = self.read_pathItem()
+            if nxt is None:
+                self.error("Expected pathItem after path operator", self.first())
+            bn = self.bnode()
+            if direction == "reverse":
+                self.add_statement(bn, nxt, pathitem)
+            else:
+                self.add_statement(pathitem, nxt, bn)
+            pathitem = bn
+        return pathitem
+
+    def read_pathItem(self):
+        # (reader.rb:437-447)
+        r = self.read_iri()
+        if r is not None:
+            return r
+        r = self.read_blankNode()
+        if r is not None:
+            return r
+        r = self.read_quickVar()
+        if r is not None:
+            return r
+        r = self.read_collection()
+        if r is not None:
+            return r
+        r = self.read_blankNodePropertyList()
+        if r is not None:
+            return r
+        r = self.read_iriPropertyList()
+        if r is not None:
+            return r
+        r = self.read_literal()
+        if r is not None:
+            return r
+        return self.read_formula()
+
+    def read_literal(self):
+        # [19] literal  (reader.rb:466-507)
+        token = self.first()
+        if token is None:
+            self.error("Unexpected end of file")
+        tt = token.type
+        if tt == "INTEGER":
+            self.shift()
+            return T.literal(token.value, datatype=T.XSD_INTEGER)
+        if tt == "DECIMAL":
+            self.shift()
+            value = token.value
+            if value.startswith("."):
+                value = "0" + value
+            return T.literal(value, datatype=T.XSD_DECIMAL)
+        if tt == "DOUBLE":
+            self.shift()
+            value = re.sub(r"\.([eE])", r".0\1", token.value)
+            return T.literal(value, datatype=T.XSD_DOUBLE)
+        if tt is None and token.value in ("true", "false"):
+            self.shift()
+            return T.literal(token.value, datatype=T.XSD_BOOLEAN)
+        if tt in ("STRING_LITERAL_QUOTE", "STRING_LITERAL_SINGLE_QUOTE",
+                  "STRING_LITERAL_LONG_QUOTE", "STRING_LITERAL_LONG_SINGLE_QUOTE"):
+            self.shift()
+            if tt in ("STRING_LITERAL_QUOTE", "STRING_LITERAL_SINGLE_QUOTE"):
+                value = token.value[1:-1]
+            else:
+                value = token.value[3:-3]
+            nxt = self.first()
+            if nxt is not None and nxt.type == "LANGTAG":
+                self.shift()
+                return T.literal(value, lang=nxt.value[1:].lower())
+            if nxt is not None and nxt.type is None and nxt.value == "^^":
+                self.shift()
+                dt = self.read_iri()
+                if dt is None:
+                    self.error("Expected datatype IRI", self.first())
+                return T.literal(value, datatype=T.iri_value(dt))
+            return T.literal(value)
+        return None
+
+    def read_blankNodePropertyList(self):
+        # [20] blankNodePropertyList ::= '[' predicateObjectList ']'
+        # (reader.rb:515-529)
+        token = self.first()
+        if token is None or token.type is not None or token.value != "[":
+            return None
+        self.shift()
+        node = self.bnode()
+        self.read_predicateObjectList(node)
+        nxt = self.first()
+        if nxt is None or nxt.value != "]":
+            self.error("blankNodePropertyList: Expected closing ']'", nxt)
+        self.shift()
+        return node
+
+    def read_iriPropertyList(self):
+        # [21] iriPropertyList ::= IPLSTART iri predicateObjectList ']'
+        # (reader.rb:537-551)
+        token = self.first()
+        if token is None or token.type != "IPLSTART":
+            return None
+        self.shift()
+        node = self.read_iri()
+        if node is None:
+            self.error("iriPropertyList: expected iri", self.first())
+        self.read_predicateObjectList(node)
+        nxt = self.first()
+        if nxt is None or nxt.value != "]":
+            self.error("iriPropertyList: Expected closing ']'", nxt)
+        self.shift()
+        return node
+
+    def read_collection(self):
+        # [21] collection ::= '(' object* ')'  (reader.rb:560-583)
+        token = self.first()
+        if token is None or token.type is not None or token.value != "(":
+            return None
+        self.shift()
+        objects = []
+        while (tok := self.first()) is not None and not (tok.type is None and tok.value == ")"):
+            obj = self.read_path()
+            if obj is None:
+                break
+            objects.append(obj)
+        nxt = self.first()
+        if nxt is None or nxt.value != ")":
+            self.error("collection: Expected closing ')'", nxt)
+        self.shift()
+        if self.list_terms:
+            return ListTerm(objects)
+        return self._emit_list_ladder(objects)
+
+    def _emit_list_ladder(self, objects: list) -> str:
+        """rdf:first/rdf:rest ladder (list.rb:389-411); cells allocated
+        from the deterministic bnode labeler instead of random nodes —
+        graph-isomorphic to the reference's emission."""
+        if not objects:
+            return T.RDF_NIL
+        cells = [self.bnode() for _ in objects]
+        for i, obj in enumerate(objects):
+            self.add_statement(cells[i], T.RDF_FIRST, obj)
+            rest = cells[i + 1] if i + 1 < len(cells) else T.RDF_NIL
+            self.add_statement(cells[i], T.RDF_REST, rest)
+        return cells[0]
+
+    def read_formula(self):
+        # [22] formula ::= '{' formulaContent? '}'  (reader.rb:592-611)
+        token = self.first()
+        if token is None or token.type is not None or token.value != "{":
+            return None
+        self.shift()
+        node = f"_:_form_{self._unique_label()}"
+        self.formulae.append(node)
+        try:
+            self.read_formulaContent()
+        finally:
+            closing = self.shift()
+            if closing is None or closing.value != "}":
+                self.formulae.pop()
+                self.error("formula: Expected closing '}'", closing)
+            self.formulae.pop()
+        return node
+
+    def read_formulaContent(self) -> None:
+        # [23] formulaContent ::= n3Statement ('.' formulaContent?)?
+        # (reader.rb:617-645)
+        tok = self.first()
+        if tok is not None and tok.type is None and tok.value == "}":
+            return
+        while True:
+            token = self.first()
+            if token is None:
+                self.error("read_formulaContent: Unexpected end of file")
+            if token.type in ("BASE", "PREFIX"):
+                self.read_directive()
+                nxt = self.first()
+                if nxt is not None and nxt.type is None and nxt.value == "}":
+                    break
+            else:
+                try:
+                    self.read_n3Statement()
+                except ParseError as e:
+                    if self.validate:
+                        raise
+                    self.result.errors.append(str(e))
+                    self._recover({".", "}"})
+                    # if we consumed the '}', put it back for read_formula
+                    if self.pos > 0 and self.tokens[self.pos - 1].value == "}":
+                        self.pos -= 1
+                nxt = self.first()
+                if nxt is None:
+                    self.error("Expected '.' or '}' following n3Statement", nxt)
+                if nxt.value == "." and nxt.type is None:
+                    self.shift()
+                    ahead = self.first()
+                    if ahead is not None and ahead.type is None and ahead.value == "}":
+                        break
+                    if ahead is None:
+                        self.error("formula: Expected closing '}'", None)
+                elif nxt.value == "}" and nxt.type is None:
+                    break
+                else:
+                    self.error(
+                        "Expected '.' or '}' following n3Statement", nxt
+                    )
+
+    def read_iri(self):
+        # (rule iri "26" (alt IRIREF prefixedName))  (reader.rb:653-663)
+        token = self.first()
+        if token is None:
+            return None
+        if token.type == "IRIREF":
+            self.shift()
+            return self.process_iri(re.sub(r"\s+", "", token.value[1:-1]))
+        if token.type in ("PNAME_LN", "PNAME_NS"):
+            self.shift()
+            return self.process_pname(token.value)
+        return None
+
+    def read_blankNode(self):
+        # [29] blankNode ::= BLANK_NODE_LABEL | ANON  (reader.rb:667-677)
+        token = self.first()
+        if token is None:
+            return None
+        if token.type == "BLANK_NODE_LABEL":
+            self.shift()
+            return self.bnode(token.value[2:])
+        if token.type == "ANON":
+            self.shift()
+            return self.bnode()
+        return None
+
+    def read_quickVar(self):
+        # [30] quickVar — document ("global") scope  (reader.rb:681-689)
+        token = self.first()
+        if token is None or token.type != "QUICK_VAR_NAME":
+            return None
+        self.shift()
+        name = token.value[1:]
+        return self.variables.setdefault(name, T.var(name))
+
+    # --- term construction helpers -------------------------------------
+    def process_iri(self, value: str) -> str:
+        # resolve against base (reader.rb:721-723, iri join :796-809)
+        return T.iri(resolve_iri(self.base_uri, value))
+
+    def process_pname(self, value: str) -> str:
+        # (reader.rb:725-739)
+        prefix, _, name = value.partition(":")
+        if prefix and prefix in self.prefixes:
+            return self.ns(prefix, name)
+        if prefix:
+            self.soft_error(f"Use of undefined prefix {prefix!r}")
+            return self.ns(None, name)
+        return self.ns(None, name)
+
+    def ns(self, prefix: str | None, suffix: str) -> str:
+        # (reader.rb:825-833)
+        if prefix is None and None not in self.prefixes:
+            base = self.base_uri or ""
+            self.prefixes[None] = base + "#" if not base.endswith(("#", "/")) else base
+        base = self.prefixes.get(prefix, "")
+        suffix = _PN_LOCAL_ESC_RE.sub(r"\1", suffix)
+        if "#" in base and suffix.startswith("#"):
+            suffix = suffix[1:]
+        return T.iri(base + suffix)
+
+    def namespace(self, prefix: str | None, iri_value: str) -> None:
+        # (reader.rb:786-793)
+        if iri_value == "#":
+            iri_value = self.prefixes.get(None, "") + "#"
+        self.prefixes[prefix] = iri_value
+
+    def bnode(self, label: str | None = None) -> str:
+        # deterministic incrementing labeler, per-formula label scoping
+        # (reader.rb:743-758)
+        form_id = self.formulae[-1] if self.formulae else "_bn_ground"
+        if label is not None:
+            mapped = self.bn_mapper.get(form_id, {}).get(label)
+            if mapped is not None:
+                return mapped
+        while self.bn_labler in self.bnodes:
+            self.bn_labler = T.ruby_succ(self.bn_labler)
+        bn_label = self.bn_labler
+        self.bnodes.add(bn_label)
+        bn = T.bnode(bn_label)
+        if label is not None:
+            self.bn_mapper.setdefault(form_id, {})[label] = bn
+        return bn
+
+    def _unique_label(self) -> str:
+        label = self.label_uniquifier
+        self.label_uniquifier = T.ruby_succ(self.label_uniquifier)
+        return label
+
+    def add_statement(self, subject, predicate, obj) -> None:
+        # (reader.rb:774-784): statements inside a formula carry its node
+        graph = self.formulae[-1] if self.formulae else None
+        self.result.quads.append(
+            (encode_term(subject), encode_term(predicate), encode_term(obj), graph)
+        )
+
+
+def resolve_iri(base: str | None, value: str) -> str:
+    """RFC 3986 resolution matching RDF::URI#join (reader.rb:721-723).
+
+    Without a base, the value is kept as-is (relative IRIs survive, as in
+    the reference when no base_uri option is given).
+    """
+    if not base:
+        return value
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", value):
+        return value  # already absolute
+    if value.startswith("#"):
+        return base.split("#", 1)[0] + value
+    out = urljoin(base, value)
+    return out
+
+
+def parse_n3(
+    text: str,
+    base_uri: str | None = None,
+    prefixes: dict[str | None, str] | None = None,
+    list_terms: bool = False,
+    validate: bool = False,
+    anon_base: str = "b0",
+) -> ParseResult:
+    """Parse one N3 document into quads of N-Triples-encoded terms.
+
+    Pure and deterministic: same text + options → same quads (including
+    bnode labels), mirroring the reference's repeatable labeler — the
+    property that makes parallel, retry-safe Ray execution emit identical
+    output (SURVEY.md §2.2).
+    """
+    try:
+        parser = N3Parser(
+            text,
+            base_uri=base_uri,
+            prefixes=prefixes,
+            list_terms=list_terms,
+            validate=validate,
+            anon_base=anon_base,
+        )
+        return parser.parse()
+    except ParseError as e:
+        r = ParseResult()
+        r.errors.append(str(e))
+        return r

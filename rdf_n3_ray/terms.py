@@ -1,0 +1,259 @@
+"""Term model: RDF terms encoded as N-Triples-style lexical strings.
+
+The reference (ruby-rdf/rdf-n3) passes rich Ruby objects (RDF::URI,
+RDF::Node, RDF::Literal, RDF::Query::Variable) through a callback per
+statement (/root/reference/lib/rdf/n3/reader.rb:774-784).  For a columnar
+Arrow engine we instead fix ONE sortable, hashable, zero-copy-friendly
+encoding: every term is a single string in (extended) N-Triples lexical
+form.  Comparison = string equality, which matches the reference's term
+equality for ground terms (RDF::Term#==), and the encoding round-trips.
+
+    <http://ex/a>                       IRI
+    _:b0                                blank node
+    "chat"                              plain literal
+    "chat"@fr                           language literal
+    "1"^^<http://...#integer>           datatyped literal
+    ?x                                  quick variable (universal)
+
+Kind dispatch is the first character: '<', '_', '"', '?'.
+
+Vocabulary IRIs mirror /root/reference/lib/rdf/n3/vocab.rb:5-36.
+"""
+from __future__ import annotations
+
+# --- namespaces (vocab.rb:5-36, reader.rb:105-117) -------------------------
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDFS_NS = "http://www.w3.org/2000/01/rdf-schema#"
+XSD_NS = "http://www.w3.org/2001/XMLSchema#"
+OWL_NS = "http://www.w3.org/2002/07/owl#"
+LOG_NS = "http://www.w3.org/2000/10/swap/log#"
+MATH_NS = "http://www.w3.org/2000/10/swap/math#"
+STR_NS = "http://www.w3.org/2000/10/swap/string#"
+TIME_NS = "http://www.w3.org/2000/10/swap/time#"
+LIST_NS = "http://www.w3.org/2000/10/swap/list#"
+CRYPTO_NS = "http://www.w3.org/2000/10/swap/crypto#"
+REI_NS = "http://www.w3.org/2004/06/rei#"
+
+RDF_TYPE = f"<{RDF_NS}type>"
+RDF_FIRST = f"<{RDF_NS}first>"
+RDF_REST = f"<{RDF_NS}rest>"
+RDF_NIL = f"<{RDF_NS}nil>"
+OWL_SAMEAS = f"<{OWL_NS}sameAs>"
+LOG_IMPLIES = f"<{LOG_NS}implies>"
+
+XSD_INTEGER = f"{XSD_NS}integer"
+XSD_DECIMAL = f"{XSD_NS}decimal"
+XSD_DOUBLE = f"{XSD_NS}double"
+XSD_BOOLEAN = f"{XSD_NS}boolean"
+XSD_STRING = f"{XSD_NS}string"
+XSD_DATETIME = f"{XSD_NS}dateTime"
+XSD_DATE = f"{XSD_NS}date"
+XSD_TIME = f"{XSD_NS}time"
+
+# kind tags for the int8 `kind` columns (SURVEY.md §1.1)
+KIND_IRI = 0
+KIND_BNODE = 1
+KIND_LITERAL = 2
+KIND_VAR = 3
+KIND_LIST = 4  # only in list_terms mode
+
+_ESCAPES = {
+    "\\": "\\\\",
+    '"': '\\"',
+    "\n": "\\n",
+    "\r": "\\r",
+    "\t": "\\t",
+    "\b": "\\b",
+    "\f": "\\f",
+}
+
+_UNESCAPES = {
+    "t": "\t", "b": "\b", "n": "\n", "r": "\r", "f": "\f",
+    '"': '"', "'": "'", "\\": "\\",
+}
+
+
+def iri(value: str) -> str:
+    return f"<{value}>"
+
+
+def bnode(label: str) -> str:
+    return f"_:{label}"
+
+
+def var(name: str) -> str:
+    return f"?{name}"
+
+
+def escape_string(value: str) -> str:
+    out = []
+    for ch in value:
+        out.append(_ESCAPES.get(ch, ch))
+    return "".join(out)
+
+
+def unescape_string(value: str) -> str:
+    """Undo N-Triples string escapes (ECHAR + UCHAR)."""
+    if "\\" not in value:
+        return value
+    out = []
+    i, n = 0, len(value)
+    while i < n:
+        ch = value[i]
+        if ch == "\\" and i + 1 < n:
+            nxt = value[i + 1]
+            if nxt == "u" and i + 6 <= n:
+                out.append(chr(int(value[i + 2:i + 6], 16)))
+                i += 6
+                continue
+            if nxt == "U" and i + 10 <= n:
+                out.append(chr(int(value[i + 2:i + 10], 16)))
+                i += 10
+                continue
+            if nxt in _UNESCAPES:
+                out.append(_UNESCAPES[nxt])
+                i += 2
+                continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def literal(value: str, datatype: str | None = None, lang: str | None = None) -> str:
+    """Build the N-Triples encoding of a literal.
+
+    `value` is the (already unescaped) lexical form; mirrors
+    reader.rb:812-822 `literal` (we keep lexical forms verbatim, like the
+    reference does when `canonicalize` is off).
+    """
+    enc = f'"{escape_string(value)}"'
+    if lang:
+        return f"{enc}@{lang}"
+    if datatype and datatype != XSD_STRING:
+        return f"{enc}^^<{datatype}>"
+    return enc
+
+
+def kind_of(term: str) -> int:
+    c = term[0] if term else ""
+    if c == "<":
+        return KIND_IRI
+    if c == "_":
+        return KIND_BNODE
+    if c == '"':
+        return KIND_LITERAL
+    if c == "?":
+        return KIND_VAR
+    if c == "(":
+        return KIND_LIST
+    return KIND_LITERAL
+
+
+def is_iri(term: str) -> bool:
+    return term.startswith("<")
+
+
+def is_bnode(term: str) -> bool:
+    return term.startswith("_:")
+
+
+def is_literal(term: str) -> bool:
+    return term.startswith('"')
+
+
+def is_var(term: str) -> bool:
+    return term.startswith("?")
+
+
+def iri_value(term: str) -> str:
+    return term[1:-1]
+
+
+def bnode_label(term: str) -> str:
+    return term[2:]
+
+
+def var_name(term: str) -> str:
+    return term[1:]
+
+
+def literal_parts(term: str) -> tuple[str, str | None, str | None]:
+    """Split a literal term into (value, datatype, lang).
+
+    The value returned is the unescaped string value.
+    """
+    if not term.startswith('"'):
+        raise ValueError(f"not a literal: {term!r}")
+    # find closing quote, honoring escapes
+    i = 1
+    n = len(term)
+    while i < n:
+        c = term[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == '"':
+            break
+        i += 1
+    value = unescape_string(term[1:i])
+    rest = term[i + 1:]
+    if rest.startswith("@"):
+        return value, None, rest[1:]
+    if rest.startswith("^^<"):
+        return value, rest[3:-1], None
+    return value, None, None
+
+
+def literal_value(term: str) -> str:
+    return literal_parts(term)[0]
+
+
+def datatype_of(term: str) -> str | None:
+    return literal_parts(term)[1]
+
+
+def ruby_succ(s: str) -> str:
+    """Ruby String#succ for the label shapes we use ("b0" -> "b1" ...
+    "b9" -> "b10", "az" -> "ba").  Mirrors the reference's incrementing
+    bnode labeler (reader.rb:743-758) and formula uniquifier
+    (reader.rb:835-839 `unique_label`).
+    """
+    chars = list(s)
+    i = len(chars) - 1
+    carry = True
+    rightmost_alnum = None
+    while i >= 0 and carry:
+        c = chars[i]
+        if c.isdigit():
+            rightmost_alnum = i
+            if c == "9":
+                chars[i] = "0"
+            else:
+                chars[i] = chr(ord(c) + 1)
+                carry = False
+        elif "a" <= c <= "z":
+            rightmost_alnum = i
+            if c == "z":
+                chars[i] = "a"
+            else:
+                chars[i] = chr(ord(c) + 1)
+                carry = False
+        elif "A" <= c <= "Z":
+            rightmost_alnum = i
+            if c == "Z":
+                chars[i] = "A"
+            else:
+                chars[i] = chr(ord(c) + 1)
+                carry = False
+        else:
+            # non-alnum: only increments if there are no alnums at all
+            break
+        i -= 1
+    if carry:
+        if rightmost_alnum is None:
+            # pure punctuation string: Ruby bumps last char; we don't need it
+            return s + "1"
+        lead = chars[i + 1] if i + 1 < len(chars) else "1"
+        insert = "1" if lead.isdigit() else ("a" if lead.islower() else "A")
+        chars.insert(i + 1, insert)
+    return "".join(chars)

@@ -1,0 +1,303 @@
+"""Unit tests for the N3 parser, per grammar production (SURVEY.md §2.2).
+
+Expected emissions hand-derived from the reference reader's productions
+(/root/reference/lib/rdf/n3/reader.rb) — statement counts and shapes
+mirror spec/reader_spec.rb examples.
+"""
+from rdf_n3_ray import terms as T
+from rdf_n3_ray.isomorphism import isomorphic, precision_recall
+from rdf_n3_ray.parser.n3_parser import parse_n3
+
+EX = "http://ex/"
+RDF = T.RDF_NS
+XSD = T.XSD_NS
+P = f"@prefix : <{EX}> .\n"
+
+
+def q(text, **kw):
+    r = parse_n3(text, **kw)
+    assert not r.errors, r.errors
+    return r.quads
+
+
+def test_simple_triple():
+    assert q(P + ":a :b :c .") == [(f"<{EX}a>", f"<{EX}b>", f"<{EX}c>", None)]
+
+
+def test_predicate_object_lists():
+    quads = q(P + ":a :b :c ; :d :e, :f .")
+    assert quads == [
+        (f"<{EX}a>", f"<{EX}b>", f"<{EX}c>", None),
+        (f"<{EX}a>", f"<{EX}d>", f"<{EX}e>", None),
+        (f"<{EX}a>", f"<{EX}d>", f"<{EX}f>", None),
+    ]
+
+
+def test_verb_a():
+    assert q(P + ":a a :B .")[0][1] == T.RDF_TYPE
+
+
+def test_verb_equals_and_implies():
+    quads = q(P + ":s = :o . :s => :o . :s <= :o .")
+    assert quads[0][1] == T.OWL_SAMEAS
+    assert quads[1][1] == T.LOG_IMPLIES
+    # <= inverts (reader.rb:410-414)
+    assert quads[2] == (f"<{EX}o>", T.LOG_IMPLIES, f"<{EX}s>", None)
+
+
+def test_verb_has_is_of_arrow():
+    quads = q(P + ":a is :b of :c . :a has :b :c . :a <- :b :c .")
+    assert quads[0] == (f"<{EX}c>", f"<{EX}b>", f"<{EX}a>", None)
+    assert quads[1] == (f"<{EX}a>", f"<{EX}b>", f"<{EX}c>", None)
+    assert quads[2] == (f"<{EX}c>", f"<{EX}b>", f"<{EX}a>", None)
+
+
+def test_forward_path():
+    # :a!:b!:c :p :o  =>  :a :b _:b0. _:b0 :c _:b1. _:b1 :p :o.
+    quads = q(P + ":a!:b!:c :p :o .")
+    assert quads == [
+        (f"<{EX}a>", f"<{EX}b>", "_:b0", None),
+        ("_:b0", f"<{EX}c>", "_:b1", None),
+        ("_:b1", f"<{EX}p>", f"<{EX}o>", None),
+    ]
+
+
+def test_reverse_path():
+    quads = q(P + ":a^:b :p :o .")
+    assert quads == [
+        ("_:b0", f"<{EX}b>", f"<{EX}a>", None),
+        ("_:b0", f"<{EX}p>", f"<{EX}o>", None),
+    ]
+
+
+def test_path_in_object_position():
+    quads = q(P + ":s :p :a!:b .")
+    assert quads == [
+        (f"<{EX}a>", f"<{EX}b>", "_:b0", None),
+        (f"<{EX}s>", f"<{EX}p>", "_:b0", None),
+    ]
+
+
+def test_numeric_literals():
+    quads = q(P + ':s :p 1, -5, 2.5, .5, 1.e0, 1E0, true, false .')
+    objs = [x[2] for x in quads]
+    assert objs == [
+        f'"1"^^<{XSD}integer>',
+        f'"-5"^^<{XSD}integer>',
+        f'"2.5"^^<{XSD}decimal>',
+        f'"0.5"^^<{XSD}decimal>',  # leading-dot normalized (reader.rb:470-475)
+        f'"1.0e0"^^<{XSD}double>',  # .e -> .0e (reader.rb:476)
+        f'"1E0"^^<{XSD}double>',
+        f'"true"^^<{XSD}boolean>',
+        f'"false"^^<{XSD}boolean>',
+    ]
+
+
+def test_string_literals():
+    quads = q(P + ':s :p "plain", \'single\', "lang"@en-GB, "typed"^^:dt, """long\n"q" x""", \'\'\'L2\'\'\' .')
+    objs = [x[2] for x in quads]
+    assert objs[0] == '"plain"'
+    assert objs[1] == '"single"'
+    assert objs[2] == '"lang"@en-gb'
+    assert objs[3] == f'"typed"^^<{EX}dt>'
+    assert objs[4] == '"long\\n\\"q\\" x"'
+    assert objs[5] == '"L2"'
+
+
+def test_string_escapes():
+    quads = q(P + ':s :p "a\\tb\\u0041\\U00000042\\\\" .')
+    assert quads[0][2] == '"a\\tbAB\\\\"'
+    assert T.literal_value(quads[0][2]) == "a\tbAB\\"
+
+
+def test_xsd_string_datatype_dropped():
+    quads = q(P + ':s :p "x"^^<http://www.w3.org/2001/XMLSchema#string> .')
+    assert quads[0][2] == '"x"'
+
+
+def test_labeled_bnodes_scoped_and_renamed():
+    quads = q(P + "_:x :p _:y . _:x :q _:x .")
+    # labeled bnodes renamed through the deterministic labeler (reader.rb:743-758)
+    assert quads == [
+        ("_:b0", f"<{EX}p>", "_:b1", None),
+        ("_:b0", f"<{EX}q>", "_:b0", None),
+    ]
+
+
+def test_anon_and_property_list():
+    quads = q(P + "[] :p :o . _:z :p [ :q :r ] .")
+    assert quads == [
+        ("_:b0", f"<{EX}p>", f"<{EX}o>", None),
+        ("_:b2", f"<{EX}q>", f"<{EX}r>", None),
+        ("_:b1", f"<{EX}p>", "_:b2", None),
+    ]
+
+
+def test_bnode_property_list_as_subject():
+    quads = q(P + "[ :p :o ] :q :r .")
+    assert quads == [
+        ("_:b0", f"<{EX}p>", f"<{EX}o>", None),
+        ("_:b0", f"<{EX}q>", f"<{EX}r>", None),
+    ]
+
+
+def test_iri_property_list():
+    quads = q(P + "[ id :iri :p :o ] .")
+    assert quads == [(f"<{EX}iri>", f"<{EX}p>", f"<{EX}o>", None)]
+
+
+def test_collection_ladder():
+    quads = q(P + ":s :p ( 1 2 ) .")
+    first, rest, nil = T.RDF_FIRST, T.RDF_REST, T.RDF_NIL
+    assert quads == [
+        ("_:b0", first, f'"1"^^<{XSD}integer>', None),
+        ("_:b0", rest, "_:b1", None),
+        ("_:b1", first, f'"2"^^<{XSD}integer>', None),
+        ("_:b1", rest, nil, None),
+    ][0:4] + [(f"<{EX}s>", f"<{EX}p>", "_:b0", None)][0:1]
+
+
+def test_empty_collection():
+    quads = q(P + ":s :p () .")
+    assert quads == [(f"<{EX}s>", f"<{EX}p>", T.RDF_NIL, None)]
+
+
+def test_nested_collection():
+    quads = q(P + ":s :p ( 1 ( 2 ) ) .")
+    # inner ladder emitted while outer is being collected
+    assert (f"<{EX}s>", f"<{EX}p>", "_:b1") in [t[:3] for t in quads]
+    firsts = [t for t in quads if t[1] == T.RDF_FIRST]
+    assert len(firsts) == 3
+
+
+def test_collection_list_terms_mode():
+    quads = q(P + ":s :p ( 1 2 ) .", list_terms=True)
+    assert quads == [
+        (f"<{EX}s>", f"<{EX}p>", f'("1"^^<{XSD}integer> "2"^^<{XSD}integer>)', None)
+    ]
+
+
+def test_formula_graph_names():
+    quads = q(P + "{ :a :b :c . :d :e :f } => { :g :h :i } .")
+    assert quads == [
+        (f"<{EX}a>", f"<{EX}b>", f"<{EX}c>", "_:_form_0"),
+        (f"<{EX}d>", f"<{EX}e>", f"<{EX}f>", "_:_form_0"),
+        (f"<{EX}g>", f"<{EX}h>", f"<{EX}i>", "_:_form_1"),
+        ("_:_form_0", T.LOG_IMPLIES, "_:_form_1", None),
+    ]
+
+
+def test_nested_formula():
+    quads = q(P + "{ :a :b { :c :d :e } } :p :o .")
+    assert quads == [
+        (f"<{EX}c>", f"<{EX}d>", f"<{EX}e>", "_:_form_1"),
+        (f"<{EX}a>", f"<{EX}b>", "_:_form_1", "_:_form_0"),
+        ("_:_form_0", f"<{EX}p>", f"<{EX}o>", None),
+    ]
+
+
+def test_empty_formula():
+    quads = q(P + "{} :p :o .")
+    assert quads == [("_:_form_0", f"<{EX}p>", f"<{EX}o>", None)]
+
+
+def test_bnode_label_scoping_per_formula():
+    # same label _:x maps to DIFFERENT bnodes in different formulae
+    quads = q(P + "_:x :p :o . { _:x :q :r } :s :t .")
+    ground_bn = quads[0][0]
+    formula_bn = quads[1][0]
+    assert ground_bn != formula_bn
+
+
+def test_quickvars():
+    quads = q(P + ":s :p ?x . ?x :q :r .")
+    assert quads[0][2] == "?x"
+    assert quads[1][0] == "?x"
+
+
+def test_socrates_rule():
+    text = (
+        "@prefix : <socrates#>.\n"
+        ":socrates a :Man.\n"
+        "{ ?who a :Man } => { ?who a :Mortal }.\n"
+    )
+    quads = q(text)
+    assert quads == [
+        ("<socrates#socrates>", T.RDF_TYPE, "<socrates#Man>", None),
+        ("?who", T.RDF_TYPE, "<socrates#Man>", "_:_form_0"),
+        ("?who", T.RDF_TYPE, "<socrates#Mortal>", "_:_form_1"),
+        ("_:_form_0", T.LOG_IMPLIES, "_:_form_1", None),
+    ]
+
+
+def test_base_and_relative_iris():
+    quads = q("@base <http://base/x/> . <a> <b> </c> .")
+    assert quads == [("<http://base/x/a>", "<http://base/x/b>", "<http://base/c>", None)]
+
+
+def test_sparql_style_directives():
+    quads = q("PREFIX ex: <http://ex/>\nBASE <http://b/>\nex:a ex:b <rel> .")
+    assert quads == [(f"<{EX}a>", f"<{EX}b>", "<http://b/rel>", None)]
+
+
+def test_sparql_prefix_must_not_be_terminated():
+    r = parse_n3("PREFIX ex: <http://ex/> .\nex:a ex:b ex:c .")
+    assert r.errors
+
+
+def test_at_prefix_must_be_terminated():
+    r = parse_n3("@prefix ex: <http://ex/>\nex:a ex:b ex:c .")
+    assert r.errors
+
+
+def test_preseeded_operator_namespaces():
+    quads = q(":s log:implies :o .", base_uri="http://ex/d")
+    assert quads[0][1] == T.LOG_IMPLIES
+
+
+def test_undefined_prefix_is_error():
+    r = parse_n3("nope:a nope:b nope:c .")
+    assert r.errors
+
+
+def test_validate_raises_on_bad_syntax():
+    r = parse_n3("this is garbage ::: .", validate=True)
+    assert r.errors
+
+
+def test_recovery_continues_after_bad_statement():
+    r = parse_n3(P + ":a :b :c . :bad ~~~ . :d :e :f .")
+    assert r.errors
+    spo = [t[:3] for t in r.quads]
+    assert (f"<{EX}a>", f"<{EX}b>", f"<{EX}c>") in spo
+    assert (f"<{EX}d>", f"<{EX}e>", f"<{EX}f>") in spo
+
+
+def test_pname_local_escapes():
+    quads = q(P + ":s :p :a\\.b\\%c .")
+    assert quads[0][2] == f"<{EX}a.b%c>"
+
+
+def test_unicode_escapes_in_iri():
+    quads = q(":s :p <http://ex/\\u00E9> .", base_uri="http://ex/")
+    assert quads[0][2] == "<http://ex/é>"
+
+
+def test_determinism():
+    text = P + "[ :p :o ] :q [ :r ( 1 2 {:a :b :c} ) ] ."
+    a, b = parse_n3(text).quads, parse_n3(text).quads
+    assert a == b
+
+
+def test_isomorphism_oracle():
+    a = q(P + "[ :p :o ] :q :r .")
+    b = [("_:zz", f"<{EX}p>", f"<{EX}o>", None), ("_:zz", f"<{EX}q>", f"<{EX}r>", None)]
+    assert isomorphic(a, b)
+    c = [("_:z1", f"<{EX}p>", f"<{EX}o>", None), ("_:z2", f"<{EX}q>", f"<{EX}r>", None)]
+    assert not isomorphic(a, c)
+
+
+def test_precision_recall_sanity():
+    a = q(P + ":a :b :c . [ :p 1 ] :q :r .")
+    p, r = precision_recall(a, a)
+    assert p == 1.0 and r == 1.0
