@@ -1,0 +1,54 @@
+"""Skolemization — blank-node canonicalization (north rule).
+
+Replaces the reference's in-process bnode label interning
+(/root/reference/lib/rdf/n3/reader.rb:743-758) with globally-unique,
+deterministic skolem IRIs: ``urn:skolem:<sha1(conv_id|turn_idx|label)>``.
+Because parser labels are deterministic per turn and the salt is the
+turn's identity, two runs (or a retried task) always produce identical
+IRIs, and bnodes from different turns can never collide after the
+dedup shuffle merges everything.
+
+Formula nodes (labels starting "_form_") are skolemized the same way —
+they name quoted graphs, and the graph column goes through the same
+substitution.
+
+Vectorized: per-batch numpy/pyarrow with a Python loop only over the
+bnode rows (typically a small fraction of triples).
+"""
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _skolem(conv: str, turn: int, label: str) -> str:
+    h = hashlib.sha1(f"{conv}|{turn}|{label}".encode()).hexdigest()
+    return f"<urn:skolem:{h}>"
+
+
+def skolemize_batch(batch: pa.Table) -> pa.Table:
+    conv = batch.column("conv_id").to_pylist()
+    turn = batch.column("turn_idx").to_pylist()
+    new_cols = {}
+    for col in ("subj", "pred", "obj", "graph"):
+        vals = batch.column(col)
+        mask = pc.starts_with(pc.coalesce(vals, pa.scalar("")), "_:")
+        if pc.any(mask).as_py():
+            out = vals.to_pylist()
+            for i, is_bn in enumerate(mask.to_pylist()):
+                if is_bn:
+                    out[i] = _skolem(conv[i], turn[i], out[i][2:])
+            new_cols[col] = pa.array(out, pa.string())
+        else:
+            new_cols[col] = vals
+    arrays = []
+    for name in batch.schema.names:
+        arrays.append(new_cols.get(name, batch.column(name)))
+    return pa.table(dict(zip(batch.schema.names, arrays)))
+
+
+def skolemize(ds, batch_size: int = 65536):
+    """Stateless vectorizable map stage."""
+    return ds.map_batches(skolemize_batch, batch_format="pyarrow", batch_size=batch_size)

@@ -1,0 +1,99 @@
+"""End-to-end Ray pipeline tests (SURVEY.md §5c/§5d)."""
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from rdf_n3_ray.pipelines.kg import build_kg_dataset, run_kg_job
+from rdf_n3_ray.sources.transcripts import (
+    entity_table,
+    make_turn_text,
+    transcripts_dataset,
+)
+from rdf_n3_ray.stages.parse_stage import ParseN3Turns
+from rdf_n3_ray.parser.n3_parser import parse_n3
+
+
+def test_transcripts_deterministic(ray_session):
+    a = transcripts_dataset(n_convs=20, turns_per_conv=5).to_pandas()
+    b = transcripts_dataset(n_convs=20, turns_per_conv=5).to_pandas()
+    a = a.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = b.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert a.equals(b)
+    assert set(a.columns) == {"conv_id", "turn_idx", "role", "text", "tool", "ts"}
+
+
+def test_parse_stage_matches_oracle(ray_session):
+    """Distributed parse == single-process oracle parse, per turn."""
+    ts = transcripts_dataset(n_convs=15, turns_per_conv=6)
+    triples = ts.map_batches(ParseN3Turns(), batch_format="pyarrow").to_pandas()
+    grouped = {
+        k: sorted(zip(g["subj"], g["pred"], g["obj"], g["graph"].fillna("")))
+        for k, g in triples.groupby(["conv_id", "turn_idx"])
+    }
+    rows = transcripts_dataset(n_convs=15, turns_per_conv=6).to_pandas()
+    for _, row in rows.iterrows():
+        r = parse_n3(row["text"])
+        expected = sorted((s, p, o, g or "") for s, p, o, g in r.quads)
+        got = grouped.get((row["conv_id"], row["turn_idx"]), [])
+        assert got == expected, (row["conv_id"], row["turn_idx"], row["text"])
+
+
+def test_kg_dataset_end_to_end(ray_session):
+    ts = transcripts_dataset(n_convs=25, turns_per_conv=5)
+    kg = build_kg_dataset(ts)
+    df = kg.to_pandas()
+    assert len(df) > 50
+    # skolemized: no bnodes survive canonicalization
+    assert not df["subj"].str.startswith("_:").any()
+    assert not df["obj"].str.startswith("_:").any()
+    assert not df["graph"].dropna().str.startswith("_:").any()
+    # exact dedup: no duplicate quads
+    assert not df.duplicated(subset=["subj", "pred", "obj", "graph"]).any()
+    # stable (conv_id, turn_idx) ordering (north rule)
+    key = list(zip(df["conv_id"], df["turn_idx"]))
+    assert key == sorted(key)
+    # entity links present
+    assert (df["pred"] == "<http://example.org/kg#mentions>").any()
+
+
+def test_malformed_turns_dont_kill_pipeline(ray_session):
+    # ~5% of turns are malformed by construction; pipeline must survive
+    texts = [make_turn_text(42, c, t) for c in range(30) for t in range(5)]
+    assert any(parse_n3(t).errors for t in texts)  # corpus includes bad docs
+
+
+def test_run_kg_job_resume(ray_session, tmp_path):
+    """Kill mid-run, resume: zero reprocessing, identical output."""
+    out1 = str(tmp_path / "job1")
+    with pytest.raises(RuntimeError):
+        run_kg_job(out1, n_convs=40, turns_per_conv=4, n_shards=4, fail_after_shards=2)
+    manifest_path = os.path.join(out1, "stage=triples", "_lineage.json")
+    assert os.path.exists(manifest_path)
+    import json
+
+    before = json.load(open(manifest_path))["partitions"]
+    assert len(before) == 2
+    stamps = {k: v["completed_at"] for k, v in before.items()}
+
+    m = run_kg_job(out1, n_convs=40, turns_per_conv=4, n_shards=4)
+    after = json.load(open(manifest_path))["partitions"]
+    assert len(after) == 4
+    for k, ts_ in stamps.items():  # finished shards untouched on resume
+        assert after[k]["completed_at"] == ts_
+
+    # uninterrupted run elsewhere produces identical final rows
+    out2 = str(tmp_path / "job2")
+    m2 = run_kg_job(out2, n_convs=40, turns_per_conv=4, n_shards=4)
+    t1 = pq.read_table(os.path.join(out1, "stage=final", "shard=all")).to_pandas()
+    t2 = pq.read_table(os.path.join(out2, "stage=final", "shard=all")).to_pandas()
+    t1 = t1.sort_values(list(t1.columns)).reset_index(drop=True)
+    t2 = t2.sort_values(list(t2.columns)).reset_index(drop=True)
+    assert t1.equals(t2)
+    assert m["final_rows"] == m2["final_rows"]
+
+
+def test_entity_table_shape():
+    t = entity_table()
+    assert set(t.schema.names) == {"mention_norm", "canonical_iri", "score"}
+    assert t.num_rows >= 10
