@@ -1,0 +1,273 @@
+"""N3 / N-Triples serialization.
+
+Reimplements the *behavior* of the reference Writer
+(/root/reference/lib/rdf/n3/writer.rb:49-788) — prefix headers, subject
+ordering, predicate ordering with `a` sugar, `[ ]` inlining of
+single-referenced bnodes, `( )` reconstruction of rdf:first/rest
+ladders, `{ }` formula rendering — as a pure function over a quad set.
+Byte-level parity with the reference's pretty-printer is intentionally
+out of scope (SURVEY.md §7 hard part (e)); round-trip tests assert
+parse(serialize(G)) ≅ G under bnode isomorphism, the same contract the
+reference's own writer specs check.
+
+Ray mapping (SURVEY.md §2.1): N-Triples is a stateless vectorizable
+map_batches render; canonical N3 is per-document
+``groupby(conv_id, turn_idx).map_groups(render)`` — formulae/documents
+are small, so in-group work is bounded.
+"""
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pandas as pd
+
+from .. import terms as T
+
+Quad = tuple[str, str, str, str | None]
+
+# writer.rb:248-263 predicate_order — rdf:type, rdfs:label, dc:title first
+_PREDICATE_ORDER = {
+    T.RDF_TYPE: 0,
+    f"<{T.RDFS_NS}label>": 1,
+    "<http://purl.org/dc/terms/title>": 2,
+}
+
+_DEFAULT_PREFIXES = {
+    "rdf": T.RDF_NS,
+    "rdfs": T.RDFS_NS,
+    "xsd": T.XSD_NS,
+    "log": T.LOG_NS,
+    "math": T.MATH_NS,
+    "list": T.LIST_NS,
+    "string": T.STR_NS,
+    "time": T.TIME_NS,
+    "owl": T.OWL_NS,
+}
+
+_NUMERIC_NATIVE = {T.XSD_INTEGER, T.XSD_DECIMAL, T.XSD_BOOLEAN}
+
+import re as _re
+
+_PNAME_SAFE_RE = _re.compile(r"[A-Za-z0-9_\-\.]*[A-Za-z0-9_\-]$|^$")
+
+
+def _pname_safe(local: str) -> bool:
+    """Conservative check that `local` can serialize as a pname local part
+    without escaping (writer.rb pname minting uses the full PN_LOCAL
+    grammar; we fall back to <iri> form for anything exotic)."""
+    if local == "":
+        return True
+    if local[0] == ".":
+        return False
+    return bool(_PNAME_SAFE_RE.match(local)) and "/" not in local and "#" not in local
+
+
+def to_ntriples(quads: list[Quad]) -> str:
+    """Fast path: one line per default-graph triple, quads in formulae
+    rendered as N-Quads-style with the formula node as graph label."""
+    lines = []
+    for s, p, o, g in quads:
+        if g:
+            lines.append(f"{s} {p} {o} {g} .")
+        else:
+            lines.append(f"{s} {p} {o} .")
+    return "\n".join(lines) + ("\n" if lines else "")
+
+
+def ntriples_batch(batch) -> "pd.DataFrame":
+    """Vectorized Dataset stage: triple rows -> N-Triples line column."""
+    graph = batch["graph"].fillna("")
+    line = batch["subj"] + " " + batch["pred"] + " " + batch["obj"]
+    line = line.where(graph == "", line + " " + graph) + " ."
+    return pd.DataFrame({"conv_id": batch["conv_id"], "turn_idx": batch["turn_idx"], "line": line})
+
+
+class N3Writer:
+    """Pretty N3 serializer for one (small) quad set/document."""
+
+    def __init__(self, quads: list[Quad], prefixes: dict[str, str] | None = None,
+                 base_uri: str | None = None):
+        self.quads = list(dict.fromkeys(quads))
+        self.base_uri = base_uri
+        self.prefixes = dict(prefixes or {})
+        self.graphs: dict[str | None, list[Quad]] = defaultdict(list)
+        for q in self.quads:
+            self.graphs[q[3]].append(q)
+        # reference counts per graph (writer.rb:673-684)
+        self.ref_count: dict[tuple[str | None, str], int] = defaultdict(int)
+        for s, p, o, g in self.quads:
+            self.ref_count[(g, o)] += 1
+        self.serialized: set[tuple] = set()
+
+    # -- prefix handling (writer.rb:416-450 preprocess) -----------------
+    def _used_namespaces(self) -> dict[str, str]:
+        used = {}
+        names = {**_DEFAULT_PREFIXES, **self.prefixes}
+        by_ns = {v: k for k, v in names.items() if k}
+        for s, p, o, g in self.quads:
+            for t in (s, p, o):
+                if T.is_iri(t):
+                    v = T.iri_value(t)
+                    for ns, pfx in by_ns.items():
+                        if v.startswith(ns) and _pname_safe(v[len(ns):]):
+                            used[pfx] = ns
+                            break
+        return used
+
+    def _term(self, t: str, graph: str | None, inline_depth: int = 0) -> str:
+        if T.is_iri(t):
+            v = T.iri_value(t)
+            for pfx, ns in self._active.items():
+                local = v[len(ns):]
+                if v.startswith(ns) and _pname_safe(local):
+                    return f"{pfx}:{local}"
+            if t == T.RDF_NIL:
+                return "()"
+            return t
+        if T.is_literal(t):
+            value, dt, lang = T.literal_parts(t)
+            if dt in _NUMERIC_NATIVE:
+                return value
+            if dt == T.XSD_DOUBLE:
+                return value if ("e" in value or "E" in value) else t
+            return t  # keep full form incl lang/datatype
+        if T.is_var(t):
+            return t
+        if T.is_bnode(t):
+            # formula node?
+            if t in self.graphs:
+                return self._formula(t)
+            lst = self._as_list(t, graph)
+            if lst is not None:
+                return lst
+            if inline_depth < 8 and self._inlinable(t, graph):
+                return self._bnode_props(t, graph, inline_depth)
+            return t
+        return t
+
+    # -- list reconstruction (writer.rb:705-786 with_graph rebuild) -----
+    def _as_list(self, head: str, graph: str | None) -> str | None:
+        items, seen = [], set()
+        node = head
+        while node != T.RDF_NIL:
+            if node in seen or not T.is_bnode(node):
+                return None
+            seen.add(node)
+            outgoing = [q for q in self.graphs.get(graph, []) if q[0] == node]
+            firsts = [q for q in outgoing if q[1] == T.RDF_FIRST]
+            rests = [q for q in outgoing if q[1] == T.RDF_REST]
+            if len(firsts) != 1 or len(rests) != 1 or len(outgoing) != 2:
+                return None
+            items.append(firsts[0][2])
+            node = rests[0][2]
+        for n in seen:
+            for q in self.graphs.get(graph, []):
+                if q[0] == n:
+                    self.serialized.add(q)
+        return "( " + " ".join(self._term(i, graph) for i in items) + " )"
+
+    def _inlinable(self, t: str, graph: str | None) -> bool:
+        return self.ref_count[(graph, t)] <= 1
+
+    def _bnode_props(self, t: str, graph: str | None, depth: int) -> str:
+        props = [q for q in self.graphs.get(graph, []) if q[0] == t and q not in self.serialized]
+        for q in props:
+            self.serialized.add(q)
+        if not props:
+            return "[]"
+        return "[ " + self._predicate_object_list(props, graph, depth + 1) + " ]"
+
+    def _formula(self, node: str) -> str:
+        inner = self.graphs.get(node, [])
+        body = self._render_graph(node)
+        for q in inner:
+            self.serialized.add(q)
+        body = body.strip()
+        return "{" + (f" {body} " if body else "") + "}"
+
+    def _predicate_object_list(self, quads: list[Quad], graph: str | None, depth: int = 0) -> str:
+        by_pred: dict[str, list[str]] = defaultdict(list)
+        for s, p, o, g in quads:
+            by_pred[p].append(o)
+        parts = []
+        for p in sorted(by_pred, key=lambda x: (_PREDICATE_ORDER.get(x, 9), x)):
+            pred = "a" if p == T.RDF_TYPE else (
+                "=>" if p == T.LOG_IMPLIES else self._term(p, graph))
+            objs = ", ".join(self._term(o, graph, depth) for o in by_pred[p])
+            parts.append(f"{pred} {objs}")
+        return " ;\n    ".join(parts)
+
+    def _subject_sort_key(self, s: str, quads: list[Quad]):
+        # writer.rb:372-413 order_subjects: base first, classes, then
+        # (bnode?, ref count, term)
+        is_base = self.base_uri and T.is_iri(s) and T.iri_value(s) == self.base_uri
+        is_class = any(q[1] == T.RDF_TYPE and q[2] == f"<{T.RDFS_NS}Class>" for q in quads if q[0] == s)
+        return (0 if is_base else 1, 0 if is_class else 1, 1 if T.is_bnode(s) else 0, s)
+
+    def _render_graph(self, graph: str | None) -> str:
+        quads = self.graphs.get(graph, [])
+        subjects = list(dict.fromkeys(q[0] for q in quads))
+        subjects.sort(key=lambda s: self._subject_sort_key(s, quads))
+        out = []
+        for s in subjects:
+            sq = [q for q in quads if q[0] == s and q not in self.serialized]
+            if not sq:
+                continue
+            if T.is_bnode(s) and s not in self.graphs and self._as_list(s, graph) is None \
+                    and self.ref_count[(graph, s)] == 0:
+                # root bnode: render as [ ... ] statement
+                for q in sq:
+                    self.serialized.add(q)
+                out.append(f"[ {self._predicate_object_list(sq, graph)} ] .")
+                continue
+            subj = self._term(s, graph)
+            sq = [q for q in self.graphs.get(graph, []) if q[0] == s and q not in self.serialized]
+            if not sq:
+                continue
+            for q in sq:
+                self.serialized.add(q)
+            out.append(f"{subj} {self._predicate_object_list(sq, graph)} .")
+        return "\n".join(out)
+
+    def serialize(self) -> str:
+        self._active = self._used_namespaces()
+        header = "".join(
+            f"@prefix {p}: <{ns}> .\n"
+            for p, ns in sorted(self._active.items(), key=lambda kv: str(kv[0]))
+        )
+        if self.base_uri:
+            header = f"@base <{self.base_uri}> .\n" + header
+        body = self._render_graph(None)
+        # Named graphs whose formula node is never referenced from an
+        # outer statement have no free-standing N3 syntax; they only
+        # arise from error-recovered input and are dropped (the
+        # reference's writer likewise only renders reachable formulae,
+        # writer.rb:630-649).
+        return header + ("\n" if header and body else "") + body + ("\n" if body else "")
+
+
+def serialize_n3(quads: list[Quad], prefixes: dict[str, str] | None = None,
+                 base_uri: str | None = None) -> str:
+    return N3Writer(quads, prefixes=prefixes, base_uri=base_uri).serialize()
+
+
+def serialize_documents(triples_ds):
+    """Dataset stage: per-(conv_id, turn_idx) canonical N3 rendering.
+
+    groupby is the shuffle; each group (one turn's emission) is small —
+    the writer runs in-group (SURVEY.md §3.2).
+    """
+    def render(g: pd.DataFrame) -> pd.DataFrame:
+        quads = [
+            (r.subj, r.pred, r.obj, r.graph if isinstance(r.graph, str) else None)
+            for r in g.itertuples()
+        ]
+        text = serialize_n3(quads)
+        return pd.DataFrame(
+            {"conv_id": [g["conv_id"].iloc[0]], "turn_idx": [g["turn_idx"].iloc[0]],
+             "n3": [text]}
+        )
+
+    return triples_ds.groupby(["conv_id", "turn_idx"]).map_groups(
+        render, batch_format="pandas"
+    )
