@@ -1,0 +1,612 @@
+"""Local N3 reasoning engine — fixed-point forward chaining.
+
+Reimplements the reference's Reasoner + Formula algebra
+(/root/reference/lib/rdf/n3/reasoner.rb:112-148,
+/root/reference/lib/rdf/n3/algebra/formula.rb:121-189,
+/root/reference/lib/rdf/n3/algebra/log/implies.rb:28-96) over encoded
+quad lists:
+
+- knowledge base = quad set; fixed point on count growth (`think`),
+  single pass otherwise (reasoner.rb:123-140)
+- per iteration the top formula is rebuilt from the KB: variable
+  patterns BGP-join against the KB, builtins evaluated in rank order
+  (fewest unbound inputs first, re-ranked after each success —
+  formula.rb:163-186), `log:implies` antecedents queried and
+  consequents instantiated with `inferred` marking
+- blank nodes inside quoted graphs are promoted to non-distinguished
+  existential variables (extensions.rb:121-125 `to_ndvar`,
+  label "<id>_<scope>_undext"); unbound existentials in a consequent
+  materialize as blank nodes interned by variable label
+  (formula.rb:236-244)
+
+This engine is deliberately in-memory: per-turn documents are small
+(SURVEY.md §3.3).  The distributed fixed point over a large KB lives in
+pipelines/reasoning.py, which broadcasts rules and turns the BGP match
+into Dataset joins; both share this module's instantiation semantics.
+"""
+from __future__ import annotations
+
+from collections import defaultdict
+from dataclasses import dataclass, field
+
+from .. import terms as T
+from .builtins import NOT_IMPLEMENTED, REGISTRY, EvalContext, input_vars, is_var
+
+Quad = tuple[str, str, str, str | None]
+
+LOG_IMPLIES_IRI = T.LOG_IMPLIES
+LOG = T.LOG_NS
+
+
+@dataclass
+class ReasonResult:
+    quads: list[Quad]          # full closure (default + quoted graphs)
+    inferred: list[Quad]       # subset added by rules
+    strings: str               # ordered log:outputString concatenation
+    iterations: int = 0
+
+    def data(self) -> list[Quad]:
+        """Ground default-graph projection (reasoner.rb:184-209)."""
+        graphs = {g for _, _, _, g in self.quads if g}
+        out = []
+        for s, p, o, g in self.quads:
+            if g is not None:
+                continue
+            if any(is_var(t) or t in graphs for t in (s, p, o)):
+                continue
+            out.append((s, p, o, g))
+        return out
+
+    def conclusions(self) -> list[Quad]:
+        """Inferred statements plus the contents of any formula they
+        reference (Implies#each yields form_statements through the same
+        inferred-marking block, implies.rb:70-96 + formula.rb:276-287)."""
+        by_graph = defaultdict(list)
+        for q in self.quads:
+            if q[3] is not None:
+                by_graph[q[3]].append(q)
+        out = list(self.inferred)
+        seen_g, stack = set(), []
+        for s, p, o, g in self.inferred:
+            for t in (s, o):
+                if t in by_graph:
+                    stack.append(t)
+        while stack:
+            g = stack.pop()
+            if g in seen_g:
+                continue
+            seen_g.add(g)
+            for q in by_graph[g]:
+                if q not in out:
+                    out.append(q)
+                for t in (q[0], q[2]):
+                    if t in by_graph and t not in seen_g:
+                        stack.append(t)
+        return out
+
+
+class Engine:
+    def __init__(self, quads: list[Quad], ctx: EvalContext | None = None):
+        self.ctx = ctx or EvalContext()
+        self.kb: list[Quad] = []
+        self.kb_set: set[Quad] = set()
+        self.inferred: list[Quad] = []
+        self.fresh_counter = 0
+        for q in quads:
+            self._insert(q)
+        self.ctx.expand_list = self._expand_list
+        self.ctx.formula_quads = self._formula_quads
+
+    # -- kb helpers -----------------------------------------------------
+    def _insert(self, q: Quad, inferred: bool = False) -> bool:
+        if q in self.kb_set:
+            return False
+        self.kb_set.add(q)
+        self.kb.append(q)
+        if inferred:
+            self.inferred.append(q)
+        return True
+
+    def _graphs(self) -> dict[str | None, list[Quad]]:
+        graphs: dict[str | None, list[Quad]] = defaultdict(list)
+        for q in self.kb:
+            graphs[q[3]].append(q)
+        return graphs
+
+    def _formula_quads(self, g: str) -> list[Quad]:
+        return [q for q in self.kb if q[3] == g]
+
+    def _expand_list(self, head: str) -> list | None:
+        """Expand an rdf:first/rest ladder headed at `head` (any graph)."""
+        by_subj = defaultdict(dict)
+        for s, p, o, g in self.kb:
+            if p in (T.RDF_FIRST, T.RDF_REST):
+                by_subj[s][p] = o
+        out, node, seen = [], head, set()
+        while node != T.RDF_NIL:
+            if node in seen or node not in by_subj:
+                return None
+            seen.add(node)
+            cell = by_subj[node]
+            if T.RDF_FIRST not in cell or T.RDF_REST not in cell:
+                return None
+            out.append(cell[T.RDF_FIRST])
+            node = cell[T.RDF_REST]
+        return out
+
+    # -- variable promotion (to_ndvar) ----------------------------------
+    def _promote(self, term: str, scope: str, formula_nodes: set[str]) -> str:
+        """bnodes in quoted graphs -> existential vars (recursing into
+        list terms); formula refs kept."""
+        if isinstance(term, str) and T.is_bnode(term) and term not in formula_nodes:
+            return f"?{T.bnode_label(term)}_{scope}_undext"
+        if isinstance(term, str) and T.is_list_term(term):
+            def walk(e):
+                if isinstance(e, list):
+                    return [walk(x) for x in e]
+                return self._promote(e, scope, formula_nodes)
+            return T.encode_list([walk(e) for e in T.parse_list_term(term)])
+        return term
+
+    # -- pattern matching ----------------------------------------------
+    def _unify(self, pat, ground, sol: dict):
+        pat = sol.get(pat, pat) if is_var(pat) else pat
+        if is_var(pat):
+            s2 = dict(sol)
+            s2[pat] = ground
+            return s2
+        if isinstance(pat, str) and T.is_list_term(pat):
+            pl = T.parse_list_term(pat)
+            gl = (
+                T.parse_list_term(ground)
+                if isinstance(ground, str) and T.is_list_term(ground)
+                else self._expand_list(ground) if T.is_bnode(ground) else None
+            )
+            if ground == T.RDF_NIL:
+                gl = []
+            if gl is None or len(pl) != len(gl):
+                return None
+            s2 = sol
+            for pe, ge in zip(pl, gl):
+                s2 = self._unify(pe, ge, s2)
+                if s2 is None:
+                    return None
+            return s2
+        return sol if pat == ground else None
+
+    def _match_bgp(self, patterns: list[tuple], facts: list[Quad], init: dict):
+        """Simple BGP join: most-bound pattern first, backtracking."""
+        solutions = [dict(init)]
+        remaining = list(patterns)
+        while remaining:
+            # choose pattern with fewest unbound vars under first solution
+            probe = solutions[0] if solutions else {}
+            remaining.sort(key=lambda p: input_vars(p[0], p[2], probe) + (0 if not is_var(p[1]) else 1))
+            s, p, o = remaining.pop(0)
+            nxt = []
+            for sol in solutions:
+                for fs, fp, fo, fg in facts:
+                    if fg is not None:
+                        continue
+                    s1 = self._unify(p, fp, sol)
+                    if s1 is None:
+                        continue
+                    s2 = self._unify(s, fs, s1)
+                    if s2 is None:
+                        continue
+                    s3 = self._unify(o, fo, s2)
+                    if s3 is not None:
+                        nxt.append(s3)
+            solutions = _uniq(nxt)
+            if not solutions:
+                return []
+        return solutions
+
+    # -- formula structure ----------------------------------------------
+    def _formula_patterns(self, g: str | None, graphs) -> tuple[list, list]:
+        """Split a formula's statements into (patterns, builtin_ops).
+
+        Mirrors Formula.from_enumerable (formula.rb:28-93): statements
+        whose predicate maps to an operator class become sub-ops, the
+        rest are patterns; bnodes in quoted graphs become ndvars.
+        """
+        formula_nodes = {k for k in graphs if k}
+        patterns, ops = [], []
+        scope = g or "base"
+        for s, p, o, _ in graphs.get(g, []):
+            if g is not None:
+                s = self._promote(s, scope, formula_nodes)
+                o = self._promote(o, scope, formula_nodes)
+            pred_iri = T.iri_value(p) if T.is_iri(p) else None
+            if pred_iri and (
+                pred_iri in REGISTRY
+                or pred_iri == T.iri_value(LOG_IMPLIES_IRI)
+                or pred_iri in _ENGINE_BUILTINS
+                or pred_iri in NOT_IMPLEMENTED
+            ):
+                ops.append((s, pred_iri, o))
+            else:
+                patterns.append((s, p, o))
+        return patterns, ops
+
+    # -- builtin evaluation ----------------------------------------------
+    def _eval_op(self, s, pred_iri, o, solutions: list[dict]):
+        """Evaluate one sub-op over current solutions; None = no effect
+        (op not ready), [] = eliminates all solutions."""
+        if pred_iri in NOT_IMPLEMENTED:
+            return None
+        out, any_effect = [], False
+        for sol in solutions:
+            if pred_iri in _ENGINE_BUILTINS:
+                res = _ENGINE_BUILTINS[pred_iri](self, s, o, sol)
+            else:
+                res = REGISTRY[pred_iri].evaluate(s, o, sol, self.ctx)
+            if res is None:
+                out.append(sol)
+            else:
+                any_effect = True
+                out.extend(res)
+        if not any_effect:
+            return None
+        return _uniq(out)
+
+    # -- rule application -------------------------------------------------
+    def _antecedent_universals(self, g: str, graphs) -> set:
+        pats, ops = self._formula_patterns(g, graphs)
+        vars_ = set()
+        for s, p, o in pats + [(a, T.iri(b), c) for a, b, c in ops]:
+            for t in (s, p, o):
+                _collect_vars(t, vars_)
+        return {v for v in vars_ if not v.endswith("_undext")}
+
+    def _run_formula(self, g: str | None, graphs, init: dict):
+        """Formula#execute: BGP then ranked builtins (formula.rb:121-189)."""
+        patterns, ops = self._formula_patterns(g, graphs)
+        if g is None:
+            # top formula: ground statements trivially match themselves
+            bgp = [p for p in patterns if _has_var(p)]
+        else:
+            # antecedent: ground patterns must hold in the KB too
+            bgp = patterns
+        solutions = self._match_bgp(bgp, self.kb, init) if bgp else [dict(init)]
+        if not solutions:
+            return [], []
+        # drop solutions binding variables to variables (formula.rb:154)
+        solutions = [s for s in solutions if all(not is_var(v) for v in s.values())]
+        rules = [(s, p, o) for s, p, o in ops if p == T.iri_value(LOG_IMPLIES_IRI)]
+        others = [(s, p, o) for s, p, o in ops if p != T.iri_value(LOG_IMPLIES_IRI)]
+        # ranked evaluation loop (formula.rb:163-186)
+        remaining = list(others)
+        while remaining and solutions:
+            remaining.sort(key=lambda op_: input_vars(op_[0], op_[2], solutions[0]))
+            progressed = None
+            for op_ in remaining:
+                res = self._eval_op(op_[0], op_[1], op_[2], solutions)
+                if res is None:
+                    continue
+                solutions = res
+                progressed = op_
+                break
+            if progressed is None:
+                break
+            remaining.remove(progressed)
+            if not solutions:
+                solutions = []
+                break
+        return solutions, rules
+
+    def _apply_rule(self, ant: str, cons: str, graphs, outer_solutions):
+        """log:implies (implies.rb:28-96): query antecedent, keep
+        solutions binding all its universals, instantiate consequent."""
+        new_quads = []
+        for outer in outer_solutions:
+            ant_g = outer.get(ant, ant) if is_var(ant) else ant
+            cons_g = outer.get(cons, cons) if is_var(cons) else cons
+            if ant_g not in graphs or is_var(ant_g):
+                continue
+            solutions, _ = self._run_formula(ant_g, graphs, outer)
+            universals = self._antecedent_universals(ant_g, graphs)
+            solutions = [
+                s for s in solutions if all(v in s for v in universals)
+            ]
+            for sol in solutions:
+                new_quads.extend(self._instantiate(cons_g, graphs, sol))
+        return _uniq_quads(new_quads)
+
+    def _instantiate(self, g: str, graphs, sol: dict, target_graph: str | None = None):
+        """Materialize a consequent formula under a solution.
+
+        Unbound existential vars are interned as bnodes by label
+        (formula.rb:236-244); nested formulae are re-instantiated under
+        fresh graph ids (deep_dup semantics, formula.rb:99-107).
+        """
+        if g not in graphs:
+            return []
+        formula_nodes = {k for k in graphs if k}
+        # graphs created DURING this iteration (conjunction/parsedAsN3/
+        # conclusion results) live in the KB but not in the snapshot
+        live_graphs = {q[3] for q in self.kb if q[3] is not None}
+        out = []
+        scope = g or "base"
+        nested_map = {}
+        bound_formulae: set[str] = set()
+
+        def subst(t):
+            if isinstance(t, str) and T.is_bnode(t):
+                if t in formula_nodes:
+                    if t not in nested_map:
+                        self.fresh_counter += 1
+                        nested_map[t] = f"_:inf_form_{self.fresh_counter}"
+                    return nested_map[t]
+                t = f"?{T.bnode_label(t)}_{scope}_undext"
+            if is_var(t):
+                if t in sol:
+                    v = sol[t]
+                    # a solution binding a formula carries that formula's
+                    # statements along (formula.rb:236-258 form_statements)
+                    if isinstance(v, str) and (v in formula_nodes or v in live_graphs):
+                        bound_formulae.add(v)
+                    return v
+                return T.bnode(t[1:])  # intern by var label
+            if isinstance(t, str) and T.is_list_term(t):
+                return T.encode_list([subst(e) for e in T.parse_list_term(t)])
+            return t
+
+        for s, p, o, _ in graphs.get(g, []):
+            ns, np, no = subst(s), subst(p), subst(o)
+            out.append((ns, np, no, target_graph))
+            for orig, fresh in list(nested_map.items()):
+                if orig in (s, o) and fresh in (ns, no):
+                    out.extend(self._instantiate(orig, graphs, sol, target_graph=fresh))
+                    del nested_map[orig]
+        # emit referenced-formula contents (recursively), graph ids kept
+        emitted = set()
+        stack = list(bound_formulae)
+        while stack:
+            fg = stack.pop()
+            if fg in emitted:
+                continue
+            emitted.add(fg)
+            fq = graphs.get(fg) or [q for q in self.kb if q[3] == fg]
+            for s, p, o, _ in fq:
+                out.append((s, p, o, fg))
+                for t in (s, o):
+                    if (t in formula_nodes or t in live_graphs) and t not in emitted:
+                        stack.append(t)
+        return out
+
+    # -- main loop --------------------------------------------------------
+    def reason(self, think: bool = False, max_iterations: int = 100) -> ReasonResult:
+        iterations = 0
+        count = -1
+        while len(self.kb) > count and iterations < max_iterations:
+            count = len(self.kb)
+            iterations += 1
+            graphs = self._graphs()
+            solutions, rules = self._run_formula(None, graphs, {})
+            # inferred statements from rules — collected first, inserted
+            # after all rules ran, so every antecedent in this iteration
+            # queries the same snapshot (kb << formula happens after
+            # formula.execute, reasoner.rb:137-139)
+            new_inferred = []
+            for ant, _, cons in rules:
+                new_inferred.extend(
+                    self._apply_rule(ant, cons, graphs, solutions or [{}])
+                )
+            for q in new_inferred:
+                self._insert(q, inferred=True)
+            # top-formula patterns instantiated under solutions
+            # (formula#each via `kb << formula`, reasoner.rb:139)
+            patterns, _ = self._formula_patterns(None, graphs)
+            for sol in solutions:
+                if not sol:
+                    continue
+                for s, p, o in patterns:
+                    if not _has_var((s, p, o)):
+                        continue
+                    ns = sol.get(s, s) if is_var(s) else s
+                    np = sol.get(p, p) if is_var(p) else p
+                    no = sol.get(o, o) if is_var(o) else o
+                    if not any(is_var(t) for t in (ns, np, no)):
+                        self._insert((ns, np, no, None))
+            if not think:
+                break
+        strings = "".join(
+            "".join(v) for _, v in sorted(self.ctx.strings.items())
+        )
+        return ReasonResult(
+            quads=list(self.kb),
+            inferred=list(self.inferred),
+            strings=strings,
+            iterations=iterations,
+        )
+
+
+# ---------------------------------------------------------------------------
+# engine-level log: builtins (need formula/KB access)
+# ---------------------------------------------------------------------------
+
+def _includes(engine: Engine, s, o, sol, negate=False):
+    """log:includes / notIncludes — formula A matched by patterns of B
+    (log/includes.rb:10-69, not_includes.rb:9-27)."""
+    s_g = sol.get(s, s) if is_var(s) else s
+    o_g = sol.get(o, o) if is_var(o) else o
+    graphs = engine._graphs()
+    if is_var(s_g) or s_g not in graphs or o_g not in graphs:
+        return None
+    patterns, _ = engine._formula_patterns(o_g, graphs)
+    facts = [(a, b, c, None) for a, b, c, _ in graphs.get(s_g, [])]
+    solns = engine._match_bgp(patterns, facts, sol)
+    if negate:
+        return [sol] if not solns else []
+    return _uniq(solns) if solns else []
+
+
+def _conjunction(engine: Engine, s, o, sol):
+    """log:conjunction — merge formulae list into one formula
+    (log/conjunction.rb:17-36)."""
+    from .builtins import _to_list
+
+    lst = _to_list(s, sol, engine.ctx)
+    if lst is None:
+        return None
+    graphs = engine._graphs()
+    merged = []
+    for f in lst:
+        if f not in graphs:
+            return None
+        merged.extend((a, b, c) for a, b, c, _ in graphs[f])
+    # deterministic content-hashed id: re-evaluation at the next think
+    # iteration reuses the same formula, so the fixed point converges
+    new_g = _content_graph_id("conj", merged)
+    for a, b, c in dict.fromkeys(merged):
+        engine._insert((a, b, c, new_g))
+    if is_var(o):
+        return [{**sol, o: new_g}]
+    return None
+
+
+def _n3string(engine: Engine, s, o, sol):
+    """log:n3String — serialize formula via the Writer (log/n3_string.rb)."""
+    from ..serializer.n3_writer import serialize_n3
+
+    s_g = sol.get(s, s) if is_var(s) else s
+    graphs = engine._graphs()
+    if s_g not in graphs:
+        return None
+    quads = [(a, b, c, None) for a, b, c, _ in graphs[s_g]]
+    text = serialize_n3(quads)
+    lit = T.literal(text)
+    if is_var(o):
+        return [{**sol, o: lit}]
+    return [sol] if lit == o else []
+
+
+def _parsed_as_n3(engine: Engine, s, o, sol):
+    """log:parsedAsN3 — parse a literal via the Reader
+    (log/parsed_as_n3.rb:21)."""
+    from ..parser.n3_parser import parse_n3
+    from .builtins import string_value
+
+    s_v = sol.get(s, s) if is_var(s) else s
+    if is_var(s_v) or not (isinstance(s_v, str) and T.is_literal(s_v)):
+        return None
+    result = parse_n3(string_value(s_v), list_terms=True)
+    new_g = _content_graph_id("parsed", [(a, b, c) for a, b, c, _ in result.quads])
+    for a, b, c, g in result.quads:
+        engine._insert((a, b, c, g if g is not None else new_g))
+    if is_var(o):
+        return [{**sol, o: new_g}]
+    return None
+
+
+def _conclusion(engine: Engine, s, o, sol):
+    """log:conclusion — deductive closure of the subject formula
+    (log/conclusion.rb: nested Reasoner with think: true)."""
+    s_g = sol.get(s, s) if is_var(s) else s
+    graphs = engine._graphs()
+    if s_g not in graphs:
+        return None
+    # formula contents + anything reachable (nested formulae)
+    sub_quads = []
+    stack = [s_g]
+    seen = set()
+    while stack:
+        g = stack.pop()
+        if g in seen:
+            continue
+        seen.add(g)
+        for a, b, c, _ in graphs.get(g, []):
+            gg = None if g == s_g else g
+            sub_quads.append((a, b, c, gg))
+            for t in (a, c):
+                if t in graphs and t not in seen:
+                    stack.append(t)
+    nested = Engine(sub_quads, ctx=EvalContext(now=engine.ctx.now))
+    closure = nested.reason(think=True)
+    new_g = _content_graph_id("concl", [(a, b, c) for a, b, c, g in closure.quads])
+    for a, b, c, g in closure.quads:
+        engine._insert((a, b, c, new_g if g is None else g))
+    if is_var(o):
+        return [{**sol, o: new_g}]
+    return None
+
+
+_ENGINE_BUILTINS = {
+    LOG + "includes": lambda e, s, o, sol: _includes(e, s, o, sol),
+    LOG + "notIncludes": lambda e, s, o, sol: _includes(e, s, o, sol, negate=True),
+    LOG + "conjunction": _conjunction,
+    LOG + "n3String": _n3string,
+    LOG + "parsedAsN3": _parsed_as_n3,
+    LOG + "conclusion": _conclusion,
+}
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _content_graph_id(kind: str, triples) -> str:
+    """Deterministic formula node from content (deep_dup's hash-renaming,
+    formula.rb:99-107, made stable across runs)."""
+    import hashlib
+
+    h = hashlib.sha1(
+        "\x00".join(sorted("|".join(t) for t in triples)).encode()
+    ).hexdigest()[:12]
+    return f"_:{kind}_form_{h}"
+
+
+def _has_var(triple) -> bool:
+    found = set()
+    for t in triple:
+        _collect_vars(t, found)
+        if found:
+            return True
+    return False
+
+
+def _collect_vars(t, out: set):
+    if isinstance(t, str):
+        if is_var(t):
+            out.add(t)
+        elif T.is_list_term(t):
+            for e in T.parse_list_term(t):
+                _collect_vars(e, out)
+    elif isinstance(t, list):
+        for e in t:
+            _collect_vars(e, out)
+
+
+def _uniq(solutions: list[dict]) -> list[dict]:
+    seen, out = set(), []
+    for s in solutions:
+        key = tuple(sorted((k, str(v)) for k, v in s.items()))
+        if key not in seen:
+            seen.add(key)
+            out.append(s)
+    return out
+
+
+def _uniq_quads(quads: list[Quad]) -> list[Quad]:
+    seen, out = set(), []
+    for q in quads:
+        if q not in seen:
+            seen.add(q)
+            out.append(q)
+    return out
+
+
+def reason(quads: list[Quad], think: bool = False, ctx: EvalContext | None = None) -> ReasonResult:
+    """Run the reasoner over parsed quads (Reasoner#execute,
+    reasoner.rb:112-148)."""
+    return Engine(quads, ctx=ctx).reason(think=think)
+
+
+def reason_n3(text: str, think: bool = False, base_uri: str | None = None) -> ReasonResult:
+    """Parse (list_terms mode, as the reference CLI does —
+    format.rb:49) then reason."""
+    from ..parser.n3_parser import parse_n3
+
+    r = parse_n3(text, base_uri=base_uri, list_terms=True)
+    return reason(r.quads, think=think)

@@ -1,0 +1,138 @@
+"""Literal value coercion for builtin evaluation.
+
+Mirrors the reference's extensions (/root/reference/lib/rdf/n3/extensions.rb:87-113):
+``as_number`` regex-dispatches the lexical value to Double/Decimal/Integer
+(else literal 0), ``as_datetime`` pads YYYY / YYYY-MM to full dates.
+Python value domain: int | Decimal | float; datetimes as
+``datetime.datetime``.
+"""
+from __future__ import annotations
+
+import math
+import re
+from datetime import datetime, timedelta, timezone
+from decimal import Decimal
+
+from .. import terms as T
+
+_INT_RE = re.compile(r"^[+-]?[0-9]+$")
+_DECIMAL_RE = re.compile(r"^[+-]?(?:[0-9]*\.[0-9]+)$")
+_DOUBLE_RE = re.compile(r"^[+-]?(?:[0-9]+\.[0-9]*[eE][+-]?[0-9]+|\.?[0-9]+[eE][+-]?[0-9]+)$")
+
+_NUMERIC_DT = {T.XSD_INTEGER, T.XSD_DECIMAL, T.XSD_DOUBLE}
+
+
+def as_number(term: str):
+    """Numeric value of a literal term (int/Decimal/float), else 0."""
+    if not T.is_literal(term):
+        return 0
+    value, dt, _ = T.literal_parts(term)
+    try:
+        if dt == T.XSD_INTEGER or (dt and dt.endswith(("int", "long", "short", "byte"))):
+            return int(value)
+        if dt == T.XSD_DECIMAL:
+            return Decimal(value)
+        if dt in (T.XSD_DOUBLE, T.XSD_NS + "float"):
+            return float(value)
+        if _DOUBLE_RE.match(value):
+            return float(value)
+        if _DECIMAL_RE.match(value):
+            return Decimal(value)
+        if _INT_RE.match(value):
+            return int(value)
+    except (ValueError, ArithmeticError):
+        return 0
+    return 0
+
+
+def is_numeric_literal(term: str) -> bool:
+    if not T.is_literal(term):
+        return False
+    value, dt, _ = T.literal_parts(term)
+    if dt in _NUMERIC_DT:
+        return True
+    return bool(_INT_RE.match(value) or _DECIMAL_RE.match(value) or _DOUBLE_RE.match(value))
+
+
+def _canonical_double(f: float) -> str:
+    """xsd:double canonical-ish form, as Ruby RDF emits (8.0E0 style)."""
+    if math.isnan(f):
+        return "NaN"
+    if math.isinf(f):
+        return "INF" if f > 0 else "-INF"
+    mant, _, exp = f"{f:E}".partition("E")
+    mant = mant.rstrip("0")
+    if mant.endswith("."):
+        mant += "0"
+    return f"{mant}E{int(exp)}"
+
+
+def from_number(value) -> str:
+    """Python number -> literal term with matching XSD datatype."""
+    if isinstance(value, bool):
+        return T.literal("true" if value else "false", datatype=T.XSD_BOOLEAN)
+    if isinstance(value, int):
+        return T.literal(str(value), datatype=T.XSD_INTEGER)
+    if isinstance(value, Decimal):
+        if value == value.to_integral_value():
+            s = str(value.quantize(Decimal(1)))
+            return T.literal(s + ".0", datatype=T.XSD_DECIMAL)
+        return T.literal(str(value.normalize()), datatype=T.XSD_DECIMAL)
+    if isinstance(value, float):
+        return T.literal(_canonical_double(value), datatype=T.XSD_DOUBLE)
+    raise TypeError(f"not a number: {value!r}")
+
+
+def from_bool(b: bool) -> str:
+    return T.literal("true" if b else "false", datatype=T.XSD_BOOLEAN)
+
+
+TRUE = from_bool(True)
+FALSE = from_bool(False)
+
+
+def string_value(term: str) -> str:
+    """String form a str: builtin sees (literal value, IRI string, ...)."""
+    if T.is_literal(term):
+        return T.literal_parts(term)[0]
+    if T.is_iri(term):
+        return T.iri_value(term)
+    return term
+
+
+def as_datetime(term: str) -> datetime | None:
+    """extensions.rb:105-113: pad YYYY / YYYY-MM, ISO8601 parse, else None
+    (the reference falls back to literal 0; callers here treat None as
+    invalid input and drop the solution)."""
+    if not T.is_literal(term):
+        return None
+    value = T.literal_parts(term)[0]
+    mvalue = value
+    if re.match(r"^\d{4}$", mvalue):
+        mvalue += "-01"
+    if re.match(r"^\d{4}-\d{2}$", mvalue):
+        mvalue += "-01"
+    if re.match(r"^\d{4}-\d{2}-\d{2}$", mvalue):
+        mvalue += "T00:00:00"
+    try:
+        if mvalue.endswith("Z"):
+            return datetime.fromisoformat(mvalue[:-1]).replace(tzinfo=timezone.utc)
+        return datetime.fromisoformat(mvalue)
+    except ValueError:
+        return None
+
+
+def datetime_lexical(term: str) -> str:
+    return T.literal_parts(term)[0] if T.is_literal(term) else ""
+
+
+def tz_offset_string(dt: datetime) -> str:
+    if dt.tzinfo is None:
+        return ""
+    off = dt.utcoffset() or timedelta(0)
+    if off == timedelta(0):
+        return "Z"
+    total = int(off.total_seconds())
+    sign = "+" if total >= 0 else "-"
+    total = abs(total)
+    return f"{sign}{total // 3600:02d}:{(total % 3600) // 60:02d}"

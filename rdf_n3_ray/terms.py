@@ -212,6 +212,58 @@ def datatype_of(term: str) -> str | None:
     return literal_parts(term)[1]
 
 
+def encode_list(elements: list) -> str:
+    """Encode a first-class list term (list_terms mode): `(a b (c))`."""
+    parts = [encode_list(e) if isinstance(e, list) else e for e in elements]
+    return "(" + " ".join(parts) + ")"
+
+
+def is_list_term(term: str) -> bool:
+    return term.startswith("(")
+
+
+def parse_list_term(term: str):
+    """Decode a `( ... )` list term into a (possibly nested) python list
+    of term strings; returns None if not a list term."""
+    if not term.startswith("("):
+        return None
+    pos = 1
+
+    def parse_elems(pos: int) -> tuple[list, int]:
+        out = []
+        n = len(term)
+        while pos < n:
+            c = term[pos]
+            if c == " ":
+                pos += 1
+            elif c == ")":
+                return out, pos + 1
+            elif c == "(":
+                inner, pos = parse_elems(pos + 1)
+                out.append(inner)
+            else:
+                start = pos
+                in_str = False
+                while pos < n:
+                    ch = term[pos]
+                    if in_str:
+                        if ch == "\\":
+                            pos += 2
+                            continue
+                        if ch == '"':
+                            in_str = False
+                    elif ch == '"':
+                        in_str = True
+                    elif ch in " )":
+                        break
+                    pos += 1
+                out.append(term[start:pos])
+        return out, pos
+
+    elems, _ = parse_elems(pos)
+    return elems
+
+
 def ruby_succ(s: str) -> str:
     """Ruby String#succ for the label shapes we use ("b0" -> "b1" ...
     "b9" -> "b10", "az" -> "ba").  Mirrors the reference's incrementing

@@ -1,0 +1,263 @@
+"""Reasoner tests mirroring /root/reference/spec/reasoner_spec.rb cases
+and examples/reason golden pairs.  reason() defaults follow the spec
+helper (reasoner_spec.rb:1143-1156): think=true, compare conclusions or
+data projection by graph isomorphism.
+"""
+import pytest
+
+from rdf_n3_ray.algebra.engine import reason_n3
+from rdf_n3_ray.isomorphism import isomorphic
+from rdf_n3_ray.parser.n3_parser import parse_n3
+
+BASE = "http://example.com/"
+
+
+def run(input_n3, think=True):
+    return reason_n3(input_n3, think=think, base_uri=BASE)
+
+
+def parse(n3):
+    r = parse_n3(n3, base_uri=BASE, list_terms=True)
+    assert not r.errors, r.errors
+    return r.quads
+
+
+def check_conclusions(input_n3, expect_n3):
+    got = run(input_n3).conclusions()
+    expected = parse(expect_n3)
+    assert isomorphic(got, expected), f"GOT: {got}\nWANT: {expected}"
+
+
+def check_data(input_n3, expect_n3):
+    got = run(input_n3).data()
+    expected = parse(expect_n3)
+    assert isomorphic(got, expected), f"GOT: {got}\nWANT: {expected}"
+
+
+def test_socrates():
+    check_data(
+        """@prefix : <socrates#>.
+        :socrates a :Man.
+        { ?who a :Man } => { ?who a :Mortal }.""",
+        """@prefix : <socrates#>.
+        :socrates a :Man, :Mortal .""",
+    )
+
+
+def test_t1_ground():
+    check_data("<a> <b> <c>.", "<a> <b> <c>.")
+
+
+def test_t8_existential_consequent():
+    # {<a> <b> ?x} => { ?x <b2> <c2> } over <a> <b> []
+    got = run("<a> <b> [].\n{<a> <b> ?x} => { ?x <b2> <c2> }.").data()
+    expected = parse("<a> <b> _:x. _:x <b2> <c2>.")
+    assert isomorphic(got, expected), got
+
+
+def test_implies_r1_list_unification():
+    check_conclusions(
+        """( "one"  "two" ) a :whatever.
+        { (?a ?b) a :whatever } log:implies { ?a a :SUCCESS. ?b a :SUCCESS }.""",
+        '"one" a :SUCCESS. "two" a :SUCCESS.',
+    )
+
+
+def test_implies_unify2():
+    check_conclusions(
+        """( 17 ) a :TestCase.
+        { ( ?x ) a :TestCase}  => { ?x a :RESULT }.""",
+        "17 a :RESULT.",
+    )
+
+
+def test_list_in_via_property():
+    check_conclusions(
+        """:thing1 :prop1 ( :test5a :test5b :test5c ) .
+        { ?item list:in [ is :prop1 of :thing1 ] } => { ?item a :SUCCESS } .""",
+        ":test5a a :SUCCESS. :test5b a :SUCCESS. :test5c a :SUCCESS.",
+    )
+
+
+def test_list_append_const():
+    check_conclusions(
+        "{ ((1 2 3 4 5) (6)) list:append (1 2 3 4 5 6)} => {:test1 a :success}.",
+        ":test1 a :success.",
+    )
+
+
+def test_list_append_var():
+    check_conclusions(
+        "{ ((1 2 3 4 5) (6)) list:append ?item} => {:test2 :is ?item}.",
+        ":test2 :is (1 2 3 4 5 6).",
+    )
+
+
+def test_list_append_empty():
+    check_conclusions(
+        "{ (() (1)) list:append ?item} => {:test4 :is ?item}.",
+        ":test4 :is (1).",
+    )
+
+
+def test_list_append_via_bnode_heads():
+    check_conclusions(
+        """:thing1 :prop1 ( 1 2 3 ) .
+        :thing2 :prop1 ( 4 ) .
+        { ([is :prop1 of :thing1] [is :prop1 of :thing2]) list:append ?item }
+          => { :test5 :is ?item } .""",
+        ":test5 :is (1 2 3 4).",
+    )
+
+
+def test_list_member_const():
+    check_conclusions(
+        "{ (  1 2 3 4 5 ) list:member 1 } => { :test4a a :SUCCESS }.",
+        ":test4a a :SUCCESS .",
+    )
+
+
+def test_list_member_var_fanout():
+    check_conclusions(
+        "{ (  1 2 3 4 5 ) list:member ?x } => { :test4a :is ?x }.",
+        ":test4a :is 1 . :test4a :is 2 . :test4a :is 3 . :test4a :is 4 . :test4a :is 5 .",
+    )
+
+
+def test_list_member_pythag_path():
+    check_conclusions(
+        "{   ((3) (5))!list:member list:member ?z } => { ?z a :Pythagorean }.",
+        "3 a :Pythagorean. 5 a :Pythagorean.",
+    )
+
+
+def test_list_iterate_fanout():
+    check_conclusions(
+        """@prefix list: <http://www.w3.org/2000/10/swap/list#>.
+        {(1 2 3 4) list:iterate ?R} => {(1 2 3 4) :has ?R}.""",
+        "(1 2 3 4) :has (0 1),  (1 2), (2 3), (3 4).",
+    )
+
+
+def test_list_iterate_index_lookup():
+    check_conclusions(
+        """{(\"a\" \"b\" \"c\") list:iterate (2 ?y)} => {:value :is ?y}.""",
+        ':value :is "c".',
+    )
+
+
+def test_math_sum():
+    check_conclusions(
+        "{ (3 5) math:sum ?x } => { :result :is ?x }.",
+        ":result :is 8.",
+    )
+
+
+def test_math_comparisons():
+    check_conclusions(
+        "{ 5 math:greaterThan 3 } => { :gt a :SUCCESS }. "
+        "{ 3 math:lessThan 5 } => { :lt a :SUCCESS }. "
+        "{ 5 math:lessThan 3 } => { :bad a :FAIL }.",
+        ":gt a :SUCCESS. :lt a :SUCCESS.",
+    )
+
+
+def test_math_chain():
+    check_conclusions(
+        "{ (2 3) math:product ?p . (?p 1) math:difference ?d } => { :r :is ?d }.",
+        ":r :is 5.",
+    )
+
+
+def test_str_ops():
+    # `string:` is NOT preseeded (commented out at reader.rb:114) —
+    # must be declared, matching the reference.
+    pre = "@prefix string: <http://www.w3.org/2000/10/swap/string#>.\n"
+    check_conclusions(
+        pre
+        + '{ ("hello" "world") string:concatenation ?c } => { :c :is ?c }. '
+        '{ "hello" string:startsWith "he" } => { :sw a :SUCCESS }. '
+        '{ ("abcdef" "ab(..)ef") string:scrape ?x } => { :scr :is ?x }.',
+        ':c :is "helloworld". :sw a :SUCCESS. :scr :is "cd".',
+    )
+
+
+def test_ground_antecedent_checked_against_kb():
+    # a ground antecedent that is NOT in the KB must not fire
+    got = run(":a :b :c . { :x :y :z } => { :bad a :FAIL }.").conclusions()
+    assert got == []
+
+
+def test_log_equalTo():
+    check_conclusions(
+        "{ :a log:equalTo :a } => { :eq a :SUCCESS }. "
+        "{ :a log:equalTo :b } => { :bad a :FAIL }. "
+        "{ :a log:notEqualTo :b } => { :neq a :SUCCESS }.",
+        ":eq a :SUCCESS. :neq a :SUCCESS.",
+    )
+
+
+def test_log_conjunction():
+    check_conclusions(
+        """{ ({:sky :color :blue} {:sky :color :green})
+             log:conjunction ?F } => { ?F a :result} .""",
+        "{:sky :color :blue, :green } a :result .",
+    )
+
+
+def test_log_includes():
+    check_conclusions(
+        "{ { :a :b :c . :d :e :f } log:includes { :a :b :c } } => { :inc a :SUCCESS }. "
+        "{ { :a :b :c } log:notIncludes { :x :y :z } } => { :ninc a :SUCCESS }.",
+        ":inc a :SUCCESS. :ninc a :SUCCESS.",
+    )
+
+
+def test_time_components():
+    check_conclusions(
+        '{ "2024-03-15T10:30:05Z"^^<http://www.w3.org/2001/XMLSchema#dateTime> time:year ?y } => { :y :is ?y }. '
+        '{ "2024-03-15"^^<http://www.w3.org/2001/XMLSchema#date> time:month ?m } => { :m :is ?m }. '
+        '{ "2024-03-15"^^<http://www.w3.org/2001/XMLSchema#date> time:day ?d } => { :d :is ?d }.',
+        ":y :is 2024. :m :is 3. :d :is 15.",
+    )
+
+
+def test_think_chains_rules():
+    check_data(
+        """@prefix : <http://ex/>.
+        :a a :A.
+        { ?x a :A } => { ?x a :B }.
+        { ?x a :B } => { ?x a :C }.""",
+        """@prefix : <http://ex/>.
+        :a a :A, :B, :C.""",
+    )
+
+
+def test_no_think_single_pass():
+    got = run(
+        """@prefix : <http://ex/>.
+        :a a :A.
+        { ?x a :A } => { ?x a :B }.
+        { ?x a :B } => { ?x a :C }.""",
+        think=False,
+    ).data()
+    # single pass: :C not yet derived
+    objs = {o for s, p, o, g in got}
+    assert "<http://ex/B>" in objs and "<http://ex/C>" not in objs
+
+
+def test_output_string():
+    r = run(
+        '{ :a :b :c } => { "1" log:outputString "hello " . "2" log:outputString "world" } . :a :b :c .'
+    )
+    assert r.strings == "hello world"
+
+
+def test_rule_producing_rule():
+    check_data(
+        """@prefix : <http://ex/>.
+        :a a :A.
+        { :a a :A } => { { ?x a :A } => { ?x a :Z } }.""",
+        """@prefix : <http://ex/>.
+        :a a :A, :Z.""",
+    )
