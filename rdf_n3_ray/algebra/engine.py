@@ -326,18 +326,31 @@ class Engine:
         # graphs created DURING this iteration (conjunction/parsedAsN3/
         # conclusion results) live in the KB but not in the snapshot
         live_graphs = {q[3] for q in self.kb if q[3] is not None}
-        out = []
-        scope = g or "base"
-        nested_map = {}
         bound_formulae: set[str] = set()
 
-        def subst(t):
+        def inst_formula(fg: str) -> tuple[str, list]:
+            """Recursively instantiate nested formula `fg`; returns
+            (content-hashed id, quads).  Deterministic ids make
+            re-instantiation at the next think iteration a no-op, so
+            the fixed point converges (deep_dup's operand-hash naming,
+            formula.rb:99-107)."""
+            inner: list[tuple] = []
+            extra: list = []
+            for s, p, o, _ in graphs.get(fg, []):
+                ns, ne = subst(s, fg)
+                np, pe = subst(p, fg)
+                no_, oe = subst(o, fg)
+                inner.append((ns, np, no_))
+                extra.extend(ne + pe + oe)
+            new_id = _content_graph_id("inf", inner)
+            quads = [(s, p, o, new_id) for s, p, o in inner] + extra
+            return new_id, quads
+
+        def subst(t, scope):
+            """Returns (term, extra_quads_from_nested_formulae)."""
             if isinstance(t, str) and T.is_bnode(t):
                 if t in formula_nodes:
-                    if t not in nested_map:
-                        self.fresh_counter += 1
-                        nested_map[t] = f"_:inf_form_{self.fresh_counter}"
-                    return nested_map[t]
+                    return inst_formula(t)
                 t = f"?{T.bnode_label(t)}_{scope}_undext"
             if is_var(t):
                 if t in sol:
@@ -346,19 +359,30 @@ class Engine:
                     # statements along (formula.rb:236-258 form_statements)
                     if isinstance(v, str) and (v in formula_nodes or v in live_graphs):
                         bound_formulae.add(v)
-                    return v
-                return T.bnode(t[1:])  # intern by var label
+                    return v, []
+                if t.endswith("_undext"):
+                    # unbound EXISTENTIALS intern as bnodes by label
+                    # (formula.rb:236-244); universals pass through
+                    return T.bnode(t[1:]), []
+                return t, []
             if isinstance(t, str) and T.is_list_term(t):
-                return T.encode_list([subst(e) for e in T.parse_list_term(t)])
-            return t
+                parts = []
+                acc: list = []
+                for e in T.parse_list_term(t):
+                    v, ex = subst(e, scope)
+                    parts.append(v)
+                    acc.extend(ex)
+                return T.encode_list(parts), acc
+            return t, []
 
+        out = []
+        scope = g or "base"
         for s, p, o, _ in graphs.get(g, []):
-            ns, np, no = subst(s), subst(p), subst(o)
-            out.append((ns, np, no, target_graph))
-            for orig, fresh in list(nested_map.items()):
-                if orig in (s, o) and fresh in (ns, no):
-                    out.extend(self._instantiate(orig, graphs, sol, target_graph=fresh))
-                    del nested_map[orig]
+            ns, se = subst(s, scope)
+            np, pe = subst(p, scope)
+            no_, oe = subst(o, scope)
+            out.append((ns, np, no_, target_graph))
+            out.extend(se + pe + oe)
         # emit referenced-formula contents (recursively), graph ids kept
         emitted = set()
         stack = list(bound_formulae)
