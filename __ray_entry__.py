@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+entry(): flagship KG-construction pipeline (north rule) over the
+deterministic synthetic transcript table at smoke scale.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+queries(): one entry per implemented operator family from SURVEY.md §2
+plus the training-data additions.  Entries with a matching oracle_sql()
+key are value-checked against DuckDB; KG/reasoner/near-dup entries are
+not SQL-expressible and get the rows-only check.
+
+Ray is initialised by the driver BEFORE this module is imported — no
+ray.init()/shutdown() here or in the library.
 """
 
 from __future__ import annotations
@@ -20,25 +19,130 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: synthetic transcripts -> parse -> skolemize -> link ->
+    dedup -> sorted canonical triples (north-rule pipeline)."""
+    from rdf_n3_ray.pipelines.kg import build_kg_dataset
+    from rdf_n3_ray.sources.transcripts import transcripts_dataset
+
+    ts = transcripts_dataset(n_convs=60, turns_per_conv=8)
+    return build_kg_dataset(ts)
+
+
+def _kg_scale(sf_dir: str) -> tuple[int, int]:
+    if "0.1" in sf_dir:
+        return 400, 12
+    if "0.01" in sf_dir:
+        return 150, 10
+    return 60, 8
+
+
+# --- KG / parser / reasoner queries (not SQL-expressible: rows-only) ----
+
+def _q_kg_triples(sf_dir: str):
+    from rdf_n3_ray.pipelines.kg import build_kg_dataset
+    from rdf_n3_ray.sources.transcripts import transcripts_dataset
+
+    n, t = _kg_scale(sf_dir)
+    return build_kg_dataset(transcripts_dataset(n_convs=n, turns_per_conv=t))
+
+
+def _q_parse_turns(sf_dir: str):
+    from rdf_n3_ray.sources.transcripts import transcripts_dataset
+    from rdf_n3_ray.stages.parse_stage import parse_transcripts
+
+    n, t = _kg_scale(sf_dir)
+    return parse_transcripts(transcripts_dataset(n_convs=n, turns_per_conv=t))
+
+
+def _q_reason_turns(sf_dir: str):
+    from rdf_n3_ray.pipelines.reasoning import reason_transcripts
+    from rdf_n3_ray.sources.transcripts import transcripts_dataset
+
+    n, t = _kg_scale(sf_dir)
+    n = max(20, n // 4)  # reasoning is per-turn; keep the check fast
+    return reason_transcripts(transcripts_dataset(n_convs=n, turns_per_conv=t))
+
+
+def _q_serialize_turns(sf_dir: str):
+    from rdf_n3_ray.serializer.n3_writer import serialize_documents
+    from rdf_n3_ray.sources.transcripts import transcripts_dataset
+    from rdf_n3_ray.stages.parse_stage import parse_transcripts
+
+    n, t = _kg_scale(sf_dir)
+    triples = parse_transcripts(
+        transcripts_dataset(n_convs=max(20, n // 4), turns_per_conv=t)
+    )
+    return serialize_documents(triples)
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from rdf_n3_ray.pipelines.relational import _read
+    from rdf_n3_ray.stages.neardup import minhash_lsh_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_lsh_dedup(docs, threshold=0.5)
+
+
+def _q_simhash(sf_dir: str):
+    from rdf_n3_ray.pipelines.relational import _read
+    from rdf_n3_ray.stages.neardup import simhash_batch
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(simhash_batch, batch_format="pandas").sort("doc_id")
+
+
+def _q_lang_id(sf_dir: str):
+    from rdf_n3_ray.pipelines.relational import lang_distribution
+
+    return lang_distribution(sf_dir)
+
+
+def _q_media_features(sf_dir: str):
+    import ray.data as rd
+
+    from rdf_n3_ray.stages.multimodal import decode_pipeline, synthetic_media_table
+
+    media = rd.from_arrow(synthetic_media_table(n=48))
+    features, _ = decode_pipeline(media)
+    return features
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from rdf_n3_ray.pipelines import relational as R
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- oracle-checked relational/data-processing operators -------
+        "lineitem_agg": R.lineitem_agg,
+        "orders_by_nation": R.orders_by_nation,
+        "top_events": R.top_events,
+        "events_hourly": R.events_hourly,
+        "event_types": R.event_types,
+        "doc_token_stats": R.doc_token_stats,
+        "dedup_exact_docs": R.dedup_exact_docs,
+        "ann_topk": R.ann_topk,
+        # --- KG construction / N3 engine (rows-only checks) ------------
+        "kg_triples": _q_kg_triples,
+        "parse_turns": _q_parse_turns,
+        "reason_turns": _q_reason_turns,
+        "serialize_turns": _q_serialize_turns,
+        # --- training-data ops (rows-only checks) ----------------------
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash": _q_simhash,
+        "lang_id": _q_lang_id,
+        "media_features": _q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from rdf_n3_ray.pipelines import relational as R
+
+    return {
+        "lineitem_agg": R.LINEITEM_AGG_SQL,
+        "orders_by_nation": R.ORDERS_BY_NATION_SQL,
+        "top_events": R.TOP_EVENTS_SQL,
+        "events_hourly": R.EVENTS_HOURLY_SQL,
+        "event_types": R.EVENT_TYPES_SQL,
+        "doc_token_stats": R.DOC_TOKEN_STATS_SQL,
+        "dedup_exact_docs": R.DEDUP_EXACT_SQL,
+        "ann_topk": R.ANN_TOPK_SQL,
+    }

@@ -1,0 +1,210 @@
+"""Reasoning as Ray Data stages.
+
+Two scales (SURVEY.md §3.3):
+
+1. **Per-turn reasoning** (`ReasonTurns`): each transcript turn is an
+   independent small N3 document — the reasoner runs *inside*
+   map_batches as an actor-pool stage.  This is the common case and is
+   embarrassingly parallel (no shuffle at all).
+
+2. **KB-scale fixed point** (`reason_dataset`): one big triple Dataset
+   plus a small rule set.  Rules are tiny and broadcast; each iteration
+   runs per-rule BGP matching with *distributed* per-pattern filters
+   (map_batches projections to bindings tables), joins the (much
+   smaller) bindings tables on the driver, instantiates consequents,
+   unions + exact-dedups, and tests the count fixed point —
+   mirroring `kb_i+1 = dedup(kb_i ∪ apply_rules(kb_i))`
+   (reasoner.rb:123-140).  Partitioning assumption: antecedent patterns
+   are selective, so bindings tables fit the driver; the KB itself never
+   leaves the cluster.
+"""
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from .. import terms as T
+from ..algebra.builtins import is_var
+from ..algebra.engine import Engine, EvalContext, reason
+from ..parser.n3_parser import parse_n3
+
+
+class ReasonTurns:
+    """Actor-pool stage: per-turn parse + fixed-point reasoning.
+
+    Emits the reasoned closure's data projection per turn, plus
+    conclusion counts — the distributed equivalent of the reference CLI
+    `reason` command (format.rb:39-95)."""
+
+    def __init__(self, think: bool = True, conclusions_only: bool = False):
+        self.think = think
+        self.conclusions_only = conclusions_only
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        conv = batch.column("conv_id").to_pylist()
+        turn = batch.column("turn_idx").to_pylist()
+        texts = batch.column("text").to_pylist()
+        oc, ot, os_, op, oo, inf = [], [], [], [], [], []
+        for c, t, text in zip(conv, turn, texts):
+            if not text:
+                continue
+            parsed = parse_n3(text, list_terms=True)
+            if parsed.errors and not parsed.quads:
+                continue
+            result = reason(parsed.quads, think=self.think)
+            quads = (
+                result.conclusions() if self.conclusions_only else result.data()
+            )
+            inferred_set = set(result.inferred)
+            for q in quads:
+                if q[3] is not None:
+                    continue
+                oc.append(c)
+                ot.append(t)
+                os_.append(q[0])
+                op.append(q[1])
+                oo.append(q[2])
+                inf.append(q in inferred_set)
+        return pa.table(
+            {
+                "conv_id": pa.array(oc, pa.string()),
+                "turn_idx": pa.array(ot, pa.int32()),
+                "subj": pa.array(os_, pa.string()),
+                "pred": pa.array(op, pa.string()),
+                "obj": pa.array(oo, pa.string()),
+                "inferred": pa.array(inf, pa.bool_()),
+            }
+        )
+
+
+def reason_transcripts(transcripts_ds, think: bool = True, concurrency=None,
+                       batch_size: int = 256):
+    kwargs = dict(batch_format="pyarrow", batch_size=batch_size)
+    if concurrency is not None:
+        return transcripts_ds.map_batches(
+            ReasonTurns, fn_constructor_kwargs={"think": think},
+            concurrency=concurrency, **kwargs,
+        )
+    return transcripts_ds.map_batches(ReasonTurns(think=think), **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# KB-scale fixed point
+# ---------------------------------------------------------------------------
+
+def extract_rules(quads):
+    """Pull (antecedent patterns, consequent templates) rule pairs out of
+    a quad list (log:implies statements at the default graph)."""
+    from collections import defaultdict
+
+    graphs = defaultdict(list)
+    for q in quads:
+        graphs[q[3]].append(q)
+    rules = []
+    for s, p, o, g in graphs.get(None, []):
+        if p == T.LOG_IMPLIES and s in graphs and o in graphs:
+            ant = [(a, b, c) for a, b, c, _ in graphs[s]]
+            cons = [(a, b, c) for a, b, c, _ in graphs[o]]
+            # quoted-graph bnodes -> vars (existential promotion)
+            def promote(t, scope):
+                if T.is_bnode(t):
+                    return f"?{T.bnode_label(t)}_{scope}_undext"
+                return t
+            ant = [tuple(promote(t, s) for t in tr) for tr in ant]
+            cons = [tuple(promote(t, o) for t in tr) for tr in cons]
+            rules.append((ant, cons))
+    return rules
+
+
+def _pattern_bindings(triples_ds, pattern) -> pd.DataFrame:
+    """Distributed single-pattern match: vectorized filter + projection
+    to a bindings table (one column per variable)."""
+    s, p, o = pattern
+
+    def match(batch: pd.DataFrame) -> pd.DataFrame:
+        mask = pd.Series(True, index=batch.index)
+        for term, col in ((s, "subj"), (p, "pred"), (o, "obj")):
+            if not is_var(term):
+                mask &= batch[col] == term
+        sel = batch[mask]
+        out = {}
+        for term, col in ((s, "subj"), (p, "pred"), (o, "obj")):
+            if is_var(term):
+                out[term] = sel[col]
+        if not out:
+            out["__match__"] = pd.Series([True] * len(sel), index=sel.index)
+        return pd.DataFrame(out)
+
+    return triples_ds.map_batches(match, batch_format="pandas").to_pandas()
+
+
+def reason_dataset(triples_ds, rules, max_iterations: int = 10):
+    """Fixed-point rule application over a triple Dataset.
+
+    `triples_ds` columns: subj, pred, obj.  Returns (closure_ds,
+    n_inferred).  Each iteration is: per-rule distributed pattern
+    filters -> driver-side bindings join -> consequent instantiation ->
+    union + exact dedup (the only shuffle) -> count fixed point.
+    """
+    import ray.data as rd
+
+    total = triples_ds.count()
+    ds = triples_ds
+    inferred_total = 0
+    for _ in range(max_iterations):
+        new_rows = []
+        for ant, cons in rules:
+            bindings: pd.DataFrame | None = None
+            ok = True
+            for pattern in ant:
+                pb = _pattern_bindings(ds, pattern)
+                if pb.empty:
+                    ok = False
+                    break
+                if "__match__" in pb.columns:
+                    continue
+                pb = pb.drop_duplicates()
+                if bindings is None:
+                    bindings = pb
+                else:
+                    shared = [c for c in bindings.columns if c in pb.columns]
+                    bindings = (
+                        bindings.merge(pb, on=shared)
+                        if shared
+                        else bindings.merge(pb, how="cross")
+                    )
+                if bindings.empty:
+                    ok = False
+                    break
+            if not ok:
+                continue
+            if bindings is None:
+                bindings = pd.DataFrame([{}])
+            for _, sol in bindings.iterrows():
+                solm = sol.to_dict()
+                for s, p, o in cons:
+                    row = tuple(
+                        solm.get(t, T.bnode(t[1:]) if is_var(t) else t)
+                        if is_var(t)
+                        else t
+                        for t in (s, p, o)
+                    )
+                    if not any(is_var(t) for t in row):
+                        new_rows.append(
+                            {"subj": row[0], "pred": row[1], "obj": row[2]}
+                        )
+        if not new_rows:
+            break
+        add = rd.from_pandas(pd.DataFrame(new_rows).drop_duplicates())
+        ds = ds.union(add)
+        # exact dedup shuffle (repository set semantics)
+        ds = (
+            ds.groupby(["subj", "pred", "obj"])
+            .map_groups(lambda g: g.head(1), batch_format="pandas")
+        )
+        new_total = ds.count()
+        if new_total == total:
+            break
+        inferred_total += new_total - total
+        total = new_total
+    return ds, inferred_total

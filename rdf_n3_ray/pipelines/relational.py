@@ -1,0 +1,334 @@
+"""Relational operator pipelines over the test tables — the
+oracle-checkable demonstrations of the engine's generic operators
+(filters/projections §2.3, aggregations §2.6, sorts/limits §2.7,
+set ops/dedup §2.8, joins/lookups §2.5).
+
+Patterns (ray_guide):
+- prune columns at the read (`columns=[...]`)
+- vectorized pyarrow/pandas kernels inside map_batches
+- partial (map-side) aggregation before the groupby shuffle
+- broadcast small dimension tables via ray.put, no shuffle join
+- column names match the oracle SQL aliases exactly (driver contract)
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Q1-style aggregate: partial agg inside map_batches, then small groupby
+# ---------------------------------------------------------------------------
+
+def lineitem_agg(sf_dir: str):
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    cutoff = pd.Timestamp("1998-09-02")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["l_shipdate"] <= cutoff]
+        if batch.empty:
+            return pd.DataFrame(
+                columns=["l_returnflag", "l_linestatus", "sum_qty",
+                         "sum_base_price", "sum_disc_price", "count_order"]
+            )
+        # exact integer-cents arithmetic: floor(x*100+0.5) is the same
+        # IEEE op sequence in pandas and DuckDB, and int64 sums are
+        # order-independent — no float summation drift vs the oracle
+        batch = batch.assign(
+            qty_c=np.floor(batch["l_quantity"] * 100.0 + 0.5).astype("int64"),
+            base_c=np.floor(batch["l_extendedprice"] * 100.0 + 0.5).astype("int64"),
+            disc_c=np.floor(
+                batch["l_extendedprice"] * (1 - batch["l_discount"]) * 100.0 + 0.5
+            ).astype("int64"),
+        )
+        g = batch.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("qty_c", "sum"),
+            sum_base_price=("base_c", "sum"),
+            sum_disc_price=("disc_c", "sum"),
+            count_order=("qty_c", "size"),
+        )
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    from ray.data.aggregate import Count, Sum
+
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price", alias_name="sum_base_price"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+            batch[c] = batch[c].astype("int64") / 100.0
+        batch["count_order"] = batch["count_order"].astype("int64")
+        return batch
+
+    return out.map_batches(finish, batch_format="pandas").sort(
+        ["l_returnflag", "l_linestatus"]
+    )
+
+
+LINEITEM_AGG_SQL = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)) / 100.0 AS sum_qty,
+       SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) / 100.0 AS sum_base_price,
+       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) AS BIGINT)) / 100.0 AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Broadcast join: orders x customer x nation -> per-nation order stats
+# ---------------------------------------------------------------------------
+
+def orders_by_nation(sf_dir: str):
+    import ray
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    lookup = ray.put(dict(zip(dim["c_custkey"], dim["n_name"])))
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def attach(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(lookup)
+        batch = batch.assign(
+            n_name=batch["o_custkey"].map(m),
+            price_c=np.floor(batch["o_totalprice"] * 100.0 + 0.5).astype("int64"),
+        )
+        batch = batch.dropna(subset=["n_name"])
+        return batch.groupby("n_name", as_index=False).agg(
+            order_count=("o_custkey", "size"),
+            total_price=("price_c", "sum"),
+        )
+
+    partials = orders.map_batches(attach, batch_format="pandas", batch_size=65536)
+    from ray.data.aggregate import Sum
+
+    out = partials.groupby("n_name").aggregate(
+        Sum("order_count", alias_name="order_count"),
+        Sum("total_price", alias_name="total_price"),
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["order_count"] = batch["order_count"].astype("int64")
+        batch["total_price"] = batch["total_price"].astype("int64") / 100.0
+        return batch
+
+    return out.map_batches(finish, batch_format="pandas").sort("n_name")
+
+
+ORDERS_BY_NATION_SQL = """
+SELECT n.n_name AS n_name,
+       COUNT(*) AS order_count,
+       SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) / 100.0 AS total_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit: top events by value
+# ---------------------------------------------------------------------------
+
+def top_events(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"])
+    out = ds.sort(["value", "event_id"], descending=[True, False]).limit(100)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["value"] = batch["value"].round(6)
+        return batch
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+TOP_EVENTS_SQL = """
+SELECT event_id, user_id, event_type, ROUND(value, 6) AS value
+FROM events
+ORDER BY value DESC, event_id
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Windowed aggregate over the event stream: per (user, hour) tumbling
+# ---------------------------------------------------------------------------
+
+def events_hourly(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(
+            hour=batch["ts"].dt.floor("h"),
+            value_u=np.floor(batch["value"] * 1e6 + 0.5).astype("int64"),
+        )
+        return batch.groupby(["user_id", "hour"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value_u", "sum")
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    from ray.data.aggregate import Sum
+
+    out = partials.groupby(["user_id", "hour"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value", alias_name="sum_value"),
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n_events"] = batch["n_events"].astype("int64")
+        batch["sum_value"] = batch["sum_value"].astype("int64") / 1e6
+        return batch
+
+    return out.map_batches(finish, batch_format="pandas").sort(["user_id", "hour"])
+
+
+EVENTS_HOURLY_SQL = """
+SELECT user_id, date_trunc('hour', ts) AS hour,
+       COUNT(*) AS n_events,
+       SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)) / 1e6 AS sum_value
+FROM events
+GROUP BY user_id, date_trunc('hour', ts)
+ORDER BY user_id, hour
+"""
+
+
+# ---------------------------------------------------------------------------
+# Filter + distinct (set op)
+# ---------------------------------------------------------------------------
+
+def event_types(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_type"])
+    vals = ds.unique("event_type")  # distinct (shuffle) -> small list
+    return pd.DataFrame({"event_type": sorted(vals)})
+
+
+EVENT_TYPES_SQL = "SELECT DISTINCT event_type FROM events"
+
+
+# ---------------------------------------------------------------------------
+# Text stats with exact-arithmetic features (oracle-matchable)
+# ---------------------------------------------------------------------------
+
+def doc_token_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("")
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": text.str.len().astype("int64"),
+                "n_words": text.str.split().str.len().fillna(0).astype("int64"),
+                "n_digits": text.str.count(r"[0-9]").astype("int64"),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pandas", batch_size=8192).sort("doc_id")
+
+
+DOC_TOKEN_STATS_SQL = r"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE length(string_split_regex(trim(text), '\s+')) END AS n_words,
+       length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (documents): min doc_id per identical text
+# ---------------------------------------------------------------------------
+
+def dedup_exact_docs(sf_dir: str):
+    from ..stages.neardup import exact_dedup_docs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = exact_dedup_docs(ds, key_cols=("text",))
+    return out.select_columns(["doc_id"]).sort("doc_id")
+
+
+DEDUP_EXACT_SQL = """
+SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Language prediction distribution (heuristic; oracle checks row shape)
+# ---------------------------------------------------------------------------
+
+def lang_distribution(sf_dir: str):
+    from ..stages.text_stats import LangId
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    scored = ds.map_batches(LangId, batch_format="pandas", batch_size=4096, concurrency=2)
+    from ray.data.aggregate import Count
+
+    out = scored.groupby("lang_pred").aggregate(Count(alias_name="n_docs"))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["n_docs"] = b["n_docs"].astype("int64")
+        return b
+
+    return out.map_batches(finish, batch_format="pandas").sort("lang_pred")
+
+
+# ---------------------------------------------------------------------------
+# ANN brute-force cosine top-k (vs duckdb list_cosine_similarity oracle)
+# ---------------------------------------------------------------------------
+
+def ann_topk(sf_dir: str, k: int = 5, n_queries: int = 4):
+    from ..stages.ann import brute_force_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    first = sorted(ds.take(n_queries), key=lambda r: r["vec_id"])
+    queries = np.asarray([r["embedding"] for r in first], dtype=np.float64)
+    df = brute_force_topk(ds, queries, k=k, dtype=np.float64)
+    df["query_idx"] = df["query_idx"].astype("int64")
+    df["sim"] = df["sim"].round(4)
+    return df.sort_values(["query_idx", "sim", "vec_id"],
+                          ascending=[True, False, True]).reset_index(drop=True)
+
+
+ANN_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_idx, embedding AS qe FROM embeddings WHERE vec_id < 4
+), sims AS (
+  SELECT q.query_idx, e.vec_id,
+         list_cosine_similarity(e.embedding, q.qe) AS sim
+  FROM embeddings e CROSS JOIN q
+), ranked AS (
+  SELECT query_idx, vec_id, sim,
+         row_number() OVER (PARTITION BY query_idx ORDER BY sim DESC, vec_id) AS rn
+  FROM sims
+)
+SELECT query_idx, vec_id, ROUND(sim, 4) AS sim
+FROM ranked WHERE rn <= 5
+ORDER BY query_idx, sim DESC, vec_id
+"""

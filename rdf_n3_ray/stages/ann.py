@@ -1,0 +1,152 @@
+"""Similarity search over an embedding column (`list<float>`).
+
+- Brute-force cosine top-k: numpy matmul per batch against a broadcast
+  query matrix (`ray.put` once; batches stream) — the exactness
+  baseline, O(N·Q·D) but perfectly parallel and shuffle-free.
+- LSH-bucketed variant (random hyperplane signs): signature per row ->
+  groupby(bucket) — the 100 TB scale path, probing only matching
+  buckets.
+
+Embeddings table: (vec_id:int64, embedding:list<float>, label:int32).
+"""
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _matrix(col, dtype=np.float32) -> np.ndarray:
+    return np.asarray([np.asarray(v, dtype=dtype) for v in col], dtype=dtype)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BruteForceTopK:
+    """Actor-pool stage: per-batch partial top-k against the broadcast
+    query matrix; partials merged on the driver (tiny: Q×k rows)."""
+
+    def __init__(self, query_ref=None, queries: np.ndarray | None = None, k: int = 10,
+                 dtype=np.float32):
+        if queries is None:
+            import ray
+
+            queries = ray.get(query_ref)
+        self.dtype = dtype
+        self.q = _normalize(np.asarray(queries, dtype=dtype))
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        emb = _normalize(_matrix(batch.column("embedding").to_pylist(), self.dtype))
+        sims = emb @ self.q.T  # (N, Q)
+        k = min(self.k, len(ids))
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(self.q.shape[0]):
+            col = sims[:, qi]
+            top = np.argpartition(-col, k - 1)[:k]
+            for i in top:
+                out_q.append(qi)
+                out_id.append(int(ids[i]))
+                out_sim.append(float(col[i]))
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, pa.int32()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "sim": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+
+def brute_force_topk(embeddings_ds, queries: np.ndarray, k: int = 10, concurrency: int = 4,
+                     dtype=np.float32):
+    """Distributed exact top-k: map (partial per batch) + driver merge.
+
+    Ties broken by smaller vec_id (stable, matches a SQL row_number
+    oracle ordered by sim DESC, vec_id ASC)."""
+    import ray
+
+    query_ref = ray.put(np.asarray(queries, dtype=dtype))
+    partials = embeddings_ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={"query_ref": query_ref, "k": k, "dtype": dtype},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=concurrency,
+    )
+    best: dict[int, list] = {}
+    for batch in partials.iter_batches(batch_format="pandas"):
+        for qi, vid, sim in zip(batch["query_idx"], batch["vec_id"], batch["sim"]):
+            heap = best.setdefault(int(qi), [])
+            item = (float(sim), -int(vid))
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+    rows = []
+    for qi, heap in sorted(best.items()):
+        for sim, nvid in sorted(heap, reverse=True):
+            rows.append({"query_idx": qi, "vec_id": -nvid, "sim": sim})
+    return pd.DataFrame(rows)
+
+
+def lsh_bucket_signatures(batch: pa.Table, planes: np.ndarray) -> pa.Table:
+    """Random-hyperplane LSH bucket id per row (sign bits packed)."""
+    emb = _matrix(batch.column("embedding").to_pylist())
+    signs = (emb @ planes.T) > 0  # (N, P)
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+    buckets = (signs.astype(np.int64) * weights).sum(axis=1)
+    return pa.table(
+        {
+            "vec_id": batch.column("vec_id"),
+            "bucket": pa.array(buckets, pa.int64()),
+            "embedding": batch.column("embedding"),
+        }
+    )
+
+
+def lsh_topk(embeddings_ds, queries: np.ndarray, k: int = 10, n_planes: int = 8, dim: int | None = None, seed: int = 11):
+    """ANN via LSH buckets: only rows whose bucket matches a query's
+    bucket are scored.  Recall < 1; the scale path for 100 TB (bucket =
+    partition key; per-bucket files probed directly)."""
+    queries = np.asarray(queries, dtype=np.float32)
+    dim = dim or queries.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim)).astype(np.float32)
+    q_signs = (queries @ planes.T) > 0
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+    q_buckets = (q_signs.astype(np.int64) * weights).sum(axis=1)
+    wanted = set(int(b) for b in q_buckets)
+
+    bucketed = embeddings_ds.map_batches(
+        lambda b: lsh_bucket_signatures(b, planes), batch_format="pyarrow"
+    )
+    probed = bucketed.filter(lambda row: row["bucket"] in wanted)
+    qn = _normalize(queries)
+    rows = []
+    for batch in probed.iter_batches(batch_format="pandas"):
+        emb = _normalize(_matrix(batch["embedding"]))
+        sims = emb @ qn.T
+        for qi in range(queries.shape[0]):
+            mask = batch["bucket"].values == q_buckets[qi]
+            if not mask.any():
+                continue
+            ids = batch["vec_id"].values[mask]
+            ss = sims[mask, qi]
+            for vid, sim in zip(ids, ss):
+                rows.append({"query_idx": qi, "vec_id": int(vid), "sim": float(sim)})
+    df = pd.DataFrame(rows, columns=["query_idx", "vec_id", "sim"])
+    if df.empty:
+        return df
+    return (
+        df.sort_values(["query_idx", "sim"], ascending=[True, False])
+        .groupby("query_idx", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )

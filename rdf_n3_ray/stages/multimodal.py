@@ -1,0 +1,138 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video decode libraries are not available in this container,
+so the decode kernels are STUBBED (clearly marked below) behind a
+deterministic fake; everything Ray-side — schema, actor-pool signature,
+batch sizing for large binary rows, output layout — is real and tested.
+
+Design rules for 100 TB binary data (build brief + ray_guide):
+- payloads stay `binary` Arrow columns; stages run batch_format="pyarrow"
+  (binary columns don't round-trip pandas cleanly)
+- small batch_size (large rows): batch bytes × concurrency must fit the
+  worker heap; callers size via `suggest_batch_size`
+- decode/feature stages are actor pools: codec/model init once per actor
+"""
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),       # image | audio | video
+        ("payload", pa.binary()),
+        ("mime", pa.string()),
+        ("width", pa.int32()),       # typed metadata (nullable)
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+
+def suggest_batch_size(avg_payload_bytes: int, worker_heap_bytes: int = 2 << 30,
+                       concurrency: int = 4, safety: float = 8.0) -> int:
+    """batch_size so batch × concurrency × safety fits the heap."""
+    per_batch = worker_heap_bytes / (concurrency * safety)
+    return max(1, int(per_batch // max(1, avg_payload_bytes)))
+
+
+def synthetic_media_table(n: int = 64, seed: int = 42) -> pa.Table:
+    """Deterministic fake media rows for tests/benchmarks."""
+    rng = np.random.default_rng(seed)
+    kinds = ["image", "audio", "video"]
+    rows = {
+        "media_id": list(range(n)),
+        "kind": [kinds[i % 3] for i in range(n)],
+        "payload": [rng.integers(0, 256, size=256 + (i % 7) * 128, dtype=np.uint8).tobytes() for i in range(n)],
+        "mime": ["image/png" if i % 3 == 0 else "audio/wav" if i % 3 == 1 else "video/mp4" for i in range(n)],
+        "width": [64 + (i % 4) * 32 if i % 3 == 0 else None for i in range(n)],
+        "height": [64 + (i % 5) * 32 if i % 3 == 0 else None for i in range(n)],
+        "duration_ms": [None if i % 3 == 0 else 1000 + i * 10 for i in range(n)],
+    }
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+class DecodeImage:
+    """Actor-pool image decode stage.
+
+    STUB: real deployments replace `_decode` with PIL/cv2 (not in this
+    container).  The deterministic fake derives pixel stats from a
+    payload hash so outputs are stable and testable.
+    """
+
+    def __init__(self, target_size: tuple[int, int] = (32, 32)):
+        self.target_size = target_size  # "model" config loaded once per actor
+
+    def _decode(self, payload: bytes) -> np.ndarray:
+        # --- STUB (no image codec in container) -----------------------
+        # Real impl: PIL.Image.open(io.BytesIO(payload)).resize(...)
+        h = hashlib.blake2b(payload, digest_size=16).digest()
+        rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
+        w, ht = self.target_size
+        return rng.integers(0, 256, size=(ht, w, 3), dtype=np.uint8)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        means, stds = [], []
+        for p in payloads:
+            img = self._decode(p)
+            means.append(float(img.mean()))
+            stds.append(float(img.std()))
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "kind": batch.column("kind"),
+                "pix_mean": pa.array(means, pa.float32()),
+                "pix_std": pa.array(stds, pa.float32()),
+            }
+        )
+
+
+class FrameSample:
+    """Actor-pool video frame-sampling stage (STUB decode; real Ray
+    plumbing).  Emits one row per sampled frame — output rows >> input
+    rows, which map_batches supports."""
+
+    def __init__(self, fps: float = 1.0):
+        self.fps = fps
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frame_idx, ts_ms = [], [], []
+        for mid, kind, dur in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("duration_ms").to_pylist(),
+        ):
+            if kind != "video" or not dur:
+                continue
+            n_frames = max(1, int(dur / 1000.0 * self.fps))
+            for f in range(n_frames):
+                ids.append(mid)
+                frame_idx.append(f)
+                ts_ms.append(int(f * 1000 / self.fps))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(frame_idx, pa.int32()),
+                "ts_ms": pa.array(ts_ms, pa.int32()),
+            }
+        )
+
+
+def decode_pipeline(media_ds, concurrency: int = 2, batch_size: int = 8):
+    """media table -> per-image features + per-video frame rows."""
+    images = media_ds.filter(lambda r: r["kind"] == "image")
+    features = images.map_batches(
+        DecodeImage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    frames = media_ds.map_batches(
+        FrameSample, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    return features, frames
