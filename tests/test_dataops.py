@@ -1,0 +1,190 @@
+"""Tests for training-data ops: dedup, ANN, text stats, multimodal."""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from rdf_n3_ray.stages.ann import BruteForceTopK, brute_force_topk, lsh_topk
+from rdf_n3_ray.stages.multimodal import (
+    DecodeImage,
+    FrameSample,
+    suggest_batch_size,
+    synthetic_media_table,
+)
+from rdf_n3_ray.stages.neardup import (
+    exact_dedup_docs,
+    jaccard,
+    minhash_lsh_dedup,
+    minhash_signatures,
+    simhash_batch,
+)
+from rdf_n3_ray.stages.text_stats import LangId, fingerprints, quality_scores, token_counts
+
+
+def _docs_df():
+    return pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy dog!",  # near-dup of 0
+                "completely different content about machine learning",
+                "der hund und die katze sind nicht der gleichen",
+                "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+                "",
+            ],
+        }
+    )
+
+
+def test_minhash_similar_docs_collide():
+    df = _docs_df()
+    sigs = minhash_signatures(df)
+    s0 = np.array(sigs["signature"][0])
+    s1 = np.array(sigs["signature"][1])
+    s2 = np.array(sigs["signature"][2])
+    sim01 = (s0 == s1).mean()
+    sim02 = (s0 == s2).mean()
+    assert sim01 > 0.6 > sim02
+
+
+def test_jaccard():
+    assert jaccard("abcdef", "abcdef") == 1.0
+    assert jaccard("abcdefgh", "zzzzzzzz") == 0.0
+
+
+def test_simhash_near_for_near_docs():
+    df = _docs_df()
+    out = simhash_batch(df)
+    h0, h1, h2 = out["simhash"][0], out["simhash"][1], out["simhash"][2]
+    d01 = bin(h0 ^ h1).count("1")
+    d02 = bin(h0 ^ h2).count("1")
+    assert d01 < d02
+
+
+def test_quality_and_tokens():
+    df = quality_scores(_docs_df())
+    assert df["n_words"][0] == 9
+    assert df["punct_ratio"][1] > 0
+    tk = token_counts(_docs_df())
+    assert tk["ws_tokens"][0] == 9
+    assert tk["re_tokens"][5] == 0
+
+
+def test_fingerprints_stable():
+    a, b = fingerprints(_docs_df()), fingerprints(_docs_df())
+    assert (a["fp_exact"] == b["fp_exact"]).all()
+    assert a["fp_exact"][0] == a["fp_exact"][4]  # exact dup
+    assert a["fp_exact"][0] != a["fp_exact"][1]
+
+
+def test_langid():
+    lid = LangId()
+    assert lid.classify("the cat and the dog for a walk in the park") == "en"
+    assert lid.classify("der hund und die katze sind nicht hier") == "de"
+    assert lid.classify("") == "und"
+
+
+def test_exact_dedup_docs(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_pandas(_docs_df())
+    out = exact_dedup_docs(ds).to_pandas().sort_values("doc_id")
+    assert set(out["doc_id"]) == {0, 1, 2, 3, 5}  # 4 deduped into 0
+
+
+def test_minhash_lsh_dedup_pipeline(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_pandas(_docs_df())
+    pairs = minhash_lsh_dedup(ds, threshold=0.7).to_pandas()
+    assert ((pairs["a"] == 0) & (pairs["b"] == 4)).any()  # exact dup pair
+    got = {(a, b) for a, b in zip(pairs["a"], pairs["b"])}
+    assert (0, 1) in got or (1, 4) in got  # near-dup found
+    assert (0, 2) not in got
+
+
+def test_brute_force_topk(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    emb = rng.standard_normal((200, 16)).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(range(200), pa.int64()),
+        "embedding": pa.array([list(map(float, e)) for e in emb],
+                              pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tbl)
+    queries = emb[:3]
+    df = brute_force_topk(ds, queries, k=5)
+    assert len(df) == 15
+    # self is always the top hit
+    for qi in range(3):
+        top = df[df["query_idx"] == qi].iloc[0]
+        assert top["vec_id"] == qi
+        assert top["sim"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_lsh_topk_self_hit(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(4)
+    emb = rng.standard_normal((300, 16)).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(range(300), pa.int64()),
+        "embedding": pa.array([list(map(float, e)) for e in emb],
+                              pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tbl)
+    df = lsh_topk(ds, emb[:2], k=5, n_planes=4)
+    for qi in range(2):
+        sub = df[df["query_idx"] == qi]
+        assert len(sub) > 0 and sub.iloc[0]["vec_id"] == qi
+
+
+def test_multimodal_stub_pipeline(ray_session):
+    import ray.data as rd
+
+    media = rd.from_arrow(synthetic_media_table(n=24))
+    images = media.filter(lambda r: r["kind"] == "image")
+    feats = images.map_batches(DecodeImage(), batch_format="pyarrow", batch_size=8).to_pandas()
+    assert len(feats) == 8
+    assert feats["pix_mean"].between(0, 255).all()
+    # deterministic across runs
+    feats2 = images.map_batches(DecodeImage(), batch_format="pyarrow", batch_size=4).to_pandas()
+    assert feats.sort_values("media_id")["pix_mean"].tolist() == \
+        feats2.sort_values("media_id")["pix_mean"].tolist()
+
+    frames = media.map_batches(FrameSample(fps=4), batch_format="pyarrow").to_pandas()
+    assert (frames["frame_idx"] >= 0).all()
+    assert len(frames) > 8  # 8 videos x ~4+ frames each
+
+
+def test_suggest_batch_size():
+    assert suggest_batch_size(1 << 20, worker_heap_bytes=2 << 30, concurrency=4) >= 1
+    assert suggest_batch_size(1 << 30) == 1
+
+
+def test_reason_dataset_fixed_point(ray_session):
+    import ray.data as rd
+
+    from rdf_n3_ray.parser.n3_parser import parse_n3
+    from rdf_n3_ray.pipelines.reasoning import extract_rules, reason_dataset
+
+    doc = """@prefix : <http://ex/>.
+    :a a :A . :b a :A .
+    { ?x a :A } => { ?x a :B }.
+    { ?x a :B } => { ?x a :C }."""
+    quads = parse_n3(doc).quads
+    rules = extract_rules(quads)
+    assert len(rules) == 2
+    facts = pd.DataFrame(
+        [{"subj": s, "pred": p, "obj": o} for s, p, o, g in quads if g is None
+         and "implies" not in p]
+    )
+    ds = rd.from_pandas(facts)
+    closure, inferred = reason_dataset(ds, rules)
+    got = closure.to_pandas()
+    objs = set(got["obj"])
+    assert "<http://ex/B>" in objs and "<http://ex/C>" in objs
+    assert inferred == 4  # a/b x B/C
