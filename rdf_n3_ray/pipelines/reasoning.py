@@ -197,11 +197,24 @@ def reason_dataset(triples_ds, rules, max_iterations: int = 10):
             break
         add = rd.from_pandas(pd.DataFrame(new_rows).drop_duplicates())
         ds = ds.union(add)
-        # exact dedup shuffle (repository set semantics)
-        ds = (
-            ds.groupby(["subj", "pred", "obj"])
-            .map_groups(lambda g: g.head(1), batch_format="pandas")
+        # exact dedup shuffle (repository set semantics): coarse bucket
+        # + vectorized drop_duplicates (see stages/dedup.py)
+        ds = ds.map_batches(
+            lambda b: b.assign(
+                db=(
+                    pd.util.hash_pandas_object(
+                        b["subj"] + "\x00" + b["pred"] + "\x00" + b["obj"],
+                        index=False,
+                    )
+                    % 64
+                ).astype("int32")
+            ),
+            batch_format="pandas",
         )
+        ds = ds.groupby("db").map_groups(
+            lambda g: g.drop_duplicates(subset=["subj", "pred", "obj"]),
+            batch_format="pandas",
+        ).drop_columns(["db"])
         new_total = ds.count()
         if new_total == total:
             break

@@ -257,17 +257,23 @@ def serialize_documents(triples_ds):
     groupby is the shuffle; each group (one turn's emission) is small —
     the writer runs in-group (SURVEY.md §3.2).
     """
-    def render(g: pd.DataFrame) -> pd.DataFrame:
-        quads = [
-            (r.subj, r.pred, r.obj, r.graph if isinstance(r.graph, str) else None)
-            for r in g.itertuples()
-        ]
-        text = serialize_n3(quads)
-        return pd.DataFrame(
-            {"conv_id": [g["conv_id"].iloc[0]], "turn_idx": [g["turn_idx"].iloc[0]],
-             "n3": [text]}
-        )
+    def render_bucket(bucket_df: pd.DataFrame) -> pd.DataFrame:
+        # coarse shuffle bucket; the per-document split happens inside
+        # (pandas groupby) — Ray's map_groups is once-per-group, and
+        # per-(conv,turn) groups would be pathologically tiny
+        rows = []
+        for (conv, turn), g in bucket_df.groupby(["conv_id", "turn_idx"], sort=True):
+            quads = [
+                (r.subj, r.pred, r.obj, r.graph if isinstance(r.graph, str) else None)
+                for r in g.itertuples()
+            ]
+            rows.append({"conv_id": conv, "turn_idx": turn, "n3": serialize_n3(quads)})
+        return pd.DataFrame(rows, columns=["conv_id", "turn_idx", "n3"])
 
-    return triples_ds.groupby(["conv_id", "turn_idx"]).map_groups(
-        render, batch_format="pandas"
+    keyed = triples_ds.map_batches(
+        lambda b: b.assign(
+            db=(pd.util.hash_pandas_object(b["conv_id"], index=False) % 64).astype("int32")
+        ),
+        batch_format="pandas",
     )
+    return keyed.groupby("db").map_groups(render_bucket, batch_format="pandas")

@@ -35,23 +35,37 @@ def _quad_key(df: pd.DataFrame) -> pd.Series:
     return pd.util.hash_pandas_object(key, index=False).astype(np.int64)
 
 
-def local_dedup(batch: pd.DataFrame) -> pd.DataFrame:
+def local_dedup(batch: pd.DataFrame, num_buckets: int) -> pd.DataFrame:
     """Map-side combiner: drop in-batch duplicate quads, add the shuffle
-    key, keep min-(conv_id, turn_idx) lineage for determinism."""
+    bucket, keep min-(conv_id, turn_idx) lineage for determinism."""
     batch = batch.sort_values(["conv_id", "turn_idx"], kind="stable")
     batch = batch.drop_duplicates(subset=_QUAD_COLS, keep="first")
-    batch = batch.assign(tkey=_quad_key(batch))
+    batch = batch.assign(tbucket=(_quad_key(batch) % num_buckets).astype(np.int32))
     return batch
 
 
 def group_dedup(group: pd.DataFrame) -> pd.DataFrame:
-    """Reduce side: exact dedup within one hash-key group (collision-safe)."""
+    """Reduce side: vectorized exact dedup within one hash bucket.
+
+    The groupby key is a COARSE bucket (hash % B), not the full quad
+    hash: Ray's map_groups invokes the UDF once per group, so fine keys
+    (~1 row per group) would pay per-group Python overhead for every
+    distinct triple.  B buckets keep groups large and the dedup inside
+    fully vectorized; identical quads always share a bucket, so the
+    result is still exact."""
     group = group.sort_values(["conv_id", "turn_idx"], kind="stable")
     return group.drop_duplicates(subset=_QUAD_COLS, keep="first")
 
 
-def dedup_triples(ds, batch_size: int = 65536):
-    """groupby(quad-hash) -> first; returns a Dataset without the key col."""
-    keyed = ds.map_batches(local_dedup, batch_format="pandas", batch_size=batch_size)
-    out = keyed.groupby("tkey").map_groups(group_dedup, batch_format="pandas")
-    return out.drop_columns(["tkey"])
+def dedup_triples(ds, batch_size: int = 65536, num_buckets: int = 64):
+    """Exact quad dedup: combiner -> groupby(bucket) -> vectorized first.
+
+    `num_buckets` bounds reduce-partition size: at larger scale set
+    B ≈ input_bytes / 256 MiB so each bucket group fits a worker.
+    """
+    keyed = ds.map_batches(
+        lambda b: local_dedup(b, num_buckets),
+        batch_format="pandas", batch_size=batch_size,
+    )
+    out = keyed.groupby("tbucket").map_groups(group_dedup, batch_format="pandas")
+    return out.drop_columns(["tbucket"])

@@ -83,16 +83,21 @@ def explode_bands(batch: pd.DataFrame, bands: int = 16) -> pd.DataFrame:
 
 
 def candidate_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    """All pairs within one (band, band_hash) bucket."""
-    ids = sorted(set(group["doc_id"]))
-    if len(ids) < 2:
-        return pd.DataFrame({"a": [], "b": []})
-    a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
-    return pd.DataFrame({"a": a, "b": b})
+    """All pairs within each (band, band_hash) LSH bucket.
+
+    Called per COARSE shuffle bucket (band_hash % B); the fine
+    (band, band_hash) grouping happens vectorized inside, avoiding
+    Ray's per-group UDF overhead on millions of tiny buckets."""
+    out_a, out_b = [], []
+    for (_, _), g in group.groupby(["band", "band_hash"], sort=False):
+        if len(g) < 2:
+            continue
+        ids = sorted(set(g["doc_id"]))
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+    return pd.DataFrame({"a": out_a, "b": out_b})
 
 
 def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
@@ -129,7 +134,11 @@ def minhash_lsh_dedup(
     band_rows = sigs.map_batches(
         lambda b: explode_bands(b, bands=bands), batch_format="pandas"
     )
-    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
+    band_rows = band_rows.map_batches(
+        lambda b: b.assign(bb=(b["band_hash"] % 64).astype("int32")),
+        batch_format="pandas",
+    )
+    pairs = band_rows.groupby("bb").map_groups(
         candidate_pairs, batch_format="pandas"
     )
     texts = {
@@ -183,11 +192,15 @@ def exact_dedup_docs(docs_ds, key_cols=("text",)):
     returns the surviving rows (min doc_id wins, deterministic)."""
     def add_key(batch: pd.DataFrame) -> pd.DataFrame:
         key = batch[list(key_cols)].astype(str).agg("\x00".join, axis=1)
-        batch = batch.assign(dk=pd.util.hash_pandas_object(key, index=False).astype(np.int64))
+        dk = pd.util.hash_pandas_object(key, index=False).astype(np.int64)
+        batch = batch.assign(dk=dk, dkb=(dk % 64).astype(np.int32))
         return batch.sort_values("doc_id").drop_duplicates(subset=["dk"], keep="first")
 
+    # coarse-bucket shuffle + vectorized within-bucket dedup (see
+    # stages/dedup.py group_dedup for why fine keys are pathological)
     keyed = docs_ds.map_batches(add_key, batch_format="pandas")
-    out = keyed.groupby("dk").map_groups(
-        lambda g: g.sort_values("doc_id").head(1), batch_format="pandas"
+    out = keyed.groupby("dkb").map_groups(
+        lambda g: g.sort_values("doc_id").drop_duplicates(subset=["dk"], keep="first"),
+        batch_format="pandas",
     )
-    return out.drop_columns(["dk"])
+    return out.drop_columns(["dk", "dkb"])
