@@ -639,6 +639,10 @@ def resolve_iri(base: str | None, value: str) -> str:
     if value.startswith("#"):
         return base.split("#", 1)[0] + value
     out = urljoin(base, value)
+    # urljoin drops an empty fragment: join(base, "doc#") -> ".../doc".
+    # RDF::URI#join preserves it (needed for @prefix : <doc#>. bases).
+    if value.endswith("#") and not out.endswith("#"):
+        out += "#"
     return out
 
 

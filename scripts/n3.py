@@ -1,0 +1,103 @@
+"""CLI — the engine's equivalent of the reference's `script/parse` and
+the CLI `reason` command (format.rb:37-97; script/parse:24-100).
+
+  python scripts/n3.py parse FILE...             # triples to stdout (N-Triples)
+  python scripts/n3.py reason [--think] [--conclusions|--data|--strings] FILE...
+  python scripts/n3.py pipeline --out DIR [--convs N] [--turns K]   # KG job
+
+Owns its Ray session (the library never calls ray.init).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def cmd_parse(args) -> int:
+    from rdf_n3_ray.parser.n3_parser import parse_n3
+    from rdf_n3_ray.serializer.n3_writer import to_ntriples
+
+    total, t0 = 0, time.time()
+    for path in args.files:
+        text = open(path, encoding="utf-8").read()
+        r = parse_n3(text, base_uri=f"file://{os.path.abspath(path)}",
+                     validate=args.validate)
+        for e in r.errors:
+            print(f"# error: {e}", file=sys.stderr)
+        sys.stdout.write(to_ntriples(r.quads))
+        total += len(r.quads)
+    el = time.time() - t0
+    print(f"Parsed {total} statements in {el:.3f} seconds @ {total / max(el, 1e-9):.1f} statements/second.",
+          file=sys.stderr)
+    return 0
+
+
+def cmd_reason(args) -> int:
+    from rdf_n3_ray.algebra.engine import reason_n3
+    from rdf_n3_ray.serializer.n3_writer import serialize_n3, to_ntriples
+
+    for path in args.files:
+        text = open(path, encoding="utf-8").read()
+        result = reason_n3(text, think=args.think,
+                           base_uri=f"file://{os.path.abspath(path)}")
+        if args.strings:
+            sys.stdout.write(result.strings)
+        elif args.conclusions:
+            sys.stdout.write(serialize_n3(result.conclusions()))
+        elif args.data:
+            sys.stdout.write(serialize_n3(result.data()))
+        else:
+            sys.stdout.write(to_ntriples(result.quads))
+    return 0
+
+
+def cmd_pipeline(args) -> int:
+    import ray
+
+    ray.init(address="local", num_cpus=args.num_cpus,
+             include_dashboard=False, ignore_reinit_error=True,
+             logging_level="ERROR")
+    from rdf_n3_ray.pipelines.kg import run_kg_job
+
+    metrics = run_kg_job(args.out, n_convs=args.convs,
+                         turns_per_conv=args.turns, n_shards=args.shards)
+    print(metrics)
+    ray.shutdown()
+    return 0
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(prog="n3")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pp = sub.add_parser("parse")
+    pp.add_argument("files", nargs="+")
+    pp.add_argument("--validate", action="store_true")
+    pp.set_defaults(fn=cmd_parse)
+
+    pr = sub.add_parser("reason")
+    pr.add_argument("files", nargs="+")
+    pr.add_argument("--think", action="store_true")
+    pr.add_argument("--conclusions", action="store_true")
+    pr.add_argument("--data", action="store_true")
+    pr.add_argument("--strings", action="store_true")
+    pr.set_defaults(fn=cmd_reason)
+
+    pl = sub.add_parser("pipeline")
+    pl.add_argument("--out", required=True)
+    pl.add_argument("--convs", type=int, default=1000)
+    pl.add_argument("--turns", type=int, default=20)
+    pl.add_argument("--shards", type=int, default=8)
+    pl.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    pl.set_defaults(fn=cmd_pipeline)
+
+    args = p.parse_args()
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -301,3 +301,12 @@ def test_precision_recall_sanity():
     a = q(P + ":a :b :c . [ :p 1 ] :q :r .")
     p, r = precision_recall(a, a)
     assert p == 1.0 and r == 1.0
+
+
+def test_prefix_with_empty_fragment_base():
+    # urljoin drops empty fragments; the parser must preserve them
+    quads = q(
+        "@prefix : <socrates#>.\n:socrates a :Man.",
+        base_uri="file:///dir/socrates.n3",
+    )
+    assert quads[0][0] == "<file:///dir/socrates#socrates>"
