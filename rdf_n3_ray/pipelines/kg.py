@@ -46,18 +46,22 @@ def build_kg_dataset(
     transcripts,
     entities: pa.Table | None = None,
     parse_concurrency=None,
-    link_concurrency=2,
     dedup: bool = True,
     sort: bool = True,
 ):
-    """transcript Dataset -> canonical triple Dataset (lazy)."""
+    """transcript Dataset -> canonical triple Dataset (lazy).
+
+    Single-pass: parse + entity-link happen in ONE fused map stage
+    (stages/extract.py) so the input is read once; a two-branch
+    parse/link union would scan every transcript row twice and bottleneck
+    on the smaller branch's actor pool.
+    """
+    from ..stages.extract import extract_turn_kg
+
     if entities is None:
         entities = entity_table()
-    triples = parse_transcripts(transcripts, concurrency=parse_concurrency)
-    triples = skolemize(triples)
-    links = link_entities(transcripts, entities, concurrency=link_concurrency)
-    links = links.map_batches(_drop_score, batch_format="pyarrow")
-    all_triples = triples.union(links)
+    triples = extract_turn_kg(transcripts, entities, concurrency=parse_concurrency)
+    all_triples = skolemize(triples)
     if dedup:
         all_triples = dedup_triples(all_triples)
     if sort:

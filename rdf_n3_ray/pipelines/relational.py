@@ -192,19 +192,27 @@ def events_hourly(sf_dir: str):
         )
 
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
-    from ray.data.aggregate import Sum
 
-    out = partials.groupby(["user_id", "hour"]).aggregate(
-        Sum("n_events", alias_name="n_events"),
-        Sum("sum_value", alias_name="sum_value"),
+    # high-cardinality grouping: Ray's groupby().aggregate() pays
+    # per-group overhead (here ~#users x #hours groups) — shuffle on a
+    # coarse hash bucket and run the vectorized pandas groupby inside
+    def bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(gb=(batch["user_id"] % 64).astype("int32"))
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.groupby(["user_id", "hour"], as_index=False).agg(
+            n_events=("n_events", "sum"), sum_value=("sum_value", "sum")
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        out["sum_value"] = out["sum_value"].astype("int64") / 1e6
+        return out
+
+    out = (
+        partials.map_batches(bucket, batch_format="pandas")
+        .groupby("gb")
+        .map_groups(combine, batch_format="pandas")  # combine's groupby drops gb
     )
-
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["n_events"] = batch["n_events"].astype("int64")
-        batch["sum_value"] = batch["sum_value"].astype("int64") / 1e6
-        return batch
-
-    return out.map_batches(finish, batch_format="pandas").sort(["user_id", "hour"])
+    return out.sort(["user_id", "hour"])
 
 
 EVENTS_HOURLY_SQL = """

@@ -69,13 +69,15 @@ def brute_force_topk(embeddings_ds, queries: np.ndarray, k: int = 10, concurrenc
     """Distributed exact top-k: map (partial per batch) + driver merge.
 
     Ties broken by smaller vec_id (stable, matches a SQL row_number
-    oracle ordered by sim DESC, vec_id ASC)."""
-    import ray
+    oracle ordered by sim DESC, vec_id ASC).
 
-    query_ref = ray.put(np.asarray(queries, dtype=dtype))
+    The query matrix ships in the actor constructor spec (small); a
+    ray.put ref as a constructor arg can outlive its owner and wedge
+    actor restarts (ray issue #53727 — see stages/linker.py)."""
     partials = embeddings_ds.map_batches(
         BruteForceTopK,
-        fn_constructor_kwargs={"query_ref": query_ref, "k": k, "dtype": dtype},
+        fn_constructor_kwargs={"queries": np.asarray(queries, dtype=dtype),
+                               "k": k, "dtype": dtype},
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=concurrency,

@@ -57,7 +57,7 @@ def group_dedup(group: pd.DataFrame) -> pd.DataFrame:
     return group.drop_duplicates(subset=_QUAD_COLS, keep="first")
 
 
-def dedup_triples(ds, batch_size: int = 65536, num_buckets: int = 64):
+def dedup_triples(ds, batch_size: int | None = None, num_buckets: int = 64):
     """Exact quad dedup: combiner -> groupby(bucket) -> vectorized first.
 
     `num_buckets` bounds reduce-partition size: at larger scale set

@@ -1,0 +1,106 @@
+"""Fused per-turn KG extraction: parse + mention-link in ONE map stage.
+
+At scale the flagship pipeline should read each transcript row exactly
+once.  Running the parser and the linker as separate Dataset branches
+means a second full pass over the input (and a union barrier); fusing
+them into one map_batches keeps the pipeline single-pass:
+
+    read -> ExtractTurnKG (triples + link triples per batch) -> skolemize
+         -> dedup shuffle -> sort
+
+The stage is a callable class (actor-poolable); with ``concurrency=None``
+it runs as stateless tasks that scale elastically to the cluster — the
+right default since the parser's compiled-regex state is module-level
+and the entity index is a small dict pickled with the stage.
+"""
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..parser.n3_parser import parse_n3
+from ..terms import kind_of
+from .linker import MENTIONS_PRED, _MENTION_RE
+
+
+class ExtractTurnKG:
+    def __init__(
+        self,
+        entity_index: dict[str, tuple[str, float]] | None = None,
+        base_uri: str | None = None,
+        prefixes: dict | None = None,
+        list_terms: bool = False,
+    ):
+        self.index = entity_index or {}
+        self.base_uri = base_uri
+        self.prefixes = prefixes
+        self.list_terms = list_terms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        conv_ids = batch.column("conv_id").to_pylist()
+        turn_idxs = batch.column("turn_idx").to_pylist()
+        texts = batch.column("text").to_pylist()
+        oc, ot, os_, op, oo, og = [], [], [], [], [], []
+        for conv, turn, text in zip(conv_ids, turn_idxs, texts):
+            if not text:
+                continue
+            result = parse_n3(
+                text,
+                base_uri=self.base_uri,
+                prefixes=self.prefixes,
+                list_terms=self.list_terms,
+            )
+            for s, p, o, g in result.quads:
+                oc.append(conv)
+                ot.append(turn)
+                os_.append(s)
+                op.append(p)
+                oo.append(o)
+                og.append(g)
+            if self.index:
+                seen = set()
+                for m in _MENTION_RE.findall(text):
+                    norm = m.lower().strip()
+                    if norm in seen:
+                        continue
+                    seen.add(norm)
+                    hit = self.index.get(norm)
+                    if hit is None:
+                        continue
+                    oc.append(conv)
+                    ot.append(turn)
+                    os_.append(f"<urn:turn:{conv}:{turn}>")
+                    op.append(MENTIONS_PRED)
+                    oo.append(f"<{hit[0]}>")
+                    og.append(None)
+        return pa.table(
+            {
+                "conv_id": pa.array(oc, pa.string()),
+                "turn_idx": pa.array(ot, pa.int32()),
+                "subj": pa.array(os_, pa.string()),
+                "pred": pa.array(op, pa.string()),
+                "obj": pa.array(oo, pa.string()),
+                "graph": pa.array(og, pa.string()),
+                "subj_kind": pa.array([kind_of(s) for s in os_], pa.int8()),
+                "obj_kind": pa.array([kind_of(o) for o in oo], pa.int8()),
+            }
+        )
+
+
+def entity_index_from_table(entities: pa.Table) -> dict[str, tuple[str, float]]:
+    return {
+        r["mention_norm"]: (r["canonical_iri"], r["score"])
+        for r in entities.to_pylist()
+    }
+
+
+def extract_turn_kg(ds, entities: pa.Table | None = None, concurrency=None, **opts):
+    index = entity_index_from_table(entities) if entities is not None else None
+    kwargs = dict(batch_format="pyarrow")
+    if concurrency is not None:
+        return ds.map_batches(
+            ExtractTurnKG,
+            fn_constructor_kwargs={"entity_index": index, **opts},
+            concurrency=concurrency,
+            **kwargs,
+        )
+    return ds.map_batches(ExtractTurnKG(entity_index=index, **opts), **kwargs)

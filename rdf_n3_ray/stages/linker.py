@@ -110,17 +110,22 @@ class LinkScore:
         )
 
 
-def link_entities(transcripts_ds, entities: pa.Table, concurrency=4, batch_size: int = 2048):
-    """transcripts -> mention rows -> link triples (with scores)."""
-    import ray
+def link_entities(transcripts_ds, entities: pa.Table, concurrency=4, batch_size: int | None = None):
+    """transcripts -> mention rows -> link triples (with scores).
 
-    entity_ref = ray.put(entities)
+    The entity table ships inside the actor constructor spec (pickled
+    once per actor).  NOT via ray.put: a put ref held as a constructor
+    argument outlives its owner when the dataset finishes, and actor
+    restarts then wedge the next pipeline in the session
+    (ray issue #53727).  For an entity table too big to pickle per
+    actor, switch to a named detached owner or re-put per job instead.
+    """
     mentions = transcripts_ds.map_batches(
         detect_mentions, batch_format="pyarrow", batch_size=batch_size
     )
     return mentions.map_batches(
         LinkScore,
-        fn_constructor_kwargs={"entity_ref": entity_ref},
+        fn_constructor_kwargs={"entities": entities},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

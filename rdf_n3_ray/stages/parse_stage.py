@@ -96,7 +96,7 @@ class ParseN3Turns:
 def parse_transcripts(
     ds,
     concurrency: int | tuple[int, int] | None = None,
-    batch_size: int = 1024,
+    batch_size: int | None = None,
     **parser_opts,
 ):
     """Attach the parse stage to a transcript Dataset.

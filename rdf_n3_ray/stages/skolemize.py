@@ -49,6 +49,11 @@ def skolemize_batch(batch: pa.Table) -> pa.Table:
     return pa.table(dict(zip(batch.schema.names, arrays)))
 
 
-def skolemize(ds, batch_size: int = 65536):
-    """Stateless vectorizable map stage."""
+def skolemize(ds, batch_size: int | None = None):
+    """Stateless vectorizable map stage.
+
+    batch_size stays None (one batch per block): forcing a large batch
+    size makes Ray coalesce many upstream blocks per task, collapsing
+    parallelism — the map is cheap, so block-sized batches are right.
+    """
     return ds.map_batches(skolemize_batch, batch_format="pyarrow", batch_size=batch_size)
