@@ -120,6 +120,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": R.doc_token_stats,
         "dedup_exact_docs": R.dedup_exact_docs,
         "ann_topk": R.ann_topk,
+        "doc_quality": R.doc_quality,
+        "embed_cosine_dups": R.embed_cosine_dups,
         # --- KG construction / N3 engine (rows-only checks) ------------
         "kg_triples": _q_kg_triples,
         "parse_turns": _q_parse_turns,
@@ -130,6 +132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "lang_id": _q_lang_id,
         "media_features": _q_media_features,
+        "ann_ivf": R.ann_ivf,
+        "jaccard_dup_groups": R.jaccard_dup_groups,
     }
 
 
@@ -145,4 +149,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_stats": R.DOC_TOKEN_STATS_SQL,
         "dedup_exact_docs": R.DEDUP_EXACT_SQL,
         "ann_topk": R.ANN_TOPK_SQL,
+        "doc_quality": R.DOC_QUALITY_SQL,
+        "embed_cosine_dups": R.EMBED_COSINE_DUPS_SQL,
     }

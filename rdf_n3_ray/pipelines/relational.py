@@ -340,3 +340,113 @@ SELECT query_idx, vec_id, ROUND(sim, 4) AS sim
 FROM ranked WHERE rn <= 5
 ORDER BY query_idx, sim DESC, vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Document quality scoring (length/punct/stopword-style features; exact
+# integer counts + float64 ratios rounded to 4 so the DuckDB oracle hashes
+# identically — both sides do the same float64 division then ROUND)
+# ---------------------------------------------------------------------------
+
+def doc_quality(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def quality(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("")
+        n_chars = text.str.len().astype("int64")
+        n_words = text.str.split().str.len().fillna(0).astype("int64")
+        n_punct = text.str.count(r"[^\w\s]").astype("int64")
+        n_upper = text.str.count(r"[A-Z]").astype("int64")
+        denom = n_chars.replace(0, 1).astype("float64")
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_words": n_words,
+            "n_punct": n_punct,
+            "n_upper": n_upper,
+            # floor(x*1e4) as int: identical on numpy and DuckDB (pandas
+            # .round is half-to-even, DuckDB ROUND is half-away — they
+            # disagree on exact halves like 4.90625)
+            "mean_word_len_e4": np.floor(
+                (n_chars / n_words.replace(0, 1).astype("float64")) * 10000
+            ).astype("int64"),
+            "punct_ratio_e4": np.floor((n_punct / denom) * 10000)
+            .astype("int64"),
+        })
+
+    return ds.map_batches(quality, batch_format="pandas",
+                          batch_size=8192).sort("doc_id")
+
+
+DOC_QUALITY_SQL = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE length(string_split_regex(trim(text), '\s+')) END AS n_words,
+       length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+       length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+       FLOOR(length(text)::DOUBLE / GREATEST(CASE WHEN trim(text) = '' THEN 0
+            ELSE length(string_split_regex(trim(text), '\s+')) END, 1)
+            * 10000)::BIGINT AS mean_word_len_e4,
+       FLOOR((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE
+             / GREATEST(length(text), 1) * 10000)::BIGINT AS punct_ratio_e4
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs (exact; DuckDB self-join oracle)
+# ---------------------------------------------------------------------------
+
+def embed_cosine_dups(sf_dir: str, threshold: float = 0.35):
+    from ..stages.embed_dedup import cosine_dup_pairs
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pairs = cosine_dup_pairs(ds, threshold=threshold)
+    df = pairs.to_pandas()
+    if df.empty:  # all-empty blocks lose the schema in to_pandas()
+        df = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                           "b": pd.Series(dtype="int64"),
+                           "sim": pd.Series(dtype="float64")})
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+EMBED_COSINE_DUPS_SQL = """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 4) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      >= 0.35
+ORDER BY a, b
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (approximate; rows-only check + recall-vs-brute-force unit test)
+# ---------------------------------------------------------------------------
+
+def ann_ivf(sf_dir: str, k: int = 5, n_queries: int = 4):
+    from ..stages.ann import ivf_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    first = sorted(ds.take(n_queries), key=lambda r: r["vec_id"])
+    queries = np.asarray([r["embedding"] for r in first], dtype=np.float64)
+    df = ivf_topk(ds, queries, k=k, n_clusters=16, nprobe=6)
+    df["query_idx"] = df["query_idx"].astype("int64")
+    df["sim"] = df["sim"].round(4)
+    return df.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard dedup groups: LSH candidates -> exact shingle Jaccard
+# verify -> union-find components (driver-side; pair list is tiny)
+# ---------------------------------------------------------------------------
+
+def jaccard_dup_groups(sf_dir: str, threshold: float = 0.5):
+    from ..stages.embed_dedup import dup_groups_from_pairs
+    from ..stages.neardup import minhash_lsh_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_lsh_dedup(docs, threshold=threshold).to_pandas()
+    groups = dup_groups_from_pairs(pairs)
+    return groups.rename(columns={"id": "doc_id", "group": "dup_group"})

@@ -98,6 +98,87 @@ def brute_force_topk(embeddings_ds, queries: np.ndarray, k: int = 10, concurrenc
     return pd.DataFrame(rows)
 
 
+def _kmeans(sample: np.ndarray, n_clusters: int, iters: int = 8,
+            seed: int = 5) -> np.ndarray:
+    """Tiny deterministic k-means on a driver-side sample (spherical:
+    rows and centroids L2-normalized; assignment by max cosine)."""
+    rng = np.random.default_rng(seed)
+    sample = _normalize(sample.astype(np.float64))
+    idx = rng.choice(len(sample), size=min(n_clusters, len(sample)),
+                     replace=False)
+    cent = sample[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def ivf_build(embeddings_ds, n_clusters: int = 16, sample_size: int = 2048,
+              seed: int = 5):
+    """IVF index build: centroids from a driver-side sample, then a
+    streaming assignment pass adds a `cluster` column (centroids
+    broadcast in task args — shipped once per task spec, not per batch).
+    At 100 TB the assigned dataset is written partitioned by `cluster`
+    so probes read only matching partitions."""
+    frac = None
+    try:
+        n = embeddings_ds.count()
+        frac = min(1.0, sample_size / max(n, 1))
+    except Exception:
+        frac = 1.0
+    sample = embeddings_ds.random_sample(frac, seed=seed) if frac < 1.0 \
+        else embeddings_ds
+    mat = _matrix([r["embedding"] for r in sample.take(sample_size)])
+    cent = _kmeans(mat, n_clusters, seed=seed)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        emb = _normalize(_matrix(batch.column("embedding").to_pylist())
+                         .astype(np.float64))
+        cl = np.argmax(emb @ cent.T, axis=1).astype(np.int32)
+        return batch.append_column("cluster", pa.array(cl, pa.int32()))
+
+    assigned = embeddings_ds.map_batches(assign, batch_format="pyarrow")
+    return assigned, cent
+
+
+def ivf_topk(embeddings_ds, queries: np.ndarray, k: int = 10,
+             n_clusters: int = 16, nprobe: int = 4, seed: int = 5):
+    """IVF ANN: score only rows whose cluster is among each query's
+    `nprobe` nearest centroids. Exact within probed clusters; recall
+    grows with nprobe (nprobe == n_clusters -> brute force)."""
+    assigned, cent = ivf_build(embeddings_ds, n_clusters=n_clusters,
+                               seed=seed)
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    q_probe = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    wanted = set(int(c) for row in q_probe for c in row)
+
+    probed = assigned.filter(lambda r: r["cluster"] in wanted)
+    rows = []
+    for batch in probed.iter_batches(batch_format="pandas"):
+        emb = _normalize(_matrix(batch["embedding"]).astype(np.float64))
+        sims = emb @ qn.T
+        clusters = batch["cluster"].values
+        ids = batch["vec_id"].values
+        for qi in range(len(qn)):
+            mask = np.isin(clusters, q_probe[qi])
+            if not mask.any():
+                continue
+            for vid, sim in zip(ids[mask], sims[mask, qi]):
+                rows.append({"query_idx": qi, "vec_id": int(vid),
+                             "sim": float(sim)})
+    df = pd.DataFrame(rows, columns=["query_idx", "vec_id", "sim"])
+    if df.empty:
+        return df
+    return (df.sort_values(["query_idx", "sim", "vec_id"],
+                           ascending=[True, False, True])
+            .groupby("query_idx", as_index=False).head(k)
+            .reset_index(drop=True))
+
+
 def lsh_bucket_signatures(batch: pa.Table, planes: np.ndarray) -> pa.Table:
     """Random-hyperplane LSH bucket id per row (sign bits packed)."""
     emb = _matrix(batch.column("embedding").to_pylist())

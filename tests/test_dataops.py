@@ -188,3 +188,84 @@ def test_reason_dataset_fixed_point(ray_session):
     objs = set(got["obj"])
     assert "<http://ex/B>" in objs and "<http://ex/C>" in objs
     assert inferred == 4  # a/b x B/C
+
+
+def _clustered_embeddings(n_clusters=4, per_cluster=30, dim=16, seed=3):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim)) * 4
+    rows = []
+    for c in range(n_clusters):
+        pts = centers[c] + rng.standard_normal((per_cluster, dim)) * 0.3
+        rows.append(pts)
+    mat = np.concatenate(rows)
+    return pa.table({
+        "vec_id": pa.array(np.arange(len(mat)), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float32())),
+    })
+
+
+def test_ivf_topk_recall_vs_brute_force(ray_session):
+    import ray.data as rd
+
+    from rdf_n3_ray.stages.ann import ivf_topk
+
+    tbl = _clustered_embeddings()
+    ds = rd.from_arrow(tbl)
+    queries = np.asarray(tbl["embedding"].to_pylist()[:3], dtype=np.float64)
+    exact = brute_force_topk(rd.from_arrow(tbl), queries, k=5,
+                             dtype=np.float64)
+    approx = ivf_topk(rd.from_arrow(tbl), queries, k=5, n_clusters=4,
+                      nprobe=2)
+    for qi in range(3):
+        want = set(exact[exact.query_idx == qi].vec_id)
+        got = set(approx[approx.query_idx == qi].vec_id)
+        assert len(want & got) / len(want) >= 0.8, (qi, want, got)
+
+
+def test_cosine_dup_pairs_exact(ray_session):
+    import ray.data as rd
+
+    from rdf_n3_ray.stages.embed_dedup import cosine_dup_pairs
+
+    tbl = _clustered_embeddings(n_clusters=3, per_cluster=8)
+    ds = rd.from_arrow(tbl)
+    pairs = cosine_dup_pairs(ds, threshold=0.9).to_pandas()
+    # oracle: numpy all-pairs on the driver
+    mat = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    iu, ju = np.triu_indices(len(mat), k=1)
+    keep = sims[iu, ju] >= 0.9
+    want = set(zip(iu[keep].tolist(), ju[keep].tolist()))
+    got = set(zip(pairs.a.astype(int), pairs.b.astype(int)))
+    assert got == want and len(want) > 0
+
+
+def test_cosine_dup_pairs_lsh_recall(ray_session):
+    import ray.data as rd
+
+    from rdf_n3_ray.stages.embed_dedup import (
+        cosine_dup_pairs,
+        cosine_dup_pairs_lsh,
+    )
+
+    tbl = _clustered_embeddings(n_clusters=3, per_cluster=10, seed=9)
+    exact = cosine_dup_pairs(rd.from_arrow(tbl), threshold=0.95).to_pandas()
+    approx = cosine_dup_pairs_lsh(rd.from_arrow(tbl), threshold=0.95,
+                                  n_planes=4, bands=6).to_pandas()
+    want = set(zip(exact.a.astype(int), exact.b.astype(int)))
+    got = set(zip(approx.a.astype(int), approx.b.astype(int)))
+    assert len(want) > 0
+    assert got <= want  # no false positives (exact verify in-bucket)
+    assert len(want & got) / len(want) >= 0.8
+
+
+def test_dup_groups_union_find():
+    from rdf_n3_ray.stages.embed_dedup import dup_groups_from_pairs
+
+    pairs = pd.DataFrame({"a": [1, 2, 5], "b": [2, 3, 6]})
+    groups = dup_groups_from_pairs(pairs)
+    g = dict(zip(groups.id, groups.group))
+    assert g[1] == g[2] == g[3] == 1
+    assert g[5] == g[6] == 5
