@@ -31,7 +31,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..sources.transcripts import entity_table, transcripts_dataset
-from ..stages.dedup import dedup_triples
+from ..stages.dedup import dedup_triples, dedup_triples_narrow
 from ..stages.linker import link_entities
 from ..stages.parse_stage import parse_transcripts
 from ..stages.skolemize import skolemize
@@ -63,7 +63,9 @@ def build_kg_dataset(
     triples = extract_turn_kg(transcripts, entities, concurrency=parse_concurrency)
     all_triples = skolemize(triples)
     if dedup:
-        all_triples = dedup_triples(all_triples)
+        # narrow shuffle: only (hash128, row-identity) moves; full rows
+        # are filtered in place (stages/dedup.py) — drops emit_idx
+        all_triples = dedup_triples_narrow(all_triples)
     if sort:
         all_triples = all_triples.sort(["conv_id", "turn_idx"])
     return all_triples
@@ -146,7 +148,7 @@ def run_kg_job(
             if f.endswith(".parquet")
         ]
         triples = rd.read_parquet(shard_files)
-        final = dedup_triples(triples).sort(["conv_id", "turn_idx"])
+        final = dedup_triples_narrow(triples).sort(["conv_id", "turn_idx"])
         final.write_parquet(tmp)
         nrows = sum(
             pq.read_metadata(os.path.join(tmp, f)).num_rows

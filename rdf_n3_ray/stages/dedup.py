@@ -57,6 +57,80 @@ def group_dedup(group: pd.DataFrame) -> pd.DataFrame:
     return group.drop_duplicates(subset=_QUAD_COLS, keep="first")
 
 
+def _quad_key128(df: pd.DataFrame) -> tuple[pd.Series, pd.Series]:
+    """Two independent 64-bit hashes of the quad -> 128-bit key.
+    Collision probability over 10^12 triples ~ 2^-104: exactness is
+    cryptographic-negligible rather than compare-full-quad, which is the
+    price of the narrow shuffle below."""
+    key = (
+        df["subj"].astype(str)
+        + "\x00" + df["pred"].astype(str)
+        + "\x00" + df["obj"].astype(str)
+        + "\x00" + df["graph"].fillna("\x01").astype(str)
+    )
+    h1 = pd.util.hash_pandas_object(key, index=False).astype(np.int64)
+    h2 = pd.util.hash_pandas_object("\x02" + key, index=False).astype(np.int64)
+    return h1, h2
+
+
+def dedup_triples_narrow(ds, num_buckets: int = 64):
+    """Exact dedup where ONLY (h1, h2, conv_id, turn_idx) goes through
+    the shuffle — full triple rows never move.
+
+    1. materialize ds once (at job scale this is the checkpointed shard
+       parquet, not memory);
+    2. project to 128-bit quad-hash + lineage, in-batch combine;
+    3. groupby(coarse bucket) -> LOSER rows (all but the min-ident copy
+       of each distinct quad): a ~28-byte/row shuffle instead of full
+       IRI strings;
+    4. broadcast the loser set (ray.put; sized by the duplicate count,
+       which is tiny for KG extraction) and anti-join it per batch.
+       At cluster scale, if the duplicate fraction is large, swap the
+       broadcast for a bucket-paired hash anti-join (same loser table,
+       groupby bucket on both sides).
+    """
+    import ray
+
+    src = ds.materialize()
+
+    ident = ["conv_id", "turn_idx", "emit_idx"]
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        h1, h2 = _quad_key128(batch)
+        out = pd.DataFrame({"h1": h1, "h2": h2,
+                            **{c: batch[c] for c in ident}})
+        out["tbucket"] = (out["h1"] % num_buckets).astype(np.int32)
+        return out
+
+    def losers(group: pd.DataFrame) -> pd.DataFrame:
+        """Everything except the min-ident copy of each distinct quad."""
+        group = group.sort_values(ident, kind="stable")
+        dup = group.duplicated(subset=["h1", "h2"], keep="first")
+        return group.loc[dup, ["h1", "h2", *ident]]
+
+    lose = (src.map_batches(project, batch_format="pandas")
+            .groupby("tbucket").map_groups(losers, batch_format="pandas"))
+    lose_df = lose.to_pandas()
+    lose_df = lose_df[["h1", "h2", *ident]] if len(lose_df) else None
+    lose_ref = ray.put(lose_df)
+
+    def drop_losers(batch: pd.DataFrame) -> pd.DataFrame:
+        l = ray.get(lose_ref)
+        if l is None:
+            return batch.drop(columns=["emit_idx"])
+        h1, h2 = _quad_key128(batch)
+        # (conv_id, turn_idx, emit_idx) is a globally unique physical
+        # row id, so each loser entry removes exactly one row — no
+        # cross-block ambiguity even when Ray splits a turn's rows
+        tag = batch.assign(h1=h1, h2=h2)
+        merged = tag.merge(l, on=["h1", "h2", *ident], how="left",
+                           indicator=True)
+        out = merged[merged["_merge"] == "left_only"]
+        return out.drop(columns=["h1", "h2", "emit_idx", "_merge"])
+
+    return src.map_batches(drop_losers, batch_format="pandas")
+
+
 def dedup_triples(ds, batch_size: int | None = None, num_buckets: int = 64):
     """Exact quad dedup: combiner -> groupby(bucket) -> vectorized first.
 
@@ -68,4 +142,7 @@ def dedup_triples(ds, batch_size: int | None = None, num_buckets: int = 64):
         batch_format="pandas", batch_size=batch_size,
     )
     out = keyed.groupby("tbucket").map_groups(group_dedup, batch_format="pandas")
-    return out.drop_columns(["tbucket"])
+    drop = ["tbucket"]
+    if "emit_idx" in ds.schema().names:
+        drop.append("emit_idx")
+    return out.drop_columns(drop)

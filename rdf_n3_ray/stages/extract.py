@@ -39,10 +39,14 @@ class ExtractTurnKG:
         conv_ids = batch.column("conv_id").to_pylist()
         turn_idxs = batch.column("turn_idx").to_pylist()
         texts = batch.column("text").to_pylist()
-        oc, ot, os_, op, oo, og = [], [], [], [], [], []
+        oc, ot, os_, op, oo, og, oe = [], [], [], [], [], [], []
         for conv, turn, text in zip(conv_ids, turn_idxs, texts):
             if not text:
                 continue
+            emit = 0  # deterministic emission position within the turn:
+            # gives every output row a globally unique identity
+            # (conv_id, turn_idx, emit_idx) regardless of how Ray later
+            # splits blocks — required by the narrow dedup shuffle
             result = parse_n3(
                 text,
                 base_uri=self.base_uri,
@@ -56,6 +60,8 @@ class ExtractTurnKG:
                 op.append(p)
                 oo.append(o)
                 og.append(g)
+                oe.append(emit)
+                emit += 1
             if self.index:
                 seen = set()
                 for m in _MENTION_RE.findall(text):
@@ -72,6 +78,8 @@ class ExtractTurnKG:
                     op.append(MENTIONS_PRED)
                     oo.append(f"<{hit[0]}>")
                     og.append(None)
+                    oe.append(emit)
+                    emit += 1
         return pa.table(
             {
                 "conv_id": pa.array(oc, pa.string()),
@@ -82,6 +90,7 @@ class ExtractTurnKG:
                 "graph": pa.array(og, pa.string()),
                 "subj_kind": pa.array([kind_of(s) for s in os_], pa.int8()),
                 "obj_kind": pa.array([kind_of(o) for o in oo], pa.int8()),
+                "emit_idx": pa.array(oe, pa.int32()),
             }
         )
 
