@@ -122,6 +122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": R.ann_topk,
         "doc_quality": R.doc_quality,
         "embed_cosine_dups": R.embed_cosine_dups,
+        "sessionize": R.sessionize,
+        "asof_join": R.asof_join_orders,
         # --- KG construction / N3 engine (rows-only checks) ------------
         "kg_triples": _q_kg_triples,
         "parse_turns": _q_parse_turns,
@@ -151,4 +153,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": R.ANN_TOPK_SQL,
         "doc_quality": R.DOC_QUALITY_SQL,
         "embed_cosine_dups": R.EMBED_COSINE_DUPS_SQL,
+        "sessionize": R.SESSIONIZE_SQL,
+        "asof_join": R.ASOF_JOIN_SQL,
     }

@@ -450,3 +450,129 @@ def jaccard_dup_groups(sf_dir: str, threshold: float = 0.5):
     pairs = minhash_lsh_dedup(docs, threshold=threshold).to_pandas()
     groups = dup_groups_from_pairs(pairs)
     return groups.rename(columns={"id": "doc_id", "group": "dup_group"})
+
+
+# ---------------------------------------------------------------------------
+# Gap-based sessionization (windowed streaming aggregate; ray_guide
+# sessionization pattern: coarse user buckets -> vectorized in-group
+# window).  New session when the gap to the previous event of the same
+# user exceeds 30 minutes.
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def sessionize(sf_dir: str, num_buckets: int = 32):
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def bucketed(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(ub=(b["user_id"] % num_buckets).astype("int32"))
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        # Timedelta compare is timestamp-unit-independent (us vs ns)
+        gap_exceeded = g["ts"].diff() > pd.Timedelta(microseconds=SESSION_GAP_US)
+        new_sess = (new_user | gap_exceeded).astype("int64")
+        sess_seq = new_sess.cumsum()
+        # per-user 0-based session id
+        first_seq = sess_seq.where(new_user).ffill()
+        g = g.assign(session_id=(sess_seq - first_seq).astype("int64"))
+        out = (g.groupby(["user_id", "session_id"], as_index=False)
+               .agg(n_events=("event_id", "size"),
+                    session_start=("ts", "min"),
+                    session_end=("ts", "max")))
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    out = (ev.map_batches(bucketed, batch_format="pandas")
+           .groupby("ub").map_groups(sessions, batch_format="pandas"))
+    return out.sort(["user_id", "session_id"])
+
+
+SESSIONIZE_SQL = """
+WITH d AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         (SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_id
+  FROM d
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM s GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# As-of join: each event matched to the user's latest order at or before
+# the event time.  Ray Data has no asof join; this is the guide's
+# bucket-paired pattern: hash both sides on the key into the same
+# buckets, pd.merge_asof inside each bucket group.  Partitioning
+# assumption: one key's rows (both sides) fit in a worker.
+# ---------------------------------------------------------------------------
+
+def asof_join_orders(sf_dir: str, num_buckets: int = 32):
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_totalprice"])
+
+    def tag_ev(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(jb=(b["user_id"] % num_buckets).astype("int32"))
+        b["side"] = 0
+        return b[["jb", "side", "event_id", "ts", "user_id"]]
+
+    def tag_ord(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.rename(columns={"o_custkey": "user_id", "o_orderdate": "ts"})
+        b = b.assign(jb=(b["user_id"] % num_buckets).astype("int32"))
+        b["side"] = 1
+        b["event_id"] = -1
+        return b[["jb", "side", "event_id", "ts", "user_id",
+                  "o_orderkey", "o_totalprice"]]
+
+    both = ev.map_batches(tag_ev, batch_format="pandas").union(
+        orders.map_batches(tag_ord, batch_format="pandas"))
+
+    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        left = group[group["side"] == 0][["event_id", "ts", "user_id"]]
+        right = group[group["side"] == 1][
+            ["ts", "user_id", "o_orderkey", "o_totalprice"]]
+        if left.empty or right.empty:
+            return pd.DataFrame({
+                "event_id": pd.Series(dtype="int64"),
+                "user_id": pd.Series(dtype="int64"),
+                "ts": pd.Series(dtype="datetime64[us]"),
+                "o_orderkey": pd.Series(dtype="int64"),
+                "o_totalprice": pd.Series(dtype="float64")})
+        # sorted by (ts, o_orderkey): merge_asof takes the LAST row with
+        # ts <= event ts, i.e. latest order date, max orderkey on ties —
+        # same tiebreak as the oracle's ORDER BY date DESC, key DESC
+        left = left.sort_values("ts", kind="stable")
+        right = right.sort_values(["ts", "o_orderkey"], kind="stable")
+        m = pd.merge_asof(left, right, on="ts", by="user_id",
+                          direction="backward")
+        m = m.dropna(subset=["o_orderkey"])
+        m["o_orderkey"] = m["o_orderkey"].astype("int64")
+        return m[["event_id", "user_id", "ts", "o_orderkey", "o_totalprice"]]
+
+    out = both.groupby("jb").map_groups(join_bucket, batch_format="pandas")
+    return out.sort("event_id")
+
+
+ASOF_JOIN_SQL = """
+SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
+FROM events e JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+) o ON TRUE
+ORDER BY e.event_id
+"""

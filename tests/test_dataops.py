@@ -269,3 +269,55 @@ def test_dup_groups_union_find():
     g = dict(zip(groups.id, groups.group))
     assert g[1] == g[2] == g[3] == 1
     assert g[5] == g[6] == 5
+
+
+def test_sessionize_gap_semantics(ray_session):
+    import ray.data as rd
+
+    from rdf_n3_ray.pipelines.relational import SESSION_GAP_US, sessionize
+    import rdf_n3_ray.pipelines.relational as R
+
+    base = pd.Timestamp("2024-01-01")
+    ev = pd.DataFrame({
+        "event_id": [1, 2, 3, 4],
+        "user_id": [7, 7, 7, 9],
+        "ts": [base,
+               base + pd.Timedelta(minutes=30),        # exactly the gap
+               base + pd.Timedelta(minutes=30 + 31),   # > gap: new session
+               base],
+    })
+    import os, tempfile
+    d = tempfile.mkdtemp()
+    import pyarrow as pa_, pyarrow.parquet as pq_
+    pq_.write_table(pa_.Table.from_pandas(ev), os.path.join(d, "events.parquet"))
+    out = sessionize(d).to_pandas()
+    u7 = out[out.user_id == 7].sort_values("session_id")
+    # exactly-30min gap stays in session 0; the 31-min gap opens session 1
+    assert list(u7.n_events) == [2, 1]
+    assert out[out.user_id == 9].session_id.tolist() == [0]
+
+
+def test_asof_join_tiebreak(ray_session):
+    import os, tempfile
+
+    import pyarrow as pa_
+    import pyarrow.parquet as pq_
+
+    from rdf_n3_ray.pipelines.relational import asof_join_orders
+
+    base = pd.Timestamp("2024-01-01")
+    d = tempfile.mkdtemp()
+    ev = pd.DataFrame({"event_id": [1, 2], "user_id": [5, 5],
+                       "ts": [base + pd.Timedelta(days=2), base - pd.Timedelta(days=1)]})
+    orders = pd.DataFrame({
+        "o_orderkey": [10, 11, 12],
+        "o_custkey": [5, 5, 5],
+        # two orders share the latest eligible date -> max orderkey wins
+        "o_orderdate": [base, base, base + pd.Timedelta(days=5)],
+        "o_totalprice": [1.0, 2.0, 3.0]})
+    pq_.write_table(pa_.Table.from_pandas(ev), os.path.join(d, "events.parquet"))
+    pq_.write_table(pa_.Table.from_pandas(orders), os.path.join(d, "orders.parquet"))
+    out = asof_join_orders(d).to_pandas()
+    # event 2 predates every order -> dropped; event 1 matches orderkey 11
+    assert out.event_id.tolist() == [1]
+    assert out.o_orderkey.tolist() == [11]
