@@ -108,6 +108,41 @@ _COMPILED: list[tuple[str, re.Pattern, bool]] = [
 ]
 _WS_RE = re.compile(WS)
 
+# --- first-character dispatch ----------------------------------------------
+# The reference tries every terminal in order at each position; most
+# positions can only start a handful of terminals, so we pre-bucket the
+# candidate list by first character (relative order preserved — the
+# first-match-wins semantics are unchanged).  Non-ASCII first chars can
+# only begin pnames (PN_CHARS_BASE).
+_ASCII_LETTERS = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+_FIRST_CHARS: dict[str, str] = {
+    "ANON": "[",
+    "IPLSTART": "[",
+    "BLANK_NODE_LABEL": "_",
+    "IRIREF": "<",
+    "DOUBLE": "0123456789+-.",
+    "DECIMAL": "0123456789+-.",
+    "INTEGER": "0123456789+-",
+    "PNAME_LN": ":" + _ASCII_LETTERS,
+    "PNAME_NS": ":" + _ASCII_LETTERS,
+    "STRING_LITERAL_LONG_SINGLE_QUOTE": "'",
+    "STRING_LITERAL_LONG_QUOTE": '"',
+    "STRING_LITERAL_QUOTE": '"',
+    "STRING_LITERAL_SINGLE_QUOTE": "'",
+    "__STR__": "(){},.;[]a!^<=tfhio",
+    "PREFIX": "@pP",
+    "BASE": "@bB",
+    "LANGTAG": "@",
+    "QUICK_VAR_NAME": "?",
+}
+_DISPATCH: dict[str, list[tuple[str, re.Pattern, bool]]] = {}
+for _entry in _COMPILED:
+    for _c in _FIRST_CHARS[_entry[0]]:
+        _DISPATCH.setdefault(_c, []).append(_entry)
+# non-ASCII (unicode pname start) fallback
+_UNICODE_CANDIDATES = [e for e in _COMPILED if e[0] in ("PNAME_LN", "PNAME_NS")]
+_EMPTY: list[tuple[str, re.Pattern, bool]] = []
+
 
 class Token(NamedTuple):
     type: str | None  # terminal name, or None for string terminals
@@ -141,7 +176,10 @@ def tokenize(text: str, recover: bool = False) -> tuple[list[Token], list[str]]:
             if pos >= n:
                 break
         matched = False
-        for name, pat, unesc in _COMPILED:
+        c = text[pos]
+        candidates = (_DISPATCH.get(c, _EMPTY) if c < "\x80"
+                      else _UNICODE_CANDIDATES)
+        for name, pat, unesc in candidates:
             m = pat.match(text, pos)
             if not m:
                 continue
