@@ -98,13 +98,13 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    """N vs 4N stand-in: the SAME 1.2M-turn KG job in fresh processes
+    """N vs 4N stand-in: the SAME 2.4M-turn KG job in fresh processes
     at num_cpus=4 and num_cpus=16 (4 vs 16 keeps the 4x CPU ratio while
     avoiding the single-box memory-bus saturation that a real 4N-node
     cluster would not have).  Each process warms up with a small untimed
     run, then times the full pipeline (extract -> skolemize -> narrow
     dedup -> global sort)."""
-    N_CONVS, TURNS = 60000, 20
+    N_CONVS, TURNS = 120000, 20
 
     def run(ncpu: int) -> dict:
         code = (

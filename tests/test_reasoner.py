@@ -261,3 +261,112 @@ def test_rule_producing_rule():
         """@prefix : <http://ex/>.
         :a a :A, :Z.""",
     )
+
+
+# --- additional spec-table cases (reasoner_spec.rb contexts) ---------------
+
+def test_math_greaterthan_string_coercion():
+    # reasoner_spec.rb:726-740 — strings coerce to numbers: "008" < "70"
+    check_conclusions(
+        '@prefix math: <http://www.w3.org/2000/10/swap/math#>.\n'
+        '{ "008" math:greaterThan "70" } => { :t10 a :FAILURE }.\n'
+        '{ "70" math:greaterThan "008" } => { :t10 a :success }.',
+        ':t10 a :success .',
+    )
+
+
+def test_str_concatenation_numeric_lexical():
+    # reasoner_spec.rb "integer" case: lexical forms concatenate ("1"+"01")
+    check_conclusions(
+        '@prefix string: <http://www.w3.org/2000/10/swap/string#>.\n'
+        '{ (1 01) string:concatenation ?x } => { :t :is ?x }.',
+        ':t :is "101" .',
+    )
+
+
+def test_math_negation_bidirectional():
+    # math/negation.rb: either side computable from the other
+    check_conclusions(
+        '@prefix math: <http://www.w3.org/2000/10/swap/math#>.\n'
+        '{ 5 math:negation ?x } => { :fwd :is ?x }.\n'
+        '{ ?y math:negation 7 } => { :rev :is ?y }.',
+        ':fwd :is -5 . :rev :is -7 .',
+    )
+
+
+def test_log_dtlit_langlit():
+    check_conclusions(
+        '@prefix log: <http://www.w3.org/2000/10/swap/log#>.\n'
+        '@prefix xsd: <http://www.w3.org/2001/XMLSchema#>.\n'
+        '{ ("1" xsd:integer) log:dtlit ?x } => { :dt :is ?x }.\n'
+        '{ ("hello" "en") log:langlit ?y } => { :ll :is ?y }.',
+        '@prefix xsd: <http://www.w3.org/2001/XMLSchema#>.\n'
+        ':dt :is "1"^^xsd:integer . :ll :is "hello"@en .',
+    )
+
+
+def test_log_notEqualTo_and_notIncludes():
+    check_conclusions(
+        '@prefix log: <http://www.w3.org/2000/10/swap/log#>.\n'
+        ':a :b :c .\n'
+        '{ :a log:notEqualTo :b } => { :ne a :success }.\n'
+        '{ { :a :b :c } log:notIncludes { :x :y :z } } => { :ni a :success }.',
+        ':ne a :success . :ni a :success .',
+    )
+
+
+def test_time_inSeconds_forward():
+    check_conclusions(
+        '@prefix time: <http://www.w3.org/2000/10/swap/time#>.\n'
+        '{ "1970-01-01T00:01:00Z" time:inSeconds ?x } => { :t :is ?x }.',
+        ':t :is 60 .',
+    )
+
+
+def test_str_replace_and_format():
+    check_conclusions(
+        '@prefix string: <http://www.w3.org/2000/10/swap/string#>.\n'
+        '{ ("banana" "a" "o") string:replace ?x } => { :rep :is ?x }.\n'
+        '{ ("%s-%s" "a" "b") string:format ?y } => { :fmt :is ?y }.',
+        ':rep :is "bonono" . :fmt :is "a-b" .',
+    )
+
+
+def test_list_first_last_length():
+    check_conclusions(
+        '@prefix list: <http://www.w3.org/2000/10/swap/list#>.\n'
+        ':l :is ( "a" "b" "c" ) .\n'
+        '{ :l :is ?L . ?L list:first ?f } => { :first :is ?f }.\n'
+        '{ :l :is ?L . ?L list:last ?z } => { :last :is ?z }.\n'
+        '{ :l :is ?L . ?L list:length ?n } => { :len :is ?n }.',
+        ':first :is "a" . :last :is "c" . :len :is 3 .',
+    )
+
+
+def test_does_not_imply_facts_not_in_evidence():
+    # reasoner_spec.rb "does not imply facts not in evidence"
+    r = run(':x :y :z .\n{ :a :b :c } => { :d :e :f }.')
+    assert r.conclusions() == []
+
+
+def test_n3string_builtin():
+    # log:n3String serializes the subject formula (reasoner_spec.rb:322-340)
+    got = run(
+        '@prefix log: <http://www.w3.org/2000/10/swap/log#>.\n'
+        '{ { :sky :color :blue } log:n3String ?x } => { :t :got ?x }.'
+    ).conclusions()
+    assert len(got) == 1
+    s, p, o, g = got[0]
+    assert p == "<http://example.com/got>"
+    assert "sky" in o and "color" in o and "blue" in o, o
+
+
+def test_parsedAsN3_builtin():
+    # parser-in-a-builtin (log/parsed_as_n3.rb)
+    got = run(
+        '@prefix log: <http://www.w3.org/2000/10/swap/log#>.\n'
+        '{ "<http://ex/a> <http://ex/b> <http://ex/c> ." log:parsedAsN3 ?f .'
+        '  ?f log:includes { <http://ex/a> <http://ex/b> <http://ex/c> } }'
+        ' => { :t a :success }.'
+    ).conclusions()
+    assert any(s == "<http://example.com/t>" for s, p, o, g in got), got
