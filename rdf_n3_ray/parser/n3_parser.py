@@ -94,9 +94,11 @@ class N3Parser:
         prefixes: dict[str | None, str] | None = None,
         list_terms: bool = False,
         validate: bool = False,
+        canonicalize: bool = False,
         anon_base: str = "b0",
     ):
         self.validate = validate
+        self.canonicalize = canonicalize
         self.list_terms = list_terms
         self.base_uri = base_uri
         self.result = ParseResult()
@@ -369,16 +371,23 @@ class N3Parser:
         tt = token.type
         if tt == "INTEGER":
             self.shift()
-            return T.literal(token.value, datatype=T.XSD_INTEGER)
+            value = token.value
+            if self.canonicalize:
+                value = T.canonical_integer(value)
+            return T.literal(value, datatype=T.XSD_INTEGER)
         if tt == "DECIMAL":
             self.shift()
             value = token.value
             if value.startswith("."):
                 value = "0" + value
+            if self.canonicalize:
+                value = T.canonical_decimal(value)
             return T.literal(value, datatype=T.XSD_DECIMAL)
         if tt == "DOUBLE":
             self.shift()
             value = re.sub(r"\.([eE])", r".0\1", token.value)
+            if self.canonicalize:
+                value = T.canonical_double(value)
             return T.literal(value, datatype=T.XSD_DOUBLE)
         if tt is None and token.value in ("true", "false"):
             self.shift()
@@ -399,7 +408,17 @@ class N3Parser:
                 dt = self.read_iri()
                 if dt is None:
                     self.error("Expected datatype IRI", self.first())
-                return T.literal(value, datatype=T.iri_value(dt))
+                dtv = T.iri_value(dt)
+                if self.canonicalize:
+                    if dtv == T.XSD_INTEGER:
+                        value = T.canonical_integer(value)
+                    elif dtv == T.XSD_DECIMAL:
+                        value = T.canonical_decimal(value)
+                    elif dtv == T.XSD_DOUBLE:
+                        value = T.canonical_double(value)
+                    elif dtv == T.XSD_BOOLEAN:
+                        value = T.canonical_boolean(value)
+                return T.literal(value, datatype=dtv)
             return T.literal(value)
         return None
 
@@ -567,7 +586,10 @@ class N3Parser:
     # --- term construction helpers -------------------------------------
     def process_iri(self, value: str) -> str:
         # resolve against base (reader.rb:721-723, iri join :796-809)
-        return T.iri(resolve_iri(self.base_uri, value))
+        resolved = resolve_iri(self.base_uri, value)
+        if self.canonicalize:
+            resolved = T.canonical_iri_value(resolved)
+        return T.iri(resolved)
 
     def process_pname(self, value: str) -> str:
         # (reader.rb:725-739)
@@ -652,6 +674,7 @@ def parse_n3(
     prefixes: dict[str | None, str] | None = None,
     list_terms: bool = False,
     validate: bool = False,
+    canonicalize: bool = False,
     anon_base: str = "b0",
 ) -> ParseResult:
     """Parse one N3 document into quads of N-Triples-encoded terms.
@@ -668,6 +691,7 @@ def parse_n3(
             prefixes=prefixes,
             list_terms=list_terms,
             validate=validate,
+            canonicalize=canonicalize,
             anon_base=anon_base,
         )
         return parser.parse()

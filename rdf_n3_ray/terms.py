@@ -309,3 +309,85 @@ def ruby_succ(s: str) -> str:
         insert = "1" if lead.isdigit() else ("a" if lead.islower() else "A")
         chars.insert(i + 1, insert)
     return "".join(chars)
+
+
+# --- canonical lexical forms (reader `canonicalize: true` option) ----------
+# Behavior pinned to /root/reference/spec/reader_spec.rb:1295-1346 (RDF.rb
+# Literal/URI #canonicalize): integers drop sign/leading zeros, decimals get
+# a digit on both sides of the dot, doubles become mantissa-in-[1,10) E
+# notation, booleans map to true/false, IRIs get RFC3986-ish cleanup.
+
+def canonical_integer(lex: str) -> str:
+    try:
+        return str(int(lex))
+    except ValueError:
+        return lex
+
+
+def canonical_decimal(lex: str) -> str:
+    from decimal import Decimal, InvalidOperation
+
+    try:
+        d = Decimal(lex)
+    except InvalidOperation:
+        return lex
+    s = format(d, "f")
+    if "." not in s:
+        s += ".0"
+    int_part, _, frac = s.partition(".")
+    frac = frac.rstrip("0") or "0"
+    if int_part in ("", "-", "+"):
+        int_part += "0"
+    if int_part.startswith("+"):
+        int_part = int_part[1:]
+    int_part2 = int_part.lstrip("-").lstrip("0") or "0"
+    sign = "-" if int_part.startswith("-") and (int_part2 != "0" or frac != "0") else ""
+    return f"{sign}{int_part2}.{frac}"
+
+
+def canonical_double(lex: str) -> str:
+    try:
+        f = float(lex)
+    except ValueError:
+        return lex
+    if f != f or f in (float("inf"), float("-inf")):
+        return lex
+    if f == 0.0:
+        return "-0.0E0" if str(f).startswith("-") else "0.0E0"
+    mant, _, exp = f"{f:E}".partition("E")
+    mant = mant.rstrip("0")
+    if mant.endswith("."):
+        mant += "0"
+    return f"{mant}E{int(exp)}"
+
+
+def canonical_boolean(lex: str) -> str:
+    return {"1": "true", "0": "false"}.get(lex, lex)
+
+
+def canonical_iri_value(value: str) -> str:
+    """URI cleanup per the reference spec table: empty path -> '/',
+    duplicate path slashes collapsed, '#' inside fragments
+    percent-encoded, lowercase scheme/host."""
+    import re as _re
+    from urllib.parse import urlsplit, urlunsplit
+
+    try:
+        parts = urlsplit(value)
+    except ValueError:
+        return value
+    if not parts.scheme:
+        return value
+    scheme = parts.scheme.lower()
+    netloc = parts.netloc.lower()
+    path = parts.path
+    if netloc and not path:
+        path = "/"
+    if netloc:
+        path = _re.sub(r"/{2,}", "/", path)
+    fragment = parts.fragment.replace("#", "%23")
+    out = urlunsplit((scheme, netloc, path, parts.query, fragment))
+    # urlunsplit drops a bare trailing '#'; the reference keeps it
+    if value.endswith("#") and not out.endswith("#"):
+        out += "#"
+    return out

@@ -1,7 +1,7 @@
 """CLI — the engine's equivalent of the reference's `script/parse` and
 the CLI `reason` command (format.rb:37-97; script/parse:24-100).
 
-  python scripts/n3.py parse FILE...             # triples to stdout (N-Triples)
+  python scripts/n3.py parse [--validate] [--canonicalize] FILE...
   python scripts/n3.py reason [--think] [--conclusions|--data|--strings] FILE...
   python scripts/n3.py pipeline --out DIR [--convs N] [--turns K]   # KG job
 
@@ -25,7 +25,7 @@ def cmd_parse(args) -> int:
     for path in args.files:
         text = open(path, encoding="utf-8").read()
         r = parse_n3(text, base_uri=f"file://{os.path.abspath(path)}",
-                     validate=args.validate)
+                     validate=args.validate, canonicalize=args.canonicalize)
         for e in r.errors:
             print(f"# error: {e}", file=sys.stderr)
         sys.stdout.write(to_ntriples(r.quads))
@@ -77,6 +77,7 @@ def main() -> int:
     pp = sub.add_parser("parse")
     pp.add_argument("files", nargs="+")
     pp.add_argument("--validate", action="store_true")
+    pp.add_argument("--canonicalize", action="store_true")
     pp.set_defaults(fn=cmd_parse)
 
     pr = sub.add_parser("reason")

@@ -310,3 +310,41 @@ def test_prefix_with_empty_fragment_base():
         base_uri="file:///dir/socrates.n3",
     )
     assert quads[0][0] == "<file:///dir/socrates#socrates>"
+
+
+def test_canonicalize_option():
+    """Literal/IRI canonicalization pinned to reader_spec.rb:1295-1346."""
+    from rdf_n3_ray.parser.n3_parser import parse_n3
+
+    cases = {
+        '"+1"^^<http://www.w3.org/2001/XMLSchema#integer>':
+            '"1"^^<http://www.w3.org/2001/XMLSchema#integer>',
+        "+1": '"1"^^<http://www.w3.org/2001/XMLSchema#integer>',
+        ".1": '"0.1"^^<http://www.w3.org/2001/XMLSchema#decimal>',
+        "123.E+1": '"1.23E3"^^<http://www.w3.org/2001/XMLSchema#double>',
+        "true": '"true"^^<http://www.w3.org/2001/XMLSchema#boolean>',
+        '"lang"@EN': '"lang"@en',
+    }
+    for src, want in cases.items():
+        r = parse_n3(f"<http://example/a> <http://example/b> {src} .",
+                     base_uri="http://a/b", canonicalize=True)
+        assert not r.errors, r.errors
+        assert r.quads[0][2] == want, (src, r.quads[0][2])
+
+    iri_cases = {
+        "<http://foo>": "http://foo/",
+        "<http://foo#a>": "http://foo/#a",
+        "<http://foo##a>": "http://foo/#%23a",
+        "<http://foo/bar//a>": "http://foo/bar/a",
+        "<http://foo/bar#a>": "http://foo/bar#a",
+    }
+    for src, want in iri_cases.items():
+        r = parse_n3(f"{src} <http://example/b> <http://example/c> .",
+                     base_uri="http://a/b", canonicalize=True)
+        assert not r.errors, r.errors
+        assert r.quads[0][0] == f"<{want}>", (src, r.quads[0][0])
+
+    # default: canonicalize off leaves lexical forms alone
+    r = parse_n3("<http://example/a> <http://example/b> +1 .",
+                 base_uri="http://a/b")
+    assert r.quads[0][2].startswith('"+1"')
