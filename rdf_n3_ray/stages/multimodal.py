@@ -124,6 +124,10 @@ class FrameSample:
 
 def decode_pipeline(media_ds, concurrency: int = 2, batch_size: int = 8):
     """media table -> per-image features + per-video frame rows."""
+    if media_ds.num_blocks() < concurrency:
+        # a single input block starves the actor pool; split so every
+        # actor gets work (binary payloads: keep blocks small anyway)
+        media_ds = media_ds.repartition(concurrency * 2)
     images = media_ds.filter(lambda r: r["kind"] == "image")
     features = images.map_batches(
         DecodeImage,

@@ -348,3 +348,54 @@ def test_canonicalize_option():
     r = parse_n3("<http://example/a> <http://example/b> +1 .",
                  base_uri="http://a/b")
     assert r.quads[0][2].startswith('"+1"')
+
+
+def test_literal_escapes_spec_table():
+    """reader_spec.rb:143-190 literal encodings."""
+    from rdf_n3_ray.parser.n3_parser import parse_n3
+    from rdf_n3_ray.terms import literal_value
+
+    r = parse_n3(
+        ':a :b "D\\u00FCrst", "backslash:\\\\", "dquote:\\"", "newline:\\n" .',
+        base_uri="http://a/b")
+    assert not r.errors
+    assert [literal_value(q[2]) for q in r.quads] == [
+        "Dürst", "backslash:\\", 'dquote:"', "newline:\n"]
+    r = parse_n3('@prefix : <http://example.org/foo#> . '
+                 ':a :b """\\U00015678another""" .')
+    assert literal_value(r.quads[0][2]) == "\U00015678another"
+
+
+def test_prefix_redefinition_mid_document():
+    """reader_spec.rb:624-638 declaration ordering."""
+    from rdf_n3_ray.parser.n3_parser import parse_n3
+
+    r = parse_n3('@prefix a: <http://host/A#>. a:b a:p a:v . '
+                 '@prefix a: <http://host/Z#>. a:b a:p a:v .',
+                 base_uri="http://a/b")
+    assert sorted(q[0] for q in r.quads) == [
+        "<http://host/A#b>", "<http://host/Z#b>"]
+
+
+def test_sequential_base_declarations():
+    """reader_spec.rb:640-654 swap base.n3: each @base resolves against
+    the previous one."""
+    from rdf_n3_ray.parser.n3_parser import parse_n3
+
+    r = parse_n3(
+        "@base <http://example.com/ontolgies>. <a> :b <foo/bar#baz>.\n"
+        "@base <path/DFFERENT/>. <a2> :b2 <foo/bar#baz2>.\n"
+        "@prefix : <#>. <d3> :b3 <e3>.",
+        base_uri="http://a/b")
+    assert not r.errors
+    assert sorted(q[:3] for q in r.quads) == [
+        ("<http://example.com/a>",
+         "<http://example.com/ontolgies#b>",
+         "<http://example.com/foo/bar#baz>"),
+        ("<http://example.com/path/DFFERENT/a2>",
+         "<http://example.com/path/DFFERENT/#b2>",
+         "<http://example.com/path/DFFERENT/foo/bar#baz2>"),
+        ("<http://example.com/path/DFFERENT/d3>",
+         "<http://example.com/path/DFFERENT/#b3>",
+         "<http://example.com/path/DFFERENT/e3>"),
+    ]
