@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_cosine_dups": R.embed_cosine_dups,
         "sessionize": R.sessionize,
         "asof_join": R.asof_join_orders,
+        "revenue_by_priority": R.revenue_by_priority,
         # --- KG construction / N3 engine (rows-only checks) ------------
         "kg_triples": _q_kg_triples,
         "parse_turns": _q_parse_turns,
@@ -155,4 +156,5 @@ def oracle_sql() -> dict[str, str]:
         "embed_cosine_dups": R.EMBED_COSINE_DUPS_SQL,
         "sessionize": R.SESSIONIZE_SQL,
         "asof_join": R.ASOF_JOIN_SQL,
+        "revenue_by_priority": R.REVENUE_BY_PRIORITY_SQL,
     }

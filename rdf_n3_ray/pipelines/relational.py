@@ -576,3 +576,90 @@ FROM events e JOIN LATERAL (
 ) o ON TRUE
 ORDER BY e.event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Big-big hash join: lineitem x orders (both fact-sized — broadcast is
+# wrong here; Ray's native hash-partitioned join shuffles both sides on
+# the key).  Revenue by order priority.
+# ---------------------------------------------------------------------------
+
+def revenue_by_priority(sf_dir: str, num_partitions: int = 64):
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        # map-side partial per orderkey, tagged with the join bucket.
+        # The per-order FINAL aggregation happens inside the join bucket
+        # group — a fine-key groupby(l_orderkey).aggregate() would pay
+        # Ray per-group overhead on every distinct order (measured 40s
+        # at sf0.01); one coarse bucket shuffle does agg + join in ~2s.
+        b = b.assign(rev_c=np.floor(
+            b["l_extendedprice"] * (1 - b["l_discount"]) * 100.0 + 0.5
+        ).astype("int64"))
+        g = (b.groupby("l_orderkey", as_index=False)
+             .agg(rev_c=("rev_c", "sum"), n_items=("rev_c", "size")))
+        g["jb"] = (g["l_orderkey"] % num_partitions).astype("int32")
+        g["side"] = 0
+        return g
+
+    left = li.map_batches(pre, batch_format="pandas", batch_size=65536)
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+
+    def tag_right(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(jb=(b["o_orderkey"] % num_partitions).astype("int32"))
+        b["side"] = 1
+        return b
+
+    both = left.union(orders.map_batches(tag_right, batch_format="pandas"))
+
+    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group["side"] == 0]
+        r = group[group["side"] == 1][["o_orderkey", "o_orderpriority"]]
+        if l.empty or r.empty:
+            return pd.DataFrame({
+                "o_orderpriority": pd.Series(dtype="object"),
+                "revenue_c": pd.Series(dtype="int64"),
+                "n_orders": pd.Series(dtype="int64"),
+                "n_items": pd.Series(dtype="int64")})
+        per_order = (l.groupby("l_orderkey", as_index=False)
+                     .agg(rev_c=("rev_c", "sum"), n_items=("n_items", "sum")))
+        m = per_order.merge(r, left_on="l_orderkey", right_on="o_orderkey")
+        return (m.groupby("o_orderpriority", as_index=False)
+                .agg(revenue_c=("rev_c", "sum"),
+                     n_orders=("rev_c", "size"),
+                     n_items=("n_items", "sum")))
+
+    joined = both.groupby("jb").map_groups(join_bucket, batch_format="pandas")
+    from ray.data.aggregate import Sum
+
+    out = joined.groupby("o_orderpriority").aggregate(
+        Sum("revenue_c", alias_name="revenue_c"),
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("n_items", alias_name="n_items"))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["revenue"] = b["revenue_c"].astype("int64") / 100.0
+        b["n_orders"] = b["n_orders"].astype("int64")
+        b["n_items"] = b["n_items"].astype("int64")
+        return b[["o_orderpriority", "revenue", "n_orders", "n_items"]]
+
+    return out.map_batches(finish, batch_format="pandas").sort("o_orderpriority")
+
+
+REVENUE_BY_PRIORITY_SQL = """
+SELECT o.o_orderpriority,
+       SUM(li.rev_c)::BIGINT / 100.0 AS revenue,
+       COUNT(*) AS n_orders,
+       SUM(li.n_items)::BIGINT AS n_items
+FROM (
+  SELECT l_orderkey,
+         SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+                  AS BIGINT)) AS rev_c,
+         COUNT(*) AS n_items
+  FROM lineitem GROUP BY l_orderkey
+) li JOIN orders o ON li.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
