@@ -80,6 +80,11 @@ def run_bench() -> dict:
         ).count(),
     )
     timed("ann_topk", lambda: R.ann_topk(sf_dir))
+    timed("sessionize", lambda: R.sessionize(sf_dir).to_pandas())
+    timed("asof_join", lambda: R.asof_join_orders(sf_dir).to_pandas())
+    timed("revenue_by_priority",
+          lambda: R.revenue_by_priority(sf_dir).to_pandas())
+    timed("embed_cosine_dups", lambda: R.embed_cosine_dups(sf_dir))
 
     total = round(sum(timings.values()), 3)
     out = {
