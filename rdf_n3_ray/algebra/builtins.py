@@ -738,8 +738,8 @@ def _hash_ev(alg, subj, obj, sol):
 NOT_IMPLEMENTED = {
     LOG + "supports",       # algebra.rb:142 NotImplemented upstream too
     STR + "containsRoughly",  # algebra.rb:178 NotImplemented upstream too
-    LOG + "content",        # network fetch — out of scope (SURVEY.md §7)
-    LOG + "semantics",
+    # log:content / log:semantics are implemented for LOCAL files in
+    # engine._content/_semantics (web fetch stays out of scope)
 }
 
 

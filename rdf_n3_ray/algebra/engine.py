@@ -556,6 +556,71 @@ def _conclusion(engine: Engine, s, o, sol):
     return None
 
 
+def _resource_to_path(term) -> str | None:
+    """file:// IRI or plain-path literal -> local filesystem path.
+    http(s) is deliberately unsupported (no network in this engine's
+    deployment); mirrors log/content.rb:20-33 with RDF::Util::File
+    restricted to local reads."""
+    from .builtins import string_value
+
+    if isinstance(term, str) and T.is_iri(term):
+        v = T.iri_value(term)
+        if v.startswith("file://"):
+            from urllib.parse import unquote, urlsplit
+
+            return unquote(urlsplit(v).path)
+        return None
+    if isinstance(term, str) and T.is_literal(term):
+        p = string_value(term)
+        return p if not p.startswith(("http://", "https://")) else None
+    return None
+
+
+def _content(engine: Engine, s, o, sol):
+    """log:content — resource's contents as a string literal
+    (log/content.rb:20-33; local files only)."""
+    s_v = sol.get(s, s) if is_var(s) else s
+    path = _resource_to_path(s_v)
+    if path is None:
+        return None
+    try:
+        with open(path, encoding="utf-8") as f:
+            lit = T.literal(f.read())
+    except OSError:
+        return None
+    if is_var(o):
+        return [{**sol, o: lit}]
+    return [sol] if lit == o else []
+
+
+def _semantics(engine: Engine, s, o, sol):
+    """log:semantics — parse the resource into a formula
+    (log/semantics.rb:21-40; local files only)."""
+    from ..parser.n3_parser import parse_n3
+
+    s_v = sol.get(s, s) if is_var(s) else s
+    path = _resource_to_path(s_v)
+    if path is None:
+        return None
+    try:
+        with open(path, encoding="utf-8") as f:
+            text = f.read()
+    except OSError:
+        return None
+    base = s_v if isinstance(s_v, str) and T.is_iri(s_v) else f"file://{path}"
+    base_uri = T.iri_value(base) if T.is_iri(base) else base
+    result = parse_n3(text, base_uri=base_uri, list_terms=True)
+    if result.errors:
+        return None
+    new_g = _content_graph_id(
+        "sem", [(a, b, c) for a, b, c, _ in result.quads])
+    for a, b, c, g in result.quads:
+        engine._insert((a, b, c, g if g is not None else new_g))
+    if is_var(o):
+        return [{**sol, o: new_g}]
+    return None
+
+
 _ENGINE_BUILTINS = {
     LOG + "includes": lambda e, s, o, sol: _includes(e, s, o, sol),
     LOG + "notIncludes": lambda e, s, o, sol: _includes(e, s, o, sol, negate=True),
@@ -563,6 +628,8 @@ _ENGINE_BUILTINS = {
     LOG + "n3String": _n3string,
     LOG + "parsedAsN3": _parsed_as_n3,
     LOG + "conclusion": _conclusion,
+    LOG + "content": _content,
+    LOG + "semantics": _semantics,
 }
 
 

@@ -370,3 +370,31 @@ def test_parsedAsN3_builtin():
         ' => { :t a :success }.'
     ).conclusions()
     assert any(s == "<http://example.com/t>" for s, p, o, g in got), got
+
+
+def test_log_content_and_semantics_local_file(tmp_path):
+    # local-file variant of log:content / log:semantics (SURVEY §2.1:
+    # web fetch is out of scope; file reads mirror log/content.rb)
+    doc = tmp_path / "doc.n3"
+    doc.write_text("<#a> <#b> <#c> .")
+    uri = f"file://{doc}"
+    got = run(
+        '@prefix log: <http://www.w3.org/2000/10/swap/log#>.\n'
+        f'{{ <{uri}> log:content ?c }} => {{ :t :content ?c }}.\n'
+        f'{{ <{uri}> log:semantics ?f .'
+        f'  ?f log:includes {{ <{uri}#a> <{uri}#b> <{uri}#c> }} }}'
+        ' => { :sem a :success }.'
+    ).conclusions()
+    preds = {p for s, p, o, g in got}
+    objs = {o for s, p, o, g in got}
+    assert "<http://example.com/content>" in preds, got
+    assert '"<#a> <#b> <#c> ."' in objs, got
+    assert any(s == "<http://example.com/sem>" for s, p, o, g in got), got
+
+
+def test_log_content_missing_file_no_solution(tmp_path):
+    got = run(
+        '@prefix log: <http://www.w3.org/2000/10/swap/log#>.\n'
+        f'{{ <file://{tmp_path}/nope.n3> log:content ?c }} => {{ :t :c ?c }}.'
+    ).conclusions()
+    assert got == []
