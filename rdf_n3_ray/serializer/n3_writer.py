@@ -141,7 +141,14 @@ class N3Writer:
             if lst is not None:
                 return lst
             if inline_depth < 8 and self._inlinable(t, graph):
-                return self._bnode_props(t, graph, inline_depth)
+                props = [q for q in self.graphs.get(graph, [])
+                         if q[0] == t and q not in self.serialized]
+                had_any = any(q[0] == t for q in self.graphs.get(graph, []))
+                if props or not had_any:
+                    return self._bnode_props(t, graph, inline_depth)
+                # its statements were already rendered under the _: label
+                # (it was an earlier subject) — reference that label,
+                # never an empty []
             return t
         return t
 
@@ -166,8 +173,47 @@ class N3Writer:
                     self.serialized.add(q)
         return "( " + " ".join(self._term(i, graph) for i in items) + " )"
 
+    def _cyclic_bnodes(self, graph: str | None) -> set:
+        """Bnodes on a directed bnode->bnode cycle in this graph (incl.
+        self-loops).  Inlining any of them as [ ... ] would either drop
+        statements or emit a label pointing at an anonymous node, so
+        they always render with explicit _: labels."""
+        cache = getattr(self, "_cycles_cache", None)
+        if cache is None:
+            cache = self._cycles_cache = {}
+        if graph in cache:
+            return cache[graph]
+        edges: dict[str, set] = defaultdict(set)
+        for s, p, o, g in self.graphs.get(graph, []):
+            if T.is_bnode(s) and T.is_bnode(o):
+                edges[s].add(o)
+        cyclic: set = set()
+        WHITE, GRAY, BLACK = 0, 1, 2
+        color: dict[str, int] = defaultdict(int)
+        stack_set: list[str] = []
+
+        def visit(u: str):
+            color[u] = GRAY
+            stack_set.append(u)
+            for v in edges.get(u, ()):
+                if color[v] == GRAY:
+                    # everything from v on the stack is on a cycle
+                    idx = stack_set.index(v)
+                    cyclic.update(stack_set[idx:])
+                elif color[v] == WHITE:
+                    visit(v)
+            stack_set.pop()
+            color[u] = BLACK
+
+        for n in list(edges):
+            if color[n] == WHITE:
+                visit(n)
+        cache[graph] = cyclic
+        return cyclic
+
     def _inlinable(self, t: str, graph: str | None) -> bool:
-        return self.ref_count[(graph, t)] <= 1
+        return (self.ref_count[(graph, t)] <= 1
+                and t not in self._cyclic_bnodes(graph))
 
     def _bnode_props(self, t: str, graph: str | None, depth: int) -> str:
         props = [q for q in self.graphs.get(graph, []) if q[0] == t and q not in self.serialized]
@@ -220,7 +266,13 @@ class N3Writer:
                     self.serialized.add(q)
                 out.append(f"[ {self._predicate_object_list(sq, graph)} ] .")
                 continue
-            subj = self._term(s, graph)
+            if T.is_bnode(s) and s not in self.graphs:
+                # subject position: a list head renders as ( ... ); any
+                # other bnode keeps its label — inlining its own props
+                # here would consume this statement's quads
+                subj = self._as_list(s, graph) or s
+            else:
+                subj = self._term(s, graph)
             sq = [q for q in self.graphs.get(graph, []) if q[0] == s and q not in self.serialized]
             if not sq:
                 continue
