@@ -97,3 +97,19 @@ def test_entity_table_shape():
     t = entity_table()
     assert set(t.schema.names) == {"mention_norm", "canonical_iri", "score"}
     assert t.num_rows >= 10
+
+
+def test_kg_output_invariant_under_blocking(ray_session):
+    """Same input at different parallelism/blockings must emit byte-
+    identical triples — the determinism that makes retries and
+    repartitioning safe at cluster scale (SURVEY §4)."""
+    from rdf_n3_ray.pipelines.kg import build_kg_dataset
+    from rdf_n3_ray.sources.transcripts import transcripts_dataset
+
+    outs = []
+    for nb in (2, 13):
+        ts = transcripts_dataset(n_convs=40, turns_per_conv=6,
+                                 override_num_blocks=nb)
+        df = build_kg_dataset(ts).to_pandas()
+        outs.append(df.reset_index(drop=True))
+    assert outs[0].equals(outs[1]), (len(outs[0]), len(outs[1]))
