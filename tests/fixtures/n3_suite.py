@@ -170,3 +170,107 @@ CASES = [
      f"<{X}x> <{RDFNS}type> <{X}Member> .\n<{X}y> <{RDFNS}type> <{X}Member> .",
      {"think": True, "conclusions": True}),
 ]
+
+# --- round-2 additions: paths, scoping, numerics, negatives ---------------
+CASES += [
+    # chained paths (reader.rb:431-458 process_path chains bnodes)
+    ("eval_path_chain", "Eval",
+     "@prefix : <http://ex/>. :a!:b!:c :p :o .",
+     f"<{X}a> <{X}b> _:A .\n_:A <{X}c> _:B .\n_:B <{X}p> <{X}o> .", {}),
+    ("eval_path_mixed", "Eval",
+     "@prefix : <http://ex/>. :a!:b^:c :p :o .",
+     f"<{X}a> <{X}b> _:A .\n_:B <{X}c> _:A .\n_:B <{X}p> <{X}o> .", {}),
+    ("eval_path_in_object", "Eval",
+     "@prefix : <http://ex/>. :s :p :a!:b .",
+     f"<{X}a> <{X}b> _:A .\n<{X}s> <{X}p> _:A .", {}),
+    # bnode label scoping: same label in different formulae = distinct
+    # nodes (reader.rb:743-758 @bn_mapper per formula)
+    ("eval_bnode_scope_formulae", "Eval",
+     "@prefix : <http://ex/>. { _:x :p :a } :r { _:x :p :b } .",
+     f"_:X1 <{X}p> <{X}a> _:F1 .\n_:X2 <{X}p> <{X}b> _:F2 .\n"
+     f"_:F1 <{X}r> _:F2 .", {}),
+    # quickvar shared across formulae: ONE document-scoped variable
+    # (reader.rb:681-689)
+    ("eval_quickvar_document_scope", "Eval",
+     "@prefix : <http://ex/>. { ?w :p :a } :r { ?w :p :b } .",
+     f"?w <{X}p> <{X}a> _:F1 .\n?w <{X}p> <{X}b> _:F2 .\n"
+     f"_:F1 <{X}r> _:F2 .", {}),
+    # numeric canonicalization quirk: `1.e5` -> `1.0e5` (reader.rb:476)
+    ("eval_double_dot_e", "Eval",
+     "@prefix : <http://ex/>. :s :p 1.e5 .",
+     f'<{X}s> <{X}p> "1.0e5"^^<{XSD}double> .', {}),
+    ("eval_double_neg_exp", "Eval",
+     "@prefix : <http://ex/>. :s :p -2.5E-3 .",
+     f'<{X}s> <{X}p> "-2.5E-3"^^<{XSD}double> .', {}),
+    # reference only prefixes 0 when the lexical form STARTS with "."
+    # (reader.rb:473) — "-.5" keeps its form
+    ("eval_decimal_leading_dot_neg", "Eval",
+     "@prefix : <http://ex/>. :s :p -.5 .",
+     f'<{X}s> <{X}p> "-.5"^^<{XSD}decimal> .', {}),
+    # anon bnodes in both positions
+    ("eval_anon_subject_object", "Eval",
+     "@prefix : <http://ex/>. [] :p [] .",
+     f"_:A <{X}p> _:B .", {}),
+    # empty blankNodePropertyList-ish: [] with following POL
+    ("eval_bnode_pl_then_pol", "Eval",
+     "@prefix : <http://ex/>. [ :q :r ] :p :o .",
+     f"_:A <{X}q> <{X}r> .\n_:A <{X}p> <{X}o> .", {}),
+    # nested collections
+    ("eval_nested_collection", "Eval",
+     "@prefix : <http://ex/>. :s :p ( ( :a ) :b ) .",
+     f"_:I <{RDFNS}first> <{X}a> .\n_:I <{RDFNS}rest> <{RDFNS}nil> .\n"
+     f"_:A <{RDFNS}first> _:I .\n_:A <{RDFNS}rest> _:B .\n"
+     f"_:B <{RDFNS}first> <{X}b> .\n_:B <{RDFNS}rest> <{RDFNS}nil> .\n"
+     f"<{X}s> <{X}p> _:A .", {}),
+    # inverted verb sugar `<-` (reader.rb:405-409)
+    ("eval_arrow_inverted", "Eval",
+     "@prefix : <http://ex/>. :a <- :b :c .",
+     f"<{X}c> <{X}b> <{X}a> .", {}),
+    # `is ... of` inversion (reader.rb:398-404)
+    ("eval_is_of", "Eval",
+     "@prefix : <http://ex/>. :child is :parentOf of :dad .",
+     f"<{X}dad> <{X}parentOf> <{X}child> .", {}),
+    ("eval_has", "Eval",
+     "@prefix : <http://ex/>. :a has :p :b .",
+     f"<{X}a> <{X}p> <{X}b> .", {}),
+    # datatype via pname (reader.rb:487)
+    ("eval_datatype_pname", "Eval",
+     "@prefix : <http://ex/>. @prefix xsd: <http://www.w3.org/2001/XMLSchema#>. "
+     ':s :p "5"^^xsd:int .',
+     f'<{X}s> <{X}p> "5"^^<{XSD}int> .', {}),
+    # long string containing quotes and newline
+    ("eval_long_string_quotes", "Eval",
+     '@prefix : <http://ex/>. :s :p """a "quoted" and\nnew""" .',
+     f'<{X}s> <{X}p> "a \\"quoted\\" and\\nnew" .', {}),
+    # comments interleaved between tokens
+    ("eval_comments_between_tokens", "Eval",
+     "@prefix : <http://ex/>. :s # c1\n :p # c2\n :o . # done",
+     f"<{X}s> <{X}p> <{X}o> .", {}),
+    # trailing semicolon before dot (legal)
+    ("eval_trailing_semicolon", "Eval",
+     "@prefix : <http://ex/>. :s :p :o ; .",
+     f"<{X}s> <{X}p> <{X}o> .", {}),
+    # formula as object of ordinary predicate
+    ("eval_formula_as_object", "Eval",
+     "@prefix : <http://ex/>. :s :says { :a :b :c } .",
+     f"<{X}a> <{X}b> <{X}c> _:F1 .\n<{X}s> <{X}says> _:F1 .", {}),
+    # empty formula as term
+    ("eval_empty_formula", "Eval",
+     "@prefix : <http://ex/>. :s :p { } .",
+     f"<{X}s> <{X}p> _:F1 .", {}),
+    # --- negatives -----------------------------------------------------
+    ("neg_bad_langtag", "NegativeSyntax",
+     '@prefix : <http://ex/>. :a :b "x"@123 .', None, {}),
+    ("neg_double_dot", "NegativeSyntax",
+     "@prefix : <http://ex/>. :a :b :c . .", None, {}),
+    ("neg_prefix_missing_iri", "NegativeSyntax",
+     "@prefix : .\n:a :b :c .", None, {}),
+    ("neg_unclosed_collection", "NegativeSyntax",
+     "@prefix : <http://ex/>. :s :p ( :a :b .", None, {}),
+    ("neg_bad_string_escape", "NegativeSyntax",
+     '@prefix : <http://ex/>. :a :b "bad\\q" .', None, {}),
+    ("neg_bad_unicode_escape", "NegativeSyntax",
+     '@prefix : <http://ex/>. :a :b "\\uZZZZ" .', None, {}),
+    # NB `:a 5 :c .` is syntactically LEGAL N3 (predicate ::= path
+    # which admits literals, reader.rb:392-458) — not a negative case
+]
