@@ -148,16 +148,28 @@ def reason_dataset(triples_ds, rules, max_iterations: int = 10):
     """
     import ray.data as rd
 
-    total = triples_ds.count()
-    ds = triples_ds
+    # materialize at every iteration barrier: the pattern filters below
+    # scan `ds` once per rule pattern, and a lazy lineage would re-run
+    # the whole accumulated union+dedup chain on every scan (quadratic
+    # re-execution across iterations)
+    ds = triples_ds.materialize()
+    total = ds.count()
     inferred_total = 0
+    delta = None  # rows added by the previous iteration (semi-naive)
     for _ in range(max_iterations):
         new_rows = []
         for ant, cons in rules:
+            # semi-naive fast path: a single-pattern rule can only
+            # produce NEW conclusions from triples added last iteration,
+            # so match against the (small) delta instead of the full KB.
+            # Multi-pattern rules still scan the full KB per pattern —
+            # at real scale the KB would be pred-partitioned Parquet so
+            # each pattern reads only its predicate partition.
+            src = delta if (delta is not None and len(ant) == 1) else ds
             bindings: pd.DataFrame | None = None
             ok = True
             for pattern in ant:
-                pb = _pattern_bindings(ds, pattern)
+                pb = _pattern_bindings(src, pattern)
                 if pb.empty:
                     ok = False
                     break
@@ -195,7 +207,9 @@ def reason_dataset(triples_ds, rules, max_iterations: int = 10):
                         )
         if not new_rows:
             break
-        add = rd.from_pandas(pd.DataFrame(new_rows).drop_duplicates())
+        add_df = pd.DataFrame(new_rows).drop_duplicates()
+        add = rd.from_pandas(add_df)
+        delta = add.materialize()
         ds = ds.union(add)
         # exact dedup shuffle (repository set semantics): coarse bucket
         # + vectorized drop_duplicates (see stages/dedup.py)
@@ -214,7 +228,7 @@ def reason_dataset(triples_ds, rules, max_iterations: int = 10):
         ds = ds.groupby("db").map_groups(
             lambda g: g.drop_duplicates(subset=["subj", "pred", "obj"]),
             batch_format="pandas",
-        ).drop_columns(["db"])
+        ).drop_columns(["db"]).materialize()
         new_total = ds.count()
         if new_total == total:
             break
