@@ -398,3 +398,79 @@ def test_log_content_missing_file_no_solution(tmp_path):
         f'{{ <file://{tmp_path}/nope.n3> log:content ?c }} => {{ :t :c ?c }}.'
     ).conclusions()
     assert got == []
+
+
+# --- full-registry builtin sweep: one behavioral case per remaining
+# kernel (table-driven; complements the per-semantics tests above) -----
+
+MATH = "@prefix math: <http://www.w3.org/2000/10/swap/math#>.\n"
+STR = "@prefix string: <http://www.w3.org/2000/10/swap/string#>.\n"
+TIME = "@prefix time: <http://www.w3.org/2000/10/swap/time#>.\n"
+CRYPTO = "@prefix crypto: <http://www.w3.org/2000/10/swap/crypto#>.\n"
+
+SWEEP = [
+    (MATH + "{ -7 math:absoluteValue ?x } => { :r :is ?x }.", ':r :is 7 .'),
+    (MATH + "{ 1 math:acos ?x } => { :r :is ?x }.", ':r :is 0.0E0 .'),
+    (MATH + "{ 1 math:acosh ?x } => { :r :is ?x }.", ':r :is 0.0E0 .'),
+    (MATH + "{ 0 math:asin ?x } => { :r :is ?x }.", ':r :is 0.0E0 .'),
+    (MATH + "{ 0 math:asinh ?x } => { :r :is ?x }.", ':r :is 0.0E0 .'),
+    (MATH + "{ 0 math:atan ?x } => { :r :is ?x }.", ':r :is 0.0E0 .'),
+    (MATH + "{ 0 math:atanh ?x } => { :r :is ?x }.", ':r :is 0.0E0 .'),
+    (MATH + "{ 2.3 math:ceiling ?x } => { :r :is ?x }.", ':r :is 3 .'),
+    (MATH + "{ 2.7 math:floor ?x } => { :r :is ?x }.", ':r :is 2 .'),
+    (MATH + "{ 0 math:cosh ?x } => { :r :is ?x }.", ':r :is 1.0E0 .'),
+    (MATH + "{ 0 math:sinh ?x } => { :r :is ?x }.", ':r :is 0.0E0 .'),
+    (MATH + "{ 0 math:tanh ?x } => { :r :is ?x }.", ':r :is 0.0E0 .'),
+    (MATH + "{ (2 10) math:exponentiation ?x } => { :r :is ?x }.", ':r :is 1024 .'),
+    (MATH + "{ (7 2) math:quotient ?x } => { :r :is ?x }.", ':r :is 3.5 .'),
+    (MATH + "{ (7 2) math:remainder ?x } => { :r :is ?x }.", ':r :is 1 .'),
+    (MATH + "{ 2.5 math:rounded ?x } => { :r :is ?x }.", ':r :is 3 .'),
+    (MATH + "{ 3 math:notGreaterThan 5 } => { :r a :ok }.", ':r a :ok .'),
+    (MATH + "{ 5 math:notLessThan 3 } => { :r a :ok }.", ':r a :ok .'),
+    (STR + '{ "hello" string:contains "ell" } => { :r a :ok }.', ':r a :ok .'),
+    (STR + '{ "HeLLo" string:containsIgnoringCase "hello" } => { :r a :ok }.', ':r a :ok .'),
+    (STR + '{ "HELLO" string:equalIgnoringCase "hello" } => { :r a :ok }.', ':r a :ok .'),
+    (STR + '{ "HELLO" string:notEqualIgnoringCase "world" } => { :r a :ok }.', ':r a :ok .'),
+    (STR + '{ "abc" string:notGreaterThan "abd" } => { :r a :ok }.', ':r a :ok .'),
+    (STR + '{ "abd" string:notLessThan "abc" } => { :r a :ok }.', ':r a :ok .'),
+    (STR + '{ "hello" string:notMatches "^x.*" } => { :r a :ok }.', ':r a :ok .'),
+    (TIME + '{ "2024-03-15T10:30:05Z"^^<http://www.w3.org/2001/XMLSchema#dateTime> time:hour ?x } => { :r :is ?x }.',
+     ':r :is 10 .'),
+    (TIME + '{ "2024-03-15T10:30:05Z"^^<http://www.w3.org/2001/XMLSchema#dateTime> time:second ?x } => { :r :is ?x }.',
+     ':r :is 5 .'),
+    (TIME + '{ "2024-03-15"^^<http://www.w3.org/2001/XMLSchema#date> time:dayOfWeek ?x } => { :r :is ?x }.',
+     ':r :is 5 .'),  # 2024-03-15 is a Friday; cwm dayOfWeek: Sunday=0
+    (TIME + '{ "2024-03-15T10:30:05-05:00"^^<http://www.w3.org/2001/XMLSchema#dateTime> time:timeZone ?x } => { :r :is ?x }.',
+     ':r :is "-05:00" .'),
+    (CRYPTO + '{ "abc" crypto:md5 ?x } => { :r :is ?x }.',
+     ':r :is "900150983cd24fb0d6963f7d28e17f72" .'),
+    (CRYPTO + '{ "abc" crypto:sha1 ?x } => { :r :is ?x }.',
+     ':r :is "a9993e364706816aba3e25717850c26c9cd0d89d" .'),
+]
+
+
+@pytest.mark.parametrize("inp,expect", SWEEP,
+                         ids=[i.splitlines()[1][2:28] for i, _ in SWEEP])
+def test_builtin_sweep(inp, expect):
+    check_conclusions(inp, expect)
+
+
+def test_time_gm_local_now_bound():
+    # time:gmTime / time:localTime bind the current time formatted by
+    # the object format string (gm_time.rb) — assert shape, not value
+    got = run(TIME + '{ "" time:gmTime ?x } => { :r :is ?x }.').conclusions()
+    assert len(got) == 1 and got[0][2].startswith('"'), got
+
+
+def test_big_combinatorial_path_math():
+    # reasoner_spec.rb:878-889 "Big test": path-applied builtins feeding
+    # math:sum — (7/2) + ((7%2)^10000000) + len(a..e) = 9.5
+    check_conclusions(
+        MATH + "@prefix list: <http://www.w3.org/2000/10/swap/list#>.\n"
+        '{ ( ("7" "2")!math:quotient '
+        '    (("7" "2")!math:remainder "10000000")!math:exponentiation '
+        '    ("a" "b" "c" "d" "e")!list:length '
+        '  ) math:sum ?x } => '
+        '{ ?x :valueOf "9.5" } .',
+        '9.5 :valueOf "9.5" .',
+    )
