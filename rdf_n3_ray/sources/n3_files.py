@@ -1,0 +1,63 @@
+"""Distributed N3/Turtle/N-Triples file source.
+
+The reference's `script/parse` (script/parse:26-100) reads documents
+one at a time in-process; here each file is a row and parsing fans out
+through the same per-document parser used by the transcript stage:
+
+    read_n3_files(paths) ->
+        Dataset(doc:string, subj, pred, obj, graph, subj_kind,
+                obj_kind, emit_idx)
+
+Files are read with ray.data.read_binary_files(include_paths=True) so
+block assignment and retry semantics are Ray-native; each file's
+triples are deterministic in its own path (bnode labels salted by the
+doc identity is unnecessary — labels are file-scoped like the
+reference's per-Reader labeler).
+"""
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..parser.n3_parser import parse_n3
+from ..terms import kind_of
+
+
+def _parse_files(batch: pa.Table, base_from_path: bool,
+                 list_terms: bool) -> pa.Table:
+    paths = batch.column("path").to_pylist()
+    blobs = batch.column("bytes").to_pylist()
+    oc, os_, op, oo, og, oe = [], [], [], [], [], []
+    for path, blob in zip(paths, blobs):
+        text = blob.decode("utf-8", "replace")
+        base = f"file://{path}" if base_from_path else None
+        result = parse_n3(text, base_uri=base, list_terms=list_terms)
+        emit = 0
+        for s, p, o, g in result.quads:
+            oc.append(path)
+            os_.append(s)
+            op.append(p)
+            oo.append(o)
+            og.append(g)
+            oe.append(emit)
+            emit += 1
+    return pa.table({
+        "doc": pa.array(oc, pa.string()),
+        "subj": pa.array(os_, pa.string()),
+        "pred": pa.array(op, pa.string()),
+        "obj": pa.array(oo, pa.string()),
+        "graph": pa.array(og, pa.string()),
+        "subj_kind": pa.array([kind_of(s) for s in os_], pa.int8()),
+        "obj_kind": pa.array([kind_of(o) for o in oo], pa.int8()),
+        "emit_idx": pa.array(oe, pa.int32()),
+    })
+
+
+def read_n3_files(paths, base_from_path: bool = True,
+                  list_terms: bool = False, **read_kwargs):
+    """paths: file/dir paths or glob list. Returns the triple Dataset."""
+    import ray.data as rd
+
+    files = rd.read_binary_files(paths, include_paths=True, **read_kwargs)
+    return files.map_batches(
+        lambda b: _parse_files(b, base_from_path, list_terms),
+        batch_format="pyarrow")

@@ -113,3 +113,19 @@ def test_kg_output_invariant_under_blocking(ray_session):
         df = build_kg_dataset(ts).to_pandas()
         outs.append(df.reset_index(drop=True))
     assert outs[0].equals(outs[1]), (len(outs[0]), len(outs[1]))
+
+
+def test_read_n3_files_source(ray_session, tmp_path):
+    from rdf_n3_ray.sources.n3_files import read_n3_files
+
+    (tmp_path / "a.n3").write_text("<#s> <#p> <#o> .")
+    (tmp_path / "b.n3").write_text(
+        "@prefix : <http://ex/>. :x a :T ; :n 1, 2 .")
+    ds = read_n3_files(str(tmp_path))
+    df = ds.to_pandas().sort_values(["doc", "emit_idx"]).reset_index(drop=True)
+    assert len(df) == 4
+    assert df[df.doc.str.endswith("a.n3")].subj.iloc[0].endswith("#s>")
+    b = df[df.doc.str.endswith("b.n3")]
+    assert set(b.pred) == {
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+        "<http://ex/n>"}
