@@ -321,3 +321,24 @@ def test_asof_join_tiebreak(ray_session):
     # event 2 predates every order -> dropped; event 1 matches orderkey 11
     assert out.event_id.tolist() == [1]
     assert out.o_orderkey.tolist() == [11]
+
+
+def test_ivf_write_and_pruned_query(ray_session, tmp_path):
+    import os
+
+    import ray.data as rd
+
+    from rdf_n3_ray.stages.ann import ivf_query, ivf_write
+
+    tbl = _clustered_embeddings(n_clusters=4, per_cluster=25, seed=7)
+    out = str(tmp_path / "ivf")
+    ivf_write(rd.from_arrow(tbl), out, n_clusters=4)
+    # partitioned layout exists
+    parts = [d for d in os.listdir(out) if d.startswith("cluster=")]
+    assert len(parts) >= 2, parts
+    queries = np.asarray(tbl["embedding"].to_pylist()[:2], dtype=np.float64)
+    res = ivf_query(out, queries, k=3, nprobe=2)
+    # self-vectors must be their own top hit
+    for qi in (0, 1):
+        top = res[res.query_idx == qi].iloc[0]
+        assert top.vec_id == qi and top.sim > 0.999
