@@ -62,8 +62,11 @@ def run_bench() -> dict:
     build_kg_dataset(
         transcripts_dataset(n_convs=200, turns_per_conv=10)).count()
     n_convs, turns = int(os.environ.get("GRAFT_KG_CONVS", "10000")), 20
+    # fixed block count (dataset partitioning does not depend on
+    # cluster size in reality; with the per-worker parse cache, blocks
+    # scaled to num_cpus would also skew cross-level comparisons)
     ts = transcripts_dataset(n_convs=n_convs, turns_per_conv=turns,
-                             override_num_blocks=num_cpus * 2)
+                             override_num_blocks=64)
     kg_turns = ts.count()
     kg_rows = timed("kg_build", lambda: build_kg_dataset(ts).count())
 
@@ -124,12 +127,12 @@ def run_scaling() -> dict:
             " turns_per_conv=10)).count()\n"
             "t0 = time.time()\n"
             "n = build_kg_dataset(transcripts_dataset(n_convs=%d,"
-            " turns_per_conv=%d, override_num_blocks=%d)).count()\n"
+            " turns_per_conv=%d, override_num_blocks=64)).count()\n"
             "dt = time.time() - t0\n"
             "print(json.dumps({'sec': dt, 'rows': n,"
             " 'turns_per_sec': %d * %d / dt}))\n"
             "ray.shutdown()\n"
-            % (ncpu, N_CONVS, TURNS, ncpu * 2, N_CONVS, TURNS)
+            % (ncpu, N_CONVS, TURNS, N_CONVS, TURNS)
         )
         proc = subprocess.run(
             [sys.executable, "-c", code],

@@ -54,6 +54,10 @@ class ParseN3Turns:
         self.prefixes = prefixes
         self.list_terms = list_terms
         self.validate = validate
+        # distinct-text parse cache (see stages/extract.py): identical
+        # texts parse identically — labels are document-scoped
+        self._cache: dict[str, list] = {}
+        self._cache_cap = 65536
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         conv_ids = batch.column("conv_id").to_pylist()
@@ -65,14 +69,19 @@ class ParseN3Turns:
         for conv, turn, text in zip(conv_ids, turn_idxs, texts):
             if not text:
                 continue
-            result = parse_n3(
-                text,
-                base_uri=self.base_uri,
-                prefixes=self.prefixes,
-                list_terms=self.list_terms,
-                validate=self.validate,
-            )
-            for s, p, o, g in result.quads:
+            quads = self._cache.get(text)
+            if quads is None:
+                quads = parse_n3(
+                    text,
+                    base_uri=self.base_uri,
+                    prefixes=self.prefixes,
+                    list_terms=self.list_terms,
+                    validate=self.validate,
+                ).quads
+                if len(self._cache) >= self._cache_cap:
+                    self._cache.clear()
+                self._cache[text] = quads
+            for s, p, o, g in quads:
                 out_conv.append(conv)
                 out_turn.append(turn)
                 out_s.append(s)
