@@ -39,6 +39,10 @@ class ReasonTurns:
     def __init__(self, think: bool = True, conclusions_only: bool = False):
         self.think = think
         self.conclusions_only = conclusions_only
+        # distinct-text result cache (see stages/extract.py): reasoning
+        # is pure in the turn text, and duplicate turns dominate
+        self._cache: dict[str, tuple] = {}
+        self._cache_cap = 16384
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         conv = batch.column("conv_id").to_pylist()
@@ -48,14 +52,20 @@ class ReasonTurns:
         for c, t, text in zip(conv, turn, texts):
             if not text:
                 continue
-            parsed = parse_n3(text, list_terms=True)
-            if parsed.errors and not parsed.quads:
-                continue
-            result = reason(parsed.quads, think=self.think)
-            quads = (
-                result.conclusions() if self.conclusions_only else result.data()
-            )
-            inferred_set = set(result.inferred)
+            cached = self._cache.get(text)
+            if cached is None:
+                parsed = parse_n3(text, list_terms=True)
+                if parsed.errors and not parsed.quads:
+                    cached = ([], set())
+                else:
+                    result = reason(parsed.quads, think=self.think)
+                    quads = (result.conclusions() if self.conclusions_only
+                             else result.data())
+                    cached = (quads, set(result.inferred))
+                if len(self._cache) >= self._cache_cap:
+                    self._cache.clear()
+                self._cache[text] = cached
+            quads, inferred_set = cached
             for q in quads:
                 if q[3] is not None:
                     continue
