@@ -322,10 +322,13 @@ def serialize_documents(triples_ds):
             rows.append({"conv_id": conv, "turn_idx": turn, "n3": serialize_n3(quads)})
         return pd.DataFrame(rows, columns=["conv_id", "turn_idx", "n3"])
 
+    # salted bucket key hash(conv_id, turn_idx): rendering only needs
+    # one TURN together, so a hot conversation (conv_id skew at scale)
+    # spreads across all buckets instead of melting one reducer
+    from ..stages.partitioning import turn_bucket
+
     keyed = triples_ds.map_batches(
-        lambda b: b.assign(
-            db=(pd.util.hash_pandas_object(b["conv_id"], index=False) % 64).astype("int32")
-        ),
+        lambda b: turn_bucket(b, num_buckets=64, col="db"),
         batch_format="pandas",
     )
     return keyed.groupby("db").map_groups(render_bucket, batch_format="pandas")

@@ -129,3 +129,30 @@ def test_read_n3_files_source(ray_session, tmp_path):
     assert set(b.pred) == {
         "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
         "<http://ex/n>"}
+
+
+def test_serializer_absorbs_conv_skew(ray_session):
+    """One pathologically hot conversation must spread across shuffle
+    buckets (north rule: salted repartitioning for conv_id skew)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rdf_n3_ray.stages.partitioning import turn_bucket
+
+    hot = pd.DataFrame({
+        "conv_id": ["conv_hot"] * 5000 + ["conv_a", "conv_b"],
+        "turn_idx": list(range(5000)) + [0, 0],
+        "subj": ["<http://ex/s>"] * 5002,
+        "pred": ["<http://ex/p>"] * 5002,
+        "obj": ["<http://ex/o>"] * 5002,
+        "graph": [None] * 5002,
+    })
+    bucketed = turn_bucket(hot, num_buckets=64)
+    counts = bucketed["tbucket"].value_counts()
+    # hot conversation spreads: no bucket holds more than ~3x the mean
+    assert counts.max() < 3 * (len(hot) / 64)
+
+    from rdf_n3_ray.serializer.n3_writer import serialize_documents
+
+    out = serialize_documents(rd.from_pandas(hot)).to_pandas()
+    assert len(out) == 5002  # one doc per (conv, turn)
