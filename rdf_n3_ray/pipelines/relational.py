@@ -295,7 +295,7 @@ def lang_distribution(sf_dir: str):
     from ..stages.text_stats import LangId
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    scored = ds.map_batches(LangId, batch_format="pandas", batch_size=4096, concurrency=2)
+    scored = ds.map_batches(LangId, batch_format="pandas", batch_size=4096, concurrency=(1, 2))
     from ray.data.aggregate import Count
 
     out = scored.groupby("lang_pred").aggregate(Count(alias_name="n_docs"))

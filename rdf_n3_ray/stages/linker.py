@@ -110,7 +110,7 @@ class LinkScore:
         )
 
 
-def link_entities(transcripts_ds, entities: pa.Table, concurrency=4, batch_size: int | None = None):
+def link_entities(transcripts_ds, entities: pa.Table, concurrency=(1, 4), batch_size: int | None = None):
     """transcripts -> mention rows -> link triples (with scores).
 
     The entity table ships inside the actor constructor spec (pickled

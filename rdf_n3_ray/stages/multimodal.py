@@ -133,10 +133,11 @@ def decode_pipeline(media_ds, concurrency: int = 2, batch_size: int = 8):
         DecodeImage,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),  # elastic: fixed pools equal to
+        # the session CPU count deadlock small sessions
     )
     frames = media_ds.map_batches(
         FrameSample, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
     return features, frames
