@@ -68,7 +68,10 @@ def run_bench() -> dict:
     ts = transcripts_dataset(n_convs=n_convs, turns_per_conv=turns,
                              override_num_blocks=64)
     kg_turns = ts.count()
-    kg_rows = timed("kg_build", lambda: build_kg_dataset(ts).count())
+    # materialize(): count() would elide the final sort (row count is
+    # sort-invariant), under-measuring the pipeline
+    kg_rows = timed("kg_build",
+                    lambda: build_kg_dataset(ts).materialize().count())
 
     timed("lineitem_agg", lambda: R.lineitem_agg(sf_dir).to_pandas())
     timed("events_hourly", lambda: R.events_hourly(sf_dir).to_pandas())
@@ -127,7 +130,7 @@ def run_scaling() -> dict:
             " turns_per_conv=10)).count()\n"
             "t0 = time.time()\n"
             "n = build_kg_dataset(transcripts_dataset(n_convs=%d,"
-            " turns_per_conv=%d, override_num_blocks=64)).count()\n"
+            " turns_per_conv=%d, override_num_blocks=64)).materialize().count()\n"
             "dt = time.time() - t0\n"
             "print(json.dumps({'sec': dt, 'rows': n,"
             " 'turns_per_sec': %d * %d / dt}))\n"
