@@ -42,10 +42,17 @@ def lineitem_agg(sf_dir: str):
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch[batch["l_shipdate"] <= cutoff]
         if batch.empty:
-            return pd.DataFrame(
-                columns=["l_returnflag", "l_linestatus", "sum_qty",
-                         "sum_base_price", "sum_disc_price", "count_order"]
-            )
+            # explicit dtypes: a dtype-less empty frame materializes as
+            # a null-typed Arrow block that conflicts with the int64
+            # schema of non-empty partials
+            return pd.DataFrame({
+                "l_returnflag": pd.Series(dtype="object"),
+                "l_linestatus": pd.Series(dtype="object"),
+                "sum_qty": pd.Series(dtype="int64"),
+                "sum_base_price": pd.Series(dtype="int64"),
+                "sum_disc_price": pd.Series(dtype="int64"),
+                "count_order": pd.Series(dtype="int64"),
+            })
         # exact integer-cents arithmetic: floor(x*100+0.5) is the same
         # IEEE op sequence in pandas and DuckDB, and int64 sums are
         # order-independent — no float summation drift vs the oracle

@@ -26,13 +26,9 @@ _QUAD_COLS = ["subj", "pred", "obj", "graph"]
 
 
 def _quad_key(df: pd.DataFrame) -> pd.Series:
-    key = (
-        df["subj"].astype(str)
-        + "\x00" + df["pred"].astype(str)
-        + "\x00" + df["obj"].astype(str)
-        + "\x00" + df["graph"].fillna("\x01").astype(str)
-    )
-    return pd.util.hash_pandas_object(key, index=False).astype(np.int64)
+    """64-bit quad hash == h1 of the 128-bit scheme (single source of
+    truth for the key construction)."""
+    return _quad_key128(df)[0]
 
 
 def local_dedup(batch: pd.DataFrame, num_buckets: int) -> pd.DataFrame:

@@ -139,9 +139,18 @@ def cosine_dup_pairs_lsh(embeddings_ds, threshold: float = 0.9,
     pairs = (sigs.groupby("bucket")
              .map_groups(lambda g: in_bucket_pairs(g, lookup_ref),
                          batch_format="pandas"))
-    # identical pair can surface from several bands — exact-dedup it
-    return (pairs.groupby(["a", "b"])
-            .map_groups(lambda g: g.head(1), batch_format="pandas"))
+    # identical pair can surface from several bands — dedup globally on
+    # a COARSE bucket (fine (a, b) keys would pay Ray's per-group UDF
+    # overhead once per pair; see pipelines/relational.py join notes)
+    keyed = pairs.map_batches(
+        lambda b: b.assign(
+            pb=((b["a"].astype("int64") * 1_000_003
+                 + b["b"].astype("int64")) % 64).astype("int32")),
+        batch_format="pandas")
+    return (keyed.groupby("pb")
+            .map_groups(lambda g: g.drop_duplicates(subset=["a", "b"]),
+                        batch_format="pandas")
+            .drop_columns(["pb"]))
 
 
 def dup_groups_from_pairs(pairs_df: pd.DataFrame,

@@ -25,7 +25,12 @@ def _hash_shingles(texts: pd.Series, k: int = 5) -> list[np.ndarray]:
     for t in texts.fillna(""):
         b = t.lower().encode("utf-8", "ignore")
         if len(b) < k:
-            out.append(np.array([hash(b) & 0x7FFFFFFFFFFFFFFF], dtype=np.uint64))
+            # blake2b, NOT builtin hash(): hash() is randomized per
+            # process (PYTHONHASHSEED), which would make signatures for
+            # short texts differ across Ray workers and runs
+            h = int.from_bytes(
+                hashlib.blake2b(b, digest_size=8).digest(), "big") >> 1
+            out.append(np.array([h], dtype=np.uint64))
             continue
         arr = np.frombuffer(b, dtype=np.uint8)
         windows = np.lib.stride_tricks.sliding_window_view(arr, k)
@@ -272,14 +277,17 @@ def exact_dedup_docs(docs_ds, key_cols=("text",)):
     def add_key(batch: pd.DataFrame) -> pd.DataFrame:
         key = batch[list(key_cols)].astype(str).agg("\x00".join, axis=1)
         dk = pd.util.hash_pandas_object(key, index=False).astype(np.int64)
-        batch = batch.assign(dk=dk, dkb=(dk % 64).astype(np.int32))
-        return batch.sort_values("doc_id").drop_duplicates(subset=["dk"], keep="first")
+        batch = batch.assign(dkb=(dk % 64).astype(np.int32))
+        return batch.sort_values("doc_id").drop_duplicates(
+            subset=list(key_cols), keep="first")
 
-    # coarse-bucket shuffle + vectorized within-bucket dedup (see
-    # stages/dedup.py group_dedup for why fine keys are pathological)
+    # coarse-bucket shuffle (hash only buckets — the dedup itself
+    # compares the FULL key columns, so a 64-bit hash collision can
+    # never merge two distinct documents) + vectorized in-bucket dedup
     keyed = docs_ds.map_batches(add_key, batch_format="pandas")
     out = keyed.groupby("dkb").map_groups(
-        lambda g: g.sort_values("doc_id").drop_duplicates(subset=["dk"], keep="first"),
+        lambda g: g.sort_values("doc_id").drop_duplicates(
+            subset=list(key_cols), keep="first"),
         batch_format="pandas",
     )
-    return out.drop_columns(["dk", "dkb"])
+    return out.drop_columns(["dkb"])
