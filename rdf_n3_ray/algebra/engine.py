@@ -103,14 +103,22 @@ class Engine:
             return False
         self.kb_set.add(q)
         self.kb.append(q)
+        self._graphs_memo = None  # KB changed
         if inferred:
             self.inferred.append(q)
         return True
 
     def _graphs(self) -> dict[str | None, list[Quad]]:
+        # memoized: engine builtins call this once per solution per
+        # ranked-loop pass, and an O(|KB|) rebuild each time made
+        # log:includes O(solutions x KB)
+        memo = getattr(self, "_graphs_memo", None)
+        if memo is not None:
+            return memo
         graphs: dict[str | None, list[Quad]] = defaultdict(list)
         for q in self.kb:
             graphs[q[3]].append(q)
+        self._graphs_memo = graphs
         return graphs
 
     def _formula_quads(self, g: str) -> list[Quad]:
@@ -466,6 +474,25 @@ def _includes(engine: Engine, s, o, sol, negate=False):
     return _uniq(solns) if solns else []
 
 
+def _formula_object_check(engine: Engine, new_g: str, o, sol):
+    """Ground-object case of formula-producing builtins (ResourceOperator
+    semantics, resource_operator.rb:19-71): the computed formula must
+    match the bound object's formula by graph isomorphism — keep the
+    solution on match, eliminate it otherwise (returning None here would
+    leave the op "not ready" forever after its side effects ran)."""
+    o_v = sol.get(o, o) if is_var(o) else o
+    if is_var(o_v):
+        return [{**sol, o_v: new_g}]
+    from ..isomorphism import isomorphic
+
+    graphs = engine._graphs()
+    if o_v not in graphs:
+        return []
+    mine = [(a, b, c, None) for a, b, c, _ in graphs.get(new_g, [])]
+    theirs = [(a, b, c, None) for a, b, c, _ in graphs[o_v]]
+    return [sol] if isomorphic(mine, theirs) else []
+
+
 def _conjunction(engine: Engine, s, o, sol):
     """log:conjunction — merge formulae list into one formula
     (log/conjunction.rb:17-36)."""
@@ -487,7 +514,7 @@ def _conjunction(engine: Engine, s, o, sol):
         engine._insert((a, b, c, new_g))
     if is_var(o):
         return [{**sol, o: new_g}]
-    return None
+    return _formula_object_check(engine, new_g, o, sol)
 
 
 def _n3string(engine: Engine, s, o, sol):
@@ -517,11 +544,20 @@ def _parsed_as_n3(engine: Engine, s, o, sol):
         return None
     result = parse_n3(string_value(s_v), list_terms=True)
     new_g = _content_graph_id("parsed", [(a, b, c) for a, b, c, _ in result.quads])
+
+    def remap(t):
+        # parser-local formula ids (_:_form_N) would collide with the
+        # outer document's own formulae — prefix them with the content id
+        if isinstance(t, str) and t.startswith("_:_form_"):
+            return f"_:{new_g[2:]}_{t[2:]}"
+        return t
+
     for a, b, c, g in result.quads:
-        engine._insert((a, b, c, g if g is not None else new_g))
+        gg = remap(g) if g is not None else new_g
+        engine._insert((remap(a), b, remap(c), gg))
     if is_var(o):
         return [{**sol, o: new_g}]
-    return None
+    return _formula_object_check(engine, new_g, o, sol)
 
 
 def _conclusion(engine: Engine, s, o, sol):
@@ -553,7 +589,7 @@ def _conclusion(engine: Engine, s, o, sol):
         engine._insert((a, b, c, new_g if g is None else g))
     if is_var(o):
         return [{**sol, o: new_g}]
-    return None
+    return _formula_object_check(engine, new_g, o, sol)
 
 
 def _resource_to_path(term) -> str | None:
@@ -614,11 +650,18 @@ def _semantics(engine: Engine, s, o, sol):
         return None
     new_g = _content_graph_id(
         "sem", [(a, b, c) for a, b, c, _ in result.quads])
+
+    def remap(t):
+        if isinstance(t, str) and t.startswith("_:_form_"):
+            return f"_:{new_g[2:]}_{t[2:]}"
+        return t
+
     for a, b, c, g in result.quads:
-        engine._insert((a, b, c, g if g is not None else new_g))
+        gg = remap(g) if g is not None else new_g
+        engine._insert((remap(a), b, remap(c), gg))
     if is_var(o):
         return [{**sol, o: new_g}]
-    return None
+    return _formula_object_check(engine, new_g, o, sol)
 
 
 _ENGINE_BUILTINS = {

@@ -190,7 +190,9 @@ class N3Parser:
         token = self.first()
         if token.type == "BASE":
             self.shift()
-            terminated = token.value == "@base"
+            terminated = token.value.startswith("@")  # @Base et al.
+            # are still the terminated form (reader.rb:258-303 only logs
+            # a downcase warning)
             iri_tok = self.shift()
             if iri_tok is None or iri_tok.type != "IRIREF":
                 self.error("Expected IRIREF", iri_tok)
@@ -206,7 +208,7 @@ class N3Parser:
             self._directive_terminator(terminated, token)
         elif token.type == "PREFIX":
             self.shift()
-            terminated = token.value == "@prefix"
+            terminated = token.value.startswith("@")
             pfx, iri_tok = self.shift(), self.shift()
             if pfx is None or pfx.type not in ("PNAME_NS",):
                 self.error("Expected PNAME_NS", pfx)

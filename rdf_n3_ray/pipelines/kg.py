@@ -31,15 +31,11 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..sources.transcripts import entity_table, transcripts_dataset
-from ..stages.dedup import dedup_triples, dedup_triples_narrow
+from ..stages.dedup import dedup_triples_narrow
 from ..stages.linker import link_entities
 from ..stages.parse_stage import parse_transcripts
 from ..stages.skolemize import skolemize
 from ..state.checkpoint import LineageManifest
-
-
-def _drop_score(batch: pa.Table) -> pa.Table:
-    return batch.drop_columns(["score"]) if "score" in batch.schema.names else batch
 
 
 def build_kg_dataset(
@@ -118,7 +114,7 @@ def run_kg_job(
             continue
         if fail_after_shards is not None and processed >= fail_after_shards:
             raise RuntimeError(f"injected failure before shard {shard_id}")
-        tmp = manifest.begin(shard_id)
+        tmp = manifest.begin(shard_id, fp)
         ts = _transcripts_conv_range(lo, hi, n_convs, turns_per_conv, seed)
         shard_triples = build_kg_dataset(
             ts, parse_concurrency=parse_concurrency, dedup=False, sort=False
@@ -140,7 +136,7 @@ def run_kg_job(
     fmanifest = LineageManifest(final_dir)
     ffp = _fingerprint("final", seed, n_convs, turns_per_conv, n_shards)
     if not fmanifest.is_done("all", ffp):
-        tmp = fmanifest.begin("all")
+        tmp = fmanifest.begin("all", ffp)
         shard_files = [
             os.path.join(manifest.shard_dir(f"{k:04d}"), f)
             for k in range(n_shards)

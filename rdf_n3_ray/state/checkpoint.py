@@ -39,12 +39,24 @@ class LineageManifest:
     def shard_dir(self, shard_id: str) -> str:
         return os.path.join(self.out_dir, f"shard={shard_id}")
 
-    def begin(self, shard_id: str) -> str:
-        """Return the tmp dir to write into; cleans any stale attempt."""
+    def begin(self, shard_id: str, fingerprint: str | None = None) -> str:
+        """Return the tmp dir to write into; cleans any stale attempt.
+
+        A shard dir whose manifest entry is complete but whose
+        fingerprint differs from `fingerprint` (re-run with changed
+        parameters) is stale output — remove it too, or the commit's
+        rename onto the existing dir fails."""
         tmp = self.shard_dir(shard_id) + ".tmp"
+        entry = self.entries.get(shard_id, {})
+        stale = (not entry.get("complete")
+                 or (fingerprint is not None
+                     and entry.get("fingerprint") != fingerprint))
         for p in (tmp, self.shard_dir(shard_id)):
-            if os.path.exists(p) and not self.entries.get(shard_id, {}).get("complete"):
+            if os.path.exists(p) and stale:
                 shutil.rmtree(p)
+        if stale and entry:
+            self.entries.pop(shard_id, None)
+            self._flush()
         os.makedirs(tmp, exist_ok=True)
         return tmp
 

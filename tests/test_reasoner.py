@@ -474,3 +474,32 @@ def test_big_combinatorial_path_math():
         '{ ?x :valueOf "9.5" } .',
         '9.5 :valueOf "9.5" .',
     )
+
+
+def test_parsedAsN3_formula_ids_do_not_collide_with_document():
+    # parser-local _:_form_N ids from a parsed literal must not merge
+    # into the outer document's own formulae
+    r = run(
+        '@prefix log: <http://www.w3.org/2000/10/swap/log#>.\n'
+        '{ :never :matches :anything } => { :bad a :Fired }.\n'
+        '{ "{ <http://ex/x> <http://ex/y> <http://ex/z> } <http://ex/p>'
+        ' <http://ex/q> ." log:parsedAsN3 ?f } => { :t a :ok }.'
+    )
+    subs = {s for s, p, o, g in r.conclusions()}
+    assert "<http://example.com/t>" in subs
+    assert "<http://example.com/bad>" not in subs
+
+
+def test_conjunction_ground_object_is_checked():
+    # ResourceOperator semantics: a bound object formula must MATCH the
+    # computed conjunction (isomorphism) or the solution is eliminated
+    r = run(
+        '@prefix log: <http://www.w3.org/2000/10/swap/log#>.\n'
+        '{ ( {:sky :color :blue} {:grass :color :green} ) log:conjunction '
+        '{ :sky :color :blue . :grass :color :green } } => { :c a :ok }.\n'
+        '{ ( {:sky :color :blue} ) log:conjunction { :sky :color :red } }'
+        ' => { :bad2 a :Fired }.'
+    )
+    subs = {s for s, p, o, g in r.conclusions()}
+    assert "<http://example.com/c>" in subs
+    assert "<http://example.com/bad2>" not in subs
