@@ -111,7 +111,10 @@ def eq_terms(a, b) -> bool:
         if T.is_literal(a) and T.is_literal(b) and is_numeric_literal(a) and is_numeric_literal(b):
             na, nb = as_number(a), as_number(b)
             try:
-                return float(na) == float(nb)
+                # exact cross-type compare: Python int/Decimal/float
+                # comparisons are exact — float() coercion would
+                # conflate distinct integers beyond 2^53
+                return na == nb
             except (TypeError, ValueError):
                 return False
     return False
@@ -299,9 +302,11 @@ def _remainder(a, b):
     if b == 0:
         return None
     if isinstance(a, int) and isinstance(b, int):
-        r = math.fmod(a, b)
-        return from_number(int(r))
-    return from_number(math.fmod(float(a), float(b)))
+        # Python % == Ruby % (floored modulo), matching the reference's
+        # list.reduce(&:%) — and exact for arbitrary-size ints, unlike
+        # math.fmod which rounds through float
+        return from_number(a % b)
+    return from_number(float(a) % float(b))
 
 
 # math unary / bidirectional (ResourceOperator)
@@ -355,8 +360,9 @@ def _num_cmp(op):
         return as_number(term)
     def apply(lhs, rhs):
         a, b = _coerce2(lhs, rhs)
-        return op(float(a) if isinstance(a, Decimal) else a,
-                  float(b) if isinstance(b, Decimal) else b)
+        # int/Decimal/float cross-type comparison is exact in Python —
+        # no float coercion (would be wrong beyond 2^53)
+        return op(a, b)
     return resolve, apply
 
 

@@ -46,6 +46,12 @@ _DEFAULT_PREFIXES = {
 
 _NUMERIC_NATIVE = {T.XSD_INTEGER, T.XSD_DECIMAL, T.XSD_BOOLEAN}
 
+import re as _lex_re
+
+_INT_LEX_RE = _lex_re.compile(r"[+-]?[0-9]+$")
+_DEC_LEX_RE = _lex_re.compile(r"[+-]?[0-9]*\.[0-9]+$")
+_DBL_LEX_RE = _lex_re.compile(r"[+-]?(?:[0-9]+\.[0-9]*|\.?[0-9]+)[eE][+-]?[0-9]+$")
+
 import re as _re
 
 _PNAME_SAFE_RE = _re.compile(r"[A-Za-z0-9_\-\.]*[A-Za-z0-9_\-]$|^$")
@@ -126,10 +132,18 @@ class N3Writer:
             return t
         if T.is_literal(t):
             value, dt, lang = T.literal_parts(t)
-            if dt in _NUMERIC_NATIVE:
+            # bare tokens only for lexically valid forms — "abc"^^xsd:integer
+            # rendered bare would be unparseable, and "1"^^xsd:boolean
+            # would re-parse as an integer
+            if dt == T.XSD_INTEGER and _INT_LEX_RE.match(value):
                 return value
-            if dt == T.XSD_DOUBLE:
-                return value if ("e" in value or "E" in value) else t
+            if dt == T.XSD_DECIMAL and _DEC_LEX_RE.match(value):
+                return value
+            if dt == T.XSD_BOOLEAN and value in ("true", "false"):
+                return value
+            if dt == T.XSD_DOUBLE and ("e" in value or "E" in value) \
+                    and _DBL_LEX_RE.match(value):
+                return value
             return t  # keep full form incl lang/datatype
         if T.is_var(t):
             return t
@@ -137,9 +151,15 @@ class N3Writer:
             # formula node?
             if t in self.graphs:
                 return self._formula(t)
-            lst = self._as_list(t, graph)
-            if lst is not None:
-                return lst
+            if self._is_list_head(t, graph):
+                head_quads = [q for q in self.graphs.get(graph, [])
+                              if q[0] == t]
+                if all(q in self.serialized for q in head_quads):
+                    # ladder already emitted under its explicit label
+                    # (it was an earlier subject) — reference the label;
+                    # re-inlining would duplicate the list
+                    return t
+                return self._as_list(t, graph)
             if inline_depth < 8 and self._inlinable(t, graph):
                 props = [q for q in self.graphs.get(graph, [])
                          if q[0] == t and q not in self.serialized]
@@ -153,6 +173,23 @@ class N3Writer:
         return t
 
     # -- list reconstruction (writer.rb:705-786 with_graph rebuild) -----
+    def _is_list_head(self, head: str, graph: str | None) -> bool:
+        """Structural probe WITHOUT side effects: _as_list marks quads
+        serialized and renders items, so it must only run when the list
+        is actually being emitted."""
+        node, seen = head, set()
+        while node != T.RDF_NIL:
+            if node in seen or not T.is_bnode(node):
+                return False
+            seen.add(node)
+            outgoing = [q for q in self.graphs.get(graph, []) if q[0] == node]
+            firsts = [q for q in outgoing if q[1] == T.RDF_FIRST]
+            rests = [q for q in outgoing if q[1] == T.RDF_REST]
+            if len(firsts) != 1 or len(rests) != 1 or len(outgoing) != 2:
+                return False
+            node = rests[0][2]
+        return True
+
     def _as_list(self, head: str, graph: str | None) -> str | None:
         items, seen = [], set()
         node = head
@@ -190,24 +227,33 @@ class N3Writer:
         cyclic: set = set()
         WHITE, GRAY, BLACK = 0, 1, 2
         color: dict[str, int] = defaultdict(int)
-        stack_set: list[str] = []
+        path: list[str] = []
 
-        def visit(u: str):
-            color[u] = GRAY
-            stack_set.append(u)
-            for v in edges.get(u, ()):
-                if color[v] == GRAY:
-                    # everything from v on the stack is on a cycle
-                    idx = stack_set.index(v)
-                    cyclic.update(stack_set[idx:])
-                elif color[v] == WHITE:
-                    visit(v)
-            stack_set.pop()
-            color[u] = BLACK
-
-        for n in list(edges):
-            if color[n] == WHITE:
-                visit(n)
+        # iterative DFS (explicit stack): long bnode chains in generated
+        # graphs would blow Python's recursion limit
+        for root in list(edges):
+            if color[root] != WHITE:
+                continue
+            stack = [(root, iter(edges.get(root, ())))]
+            color[root] = GRAY
+            path.append(root)
+            while stack:
+                u, it = stack[-1]
+                advanced = False
+                for v in it:
+                    if color[v] == GRAY:
+                        idx = path.index(v)
+                        cyclic.update(path[idx:])
+                    elif color[v] == WHITE:
+                        color[v] = GRAY
+                        path.append(v)
+                        stack.append((v, iter(edges.get(v, ()))))
+                        advanced = True
+                        break
+                if not advanced:
+                    stack.pop()
+                    path.pop()
+                    color[u] = BLACK
         cache[graph] = cyclic
         return cyclic
 
@@ -224,12 +270,22 @@ class N3Writer:
         return "[ " + self._predicate_object_list(props, graph, depth + 1) + " ]"
 
     def _formula(self, node: str) -> str:
+        memo = getattr(self, "_formula_memo", None)
+        if memo is None:
+            memo = self._formula_memo = {}
+        if node in memo:
+            # second reference to the same formula: repeat the rendered
+            # body (the first pass already marked its quads serialized;
+            # re-rendering would emit an empty {})
+            return memo[node]
         inner = self.graphs.get(node, [])
         body = self._render_graph(node)
         for q in inner:
             self.serialized.add(q)
         body = body.strip()
-        return "{" + (f" {body} " if body else "") + "}"
+        out = "{" + (f" {body} " if body else "") + "}"
+        memo[node] = out
+        return out
 
     def _predicate_object_list(self, quads: list[Quad], graph: str | None, depth: int = 0) -> str:
         by_pred: dict[str, list[str]] = defaultdict(list)
@@ -259,7 +315,8 @@ class N3Writer:
             sq = [q for q in quads if q[0] == s and q not in self.serialized]
             if not sq:
                 continue
-            if T.is_bnode(s) and s not in self.graphs and self._as_list(s, graph) is None \
+            if T.is_bnode(s) and s not in self.graphs \
+                    and not self._is_list_head(s, graph) \
                     and self.ref_count[(graph, s)] == 0:
                 # root bnode: render as [ ... ] statement
                 for q in sq:
@@ -267,10 +324,16 @@ class N3Writer:
                 out.append(f"[ {self._predicate_object_list(sq, graph)} ] .")
                 continue
             if T.is_bnode(s) and s not in self.graphs:
-                # subject position: a list head renders as ( ... ); any
-                # other bnode keeps its label — inlining its own props
-                # here would consume this statement's quads
-                subj = self._as_list(s, graph) or s
+                # subject position: a list head with EXTRA props renders
+                # as ( ... ) with those props; a pure ladder (or any
+                # other bnode) keeps its label — consuming the ladder
+                # here would leave the statement without a POL
+                extra = [q for q in sq
+                         if q[1] not in (T.RDF_FIRST, T.RDF_REST)]
+                if self._is_list_head(s, graph) and extra:
+                    subj = self._as_list(s, graph)
+                else:
+                    subj = s
             else:
                 subj = self._term(s, graph)
             sq = [q for q in self.graphs.get(graph, []) if q[0] == s and q not in self.serialized]

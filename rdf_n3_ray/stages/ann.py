@@ -50,8 +50,12 @@ class BruteForceTopK:
         out_q, out_id, out_sim = [], [], []
         for qi in range(self.q.shape[0]):
             col = sims[:, qi]
-            top = np.argpartition(-col, k - 1)[:k]
-            for i in top:
+            # lexicographic (-sim, vec_id) selection: plain argpartition
+            # keeps an arbitrary subset of ties, which could discard the
+            # smallest vec_ids before the driver merge applies the
+            # documented sim DESC, vec_id ASC tie-break
+            order = np.lexsort((ids, -col))[:k]
+            for i in order:
                 out_q.append(qi)
                 out_id.append(int(ids[i]))
                 out_sim.append(float(col[i]))

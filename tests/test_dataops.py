@@ -342,3 +342,16 @@ def test_ivf_write_and_pruned_query(ray_session, tmp_path):
     for qi in (0, 1):
         top = res[res.query_idx == qi].iloc[0]
         assert top.vec_id == qi and top.sim > 0.999
+
+
+def test_brute_force_topk_tie_break(ray_session):
+    import ray.data as rd
+
+    tbl = pa.table({
+        "vec_id": pa.array([5, 3, 9, 1], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0]] * 4, pa.list_(pa.float32())),
+    })
+    res = brute_force_topk(rd.from_arrow(tbl),
+                           np.asarray([[1.0, 0.0]]), k=2)
+    # all sims tie at 1.0 -> smallest vec_ids win
+    assert res.vec_id.tolist() == [1, 3]

@@ -503,3 +503,15 @@ def test_conjunction_ground_object_is_checked():
     subs = {s for s, p, o, g in r.conclusions()}
     assert "<http://example.com/c>" in subs
     assert "<http://example.com/bad2>" not in subs
+
+
+def test_big_integer_exactness():
+    # beyond 2^53: float coercion would conflate these
+    check_conclusions(
+        MATH + "{ 9007199254740993 math:notEqualTo 9007199254740992 }"
+        " => { :ne a :ok }.\n"
+        "{ 9007199254740993 math:equalTo 9007199254740992 }"
+        " => { :bad a :Fired }.\n"
+        "{ (10000000000000001 10) math:remainder ?r } => { :rem :is ?r }.",
+        ":ne a :ok . :rem :is 1 .",
+    )
