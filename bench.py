@@ -8,8 +8,9 @@ num_cpus=$RAY_GRAFT_CPUS or 32) and prints ONE JSON line:
      "queries": {...}, "sf": ..., "num_cpus": N,
      "kg_turns": N, "kg_turns_per_sec": X}
 
-`--scaling`: same job in fresh processes at num_cpus=8 and 32 (the
-sandbox stand-in for N- vs 4N-node clusters); reports both throughputs
+`--scaling`: same job in fresh processes at num_cpus=4 and 16 (the
+sandbox stand-in for N- vs 4N-node clusters; 4x ratio without the
+32-proc memory-bus saturation of this box); reports both throughputs
 and the scaling efficiency.
 """
 from __future__ import annotations

@@ -3,8 +3,8 @@
     read transcripts
       -> ParseN3Turns           (actor-pool map_batches, Arrow)
       -> skolemize              (stateless vectorized map)
-      union link triples        (MentionDetect -> LinkScore actor pool,
-                                 entity table broadcast via ray.put)
+      + entity-link triples     (fused into the same extract stage;
+                                 entity index pickled per worker)
       -> exact dedup            (combiner + groupby(quad-hash) shuffle)
       -> sort(conv_id, turn_idx)  stable output ordering
       -> write partitioned Parquet with per-partition lineage manifest
@@ -32,7 +32,6 @@ import pyarrow.parquet as pq
 
 from ..sources.transcripts import entity_table, transcripts_dataset
 from ..stages.dedup import dedup_triples_narrow
-from ..stages.linker import link_entities
 from ..stages.parse_stage import parse_transcripts
 from ..stages.skolemize import skolemize
 from ..state.checkpoint import LineageManifest

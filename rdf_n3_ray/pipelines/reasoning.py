@@ -133,14 +133,21 @@ def _pattern_bindings(triples_ds, pattern) -> pd.DataFrame:
 
     def match(batch: pd.DataFrame) -> pd.DataFrame:
         mask = pd.Series(True, index=batch.index)
+        var_cols: dict[str, list] = {}
         for term, col in ((s, "subj"), (p, "pred"), (o, "obj")):
             if not is_var(term):
                 mask &= batch[col] == term
+            else:
+                var_cols.setdefault(term, []).append(col)
+        # the same variable in two positions is an equality constraint
+        # ({?x :rel ?x} must only match rows with subj == obj)
+        for cols in var_cols.values():
+            for extra in cols[1:]:
+                mask &= batch[cols[0]] == batch[extra]
         sel = batch[mask]
         out = {}
-        for term, col in ((s, "subj"), (p, "pred"), (o, "obj")):
-            if is_var(term):
-                out[term] = sel[col]
+        for term, cols in var_cols.items():
+            out[term] = sel[cols[0]]
         if not out:
             out["__match__"] = pd.Series([True] * len(sel), index=sel.index)
         return pd.DataFrame(out)
@@ -205,6 +212,10 @@ def reason_dataset(triples_ds, rules, max_iterations: int = 10):
             for _, sol in bindings.iterrows():
                 solm = sol.to_dict()
                 for s, p, o in cons:
+                    # unbound consequent existentials intern ONE node per
+                    # variable label across all firings — the reference's
+                    # RDF::Node.intern(var.name) semantics
+                    # (formula.rb:243), not fresh-per-solution
                     row = tuple(
                         solm.get(t, T.bnode(t[1:]) if is_var(t) else t)
                         if is_var(t)

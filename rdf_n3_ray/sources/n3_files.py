@@ -26,12 +26,13 @@ def _parse_files(batch: pa.Table, base_from_path: bool,
                  list_terms: bool) -> pa.Table:
     paths = batch.column("path").to_pylist()
     blobs = batch.column("bytes").to_pylist()
-    oc, os_, op, oo, og, oe = [], [], [], [], [], []
+    oc, os_, op, oo, og, oe, oerr = [], [], [], [], [], [], []
     for path, blob in zip(paths, blobs):
         text = blob.decode("utf-8", "replace")
         base = f"file://{path}" if base_from_path else None
         result = parse_n3(text, base_uri=base, list_terms=list_terms)
         emit = 0
+        n_err = len(result.errors)
         for s, p, o, g in result.quads:
             oc.append(path)
             os_.append(s)
@@ -39,7 +40,18 @@ def _parse_files(batch: pa.Table, base_from_path: bool,
             oo.append(o)
             og.append(g)
             oe.append(emit)
+            oerr.append(n_err)
             emit += 1
+        if not result.quads and n_err:
+            # corrupt file with nothing recovered: emit a sentinel row so
+            # the error is visible downstream, never silently dropped
+            oc.append(path)
+            os_.append("")
+            op.append("")
+            oo.append("")
+            og.append(None)
+            oe.append(-1)
+            oerr.append(n_err)
     return pa.table({
         "doc": pa.array(oc, pa.string()),
         "subj": pa.array(os_, pa.string()),
@@ -49,6 +61,7 @@ def _parse_files(batch: pa.Table, base_from_path: bool,
         "subj_kind": pa.array([kind_of(s) for s in os_], pa.int8()),
         "obj_kind": pa.array([kind_of(o) for o in oo], pa.int8()),
         "emit_idx": pa.array(oe, pa.int32()),
+        "n_errors": pa.array(oerr, pa.int32()),
     })
 
 
