@@ -125,6 +125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": R.sessionize,
         "asof_join": R.asof_join_orders,
         "revenue_by_priority": R.revenue_by_priority,
+        "nations_without_suppliers": R.nations_without_suppliers,
+        "part_brand_stats": R.part_brand_stats,
         # --- KG construction / N3 engine (rows-only checks) ------------
         "kg_triples": _q_kg_triples,
         "parse_turns": _q_parse_turns,
@@ -157,4 +159,6 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": R.SESSIONIZE_SQL,
         "asof_join": R.ASOF_JOIN_SQL,
         "revenue_by_priority": R.REVENUE_BY_PRIORITY_SQL,
+        "nations_without_suppliers": R.NATIONS_WITHOUT_SUPPLIERS_SQL,
+        "part_brand_stats": R.PART_BRAND_STATS_SQL,
     }

@@ -670,3 +670,119 @@ FROM (
 GROUP BY o.o_orderpriority
 ORDER BY o.o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# Set-op / anti-join + multi-dimension broadcast: customers per nation
+# that have NO supplier presence (EXCEPT semantics), with region name.
+# nation/supplier/region are dimension-sized: broadcast, no shuffle.
+# ---------------------------------------------------------------------------
+
+def nations_without_suppliers(sf_dir: str, min_acctbal: float = 5000.0):
+    """Customers in nations with NO high-balance supplier (anti-join /
+    EXCEPT semantics on the dimension side, broadcast to the fact)."""
+    import ray
+
+    nation = _read(sf_dir, "nation",
+                   columns=["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    supplier = _read(sf_dir, "supplier",
+                     columns=["s_nationkey", "s_acctbal"]).to_pandas()
+    supplier = supplier[supplier["s_acctbal"] > min_acctbal]
+    dim = nation.merge(region, left_on="n_regionkey",
+                       right_on="r_regionkey")
+    supplier_nations = set(supplier["s_nationkey"])
+    # anti-join on the dimension side (EXCEPT): nations not in suppliers
+    dim = dim[~dim["n_nationkey"].isin(supplier_nations)]
+    lookup = ray.put({int(k): (n, r) for k, n, r in
+                      zip(dim["n_nationkey"], dim["n_name"], dim["r_name"])})
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def attach(b: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(lookup)
+        hit = b["c_nationkey"].map(lambda k: m.get(int(k)))
+        b = b[hit.notna()]
+        if b.empty:
+            return pd.DataFrame({"n_name": pd.Series(dtype="object"),
+                                 "r_name": pd.Series(dtype="object"),
+                                 "n_customers": pd.Series(dtype="int64")})
+        names = hit.dropna()
+        out = pd.DataFrame({
+            "n_name": [v[0] for v in names],
+            "r_name": [v[1] for v in names]})
+        return (out.groupby(["n_name", "r_name"], as_index=False)
+                .agg(n_customers=("n_name", "size")))
+
+    partials = cust.map_batches(attach, batch_format="pandas",
+                                batch_size=65536)
+    from ray.data.aggregate import Sum
+
+    out = partials.groupby(["n_name", "r_name"]).aggregate(
+        Sum("n_customers", alias_name="n_customers"))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["n_customers"] = b["n_customers"].astype("int64")
+        return b
+
+    df = out.map_batches(finish, batch_format="pandas").sort("n_name").to_pandas()
+    if df.empty:  # schema guard: empty Ray results drop their columns
+        df = pd.DataFrame({"n_name": pd.Series(dtype="object"),
+                           "r_name": pd.Series(dtype="object"),
+                           "n_customers": pd.Series(dtype="int64")})
+    return df
+
+
+NATIONS_WITHOUT_SUPPLIERS_SQL = """
+SELECT n.n_name, r.r_name, COUNT(*) AS n_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE n.n_nationkey NOT IN
+      (SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000.0)
+GROUP BY n.n_name, r.r_name
+ORDER BY n.n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Filtered aggregate over part: brand stats with price floor-cents
+# ---------------------------------------------------------------------------
+
+def part_brand_stats(sf_dir: str):
+    ds = _read(sf_dir, "part",
+               columns=["p_brand", "p_size", "p_retailprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["p_size"] >= 10]
+        if b.empty:
+            return pd.DataFrame({"p_brand": pd.Series(dtype="object"),
+                                 "n_parts": pd.Series(dtype="int64"),
+                                 "price_c": pd.Series(dtype="int64")})
+        b = b.assign(price_c=np.floor(
+            b["p_retailprice"] * 100.0 + 0.5).astype("int64"))
+        return (b.groupby("p_brand", as_index=False)
+                .agg(n_parts=("p_brand", "size"), price_c=("price_c", "sum")))
+
+    from ray.data.aggregate import Sum
+
+    out = (ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+           .groupby("p_brand").aggregate(
+               Sum("n_parts", alias_name="n_parts"),
+               Sum("price_c", alias_name="price_c")))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["n_parts"] = b["n_parts"].astype("int64")
+        b["total_price"] = b["price_c"].astype("int64") / 100.0
+        return b[["p_brand", "n_parts", "total_price"]]
+
+    return out.map_batches(finish, batch_format="pandas").sort("p_brand")
+
+
+PART_BRAND_STATS_SQL = """
+SELECT p_brand, COUNT(*) AS n_parts,
+       SUM(CAST(FLOOR(p_retailprice * 100.0 + 0.5) AS BIGINT)) / 100.0
+         AS total_price
+FROM part WHERE p_size >= 10
+GROUP BY p_brand ORDER BY p_brand
+"""
