@@ -156,3 +156,34 @@ def test_serializer_absorbs_conv_skew(ray_session):
 
     out = serialize_documents(rd.from_pandas(hot)).to_pandas()
     assert len(out) == 5002  # one doc per (conv, turn)
+
+
+def test_per_turn_semantics_preserved_end_to_end(ray_session):
+    """North-rule invariant: for every turn, the pipeline's rendered N3
+    document is semantically equal (bnode-isomorphic) to parsing the
+    original turn text directly, under stable (conv_id, turn_idx)
+    ordering."""
+    from rdf_n3_ray.isomorphism import isomorphic
+    from rdf_n3_ray.parser.n3_parser import parse_n3
+    from rdf_n3_ray.serializer.n3_writer import serialize_documents
+    from rdf_n3_ray.sources.transcripts import transcripts_dataset
+    from rdf_n3_ray.stages.parse_stage import parse_transcripts
+
+    ts = transcripts_dataset(n_convs=30, turns_per_conv=6)
+    originals = {(r["conv_id"], r["turn_idx"]): r["text"]
+                 for r in ts.take_all()}
+    rendered = serialize_documents(parse_transcripts(ts)).to_pandas()
+    rendered = rendered.sort_values(["conv_id", "turn_idx"])
+    assert len(rendered) > 50
+    checked = 0
+    for _, row in rendered.iterrows():
+        text = originals[(row.conv_id, row.turn_idx)]
+        direct = parse_n3(text)
+        if direct.errors:
+            continue
+        back = parse_n3(row.n3)
+        assert not back.errors, (row.conv_id, row.turn_idx, back.errors)
+        assert isomorphic(direct.quads, back.quads), (
+            row.conv_id, row.turn_idx, text, row.n3)
+        checked += 1
+    assert checked > 50
