@@ -75,9 +75,13 @@ def from_number(value) -> str:
         return T.literal(str(value), datatype=T.XSD_INTEGER)
     if isinstance(value, Decimal):
         if value == value.to_integral_value():
-            s = str(value.quantize(Decimal(1)))
-            return T.literal(s + ".0", datatype=T.XSD_DECIMAL)
-        return T.literal(str(value.normalize()), datatype=T.XSD_DECIMAL)
+            # int() avoids Decimal.quantize's InvalidOperation when the
+            # magnitude exceeds the 28-digit default context
+            return T.literal(f"{int(value)}.0", datatype=T.XSD_DECIMAL)
+        # 'f' formatting: normalize() can yield exponent form (1E-7),
+        # which is outside xsd:decimal's lexical space
+        lex = format(value.normalize(), "f")
+        return T.literal(lex, datatype=T.XSD_DECIMAL)
     if isinstance(value, float):
         return T.literal(_canonical_double(value), datatype=T.XSD_DOUBLE)
     raise TypeError(f"not a number: {value!r}")

@@ -124,7 +124,11 @@ class FrameSample:
 
 def decode_pipeline(media_ds, concurrency: int = 2, batch_size: int = 8):
     """media table -> per-image features + per-video frame rows."""
-    if media_ds.num_blocks() < concurrency:
+    try:
+        nb = media_ds.num_blocks()  # only known for materialized inputs
+    except NotImplementedError:
+        nb = None  # lazy reads parallelize on their own
+    if nb is not None and nb < concurrency:
         # a single input block starves the actor pool; split so every
         # actor gets work (binary payloads: keep blocks small anyway)
         media_ds = media_ds.repartition(concurrency * 2)

@@ -21,19 +21,21 @@ def cmd_parse(args) -> int:
     from rdf_n3_ray.parser.n3_parser import parse_n3
     from rdf_n3_ray.serializer.n3_writer import to_ntriples
 
-    total, t0 = 0, time.time()
+    total, t0, had_errors = 0, time.time(), False
     for path in args.files:
         text = open(path, encoding="utf-8").read()
         r = parse_n3(text, base_uri=f"file://{os.path.abspath(path)}",
                      validate=args.validate, canonicalize=args.canonicalize)
         for e in r.errors:
             print(f"# error: {e}", file=sys.stderr)
+        had_errors = had_errors or bool(r.errors)
         sys.stdout.write(to_ntriples(r.quads))
         total += len(r.quads)
     el = time.time() - t0
     print(f"Parsed {total} statements in {el:.3f} seconds @ {total / max(el, 1e-9):.1f} statements/second.",
           file=sys.stderr)
-    return 0
+    # exit 1 on parse errors, like the reference's script/parse rescue
+    return 1 if had_errors else 0
 
 
 def cmd_reason(args) -> int:

@@ -86,9 +86,10 @@ def main():
         elif value_hash(got) != value_hash(want):
             problems.append("value hash mismatch")
             a, b = canon(got.copy()), canon(want.copy())
-            diff = (a.astype(str) != b.astype(str)).any(axis=1)
-            print(a[diff].head(3))
-            print(b[diff].head(3))
+            if len(a) == len(b):  # elementwise diff needs equal shapes
+                diff = (a.astype(str) != b.astype(str)).any(axis=1)
+                print(a[diff].head(3))
+                print(b[diff].head(3))
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)} ({elapsed:.1f}s)")
             failures += 1
