@@ -42,9 +42,13 @@ def _refine(quads: list[Quad], bnodes: set[str], rounds: int = 4) -> dict[str, s
             sig_s = color.get(s, s) if _is_bnode(s) else s
             sig_o = color.get(o, o) if _is_bnode(o) else o
             sig_g = (color.get(g, g) if _is_bnode(g) else (g or "")) if g else ""
+            # bnode predicates participate by color, not raw label —
+            # otherwise isomorphic graphs with bnode predicates refine
+            # to different color multisets
+            sig_p = color.get(p, p) if _is_bnode(p) else p
             for t, role in ((s, "s"), (o, "o"), (g, "g")):
                 if _is_bnode(t):
-                    nxt[t].append(f"{role}|{p}|{sig_s if role != 's' else ''}|{sig_o if role != 'o' else ''}|{sig_g if role != 'g' else ''}")
+                    nxt[t].append(f"{role}|{sig_p}|{sig_s if role != 's' else ''}|{sig_o if role != 'o' else ''}|{sig_g if role != 'g' else ''}")
         color = {
             b: blake2b("\x00".join(sorted(sigs)).encode(), digest_size=8).hexdigest()
             for b, sigs in nxt.items()
@@ -128,7 +132,15 @@ def precision_recall(
 ) -> tuple[float, float]:
     """Triple-level P/R after best-effort canonicalization: bnodes of
     each side renamed by refinement color + disambiguation index.  Used
-    for the P/R >= 0.95 gate on suite-style corpora (BASELINE.md)."""
+    for the P/R >= 0.95 gate on suite-style corpora (BASELINE.md).
+
+    Isomorphic graphs always score (1.0, 1.0): the exact backtracking
+    check runs first, so automorphic structures (e.g. relabeled cycles)
+    can't lose to the label-order disambiguation below, which is only a
+    best-effort partial-credit path for genuinely differing graphs."""
+    if isomorphic(got, expected):
+        return 1.0, 1.0
+
     def canon(quads: list[Quad]) -> frozenset:
         bn = _bnodes_of(quads)
         colors = _refine(quads, bn, rounds=6)

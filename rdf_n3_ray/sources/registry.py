@@ -51,7 +51,8 @@ def for_extension(path: str) -> Format | None:
 
 
 _N3_HINTS = re.compile(
-    r"(?:@(?:base|prefix|forAll|forSome)\b)|=>|<=(?:\s)|\{|\broperty\b"
+    # N3-only constructs: rules, formulae, quickvars, paths, is/of sugar
+    r"(?:@(?:base|prefix|forAll|forSome)\b)|=>|<=(?:\s)|\{|\?[A-Za-z]"
     r"|(?:\^|!)(?=\S)|\bis\b.+\bof\b",
 )
 _DIRECTIVE = re.compile(r"(?:@|PREFIX|BASE)", re.IGNORECASE)
@@ -76,7 +77,10 @@ def read_files(paths, base_uri: str | None = None, **reader_opts):
     """`ray.data.read_text`-style file source -> parsed triple Dataset.
 
     Local-file variant of the reference's RDF::Reader.open fetch path
-    (format detection per file, one document per file)."""
+    (one document per file).  All registered formats (N-Triples and
+    Turtle are syntactic subsets of N3) parse through the same reader,
+    so no per-file dispatch is needed; `detect`/`for_extension` serve
+    the registry API surface (format.rb:19-32)."""
     import pyarrow as pa
     import ray.data as rd
 

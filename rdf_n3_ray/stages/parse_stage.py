@@ -38,9 +38,9 @@ class ParseN3Turns:
 
     Options mirror the reference Reader options surface
     (reader.rb:50-60): ``base_uri``, ``prefixes``, ``list_terms``,
-    ``validate``.  ``emit_errors`` adds a side-channel of per-turn parse
-    error counts instead of failing the task (error recovery semantics,
-    reader.rb:848-900).
+    ``validate``.  Recovery mode (validate=False) skips malformed
+    content instead of failing the task (reader.rb:848-900); per-file
+    error counts are surfaced by sources/n3_files.py.
     """
 
     def __init__(

@@ -34,7 +34,12 @@ def quality_scores(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     n_punct = text.str.count(r"[^\w\s]").astype("int64")
     n_upper = text.str.count(r"[A-Z]").astype("int64")
     n_digit = text.str.count(r"[0-9]").astype("int64")
-    mean_word_len = (n_chars / n_words.replace(0, 1)).astype("float64")
+    # chars EXCLUDING separators / words — n_chars/n_words would count
+    # whitespace into "word length" ('aa bb' -> 2.5 instead of 2.0).
+    # (relational.doc_quality keeps the gross-chars form to match its
+    # SQL oracle; this is the library-quality metric.)
+    n_ws = text.str.count(r"\s").astype("int64")
+    mean_word_len = ((n_chars - n_ws) / n_words.replace(0, 1)).astype("float64")
     punct_ratio = (n_punct / n_chars.replace(0, 1)).astype("float64")
     upper_ratio = (n_upper / n_chars.replace(0, 1)).astype("float64")
     digit_ratio = (n_digit / n_chars.replace(0, 1)).astype("float64")

@@ -11,7 +11,8 @@ def ray_session():
     """One Ray session for the whole pytest run (BASELINE.md contract)."""
     import ray
 
-    if not ray.is_initialized():
+    owned = not ray.is_initialized()
+    if owned:
         ray.init(
             address="local",
             num_cpus=4,
@@ -20,7 +21,8 @@ def ray_session():
             logging_level="ERROR",
         )
     yield
-    ray.shutdown()
+    if owned:  # never shut down a session somebody else started
+        ray.shutdown()
 
 
 @pytest.fixture(scope="session")

@@ -428,3 +428,18 @@ def test_mass_parse_reference_corpus_never_crashes():
             assert legacy or f.rsplit("/", 1)[1] in known_bad, (f, r.errors[:1])
     assert clean >= 70
     assert quads > 20000
+
+
+def test_isomorphism_bnode_predicates_and_automorphic_cycles():
+    """Review regressions: bnode predicates must compare by color, and
+    isomorphic automorphic structures must score P/R 1.0 regardless of
+    label order."""
+    from rdf_n3_ray.isomorphism import isomorphic, precision_recall
+
+    assert isomorphic([("_:s", "_:p", "<o>", None)],
+                      [("_:x", "_:q", "<o>", None)])
+    cyc_a = [("_:a", "<p>", "_:b", None), ("_:b", "<p>", "_:c", None),
+             ("_:c", "<p>", "_:a", None)]
+    cyc_b = [("_:x", "<p>", "_:z", None), ("_:z", "<p>", "_:y", None),
+             ("_:y", "<p>", "_:x", None)]
+    assert precision_recall(cyc_a, cyc_b) == (1.0, 1.0)
