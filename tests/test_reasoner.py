@@ -515,3 +515,46 @@ def test_big_integer_exactness():
         "{ (10000000000000001 10) math:remainder ?r } => { :rem :is ?r }.",
         ":ne a :ok . :rem :is 1 .",
     )
+
+
+# --- quantifier-scoping includes cases (reasoner_spec.rb:213-262) ----------
+
+def test_quantifiers_limited_includes():
+    pre = "@prefix log: <http://www.w3.org/2000/10/swap/log#>.\n"
+    # a1: ground includes ground
+    check_conclusions(
+        pre + "{{ :foo :bar :baz } log:includes { :foo :bar :baz }}"
+        " => { :testa1 a :success } .",
+        ":testa1 a :success .")
+    # a2: existential in the pattern side matches a ground term
+    check_conclusions(
+        pre + "{{ :foo :bar :baz } log:includes { _:foo :bar :baz }}"
+        " => { :testa2 a :success } .",
+        ":testa2 a :success .")
+    # b2: existential on both sides unifies
+    check_conclusions(
+        pre + "{{ _:foo :bar :baz } log:includes { _:foo :bar :baz }}"
+        " => { :testb2 a :success } .",
+        ":testb2 a :success .")
+    # a1d: mismatched ground terms must NOT fire
+    r = run(pre + "{{ :fee :bar :baz } log:includes { :foo :bar :baz }}"
+            " => { :testa1d a :FAILURE } .")
+    assert r.conclusions() == []
+
+
+def test_t10b_includes_binding_feeds_second_rule():
+    # reasoner_spec.rb:251-261: a variable bound by log:includes flows
+    # into the consequent, whose conclusion fires a second rule
+    check_conclusions(
+        "@prefix log: <http://www.w3.org/2000/10/swap/log#>.\n"
+        "{ {:theSky :is :blue} log:includes { :theSky :is ?x} }"
+        " log:implies { :fred :favoriteColor ?x } .\n"
+        "{ :fred :favoriteColor :blue } log:implies { :test10b a :success}.",
+        ":fred :favoriteColor :blue. :test10b a :success.")
+
+
+def test_list_in_empty_list_never_fires():
+    # reasoner_spec.rb "1 in ()" — empty list membership is FALSE
+    r = run("@prefix list: <http://www.w3.org/2000/10/swap/list#>.\n"
+            "{ 1 list:in () } => { :trap1 a :FAILURE }.")
+    assert r.conclusions() == []
