@@ -558,3 +558,21 @@ def test_list_in_empty_list_never_fires():
     r = run("@prefix list: <http://www.w3.org/2000/10/swap/list#>.\n"
             "{ 1 list:in () } => { :trap1 a :FAILURE }.")
     assert r.conclusions() == []
+
+
+def test_uses_variables_bound_in_parent():
+    # reasoner_spec.rb:165-174: a top-level quickvar pattern binds ?x,
+    # and a rule's consequent uses that parent binding
+    check_data(
+        ":a :b :c.\n?x :b :c.\n{:a :b :c} => {?x :d :e}.",
+        ":a :b :c; :d :e.")
+
+
+def test_nested_rule_is_sum_of_with_path():
+    # reasoner_spec.rb:869-877 "A nested rule": inverted `is ... of`
+    # builtin with a path-applied difference inside the list
+    check_conclusions(
+        "@prefix math: <http://www.w3.org/2000/10/swap/math#>.\n"
+        '{ ?x is math:sum of (3 (8 3)!math:difference ) }'
+        ' => { ?x :valueOf "3 + (8 - 3)" } .',
+        '8 :valueOf "3 + (8 - 3)" .')
