@@ -576,3 +576,31 @@ def test_nested_rule_is_sum_of_with_path():
         '{ ?x is math:sum of (3 (8 3)!math:difference ) }'
         ' => { ?x :valueOf "3 + (8 - 3)" } .',
         '8 :valueOf "3 + (8 - 3)" .')
+
+
+def test_combinatorial_concatenation():
+    # reasoner_spec.rb:890-914 — cross product of typed and string
+    # numeric values through math:sum then string:concatenation
+    inp = (
+        "@prefix string: <http://www.w3.org/2000/10/swap/string#>.\n"
+        '@prefix math: <http://www.w3.org/2000/10/swap/math#>.\n'
+        '"3.1415926" a :testValue.\n'
+        "3.1415926 a :testValue.\n"
+        '"1729" a :testValue.\n'
+        "1729 a :testValue.\n"
+        '"0" a :testValue.\n'
+        "0 a :testValue.\n"
+        "{ ?x a :testValue. ?y a :testValue.\n"
+        "  (?x ?y) math:sum ?z.\n"
+        '  (?x " + " ?y " = " ?z ) string:concatenation ?s\n'
+        "} => { ?s a :RESULT }.")
+    got = {s for s, p, o, g in run(inp).conclusions()
+           if o == "<http://example.com/RESULT>"}
+    want = {
+        '"0 + 0 = 0"', '"0 + 1729 = 1729"', '"0 + 3.1415926 = 3.1415926"',
+        '"1729 + 0 = 1729"', '"1729 + 1729 = 3458"',
+        '"1729 + 3.1415926 = 1732.1415926"',
+        '"3.1415926 + 0 = 3.1415926"', '"3.1415926 + 1729 = 1732.1415926"',
+        '"3.1415926 + 3.1415926 = 6.2831852"',
+    }
+    assert got == want, got ^ want
