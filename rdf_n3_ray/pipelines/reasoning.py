@@ -175,40 +175,59 @@ def reason_dataset(triples_ds, rules, max_iterations: int = 10):
     delta = None  # rows added by the previous iteration (semi-naive)
     for _ in range(max_iterations):
         new_rows = []
-        for ant, cons in rules:
-            # semi-naive fast path: a single-pattern rule can only
-            # produce NEW conclusions from triples added last iteration,
-            # so match against the (small) delta instead of the full KB.
-            # Multi-pattern rules still scan the full KB per pattern —
-            # at real scale the KB would be pred-partitioned Parquet so
-            # each pattern reads only its predicate partition.
-            src = delta if (delta is not None and len(ant) == 1) else ds
-            bindings: pd.DataFrame | None = None
-            ok = True
-            for pattern in ant:
-                pb = _pattern_bindings(src, pattern)
+        # per-iteration cache: one distributed scan per distinct pattern
+        # against the full KB / the delta, shared across rules and
+        # delta-slots
+        full_cache: dict[tuple, pd.DataFrame] = {}
+        delta_cache: dict[tuple, pd.DataFrame] = {}
+
+        def pb_for(pattern, source):
+            cache = full_cache if source is ds else delta_cache
+            if pattern not in cache:
+                cache[pattern] = _pattern_bindings(source, pattern)
+            return cache[pattern]
+
+        def join_seq(frames):
+            out: pd.DataFrame | None = None
+            for pb in frames:
                 if pb.empty:
-                    ok = False
-                    break
+                    return None
                 if "__match__" in pb.columns:
                     continue
                 pb = pb.drop_duplicates()
-                if bindings is None:
-                    bindings = pb
+                if out is None:
+                    out = pb
+                elif (shared := [c for c in out.columns
+                                 if c in pb.columns]):
+                    out = out.merge(pb, on=shared)
                 else:
-                    shared = [c for c in bindings.columns if c in pb.columns]
-                    bindings = (
-                        bindings.merge(pb, on=shared)
-                        if shared
-                        else bindings.merge(pb, how="cross")
-                    )
-                if bindings.empty:
-                    ok = False
-                    break
-            if not ok:
+                    out = out.merge(pb, how="cross")
+                if out.empty:
+                    return None
+            return out if out is not None else pd.DataFrame([{}])
+
+        for ant, cons in rules:
+            # semi-naive: new solutions must use at least one triple
+            # from last iteration's delta.  Evaluate the rule once per
+            # "delta slot" i (pattern i against delta, the rest against
+            # the full KB) and union; combinations with >=2 new triples
+            # are produced by several slots and dedup below.  Iteration
+            # 1 (delta None) is the naive full evaluation.
+            if delta is None:
+                slot_frames = [[pb_for(p, ds) for p in ant]]
+            else:
+                slot_frames = [
+                    [pb_for(p, delta if j == i else ds)
+                     for j, p in enumerate(ant)]
+                    for i in range(len(ant))
+                ]
+            pieces = [b for b in (join_seq(fr) for fr in slot_frames)
+                      if b is not None]
+            if not pieces:
                 continue
-            if bindings is None:
-                bindings = pd.DataFrame([{}])
+            bindings = pd.concat(pieces, ignore_index=True)
+            if len(bindings.columns):
+                bindings = bindings.drop_duplicates()
             for _, sol in bindings.iterrows():
                 solm = sol.to_dict()
                 for s, p, o in cons:
