@@ -355,3 +355,27 @@ def test_brute_force_topk_tie_break(ray_session):
                            np.asarray([[1.0, 0.0]]), k=2)
     # all sims tie at 1.0 -> smallest vec_ids win
     assert res.vec_id.tolist() == [1, 3]
+
+
+def test_reason_dataset_multi_pattern_chain(ray_session):
+    """Semi-naive evaluation with a 2-pattern join rule + chained rule."""
+    import ray.data as rd
+
+    from rdf_n3_ray.pipelines.reasoning import reason_dataset
+
+    n = 50
+    base = pd.DataFrame({
+        "subj": [f"<n{i}>" for i in range(n)],
+        "pred": ["<next>"] * n,
+        "obj": [f"<n{i+1}>" for i in range(n)],
+    })
+    rules = [([("?x", "<next>", "?y"), ("?y", "<next>", "?z")],
+              [("?x", "<skip>", "?z")]),
+             ([("?x", "<skip>", "?z")], [("?x", "<reach>", "?z")])]
+    closure, inferred = reason_dataset(rd.from_pandas(base), rules)
+    df = closure.to_pandas()
+    assert (df.pred == "<skip>").sum() == n - 1
+    assert (df.pred == "<reach>").sum() == n - 1
+    assert inferred == 2 * (n - 1)
+    assert ((df.pred == "<skip>") & (df.subj == "<n0>")
+            & (df.obj == "<n2>")).any()
