@@ -275,3 +275,138 @@ def reason_dataset(triples_ds, rules, max_iterations: int = 10):
         inferred_total += new_total - total
         total = new_total
     return ds, inferred_total
+
+
+# ---------------------------------------------------------------------------
+# Predicate-partitioned KB on Parquet: the 100 TB layout.  A pattern
+# with a ground predicate reads ONLY its hash-bucket partition from
+# storage — no full scan per pattern per iteration.
+# ---------------------------------------------------------------------------
+
+def _pred_bucket_of(pred: str, num_buckets: int) -> int:
+    import hashlib
+
+    h = hashlib.blake2b(pred.encode(), digest_size=8).digest()
+    return int.from_bytes(h, "big") % num_buckets
+
+
+def write_kb_partitioned(triples_ds, out_dir: str, num_buckets: int = 64):
+    """Land a triple Dataset as predicate-hash-bucketed Parquet:
+    out_dir/pb=K/*.parquet."""
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(pb=b["pred"].map(
+            lambda p: _pred_bucket_of(p, num_buckets)).astype("int32"))
+
+    triples_ds.map_batches(add_bucket, batch_format="pandas").write_parquet(
+        out_dir, partition_cols=["pb"])
+
+
+def _pruned_kb_read(kb_dir: str, pattern, num_buckets: int):
+    """Dataset over only the partitions a pattern can match."""
+    import glob as _glob
+    import os
+
+    import ray.data as rd
+
+    _, p, _ = pattern
+    if not is_var(p):
+        files = sorted(_glob.glob(os.path.join(
+            kb_dir, f"pb={_pred_bucket_of(p, num_buckets)}", "*.parquet")))
+        if not files:
+            return None
+        return rd.read_parquet(files, columns=["subj", "pred", "obj"])
+    return rd.read_parquet(kb_dir, columns=["subj", "pred", "obj"])
+
+
+def reason_kb_path(kb_dir: str, rules, num_buckets: int = 64,
+                   max_iterations: int = 10):
+    """Fixed point over a predicate-partitioned Parquet KB.
+
+    Base facts stay on storage; only per-iteration deltas live in
+    memory.  Pattern scans with ground predicates are partition-pruned
+    reads.  Returns (new_triples_ds, n_inferred); the full closure is
+    the base KB union the returned additions.
+    """
+    import ray.data as rd
+
+    adds: pd.DataFrame = pd.DataFrame(
+        {"subj": pd.Series(dtype="object"),
+         "pred": pd.Series(dtype="object"),
+         "obj": pd.Series(dtype="object")})
+    seen: set[tuple] = set()
+    delta_df: pd.DataFrame | None = None
+    inferred_total = 0
+
+    def bindings_for(pattern, use_delta: bool):
+        if use_delta:
+            if delta_df is None or delta_df.empty:
+                return pd.DataFrame()
+            src = rd.from_pandas(delta_df)
+        else:
+            src = _pruned_kb_read(kb_dir, pattern, num_buckets)
+            if src is None:
+                src = None if adds.empty else rd.from_pandas(adds)
+            elif not adds.empty:
+                src = src.union(rd.from_pandas(adds))
+            if src is None:
+                return pd.DataFrame()
+        return _pattern_bindings(src, pattern)
+
+    for it in range(max_iterations):
+        new_rows = []
+        cache: dict[tuple, pd.DataFrame] = {}
+
+        def pb(pattern, use_delta):
+            key = (pattern, use_delta)
+            if key not in cache:
+                cache[key] = bindings_for(pattern, use_delta)
+            return cache[key]
+
+        def join_seq(frames):
+            out = None
+            for f in frames:
+                if f.empty:
+                    return None
+                if "__match__" in f.columns:
+                    continue
+                f = f.drop_duplicates()
+                if out is None:
+                    out = f
+                elif (shared := [c for c in out.columns if c in f.columns]):
+                    out = out.merge(f, on=shared)
+                else:
+                    out = out.merge(f, how="cross")
+                if out.empty:
+                    return None
+            return out if out is not None else pd.DataFrame([{}])
+
+        for ant, cons in rules:
+            if delta_df is None:
+                slots = [[pb(p, False) for p in ant]]
+            else:
+                slots = [[pb(p, j == i) for j, p in enumerate(ant)]
+                         for i in range(len(ant))]
+            pieces = [b for b in (join_seq(fr) for fr in slots)
+                      if b is not None]
+            if not pieces:
+                continue
+            bindings = pd.concat(pieces, ignore_index=True)
+            if len(bindings.columns):
+                bindings = bindings.drop_duplicates()
+            for _, sol in bindings.iterrows():
+                solm = sol.to_dict()
+                for s, p, o in cons:
+                    row = tuple(
+                        solm.get(t, T.bnode(t[1:]) if is_var(t) else t)
+                        if is_var(t) else t
+                        for t in (s, p, o))
+                    if not any(is_var(t) for t in row) and row not in seen:
+                        new_rows.append(row)
+        fresh = [r for r in dict.fromkeys(new_rows)]
+        if not fresh:
+            break
+        seen.update(fresh)
+        delta_df = pd.DataFrame(fresh, columns=["subj", "pred", "obj"])
+        adds = pd.concat([adds, delta_df], ignore_index=True)
+        inferred_total += len(fresh)
+    return adds, inferred_total

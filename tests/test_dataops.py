@@ -379,3 +379,45 @@ def test_reason_dataset_multi_pattern_chain(ray_session):
     assert inferred == 2 * (n - 1)
     assert ((df.pred == "<skip>") & (df.subj == "<n0>")
             & (df.obj == "<n2>")).any()
+
+
+def test_reason_kb_path_partition_pruned(ray_session, tmp_path):
+    """Predicate-partitioned KB: pattern scans read only matching
+    partitions; closure matches the in-memory reasoner."""
+    import os
+
+    import ray.data as rd
+
+    from rdf_n3_ray.pipelines.reasoning import (
+        reason_dataset,
+        reason_kb_path,
+        write_kb_partitioned,
+    )
+
+    n = 40
+    base = pd.DataFrame({
+        "subj": [f"<n{i}>" for i in range(n)],
+        "pred": ["<next>"] * n,
+        "obj": [f"<n{i+1}>" for i in range(n)],
+    })
+    # noise triples under a different predicate (should be pruned away)
+    noise = pd.DataFrame({
+        "subj": [f"<m{i}>" for i in range(500)],
+        "pred": ["<unrelated>"] * 500,
+        "obj": [f"<m{i}>" for i in range(500)],
+    })
+    kb = pd.concat([base, noise], ignore_index=True)
+    out = str(tmp_path / "kb")
+    write_kb_partitioned(rd.from_pandas(kb), out)
+    assert len([d for d in os.listdir(out) if d.startswith("pb=")]) >= 2
+
+    rules = [([("?x", "<next>", "?y"), ("?y", "<next>", "?z")],
+              [("?x", "<skip>", "?z")])]
+    adds, inferred = reason_kb_path(out, rules)
+    assert inferred == n - 1
+    closure_mem, inf_mem = reason_dataset(rd.from_pandas(kb), rules)
+    mem_new = closure_mem.to_pandas()
+    assert inf_mem == inferred
+    got = set(map(tuple, adds.values))
+    want = set(map(tuple, mem_new[mem_new.pred == "<skip>"].values))
+    assert got == want
