@@ -155,6 +155,59 @@ def _pattern_bindings(triples_ds, pattern) -> pd.DataFrame:
     return triples_ds.map_batches(match, batch_format="pandas").to_pandas()
 
 
+def _join_seq(frames):
+    """Join a sequence of bindings tables on shared variable columns;
+    None = some pattern had no matches."""
+    out: pd.DataFrame | None = None
+    for pb in frames:
+        if pb.empty:
+            return None
+        if "__match__" in pb.columns:
+            continue
+        pb = pb.drop_duplicates()
+        if out is None:
+            out = pb
+        elif (shared := [c for c in out.columns if c in pb.columns]):
+            out = out.merge(pb, on=shared)
+        else:
+            out = out.merge(pb, how="cross")
+        if out.empty:
+            return None
+    return out if out is not None else pd.DataFrame([{}])
+
+
+def _instantiate(bindings: pd.DataFrame, cons) -> pd.DataFrame:
+    """Vectorized consequent instantiation: one column gather per
+    template slot (no per-row iterrows).  Unbound existentials intern
+    ONE node per variable label across all firings — the reference's
+    RDF::Node.intern semantics (formula.rb:243)."""
+    frames = []
+    n = len(bindings)
+    for s, p, o in cons:
+        cols = {}
+        ok = True
+        for slot, t in (("subj", s), ("pred", p), ("obj", o)):
+            if is_var(t):
+                if t in bindings.columns:
+                    cols[slot] = bindings[t].astype(str)
+                else:
+                    cols[slot] = pd.Series([T.bnode(t[1:])] * n)
+            else:
+                cols[slot] = pd.Series([t] * n)
+        if ok and n:
+            df = pd.DataFrame(cols)
+            # drop rows where a bound value is itself a variable
+            mask = ~(df["subj"].str.startswith("?")
+                     | df["pred"].str.startswith("?")
+                     | df["obj"].str.startswith("?"))
+            frames.append(df[mask])
+    if not frames:
+        return pd.DataFrame({"subj": pd.Series(dtype="object"),
+                             "pred": pd.Series(dtype="object"),
+                             "obj": pd.Series(dtype="object")})
+    return pd.concat(frames, ignore_index=True).drop_duplicates()
+
+
 def reason_dataset(triples_ds, rules, max_iterations: int = 10):
     """Fixed-point rule application over a triple Dataset.
 
@@ -187,25 +240,6 @@ def reason_dataset(triples_ds, rules, max_iterations: int = 10):
                 cache[pattern] = _pattern_bindings(source, pattern)
             return cache[pattern]
 
-        def join_seq(frames):
-            out: pd.DataFrame | None = None
-            for pb in frames:
-                if pb.empty:
-                    return None
-                if "__match__" in pb.columns:
-                    continue
-                pb = pb.drop_duplicates()
-                if out is None:
-                    out = pb
-                elif (shared := [c for c in out.columns
-                                 if c in pb.columns]):
-                    out = out.merge(pb, on=shared)
-                else:
-                    out = out.merge(pb, how="cross")
-                if out.empty:
-                    return None
-            return out if out is not None else pd.DataFrame([{}])
-
         for ant, cons in rules:
             # semi-naive: new solutions must use at least one triple
             # from last iteration's delta.  Evaluate the rule once per
@@ -221,33 +255,19 @@ def reason_dataset(triples_ds, rules, max_iterations: int = 10):
                      for j, p in enumerate(ant)]
                     for i in range(len(ant))
                 ]
-            pieces = [b for b in (join_seq(fr) for fr in slot_frames)
+            pieces = [b for b in (_join_seq(fr) for fr in slot_frames)
                       if b is not None]
             if not pieces:
                 continue
             bindings = pd.concat(pieces, ignore_index=True)
             if len(bindings.columns):
                 bindings = bindings.drop_duplicates()
-            for _, sol in bindings.iterrows():
-                solm = sol.to_dict()
-                for s, p, o in cons:
-                    # unbound consequent existentials intern ONE node per
-                    # variable label across all firings — the reference's
-                    # RDF::Node.intern(var.name) semantics
-                    # (formula.rb:243), not fresh-per-solution
-                    row = tuple(
-                        solm.get(t, T.bnode(t[1:]) if is_var(t) else t)
-                        if is_var(t)
-                        else t
-                        for t in (s, p, o)
-                    )
-                    if not any(is_var(t) for t in row):
-                        new_rows.append(
-                            {"subj": row[0], "pred": row[1], "obj": row[2]}
-                        )
+            inst = _instantiate(bindings, cons)
+            if len(inst):
+                new_rows.append(inst)
         if not new_rows:
             break
-        add_df = pd.DataFrame(new_rows).drop_duplicates()
+        add_df = pd.concat(new_rows, ignore_index=True).drop_duplicates()
         add = rd.from_pandas(add_df)
         delta = add.materialize()
         ds = ds.union(add)
@@ -362,51 +382,66 @@ def reason_kb_path(kb_dir: str, rules, num_buckets: int = 64,
                 cache[key] = bindings_for(pattern, use_delta)
             return cache[key]
 
-        def join_seq(frames):
-            out = None
-            for f in frames:
-                if f.empty:
-                    return None
-                if "__match__" in f.columns:
-                    continue
-                f = f.drop_duplicates()
-                if out is None:
-                    out = f
-                elif (shared := [c for c in out.columns if c in f.columns]):
-                    out = out.merge(f, on=shared)
-                else:
-                    out = out.merge(f, how="cross")
-                if out.empty:
-                    return None
-            return out if out is not None else pd.DataFrame([{}])
-
         for ant, cons in rules:
             if delta_df is None:
                 slots = [[pb(p, False) for p in ant]]
             else:
                 slots = [[pb(p, j == i) for j, p in enumerate(ant)]
                          for i in range(len(ant))]
-            pieces = [b for b in (join_seq(fr) for fr in slots)
+            pieces = [b for b in (_join_seq(fr) for fr in slots)
                       if b is not None]
             if not pieces:
                 continue
             bindings = pd.concat(pieces, ignore_index=True)
             if len(bindings.columns):
                 bindings = bindings.drop_duplicates()
-            for _, sol in bindings.iterrows():
-                solm = sol.to_dict()
-                for s, p, o in cons:
-                    row = tuple(
-                        solm.get(t, T.bnode(t[1:]) if is_var(t) else t)
-                        if is_var(t) else t
-                        for t in (s, p, o))
-                    if not any(is_var(t) for t in row) and row not in seen:
-                        new_rows.append(row)
-        fresh = [r for r in dict.fromkeys(new_rows)]
-        if not fresh:
+            inst = _instantiate(bindings, cons)
+            if len(inst):
+                new_rows.append(inst)
+        if not new_rows:
             break
-        seen.update(fresh)
-        delta_df = pd.DataFrame(fresh, columns=["subj", "pred", "obj"])
+        fresh_df = pd.concat(new_rows, ignore_index=True).drop_duplicates()
+        fresh_df = fresh_df[~fresh_df.apply(tuple, axis=1).isin(seen)]
+        if len(fresh_df):
+            # re-derivations of BASE facts are not inferences: anti-join
+            # against the (pruned) base partitions — only partitions of
+            # predicates actually derived are read, and only matching
+            # rows come back to the driver
+            fresh_df = _subtract_base(kb_dir, fresh_df, num_buckets)
+        if not len(fresh_df):
+            break
+        seen.update(map(tuple, fresh_df.values))
+        delta_df = fresh_df.reset_index(drop=True)
         adds = pd.concat([adds, delta_df], ignore_index=True)
-        inferred_total += len(fresh)
+        inferred_total += len(delta_df)
     return adds, inferred_total
+
+
+def _subtract_base(kb_dir: str, fresh: pd.DataFrame,
+                   num_buckets: int) -> pd.DataFrame:
+    """Remove rows of `fresh` that already exist in the base KB.
+    Reads only the pred-hash partitions of predicates present in
+    `fresh`, filters each batch to the broadcast fresh-set, and
+    subtracts the (small) matches."""
+    import ray
+    import ray.data as rd
+
+    keys = set(map(tuple, fresh.values))
+    existing: set[tuple] = set()
+    key_ref = ray.put(keys)
+
+    def matches(b: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(key_ref)
+        tup = list(zip(b["subj"], b["pred"], b["obj"]))
+        mask = [t in ks for t in tup]
+        return b[mask][["subj", "pred", "obj"]]
+
+    for pred in fresh["pred"].unique():
+        src = _pruned_kb_read(kb_dir, ("?s", pred, "?o"), num_buckets)
+        if src is None:
+            continue
+        hit = src.map_batches(matches, batch_format="pandas").to_pandas()
+        existing.update(map(tuple, hit.values))
+    if not existing:
+        return fresh
+    return fresh[~fresh.apply(tuple, axis=1).isin(existing)]

@@ -142,3 +142,24 @@ def dedup_triples(ds, batch_size: int | None = None, num_buckets: int = 64):
     if "emit_idx" in ds.schema().names:
         drop.append("emit_idx")
     return out.drop_columns(drop)
+
+
+def dedup_pairs(pairs_ds, num_buckets: int = 64, keep_cols=None):
+    """Global exact dedup of an (a, b[, ...]) pair Dataset via a coarse
+    bucket shuffle (per-pair fine keys would pay Ray's per-group UDF
+    overhead once per pair).  Used by the near-dup pipelines."""
+    import pandas as pd
+
+    def key(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(pb=((b["a"].astype("int64") * 1_000_003
+                             + b["b"].astype("int64"))
+                            % num_buckets).astype("int32"))
+
+    cols = keep_cols
+
+    def drop(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["a", "b"])
+        return g[cols] if cols else g.drop(columns=["pb"])
+
+    return (pairs_ds.map_batches(key, batch_format="pandas")
+            .groupby("pb").map_groups(drop, batch_format="pandas"))

@@ -85,7 +85,14 @@ def cosine_dup_pairs_lsh(embeddings_ds, threshold: float = 0.9,
                          id_col: str = "vec_id", emb_col: str = "embedding",
                          n_planes: int = 6, bands: int = 4, seed: int = 17,
                          round_to: int = 4):
-    """Approximate cosine near-dup via random-hyperplane LSH buckets."""
+    """Approximate cosine near-dup via random-hyperplane LSH buckets.
+
+    TRUE scale path: the embedding vectors travel WITH their bucket rows
+    through the groupby shuffle, so per-worker memory is proportional to
+    bucket size — nothing is driver-collected or broadcast (unlike
+    `cosine_dup_pairs`, whose exact all-pairs semantics require the full
+    matrix).  Partitioning assumption: individual buckets fit a worker
+    (n_planes scales with log N)."""
     rng = np.random.default_rng(seed)
 
     def sig(batch: pa.Table, band: int, planes: np.ndarray) -> pd.DataFrame:
@@ -97,35 +104,33 @@ def cosine_dup_pairs_lsh(embeddings_ds, threshold: float = 0.9,
         return pd.DataFrame({
             id_col: batch[id_col].to_numpy().astype(np.int64),
             "bucket": key + (np.int64(band) << 32),
+            emb_col: batch[emb_col].to_pylist(),
         })
 
-    def in_bucket_pairs(group: pd.DataFrame, lookup_ref) -> pd.DataFrame:
-        import ray
-        ids_all, mat_all = ray.get(lookup_ref)
-        pos = np.searchsorted(ids_all, group[id_col].to_numpy())
-        mat = mat_all[pos]
+    def in_bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         ids = group[id_col].to_numpy()
+        mat = _normalize(np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in group[emb_col]]))
         sims = mat @ mat.T
         iu, ju = np.triu_indices(len(ids), k=1)
         keep = sims[iu, ju] >= threshold
         a, b = ids[iu[keep]], ids[ju[keep]]
         swap = a > b
-        a2 = np.where(swap, b, a)
-        b2 = np.where(swap, a, b)
+        a2 = np.where(swap, b, a).astype(np.int64)
+        b2 = np.where(swap, a, b).astype(np.int64)
         return pd.DataFrame({"a": a2, "b": b2,
                              "sim": np.round(sims[iu, ju][keep], round_to)})
 
-    import ray
-
-    full = pa.concat_tables(
-        [ray.get(r) for r in
-         embeddings_ds.select_columns([id_col, emb_col]).to_arrow_refs()])
-    ids_all = full[id_col].to_numpy().astype(np.int64)
-    order = np.argsort(ids_all)
-    ids_all = ids_all[order]
-    mat_all = _normalize(_matrix(full[emb_col].to_pylist()).astype(np.float64))[order]
-    lookup_ref = ray.put((ids_all, mat_all))
-    dim = mat_all.shape[1]
+    # probe dimensionality from one row (cheap; schema-only would not
+    # give the list length)
+    first = embeddings_ds.take(1)
+    if not first:
+        return embeddings_ds.map_batches(
+            lambda b: pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                    "b": pd.Series(dtype="int64"),
+                                    "sim": pd.Series(dtype="float64")}),
+            batch_format="pyarrow")
+    dim = len(first[0][emb_col])
 
     sigs = None
     src = embeddings_ds.select_columns([id_col, emb_col])
@@ -137,20 +142,12 @@ def cosine_dup_pairs_lsh(embeddings_ds, threshold: float = 0.9,
         sigs = part if sigs is None else sigs.union(part)
 
     pairs = (sigs.groupby("bucket")
-             .map_groups(lambda g: in_bucket_pairs(g, lookup_ref),
-                         batch_format="pandas"))
-    # identical pair can surface from several bands — dedup globally on
-    # a COARSE bucket (fine (a, b) keys would pay Ray's per-group UDF
-    # overhead once per pair; see pipelines/relational.py join notes)
-    keyed = pairs.map_batches(
-        lambda b: b.assign(
-            pb=((b["a"].astype("int64") * 1_000_003
-                 + b["b"].astype("int64")) % 64).astype("int32")),
-        batch_format="pandas")
-    return (keyed.groupby("pb")
-            .map_groups(lambda g: g.drop_duplicates(subset=["a", "b"]),
-                        batch_format="pandas")
-            .drop_columns(["pb"]))
+             .map_groups(in_bucket_pairs, batch_format="pandas"))
+    # identical pair can surface from several bands — global dedup on a
+    # coarse bucket (see stages/dedup.py dedup_pairs)
+    from .dedup import dedup_pairs
+
+    return dedup_pairs(pairs, keep_cols=["a", "b", "sim"])
 
 
 def dup_groups_from_pairs(pairs_df: pd.DataFrame,

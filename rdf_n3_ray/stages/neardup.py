@@ -69,6 +69,13 @@ def minhash_signatures(
 
 def explode_bands(batch: pd.DataFrame, bands: int = 16) -> pd.DataFrame:
     """signature -> (doc_id, band, band_hash) rows; the LSH bucketing key."""
+    if len(batch) and bands > 0:
+        num_perm = len(batch["signature"].iloc[0])
+        if bands > num_perm or num_perm % bands:
+            raise ValueError(
+                f"bands={bands} must divide num_perm={num_perm}: "
+                "r=num_perm//bands rows per band would otherwise drop "
+                "signature components or hash empty chunks")
     rows_doc, rows_band, rows_hash = [], [], []
     for doc_id, sig in zip(batch["doc_id"], batch["signature"]):
         sig = np.asarray(sig, dtype=np.int64)
@@ -154,16 +161,9 @@ def minhash_lsh_dedup(
     # verify pool gets real parallelism: the sort-shuffle reduce often
     # emits just a handful of blocks, which would cap the actor pool at
     # that many in-flight tasks.
-    def pair_dedup(group: pd.DataFrame) -> pd.DataFrame:
-        return group.drop_duplicates(subset=["a", "b"])[["a", "b"]]
+    from .dedup import dedup_pairs
 
-    pairs = (pairs.map_batches(
-        lambda b: b.assign(
-            pb=((b["a"].astype("int64") * 1_000_003
-                 + b["b"].astype("int64")) % 64).astype("int32")),
-        batch_format="pandas")
-        .groupby("pb").map_groups(pair_dedup, batch_format="pandas")
-        .repartition(32))
+    pairs = dedup_pairs(pairs, keep_cols=["a", "b"]).repartition(32)
 
     # Signature pre-filter: estimated Jaccard = fraction of agreeing
     # minhash components (unbiased, sd = sqrt(t(1-t)/num_perm)).  One

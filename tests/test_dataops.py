@@ -421,3 +421,23 @@ def test_reason_kb_path_partition_pruned(ray_session, tmp_path):
     got = set(map(tuple, adds.values))
     want = set(map(tuple, mem_new[mem_new.pred == "<skip>"].values))
     assert got == want
+
+
+def test_reason_kb_path_rederivation_not_counted(ray_session, tmp_path):
+    """Symmetric rule over symmetric base facts derives nothing new —
+    re-derivations of base triples must not count as inferred."""
+    import ray.data as rd
+
+    from rdf_n3_ray.pipelines.reasoning import (
+        reason_kb_path,
+        write_kb_partitioned,
+    )
+
+    base = pd.DataFrame({
+        "subj": ["<a>", "<b>"], "pred": ["<knows>"] * 2,
+        "obj": ["<b>", "<a>"]})
+    out = str(tmp_path / "kb")
+    write_kb_partitioned(rd.from_pandas(base), out)
+    rules = [([("?x", "<knows>", "?y")], [("?y", "<knows>", "?x")])]
+    adds, inferred = reason_kb_path(out, rules)
+    assert inferred == 0 and len(adds) == 0
