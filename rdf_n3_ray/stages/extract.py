@@ -19,6 +19,8 @@ import pyarrow as pa
 
 from ..parser.n3_parser import parse_n3
 from ..terms import kind_of
+
+_KIND_IRI = kind_of("<urn:x>")
 from .linker import MENTIONS_PRED, _MENTION_RE
 
 
@@ -38,7 +40,8 @@ class ExtractTurnKG:
         # ubiquitous at transcript scale (~70% dup ratio on the bench
         # corpus) and parse output for identical text is identical —
         # bnode labels are document-scoped and only get (conv, turn)
-        # salt later, in skolemize.  Cache value: (quads, mention_iris).
+        # salt later, in skolemize.  Cache value: (quads, mention_iris,
+        # subj_kinds, obj_kinds).
         self._cache: dict[str, tuple] = {}
         self._cache_cap = 65536
 
@@ -47,6 +50,7 @@ class ExtractTurnKG:
         turn_idxs = batch.column("turn_idx").to_pylist()
         texts = batch.column("text").to_pylist()
         oc, ot, os_, op, oo, og, oe = [], [], [], [], [], [], []
+        osk, ook = [], []
         for conv, turn, text in zip(conv_ids, turn_idxs, texts):
             if not text:
                 continue
@@ -69,16 +73,18 @@ class ExtractTurnKG:
                         hit = self.index.get(norm)
                         if hit is not None:
                             mention_iris.append(f"<{hit[0]}>")
-                cached = (result.quads, mention_iris)
+                cached = (result.quads, mention_iris,
+                          [kind_of(q[0]) for q in result.quads],
+                          [kind_of(q[2]) for q in result.quads])
                 if len(self._cache) >= self._cache_cap:
                     self._cache.clear()  # simple epoch eviction
                 self._cache[text] = cached
-            quads, mention_iris = cached
+            quads, mention_iris, skinds, okinds = cached
             emit = 0  # deterministic emission position within the turn:
             # gives every output row a globally unique identity
             # (conv_id, turn_idx, emit_idx) regardless of how Ray later
             # splits blocks — required by the narrow dedup shuffle
-            for s, p, o, g in quads:
+            for (s, p, o, g), sk, ok in zip(quads, skinds, okinds):
                 oc.append(conv)
                 ot.append(turn)
                 os_.append(s)
@@ -86,6 +92,8 @@ class ExtractTurnKG:
                 oo.append(o)
                 og.append(g)
                 oe.append(emit)
+                osk.append(sk)
+                ook.append(ok)
                 emit += 1
             for iri in mention_iris:
                 oc.append(conv)
@@ -95,6 +103,8 @@ class ExtractTurnKG:
                 oo.append(iri)
                 og.append(None)
                 oe.append(emit)
+                osk.append(_KIND_IRI)
+                ook.append(_KIND_IRI)
                 emit += 1
         return pa.table(
             {
@@ -104,8 +114,8 @@ class ExtractTurnKG:
                 "pred": pa.array(op, pa.string()),
                 "obj": pa.array(oo, pa.string()),
                 "graph": pa.array(og, pa.string()),
-                "subj_kind": pa.array([kind_of(s) for s in os_], pa.int8()),
-                "obj_kind": pa.array([kind_of(o) for o in oo], pa.int8()),
+                "subj_kind": pa.array(osk, pa.int8()),
+                "obj_kind": pa.array(ook, pa.int8()),
                 "emit_idx": pa.array(oe, pa.int32()),
             }
         )
