@@ -13,6 +13,7 @@ from rdf_n3_ray.stages.multimodal import (
 )
 from rdf_n3_ray.stages.neardup import (
     exact_dedup_docs,
+    explode_bands,
     jaccard,
     minhash_lsh_dedup,
     minhash_signatures,
@@ -441,3 +442,13 @@ def test_reason_kb_path_rederivation_not_counted(ray_session, tmp_path):
     rules = [([("?x", "<knows>", "?y")], [("?y", "<knows>", "?x")])]
     adds, inferred = reason_kb_path(out, rules)
     assert inferred == 0 and len(adds) == 0
+
+
+def test_explode_bands_validates_divisibility():
+    sig = minhash_signatures(pd.DataFrame({"doc_id": [1], "text": ["hello world doc"]}))
+    with pytest.raises(ValueError):
+        explode_bands(sig, bands=128)   # bands > num_perm
+    with pytest.raises(ValueError):
+        explode_bands(sig, bands=24)    # 64 % 24 != 0
+    ok = explode_bands(sig, bands=16)
+    assert len(ok) == 16
