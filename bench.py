@@ -129,12 +129,15 @@ def run_scaling() -> dict:
             "from rdf_n3_ray.sources.transcripts import transcripts_dataset\n"
             "build_kg_dataset(transcripts_dataset(n_convs=200,"
             " turns_per_conv=10)).count()\n"
-            "t0 = time.time()\n"
-            "n = build_kg_dataset(transcripts_dataset(n_convs=%d,"
+            "best = None\n"
+            "for _ in range(2):\n"
+            "    t0 = time.time()\n"
+            "    n = build_kg_dataset(transcripts_dataset(n_convs=%d,"
             " turns_per_conv=%d, override_num_blocks=64)).materialize().count()\n"
-            "dt = time.time() - t0\n"
-            "print(json.dumps({'sec': dt, 'rows': n,"
-            " 'turns_per_sec': %d * %d / dt}))\n"
+            "    dt = time.time() - t0\n"
+            "    best = dt if best is None or dt < best else best\n"
+            "print(json.dumps({'sec': best, 'rows': n,"
+            " 'turns_per_sec': %d * %d / best}))\n"
             "ray.shutdown()\n"
             % (ncpu, N_CONVS, TURNS, N_CONVS, TURNS)
         )
