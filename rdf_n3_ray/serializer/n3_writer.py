@@ -44,13 +44,11 @@ _DEFAULT_PREFIXES = {
     "owl": T.OWL_NS,
 }
 
-_NUMERIC_NATIVE = {T.XSD_INTEGER, T.XSD_DECIMAL, T.XSD_BOOLEAN}
-
 import re as _lex_re
 
-_INT_LEX_RE = _lex_re.compile(r"[+-]?[0-9]+$")
-_DEC_LEX_RE = _lex_re.compile(r"[+-]?[0-9]*\.[0-9]+$")
-_DBL_LEX_RE = _lex_re.compile(r"[+-]?(?:[0-9]+\.[0-9]*|\.?[0-9]+)[eE][+-]?[0-9]+$")
+_INT_LEX_RE = _lex_re.compile(r"[+-]?[0-9]+\Z")
+_DEC_LEX_RE = _lex_re.compile(r"[+-]?[0-9]*\.[0-9]+\Z")
+_DBL_LEX_RE = _lex_re.compile(r"[+-]?(?:[0-9]+\.[0-9]*|\.?[0-9]+)[eE][+-]?[0-9]+\Z")
 
 import re as _re
 
@@ -63,7 +61,7 @@ def _pname_safe(local: str) -> bool:
     grammar; we fall back to <iri> form for anything exotic)."""
     if local == "":
         return True
-    if local[0] == ".":
+    if local[0] in ".-":
         return False
     return bool(_PNAME_SAFE_RE.match(local)) and "/" not in local and "#" not in local
 
@@ -152,6 +150,12 @@ class N3Writer:
             if t in self.graphs:
                 return self._formula(t)
             if self._is_list_head(t, graph):
+                if self.ref_count[(graph, t)] > 1:
+                    # shared list: inlining here would consume the ladder
+                    # at the FIRST reference and leave later references
+                    # dangling — keep the label; the subject pass renders
+                    # the ladder explicitly once
+                    return t
                 head_quads = [q for q in self.graphs.get(graph, [])
                               if q[0] == t]
                 if all(q in self.serialized for q in head_quads):
@@ -324,16 +328,11 @@ class N3Writer:
                 out.append(f"[ {self._predicate_object_list(sq, graph)} ] .")
                 continue
             if T.is_bnode(s) and s not in self.graphs:
-                # subject position: a list head with EXTRA props renders
-                # as ( ... ) with those props; a pure ladder (or any
-                # other bnode) keeps its label — consuming the ladder
-                # here would leave the statement without a POL
-                extra = [q for q in sq
-                         if q[1] not in (T.RDF_FIRST, T.RDF_REST)]
-                if self._is_list_head(s, graph) and extra:
-                    subj = self._as_list(s, graph)
-                else:
-                    subj = s
+                # subject position: any bnode (including list-ladder
+                # heads — _is_list_head is false once a head has extra
+                # props) keeps its explicit label; inlining its own
+                # props here would consume this statement's quads
+                subj = s
             else:
                 subj = self._term(s, graph)
             sq = [q for q in self.graphs.get(graph, []) if q[0] == s and q not in self.serialized]

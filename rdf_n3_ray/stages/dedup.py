@@ -20,15 +20,22 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 
 _QUAD_COLS = ["subj", "pred", "obj", "graph"]
 
 
+def _quad_key_string(df: pd.DataFrame) -> pd.Series:
+    """Single source of truth for the quad key construction."""
+    return (df["subj"].astype(str)
+            + "\x00" + df["pred"].astype(str)
+            + "\x00" + df["obj"].astype(str)
+            + "\x00" + df["graph"].fillna("\x01").astype(str))
+
+
 def _quad_key(df: pd.DataFrame) -> pd.Series:
-    """64-bit quad hash == h1 of the 128-bit scheme (single source of
-    truth for the key construction)."""
-    return _quad_key128(df)[0]
+    """64-bit quad hash (one hash pass; the wide path never needs h2)."""
+    return pd.util.hash_pandas_object(
+        _quad_key_string(df), index=False).astype(np.int64)
 
 
 def local_dedup(batch: pd.DataFrame, num_buckets: int) -> pd.DataFrame:
@@ -58,12 +65,7 @@ def _quad_key128(df: pd.DataFrame) -> tuple[pd.Series, pd.Series]:
     Collision probability over 10^12 triples ~ 2^-104: exactness is
     cryptographic-negligible rather than compare-full-quad, which is the
     price of the narrow shuffle below."""
-    key = (
-        df["subj"].astype(str)
-        + "\x00" + df["pred"].astype(str)
-        + "\x00" + df["obj"].astype(str)
-        + "\x00" + df["graph"].fillna("\x01").astype(str)
-    )
+    key = _quad_key_string(df)
     h1 = pd.util.hash_pandas_object(key, index=False).astype(np.int64)
     h2 = pd.util.hash_pandas_object("\x02" + key, index=False).astype(np.int64)
     return h1, h2
@@ -148,8 +150,6 @@ def dedup_pairs(pairs_ds, num_buckets: int = 64, keep_cols=None):
     """Global exact dedup of an (a, b[, ...]) pair Dataset via a coarse
     bucket shuffle (per-pair fine keys would pay Ray's per-group UDF
     overhead once per pair).  Used by the near-dup pipelines."""
-    import pandas as pd
-
     def key(b: pd.DataFrame) -> pd.DataFrame:
         return b.assign(pb=((b["a"].astype("int64") * 1_000_003
                              + b["b"].astype("int64"))

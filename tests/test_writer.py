@@ -59,3 +59,39 @@ def test_ntriples_lines():
     nt = to_ntriples(quads)
     assert "<http://ex/a> <http://ex/b> <http://ex/c> ." in nt
     assert "_:_form_0" in nt
+
+
+def test_shared_list_head_keeps_label():
+    """A list referenced from two statements must render by label with
+    an explicit ladder — inlining at the first reference would leave
+    the second dangling (review regression)."""
+    from rdf_n3_ray import terms as T
+    from rdf_n3_ray.parser.n3_parser import parse_n3
+    from rdf_n3_ray.serializer.n3_writer import serialize_n3
+    from rdf_n3_ray.isomorphism import isomorphic
+
+    q = [("<http://x/a>", "<http://x/p>", "_:l", None),
+         ("<http://x/b>", "<http://x/p>", "_:l", None),
+         ("_:l", T.RDF_FIRST, '"1"', None),
+         ("_:l", T.RDF_REST, T.RDF_NIL, None)]
+    back = parse_n3(serialize_n3(q), base_uri="http://x/")
+    assert not back.errors
+    assert isomorphic(q, back.quads)
+
+
+def test_invalid_lexical_never_bare():
+    """Ill-typed numeric lexicals (incl. trailing-newline forms) must
+    keep the quoted ^^datatype form (review regression)."""
+    from rdf_n3_ray import terms as T
+    from rdf_n3_ray.parser.n3_parser import parse_n3
+    from rdf_n3_ray.serializer.n3_writer import serialize_n3
+    from rdf_n3_ray.isomorphism import isomorphic
+
+    xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+    for bad in ("abc", "1\n", "1 2"):
+        q = [("<http://x/a>", "<http://x/p>",
+              T.literal(bad, datatype=xsd_int), None)]
+        out = serialize_n3(q)
+        back = parse_n3(out, base_uri="http://x/")
+        assert not back.errors, (bad, out, back.errors)
+        assert isomorphic(q, back.quads), (bad, out)
