@@ -76,19 +76,15 @@ def _q_serialize_turns(sf_dir: str):
 
 
 def _q_minhash_pairs(sf_dir: str):
-    from rdf_n3_ray.pipelines.relational import _read
-    from rdf_n3_ray.stages.neardup import minhash_lsh_dedup
+    from rdf_n3_ray.pipelines.relational import minhash_pairs
 
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return minhash_lsh_dedup(docs, threshold=0.5)
+    return minhash_pairs(sf_dir, threshold=0.5)
 
 
 def _q_simhash(sf_dir: str):
-    from rdf_n3_ray.pipelines.relational import _read
-    from rdf_n3_ray.stages.neardup import simhash_batch
+    from rdf_n3_ray.pipelines.relational import simhash_docs
 
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return docs.map_batches(simhash_batch, batch_format="pandas").sort("doc_id")
+    return simhash_docs(sf_dir)
 
 
 def _q_lang_id(sf_dir: str):
@@ -132,7 +128,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parse_turns": _q_parse_turns,
         "reason_turns": _q_reason_turns,
         "serialize_turns": _q_serialize_turns,
-        # --- training-data ops (rows-only checks) ----------------------
+        # --- training-data ops ------------------------------------------
+        # (minhash_pairs / simhash / jaccard_dup_groups are oracle-
+        #  checked against exact recomputation SQL; the rest rows-only)
         "minhash_pairs": _q_minhash_pairs,
         "simhash": _q_simhash,
         "lang_id": _q_lang_id,
@@ -161,4 +159,8 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_priority": R.REVENUE_BY_PRIORITY_SQL,
         "nations_without_suppliers": R.NATIONS_WITHOUT_SUPPLIERS_SQL,
         "part_brand_stats": R.PART_BRAND_STATS_SQL,
+        # exact-recompute oracles for the approximate/near-dup family
+        "minhash_pairs": R.MINHASH_PAIRS_SQL,
+        "jaccard_dup_groups": R.JACCARD_GROUPS_SQL,
+        "simhash": R.SIMHASH_SQL,
     }

@@ -593,22 +593,17 @@ def _conclusion(engine: Engine, s, o, sol):
 
 
 def _resource_to_path(term) -> str | None:
-    """file:// IRI or plain-path literal -> local filesystem path.
-    http(s) is deliberately unsupported (no network in this engine's
-    deployment); mirrors log/content.rb:20-33 with RDF::Util::File
-    restricted to local reads."""
-    from .builtins import string_value
-
+    """file:// IRI -> local filesystem path.  Only resources (IRIs) are
+    dereferenceable, matching log/content.rb:20-33; a plain string
+    literal is NOT treated as a path (data-driven rules must not be able
+    to read arbitrary local files).  http(s) is deliberately unsupported
+    (no network in this engine's deployment)."""
     if isinstance(term, str) and T.is_iri(term):
         v = T.iri_value(term)
         if v.startswith("file://"):
             from urllib.parse import unquote, urlsplit
 
             return unquote(urlsplit(v).path)
-        return None
-    if isinstance(term, str) and T.is_literal(term):
-        p = string_value(term)
-        return p if not p.startswith(("http://", "https://")) else None
     return None
 
 

@@ -37,6 +37,18 @@ from .. import terms as T
 from .lexer import LexerError, Token, tokenize
 
 # preseeded operator namespaces (reader.rb:105-117)
+# XSD lexical spaces checked in validate mode (RDF::Literal#valid?
+# equivalents for the datatypes the reference's validation spec covers)
+_LEXICAL_RES = {
+    "http://www.w3.org/2001/XMLSchema#integer": re.compile(r"[+-]?\d+"),
+    "http://www.w3.org/2001/XMLSchema#decimal":
+        re.compile(r"[+-]?(\d+(\.\d*)?|\.\d+)"),
+    "http://www.w3.org/2001/XMLSchema#double":
+        re.compile(r"[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?|[+-]?INF|NaN"),
+    "http://www.w3.org/2001/XMLSchema#boolean":
+        re.compile(r"true|false|1|0"),
+}
+
 _SEED_PREFIXES = {
     "rdf": T.RDF_NS,
     "rdfs": T.RDFS_NS,
@@ -411,6 +423,14 @@ class N3Parser:
                 if dt is None:
                     self.error("Expected datatype IRI", self.first())
                 dtv = T.iri_value(dt)
+                if self.validate and dtv in _LEXICAL_RES:
+                    # the reference raises on ill-typed numeric/boolean
+                    # literals in validate mode (reader_spec.rb:1349-1364
+                    # via RDF::Literal#valid?)
+                    if not _LEXICAL_RES[dtv].fullmatch(value):
+                        self.error(
+                            f"Ill-typed literal {value!r} for <{dtv}>",
+                            token)
                 if self.canonicalize:
                     if dtv == T.XSD_INTEGER:
                         value = T.canonical_integer(value)

@@ -152,26 +152,136 @@ def _pattern_bindings(triples_ds, pattern) -> pd.DataFrame:
             out["__match__"] = pd.Series([True] * len(sel), index=sel.index)
         return pd.DataFrame(out)
 
-    return triples_ds.map_batches(match, batch_format="pandas").to_pandas()
+    return triples_ds.map_batches(match, batch_format="pandas").materialize()
 
 
-def _join_seq(frames):
+# Bindings frames at or below this row count are joined with plain
+# pd.merge on the driver (fast path: rule antecedents are usually
+# selective).  Above it, frames stay distributed and joins become
+# bucket-paired merges — a non-selective pattern like (?s rdf:type ?c)
+# over a 10^12-triple KB must never materialize on the driver.
+_DRIVER_JOIN_LIMIT = 500_000
+
+
+def _nrows(x) -> int:
+    return len(x) if isinstance(x, pd.DataFrame) else x.count()
+
+
+def _colnames(x) -> list[str]:
+    if isinstance(x, pd.DataFrame):
+        return list(x.columns)
+    sch = x.schema()
+    return list(sch.names) if sch is not None else []
+
+
+def _shrink(x, limit: int):
+    """Materialized bindings Dataset -> pandas when small enough."""
+    if isinstance(x, pd.DataFrame) or x.count() > limit:
+        return x
+    return x.to_pandas()
+
+
+def _dedup_bindings_ds(ds, cols):
+    """Distributed exact dedup of a bindings Dataset (all-string
+    columns): coarse hash bucket + vectorized in-bucket dedup."""
+    cols = list(cols)
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        key = b[cols].astype(str).agg("\x00".join, axis=1)
+        return b.assign(__hb=(pd.util.hash_pandas_object(key, index=False)
+                              % 64).astype("int32"))
+
+    return (ds.map_batches(bucket, batch_format="pandas")
+            .groupby("__hb")
+            .map_groups(lambda g: g.drop_duplicates(subset=cols),
+                        batch_format="pandas")
+            .drop_columns(["__hb"]).materialize())
+
+
+def _bucket_merge(left, right, shared, num_buckets: int = 64):
+    """Distributed equi-join of two bindings tables on their shared
+    variable columns: both sides tagged with a hash bucket of the join
+    key, unioned under one schema (all columns are string terms;
+    missing ones null-filled), then a vectorized pd.merge inside each
+    bucket.  Neither side ever materializes on the driver."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    lcols = _colnames(left)
+    rcols = _colnames(right)
+    all_cols = lcols + [c for c in rcols if c not in lcols]
+
+    def tagger(cols, side):
+        def tag(b: pd.DataFrame) -> pa.Table:
+            n = len(b)
+            key = b[shared].astype(str).agg("\x00".join, axis=1)
+            jb = (pd.util.hash_pandas_object(key, index=False)
+                  % num_buckets).astype("int32")
+            data = {"__jb": pa.array(jb.to_numpy(), pa.int32()),
+                    "__side": pa.array([side] * n, pa.int8())}
+            for c in all_cols:
+                data[c] = (pa.array(b[c].astype(str).tolist(), pa.string())
+                           if c in cols else pa.nulls(n, pa.string()))
+            return pa.table(data)
+        return tag
+
+    if isinstance(left, pd.DataFrame):
+        left = rd.from_pandas(left)
+    if isinstance(right, pd.DataFrame):
+        right = rd.from_pandas(right)
+    tagged = left.map_batches(tagger(lcols, 0), batch_format="pandas").union(
+        right.map_batches(tagger(rcols, 1), batch_format="pandas"))
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g0 = g[g["__side"] == 0][lcols]
+        g1 = g[g["__side"] == 1][rcols]
+        return g0.merge(g1, on=shared)
+
+    return (tagged.groupby("__jb")
+            .map_groups(join_bucket, batch_format="pandas").materialize())
+
+
+def _join2(out, pb, limit: int):
+    """One pairwise bindings join, driver or distributed by size."""
+    small_out = isinstance(out, pd.DataFrame)
+    small_pb = isinstance(pb, pd.DataFrame)
+    shared = [c for c in _colnames(out) if c in _colnames(pb)]
+    if small_out and small_pb:
+        return out.merge(pb, on=shared) if shared else out.merge(pb, how="cross")
+    if shared:
+        return _bucket_merge(out, pb, shared)
+    # cross join with a big side: broadcast the small side into a
+    # per-batch cross merge over the big side (two big sides would be a
+    # cartesian blow-up no engine should run — surface it)
+    if not small_out and not small_pb:
+        raise ValueError(
+            "cross-join of two large bindings frames (no shared "
+            "variables); reorder the rule's antecedent patterns")
+    big, small = (out, pb) if small_pb else (pb, out)
+    return big.map_batches(lambda b: b.merge(small, how="cross"),
+                           batch_format="pandas").materialize()
+
+
+def _join_seq(frames, limit: int = _DRIVER_JOIN_LIMIT):
     """Join a sequence of bindings tables on shared variable columns;
-    None = some pattern had no matches."""
-    out: pd.DataFrame | None = None
+    None = some pattern had no matches.  Frames arrive as materialized
+    Datasets; small ones drop to the driver fast path, large ones stay
+    distributed (bucket-paired merges)."""
+    out = None
     for pb in frames:
-        if pb.empty:
+        if _nrows(pb) == 0:
             return None
-        if "__match__" in pb.columns:
+        if "__match__" in _colnames(pb):
             continue
-        pb = pb.drop_duplicates()
-        if out is None:
-            out = pb
-        elif (shared := [c for c in out.columns if c in pb.columns]):
-            out = out.merge(pb, on=shared)
+        pb = _shrink(pb, limit)
+        if isinstance(pb, pd.DataFrame):
+            pb = pb.drop_duplicates()
         else:
-            out = out.merge(pb, how="cross")
-        if out.empty:
+            pb = _dedup_bindings_ds(pb, _colnames(pb))
+        out = pb if out is None else _join2(out, pb, limit)
+        if out is not None and not isinstance(out, pd.DataFrame):
+            out = _shrink(out, limit)
+        if _nrows(out) == 0:
             return None
     return out if out is not None else pd.DataFrame([{}])
 
@@ -181,6 +291,11 @@ def _instantiate(bindings: pd.DataFrame, cons) -> pd.DataFrame:
     template slot (no per-row iterrows).  Unbound existentials intern
     ONE node per variable label across all firings — the reference's
     RDF::Node.intern semantics (formula.rb:243)."""
+    # Callers hand us frames straight out of drop_duplicates(), whose
+    # gappy index would misalign against the fresh RangeIndex constant
+    # Series below (pandas aligns on the index union, yielding
+    # NaN-corrupted rows AND dropping valid bindings).
+    bindings = bindings.reset_index(drop=True)
     frames = []
     n = len(bindings)
     for s, p, o in cons:
@@ -206,6 +321,43 @@ def _instantiate(bindings: pd.DataFrame, cons) -> pd.DataFrame:
                              "pred": pd.Series(dtype="object"),
                              "obj": pd.Series(dtype="object")})
     return pd.concat(frames, ignore_index=True).drop_duplicates()
+
+
+def _instantiate_pieces(pieces, cons):
+    """Instantiate a rule's consequent over hybrid join results: small
+    (pandas) pieces on the driver, large (Dataset) pieces via a
+    distributed map_batches — consequent triples for a non-selective
+    rule never materialize on the driver.  Returns a pandas frame, a
+    Dataset, or None when nothing was produced."""
+    import pyarrow as pa
+
+    small = [p for p in pieces if isinstance(p, pd.DataFrame)]
+    big = [p for p in pieces if not isinstance(p, pd.DataFrame)]
+    out_small = None
+    if small:
+        bindings = pd.concat(small, ignore_index=True)
+        if len(bindings.columns):
+            bindings = bindings.drop_duplicates()
+        inst = _instantiate(bindings, cons)
+        if len(inst):
+            out_small = inst
+    if not big:
+        return out_small
+
+    def inst_batch(b: pd.DataFrame) -> pa.Table:
+        df = _instantiate(b, cons)
+        return pa.table({c: pa.array(df[c].astype(str).tolist(), pa.string())
+                         for c in ("subj", "pred", "obj")})
+
+    out = big[0]
+    for extra in big[1:]:
+        out = out.union(extra)
+    out = out.map_batches(inst_batch, batch_format="pandas")
+    if out_small is not None:
+        import ray.data as rd
+
+        out = out.union(rd.from_pandas(out_small))
+    return out
 
 
 def reason_dataset(triples_ds, rules, max_iterations: int = 10):
@@ -259,16 +411,20 @@ def reason_dataset(triples_ds, rules, max_iterations: int = 10):
                       if b is not None]
             if not pieces:
                 continue
-            bindings = pd.concat(pieces, ignore_index=True)
-            if len(bindings.columns):
-                bindings = bindings.drop_duplicates()
-            inst = _instantiate(bindings, cons)
-            if len(inst):
+            inst = _instantiate_pieces(pieces, cons)
+            if inst is not None:
                 new_rows.append(inst)
         if not new_rows:
             break
-        add_df = pd.concat(new_rows, ignore_index=True).drop_duplicates()
-        add = rd.from_pandas(add_df)
+        small = [r for r in new_rows if isinstance(r, pd.DataFrame)]
+        big = [r for r in new_rows if not isinstance(r, pd.DataFrame)]
+        parts = list(big)
+        if small:
+            parts.append(rd.from_pandas(
+                pd.concat(small, ignore_index=True).drop_duplicates()))
+        add = parts[0]
+        for extra in parts[1:]:
+            add = add.union(extra)
         delta = add.materialize()
         ds = ds.union(add)
         # exact dedup shuffle (repository set semantics): coarse bucket
@@ -392,10 +548,16 @@ def reason_kb_path(kb_dir: str, rules, num_buckets: int = 64,
                       if b is not None]
             if not pieces:
                 continue
-            bindings = pd.concat(pieces, ignore_index=True)
-            if len(bindings.columns):
-                bindings = bindings.drop_duplicates()
-            inst = _instantiate(bindings, cons)
+            inst = _instantiate_pieces(pieces, cons)
+            if inst is None:
+                continue
+            if not isinstance(inst, pd.DataFrame):
+                # bindings joins stayed distributed; only the DEDUPED
+                # per-iteration delta lands on the driver (the seen-set
+                # / lineage bookkeeping assumes novel inferences per
+                # iteration are driver-sized, not the KB)
+                inst = _dedup_bindings_ds(
+                    inst, ["subj", "pred", "obj"]).to_pandas()
             if len(inst):
                 new_rows.append(inst)
         if not new_rows:

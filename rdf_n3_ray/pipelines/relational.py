@@ -163,15 +163,25 @@ ORDER BY n.n_name
 # Sort / limit: top events by value
 # ---------------------------------------------------------------------------
 
-def top_events(sf_dir: str):
+def top_events(sf_dir: str, k: int = 100):
+    """Top-k by (value DESC, event_id ASC) WITHOUT a global sort: each
+    batch keeps its own top-k (vectorized sort_values.head), a second
+    combine level bounds the driver merge at ~blocks*k rows even with
+    millions of input blocks — only ever k rows per block move."""
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"])
-    out = ds.sort(["value", "event_id"], descending=[True, False]).limit(100)
 
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["value"] = batch["value"].round(6)
-        return batch
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(["value", "event_id"],
+                                 ascending=[False, True]).head(k)
 
-    return out.map_batches(finish, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pandas")
+    combined = partials.repartition(8).map_batches(partial,
+                                                   batch_format="pandas")
+    top = combined.to_pandas()  # <= 8*k rows
+    top = (top.sort_values(["value", "event_id"], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    top["value"] = top["value"].round(6)
+    return top
 
 
 TOP_EVENTS_SQL = """
@@ -454,9 +464,119 @@ def jaccard_dup_groups(sf_dir: str, threshold: float = 0.5):
     from ..stages.neardup import minhash_lsh_dedup
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = minhash_lsh_dedup(docs, threshold=threshold).to_pandas()
+    # prefilter off: the oracle is EXACT shingle Jaccard, so every LSH
+    # candidate must be verified exactly (see minhash_lsh_dedup contract)
+    pairs = minhash_lsh_dedup(docs, threshold=threshold,
+                              prefilter_sigma=None).to_pandas()
     groups = dup_groups_from_pairs(pairs)
-    return groups.rename(columns={"id": "doc_id", "group": "dup_group"})
+    groups = groups.rename(columns={"id": "doc_id", "group": "dup_group"})
+    groups["doc_id"] = groups["doc_id"].astype("int64")
+    groups["dup_group"] = groups["dup_group"].astype("int64")
+    return groups.sort_values("doc_id").reset_index(drop=True)
+
+
+def minhash_pairs(sf_dir: str, threshold: float = 0.5):
+    """Verified near-dup pairs, deterministically ordered.  The DuckDB
+    oracle recomputes EXACT k-shingle Jaccard over all pairs; equality
+    additionally witnesses the LSH candidate recall on this corpus
+    (near-dups here sit far above the banding miss region)."""
+    from ..stages.neardup import minhash_lsh_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_lsh_dedup(docs, threshold=threshold,
+                              prefilter_sigma=None).to_pandas()
+    if pairs.empty:
+        pairs = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64"),
+                              "sim": pd.Series(dtype="float64")})
+    pairs["a"] = pairs["a"].astype("int64")
+    pairs["b"] = pairs["b"].astype("int64")
+    return pairs.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def simhash_docs(sf_dir: str):
+    from ..stages.neardup import simhash_batch
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(simhash_batch, batch_format="pandas").sort("doc_id")
+
+
+# Exact k-shingle (k=5, lowercased) Jaccard over all pairs: the ground
+# truth the minhash+LSH pipeline approximates.  Shingling here is
+# character-based; the corpus is ASCII so it equals the pipeline's
+# byte-based shingles (64-bit hashing makes collisions negligible).
+_SHINGLE_PAIRS_CTE = """
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id, substring(lower(text), i, 5) AS s FROM (
+    SELECT doc_id, text,
+           unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+    FROM documents)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+), pairs AS (
+  SELECT a, b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS sim
+  FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+)
+"""
+
+MINHASH_PAIRS_SQL = _SHINGLE_PAIRS_CTE + """
+SELECT a::BIGINT AS a, b::BIGINT AS b, sim FROM pairs ORDER BY a, b
+"""
+
+# min-label connected components over the verified pairs (recursive
+# transitive closure; mirrors stages/embed_dedup.dup_groups_from_pairs)
+JACCARD_GROUPS_SQL = _SHINGLE_PAIRS_CTE + """
+, edges AS (
+  SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs
+), reach AS (
+  SELECT x, y FROM edges
+  UNION
+  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+)
+SELECT x::BIGINT AS doc_id, LEAST(x, MIN(y))::BIGINT AS dup_group
+FROM reach GROUP BY x ORDER BY doc_id
+"""
+
+
+def _simhash_sql() -> str:
+    """SimHash oracle: per-word base-257 code-point polynomial + double
+    Knuth mix mod 2^64 in HUGEINT arithmetic (bit-identical to
+    stages/neardup._word_hash64), then the per-bit majority vote with
+    output bits 1..63 (matching simhash_batch's >> 1)."""
+    terms = "\n     + ".join(
+        f"CASE WHEN 2*SUM(((h // {1 << (j + 1)}) % 2)) > COUNT(*)"
+        f" THEN {1 << j} ELSE 0 END"
+        for j in range(63))
+    return f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+    FROM documents) WHERE w <> ''
+), whash AS (
+  SELECT doc_id,
+    ((list_reduce(
+        list_prepend(0::HUGEINT,
+          list_transform(range(1, length(w) + 1),
+                         i -> unicode(substring(w, i, 1))::HUGEINT)),
+        (acc, x) -> (acc * 257 + x) % 18446744073709551616::HUGEINT)
+      * 2654435769) % 18446744073709551616::HUGEINT
+      * 3266489917) % 18446744073709551616::HUGEINT AS h
+  FROM words
+), per_doc AS (
+  SELECT doc_id, ({terms})::BIGINT AS simhash
+  FROM whash GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(p.simhash, 0)::BIGINT AS simhash
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+SIMHASH_SQL = _simhash_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -694,23 +814,20 @@ def nations_without_suppliers(sf_dir: str, min_acctbal: float = 5000.0):
     supplier_nations = set(supplier["s_nationkey"])
     # anti-join on the dimension side (EXCEPT): nations not in suppliers
     dim = dim[~dim["n_nationkey"].isin(supplier_nations)]
-    lookup = ray.put({int(k): (n, r) for k, n, r in
-                      zip(dim["n_nationkey"], dim["n_name"], dim["r_name"])})
+    lookup = ray.put(dim[["n_nationkey", "n_name", "r_name"]]
+                     .reset_index(drop=True))
 
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
 
     def attach(b: pd.DataFrame) -> pd.DataFrame:
+        # vectorized broadcast join (inner merge doubles as the
+        # semi-join filter) — no per-row Python lambda
         m = ray.get(lookup)
-        hit = b["c_nationkey"].map(lambda k: m.get(int(k)))
-        b = b[hit.notna()]
-        if b.empty:
+        out = b.merge(m, left_on="c_nationkey", right_on="n_nationkey")
+        if out.empty:
             return pd.DataFrame({"n_name": pd.Series(dtype="object"),
                                  "r_name": pd.Series(dtype="object"),
                                  "n_customers": pd.Series(dtype="int64")})
-        names = hit.dropna()
-        out = pd.DataFrame({
-            "n_name": [v[0] for v in names],
-            "r_name": [v[1] for v in names]})
         return (out.groupby(["n_name", "r_name"], as_index=False)
                 .agg(n_customers=("n_name", "size")))
 

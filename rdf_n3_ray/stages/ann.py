@@ -68,12 +68,31 @@ class BruteForceTopK:
         )
 
 
+def _merge_topk(partials_ds, k: int) -> pd.DataFrame:
+    """Driver-side merge of per-batch partial top-k tables.  Only Q×k
+    rows per upstream batch ever reach the driver — the merge state is
+    Q heaps of k entries, independent of dataset size.  Ties broken by
+    smaller vec_id (stable, matches a SQL row_number oracle ordered by
+    sim DESC, vec_id ASC)."""
+    best: dict[int, list] = {}
+    for batch in partials_ds.iter_batches(batch_format="pandas"):
+        for qi, vid, sim in zip(batch["query_idx"], batch["vec_id"], batch["sim"]):
+            heap = best.setdefault(int(qi), [])
+            item = (float(sim), -int(vid))
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+    rows = []
+    for qi, heap in sorted(best.items()):
+        for sim, nvid in sorted(heap, reverse=True):
+            rows.append({"query_idx": qi, "vec_id": -nvid, "sim": sim})
+    return pd.DataFrame(rows, columns=["query_idx", "vec_id", "sim"])
+
+
 def brute_force_topk(embeddings_ds, queries: np.ndarray, k: int = 10, concurrency: int = 4,
                      dtype=np.float32):
     """Distributed exact top-k: map (partial per batch) + driver merge.
-
-    Ties broken by smaller vec_id (stable, matches a SQL row_number
-    oracle ordered by sim DESC, vec_id ASC).
 
     The query matrix ships in the actor constructor spec (small); a
     ray.put ref as a constructor arg can outlive its owner and wedge
@@ -86,20 +105,64 @@ def brute_force_topk(embeddings_ds, queries: np.ndarray, k: int = 10, concurrenc
         batch_size=4096,
         concurrency=concurrency,
     )
-    best: dict[int, list] = {}
-    for batch in partials.iter_batches(batch_format="pandas"):
-        for qi, vid, sim in zip(batch["query_idx"], batch["vec_id"], batch["sim"]):
-            heap = best.setdefault(int(qi), [])
-            item = (float(sim), -int(vid))
-            if len(heap) < k:
-                heapq.heappush(heap, item)
-            elif item > heap[0]:
-                heapq.heapreplace(heap, item)
-    rows = []
-    for qi, heap in sorted(best.items()):
-        for sim, nvid in sorted(heap, reverse=True):
-            rows.append({"query_idx": qi, "vec_id": -nvid, "sim": sim})
-    return pd.DataFrame(rows)
+    return _merge_topk(partials, k)
+
+
+class MaskedTopK:
+    """Actor-pool stage for probe-based ANN: vectorized partition filter
+    (pc.is_in on the cluster/bucket column — no per-row Python filter)
+    followed by per-query masked partial top-k.  Each query scores only
+    rows in its OWN probed partitions (np.isin mask), so IVF/LSH probe
+    semantics are identical across the in-memory and persisted paths.
+    Partials are Q×k rows per batch; the driver merge is _merge_topk."""
+
+    def __init__(self, queries: np.ndarray, q_allowed, part_col: str,
+                 k: int, dtype=np.float64):
+        self.dtype = dtype
+        self.q = _normalize(np.asarray(queries, dtype=dtype))
+        self.q_allowed = [np.asarray(a, dtype=np.int64) for a in q_allowed]
+        wanted = sorted({int(c) for a in self.q_allowed for c in a})
+        self.wanted = pa.array(wanted, pa.int64())
+        self.part_col = part_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = batch.column(self.part_col).cast(pa.int64())
+        batch = batch.filter(pc.is_in(col, value_set=self.wanted))
+        empty = pa.table({"query_idx": pa.array([], pa.int32()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        parts = (batch.column(self.part_col).cast(pa.int64())
+                 .to_numpy(zero_copy_only=False))
+        emb = _normalize(_matrix(batch.column("embedding").to_pylist(),
+                                 self.dtype))
+        sims = emb @ self.q.T  # (N, Q)
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(self.q.shape[0]):
+            mask = np.isin(parts, self.q_allowed[qi])
+            if not mask.any():
+                continue
+            col_s = sims[mask, qi]
+            mids = ids[mask]
+            kk = min(self.k, len(mids))
+            # lexicographic (-sim, vec_id): ties keep smallest vec_ids
+            # (see BruteForceTopK)
+            order = np.lexsort((mids, -col_s))[:kk]
+            out_q.extend([qi] * kk)
+            out_id.extend(int(v) for v in mids[order])
+            out_sim.extend(float(s) for s in col_s[order])
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, pa.int32()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "sim": pa.array(out_sim, pa.float64()),
+            }
+        )
 
 
 def _kmeans(sample: np.ndarray, n_clusters: int, iters: int = 8,
@@ -156,31 +219,19 @@ def ivf_topk(embeddings_ds, queries: np.ndarray, k: int = 10,
     grows with nprobe (nprobe == n_clusters -> brute force)."""
     assigned, cent = ivf_build(embeddings_ds, n_clusters=n_clusters,
                                seed=seed)
-    qn = _normalize(np.asarray(queries, dtype=np.float64))
-    q_probe = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]  # (Q, nprobe)
-    wanted = set(int(c) for row in q_probe for c in row)
+    qn = np.asarray(queries, dtype=np.float64)
+    q_probe = np.argsort(-(_normalize(qn) @ cent.T), axis=1)[:, :nprobe]
 
-    probed = assigned.filter(lambda r: r["cluster"] in wanted)
-    rows = []
-    for batch in probed.iter_batches(batch_format="pandas"):
-        emb = _normalize(_matrix(batch["embedding"]).astype(np.float64))
-        sims = emb @ qn.T
-        clusters = batch["cluster"].values
-        ids = batch["vec_id"].values
-        for qi in range(len(qn)):
-            mask = np.isin(clusters, q_probe[qi])
-            if not mask.any():
-                continue
-            for vid, sim in zip(ids[mask], sims[mask, qi]):
-                rows.append({"query_idx": qi, "vec_id": int(vid),
-                             "sim": float(sim)})
-    df = pd.DataFrame(rows, columns=["query_idx", "vec_id", "sim"])
-    if df.empty:
-        return df
-    return (df.sort_values(["query_idx", "sim", "vec_id"],
-                           ascending=[True, False, True])
-            .groupby("query_idx", as_index=False).head(k)
-            .reset_index(drop=True))
+    partials = assigned.map_batches(
+        MaskedTopK,
+        fn_constructor_kwargs={"queries": qn, "q_allowed": list(q_probe),
+                               "part_col": "cluster", "k": k,
+                               "dtype": np.float64},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+    return _merge_topk(partials, k)
 
 
 def lsh_bucket_signatures(batch: pa.Table, planes: np.ndarray) -> pa.Table:
@@ -209,34 +260,21 @@ def lsh_topk(embeddings_ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
     q_signs = (queries @ planes.T) > 0
     weights = (1 << np.arange(n_planes, dtype=np.int64))
     q_buckets = (q_signs.astype(np.int64) * weights).sum(axis=1)
-    wanted = set(int(b) for b in q_buckets)
 
     bucketed = embeddings_ds.map_batches(
         lambda b: lsh_bucket_signatures(b, planes), batch_format="pyarrow"
     )
-    probed = bucketed.filter(lambda row: row["bucket"] in wanted)
-    qn = _normalize(queries)
-    rows = []
-    for batch in probed.iter_batches(batch_format="pandas"):
-        emb = _normalize(_matrix(batch["embedding"]))
-        sims = emb @ qn.T
-        for qi in range(queries.shape[0]):
-            mask = batch["bucket"].values == q_buckets[qi]
-            if not mask.any():
-                continue
-            ids = batch["vec_id"].values[mask]
-            ss = sims[mask, qi]
-            for vid, sim in zip(ids, ss):
-                rows.append({"query_idx": qi, "vec_id": int(vid), "sim": float(sim)})
-    df = pd.DataFrame(rows, columns=["query_idx", "vec_id", "sim"])
-    if df.empty:
-        return df
-    return (
-        df.sort_values(["query_idx", "sim"], ascending=[True, False])
-        .groupby("query_idx", as_index=False)
-        .head(k)
-        .reset_index(drop=True)
+    partials = bucketed.map_batches(
+        MaskedTopK,
+        fn_constructor_kwargs={"queries": queries,
+                               "q_allowed": [[int(b)] for b in q_buckets],
+                               "part_col": "bucket", "k": k,
+                               "dtype": np.float32},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
     )
+    return _merge_topk(partials, k)
 
 
 def ivf_write(embeddings_ds, out_dir: str, n_clusters: int = 16,
@@ -251,6 +289,13 @@ def ivf_write(embeddings_ds, out_dir: str, n_clusters: int = 16,
 
     assigned, cent = ivf_build(embeddings_ds, n_clusters=n_clusters,
                                seed=seed)
+    # hive partitioning strips the partition column from the data files;
+    # persist a duplicate `cluster_id` IN the data so the query path can
+    # apply the same per-query probe mask as ivf_topk
+    assigned = assigned.map_batches(
+        lambda b: b.append_column("cluster_id", b.column("cluster")),
+        batch_format="pyarrow",
+    )
     assigned.write_parquet(out_dir, partition_cols=["cluster"])
     with open(os.path.join(out_dir, "_centroids.json"), "w") as f:
         json.dump(cent.tolist(), f)
@@ -281,25 +326,19 @@ def ivf_query(out_dir: str, queries: np.ndarray, k: int = 10,
             os.path.join(out_dir, f"cluster={c}", "*.parquet"))))
     if not paths:
         return pd.DataFrame(columns=["query_idx", "vec_id", "sim"])
-    probed = rd.read_parquet(paths)
+    probed = rd.read_parquet(
+        paths, columns=["vec_id", "embedding", "cluster_id"])
 
-    # recover the cluster id from the partition path is unnecessary:
-    # score rows against each query that probed their cluster; since we
-    # read the union of probed partitions, score all rows per query and
-    # keep top-k (exact within probed clusters)
-    rows = []
-    for batch in probed.iter_batches(batch_format="pandas"):
-        emb = _normalize(_matrix(batch["embedding"]).astype(np.float64))
-        sims = emb @ qn.T
-        ids = batch["vec_id"].values
-        for qi in range(len(qn)):
-            for vid, sim in zip(ids, sims[:, qi]):
-                rows.append({"query_idx": qi, "vec_id": int(vid),
-                             "sim": float(sim)})
-    df = pd.DataFrame(rows, columns=["query_idx", "vec_id", "sim"])
-    if df.empty:
-        return df
-    return (df.sort_values(["query_idx", "sim", "vec_id"],
-                           ascending=[True, False, True])
-            .groupby("query_idx", as_index=False).head(k)
-            .reset_index(drop=True))
+    # same per-query probe mask as ivf_topk (the persisted cluster_id
+    # column restores the cluster of every row): each query scores only
+    # rows of its OWN nprobe clusters, not the union of all probed ones
+    partials = probed.map_batches(
+        MaskedTopK,
+        fn_constructor_kwargs={"queries": qn, "q_allowed": list(q_probe),
+                               "part_col": "cluster_id", "k": k,
+                               "dtype": np.float64},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+    return _merge_topk(partials, k)

@@ -122,29 +122,100 @@ def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     return len(A & B) / len(A | B)
 
 
+def _verify_pair_group(group: pd.DataFrame, threshold: float,
+                       est_cut: float, shingle_k: int = 5) -> pd.DataFrame:
+    """Per pair-bucket verification: pivot the two half-rows of each
+    candidate pair side-by-side, signature pre-filter (vectorized), then
+    exact k-shingle Jaccard with a group-local shingle cache (each doc's
+    text is shingled once per bucket, not once per pair)."""
+    g0 = group[group["role"] == 0][["a", "b", "signature", "text"]]
+    g1 = group[group["role"] == 1][["a", "b", "signature", "text"]]
+    m = g0.merge(g1, on=["a", "b"], suffixes=("_a", "_b"))
+    if m.empty:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64"),
+                             "sim": pd.Series(dtype="float64")})
+    sa = np.asarray(m["signature_a"].tolist(), dtype=np.int64)
+    sb = np.asarray(m["signature_b"].tolist(), dtype=np.int64)
+    est = (sa == sb).mean(axis=1)
+    m = m.loc[est >= est_cut]
+    cache: dict = {}
+
+    def shingles(doc_id, text):
+        got = cache.get(doc_id)
+        if got is None:
+            got = cache[doc_id] = (
+                _hash_shingles(pd.Series([text]), k=shingle_k)[0]
+                if isinstance(text, str) and text
+                else np.empty(0, dtype=np.uint64))
+        return got
+
+    out_a, out_b, out_s = [], [], []
+    for a, b, ta, tb in zip(m["a"], m["b"], m["text_a"], m["text_b"]):
+        A = shingles(a, ta)
+        B = shingles(b, tb)
+        if not len(A) or not len(B):
+            continue
+        if A.size > B.size:
+            A, B = B, A
+        # shingle arrays are sorted-unique (np.unique): binary probe the
+        # smaller into the larger — O(|A| log |B|)
+        idx = np.searchsorted(B, A)
+        idx[idx == B.size] = B.size - 1
+        inter = int((B[idx] == A).sum())
+        sim = inter / (A.size + B.size - inter)
+        if sim >= threshold:
+            out_a.append(a)
+            out_b.append(b)
+            out_s.append(sim)
+    return pd.DataFrame({"a": np.array(out_a, dtype=np.int64),
+                         "b": np.array(out_b, dtype=np.int64),
+                         "sim": np.array(out_s, dtype=np.float64)})
+
+
 def minhash_lsh_dedup(
     docs_ds,
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.7,
     text_col: str = "text",
+    num_buckets: int = 64,
+    prefilter_sigma: float | None = 2.5,
 ):
     """Full near-dup pipeline: returns a Dataset of (a, b, sim) verified
-    duplicate pairs.  Shuffles: one groupby on (band, band_hash) for
-    candidates, one broadcast-side text lookup for verification.
+    duplicate pairs.
 
-    At 100 TB the verification text lookup would read from the
-    partitioned source by doc_id range; here (bench scale) the text map
-    is broadcast via ray.put.
+    Fully distributed — nothing corpus-sized ever reaches the driver:
+
+    1. signature+text per doc (one map pass, cached in the object store)
+    2. band explosion -> groupby(band-hash bucket) -> candidate pairs
+    3. global pair dedup (coarse bucket shuffle)
+    4. endpoint co-group: pair halves (keyed by a / by b) shuffled
+       together with the per-doc (signature, text) rows on
+       doc_id % num_buckets; each half picks up its doc's attributes
+       by a vectorized in-bucket merge
+    5. pair regroup on (a, b) bucket: signature pre-filter + exact
+       k-shingle Jaccard verify inside the group
+
+    `prefilter_sigma`: the pre-filter keeps pairs whose estimated
+    Jaccard (fraction of agreeing minhash components, unbiased,
+    sd = sqrt(t(1-t)/num_perm)) is >= threshold - sigma*sd.  RECALL
+    BOUND: a true pair at exactly `threshold` is dropped with
+    probability ~Phi(-sigma) (~0.6% at the default 2.5); pass None to
+    disable the pre-filter and verify every LSH candidate exactly.
     """
-    import ray
+    def sig_and_text(b: pd.DataFrame) -> pd.DataFrame:
+        out = minhash_signatures(b, text_col=text_col, num_perm=num_perm)
+        out["text"] = b[text_col].values
+        return out
 
-    sigs = docs_ds.map_batches(
-        lambda b: minhash_signatures(b, text_col=text_col, num_perm=num_perm),
+    # one shingling pass; reused by band explosion AND verification
+    info = docs_ds.map_batches(sig_and_text,
+                               batch_format="pandas").materialize()
+
+    band_rows = info.map_batches(
+        lambda b: explode_bands(b[["doc_id", "signature"]], bands=bands),
         batch_format="pandas",
-    ).materialize()  # reused twice: band explosion + signature pre-filter
-    band_rows = sigs.map_batches(
-        lambda b: explode_bands(b, bands=bands), batch_format="pandas"
     )
     band_rows = band_rows.map_batches(
         lambda b: b.assign(bb=(b["band_hash"] % 64).astype("int32")),
@@ -157,109 +228,129 @@ def minhash_lsh_dedup(
     # Global candidate dedup BEFORE verification: the same (a, b) pair
     # surfaces from every band the two docs agree on (and lands in
     # different coarse buckets, so per-batch dedup is not enough — the
-    # output would depend on block boundaries).  Then repartition so the
-    # verify pool gets real parallelism: the sort-shuffle reduce often
-    # emits just a handful of blocks, which would cap the actor pool at
-    # that many in-flight tasks.
+    # output would depend on block boundaries).
     from .dedup import dedup_pairs
 
-    pairs = dedup_pairs(pairs, keep_cols=["a", "b"]).repartition(32)
+    pairs = dedup_pairs(pairs, keep_cols=["a", "b"])
 
-    # Signature pre-filter: estimated Jaccard = fraction of agreeing
-    # minhash components (unbiased, sd = sqrt(t(1-t)/num_perm)).  One
-    # vectorized gather per batch kills the bulk of the candidate list
-    # before the exact-shingle verification; the 2.5-sigma margin keeps
-    # recall loss under ~1% of borderline-true pairs.  Signature matrix
-    # broadcast once via ray.put (num_docs x num_perm int64).
-    sig_df = sigs.to_pandas()
-    sig_ids = sig_df["doc_id"].to_numpy()
-    order = np.argsort(sig_ids)
-    sig_ids = sig_ids[order]
-    sig_mat = np.asarray([np.asarray(v) for v in sig_df["signature"]],
-                         dtype=np.int64)[order]
-    sig_ref = ray.put((sig_ids, sig_mat))
-    margin = 2.5 * float(np.sqrt(threshold * (1 - threshold) / num_perm))
-    est_cut = max(0.0, threshold - margin)
+    # --- endpoint co-group: attach (signature, text) to each pair half.
+    # Union schema (explicit Arrow types so both sides unify): [eb, role,
+    # doc_id, a, b, signature, text]; info rows have role=-1, half rows
+    # carry their endpoint in doc_id and null signature/text.
+    import pyarrow as pa
 
-    def prefilter(batch: pd.DataFrame) -> pd.DataFrame:
-        ids, mat = ray.get(sig_ref)
-        pa_ = np.searchsorted(ids, batch["a"].to_numpy())
-        pb_ = np.searchsorted(ids, batch["b"].to_numpy())
-        est = (mat[pa_] == mat[pb_]).mean(axis=1)
-        return batch.loc[est >= est_cut, ["a", "b"]]
+    _SIG_T = pa.list_(pa.int64())
 
-    pairs = pairs.map_batches(prefilter, batch_format="pandas")
+    def tag_info(b: pd.DataFrame) -> pa.Table:
+        ids = b["doc_id"].to_numpy(dtype=np.int64, copy=False)
+        n = len(b)
+        return pa.table({
+            "eb": pa.array((ids % num_buckets).astype(np.int32), pa.int32()),
+            "role": pa.array(np.full(n, -1, np.int8), pa.int8()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "a": pa.array(np.full(n, -1, np.int64), pa.int64()),
+            "b": pa.array(np.full(n, -1, np.int64), pa.int64()),
+            "signature": pa.array(b["signature"].tolist(), _SIG_T),
+            "text": pa.array(b["text"].astype(str).tolist(), pa.string()),
+        })
 
-    texts = {
-        r["doc_id"]: r[text_col]
-        for r in docs_ds.select_columns(["doc_id", text_col]).take_all()
-    }
-    text_ref = ray.put(texts)
+    def tag_halves(b: pd.DataFrame) -> pa.Table:
+        halves = []
+        a = b["a"].to_numpy(dtype=np.int64, copy=False)
+        bb_ = b["b"].to_numpy(dtype=np.int64, copy=False)
+        n = len(b)
+        for role, ep in ((0, a), (1, bb_)):
+            halves.append(pa.table({
+                "eb": pa.array((ep % num_buckets).astype(np.int32), pa.int32()),
+                "role": pa.array(np.full(n, role, np.int8), pa.int8()),
+                "doc_id": pa.array(ep, pa.int64()),
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(bb_, pa.int64()),
+                "signature": pa.nulls(n, _SIG_T),
+                "text": pa.nulls(n, pa.string()),
+            }))
+        return pa.concat_tables(halves)
 
-    class VerifyJaccard:
-        """Actor-pool verification: shingle-hash arrays for every doc
-        are built ONCE per actor in __init__, then each candidate pair
-        is an O(|A|+|B|) sorted-array intersection — no Python set
-        building per pair."""
+    tagged = info.map_batches(tag_info, batch_format="pandas").union(
+        pairs.map_batches(tag_halves, batch_format="pandas"))
 
-        def __init__(self):
-            self.tmap = ray.get(text_ref)
-            self.sh: dict = {}  # lazy per-doc cache: only docs that
-            # actually appear in candidate pairs get shingled (eager
-            # init would hash the whole corpus in every actor)
+    def attach(group: pd.DataFrame) -> pa.Table:
+        docs = group[group["role"] == -1][["doc_id", "signature", "text"]]
+        need = group[group["role"] != -1][["role", "doc_id", "a", "b"]]
+        got = need.merge(docs, on="doc_id", how="inner")
+        # explicit Arrow types: an empty group must not emit null-typed
+        # columns (they would clash with list<int64>/string blocks in
+        # the pair-bucket shuffle)
+        return pa.table({
+            "role": pa.array(got["role"].to_numpy(dtype=np.int8), pa.int8()),
+            "a": pa.array(got["a"].to_numpy(dtype=np.int64), pa.int64()),
+            "b": pa.array(got["b"].to_numpy(dtype=np.int64), pa.int64()),
+            "signature": pa.array(got["signature"].tolist(), _SIG_T),
+            "text": pa.array(got["text"].tolist(), pa.string()),
+        })
 
-        def _shingles(self, d):
-            got = self.sh.get(d)
-            if got is None:
-                text = self.tmap.get(d, "")
-                got = self.sh[d] = (
-                    _hash_shingles(pd.Series([text]))[0] if text
-                    else np.empty(0, dtype=np.uint64))
-            return got
+    halves = tagged.groupby("eb").map_groups(attach, batch_format="pandas")
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            sims = np.empty(len(batch), dtype=np.float64)
-            for i, (a, b) in enumerate(zip(batch["a"], batch["b"])):
-                A = self._shingles(a)
-                B = self._shingles(b)
-                if not len(A) or not len(B):
-                    sims[i] = 0.0
-                    continue
-                if A.size > B.size:
-                    A, B = B, A
-                # shingle arrays are sorted-unique (np.unique): binary
-                # probe the smaller into the larger — O(|A| log |B|),
-                # ~2x faster than intersect1d's sort-of-concatenation
-                idx = np.searchsorted(B, A)
-                idx[idx == B.size] = B.size - 1
-                inter = int((B[idx] == A).sum())
-                sims[i] = inter / (A.size + B.size - inter)
-            batch = batch.assign(sim=sims)
-            return batch[batch["sim"] >= threshold]
+    # --- pair regroup + verify
+    if prefilter_sigma is None:
+        est_cut = 0.0
+    else:
+        margin = prefilter_sigma * float(
+            np.sqrt(threshold * (1 - threshold) / num_perm))
+        est_cut = max(0.0, threshold - margin)
 
-    # elastic pool (min 1): a fixed min equal to the session CPU count
-    # deadlocks small sessions — the pool reserves every CPU and the
-    # upstream groupby tasks starve
-    return pairs.map_batches(VerifyJaccard, batch_format="pandas",
-                             batch_size=8192, concurrency=(1, 8))
+    def pair_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(pb=((b["a"] * 1_000_003 + b["b"])
+                            % num_buckets).astype("int32"))
+
+    return (halves.map_batches(pair_bucket, batch_format="pandas")
+            .groupby("pb")
+            .map_groups(lambda g: _verify_pair_group(g, threshold, est_cut),
+                        batch_format="pandas"))
 
 
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
+_MASK64 = (1 << 64) - 1
+# two odd 32-bit Knuth multiplicative constants: each multiply mod 2^64
+# is a bijection; chaining two spreads low-order input bits across the
+# word.  32-bit constants keep every intermediate below 2^96, so the
+# identical recipe runs in DuckDB HUGEINT arithmetic without overflow.
+_MIX1 = 2654435769   # 0x9E3779B9
+_MIX2 = 3266489917   # 0xC2B2AE35
+
+
+def _word_hash64(w: str) -> int:
+    """Base-257 code-point polynomial + double multiplicative mix, mod
+    2^64.  Chosen over a crypto hash because it is exactly reproducible
+    in DuckDB SQL (list_reduce over unicode code points), which gives
+    the simhash oracle bit-identical values."""
+    h = 0
+    for ch in w:
+        h = (h * 257 + ord(ch)) & _MASK64
+    h = (h * _MIX1) & _MASK64
+    return (h * _MIX2) & _MASK64
+
+
 def simhash_batch(batch: pd.DataFrame, text_col: str = "text", bits: int = 64) -> pd.DataFrame:
-    """64-bit SimHash over word features (vectorized bit aggregation)."""
+    """64-bit SimHash over distinct-word features (vectorized bit
+    aggregation; per-batch word-hash cache).  Output keeps hash bits
+    1..63 (>>1) to stay in int64."""
+    cache: dict[str, int] = {}
     out_h = []
     for t in batch[text_col].fillna(""):
-        words = t.lower().split()
+        words = set(t.lower().split())
         if not words:
             out_h.append(0)
             continue
-        hs = np.array(
-            [int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big") for w in set(words)],
-            dtype=np.uint64,
-        )
+        hs = np.empty(len(words), dtype=np.uint64)
+        for i, w in enumerate(words):
+            h = cache.get(w)
+            if h is None:
+                h = cache[w] = _word_hash64(w)
+            hs[i] = h
         bit_matrix = ((hs[:, None] >> np.arange(bits, dtype=np.uint64)) & 1).astype(np.int32)
         v = bit_matrix.sum(axis=0) * 2 - len(hs)
         sim = np.uint64(0)

@@ -274,3 +274,320 @@ CASES += [
     # NB `:a 5 :c .` is syntactically LEGAL N3 (predicate ::= path
     # which admits literals, reader.rb:392-458) — not a negative case
 ]
+
+# --- round-2 additions: transcribed from the reference's own reader
+# spec tables (/root/reference/spec/reader_spec.rb — literal encodings
+# :143-220, URI creation :303-347, syntactic expressions :351-492,
+# prefixes/bases :518-654, BNodes/collections/paths :655-985,
+# iriPropertyList :986-1064, formulae :1065-1203, validation
+# :1349-1376).  base_uri http://a/b unless stated; default prefix
+# resolves to http://a/b# (reference appends # to a hashless base).
+A = "http://a/b#"
+AB = "http://a/b"
+FOO = "http://foo/a#"
+RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+_OB = {"base_uri": AB}
+
+CASES += [
+    # --- literal encodings (reader_spec.rb:143-220) ---------------------
+    ("r2_lit_unicode_escape", "Eval", ':a :b "D\\u00FCrst" .',
+     f'<{A}a> <{A}b> "Dürst" .', _OB),
+    ("r2_lit_backslash", "Eval", ':a :b "backslash:\\\\" .',
+     f'<{A}a> <{A}b> "backslash:\\\\" .', _OB),
+    ("r2_lit_dquote", "Eval", ':a :b "dquote:\\"" .',
+     f'<{A}a> <{A}b> "dquote:\\"" .', _OB),
+    ("r2_lit_newline", "Eval", ':a :b "newline:\\n" .',
+     f'<{A}a> <{A}b> "newline:\\n" .', _OB),
+    ("r2_lit_return", "Eval", ':a :b "return:\\r" .',
+     f'<{A}a> <{A}b> "return:\\r" .', _OB),
+    ("r2_lit_tab", "Eval", ':a :b "tab:\\t" .',
+     f'<{A}a> <{A}b> "tab:\\t" .', _OB),
+    ("r2_lit_euro", "Eval", ':a :b "\\u20AC" .',
+     f'<{A}a> <{A}b> "€" .', _OB),
+    ("r2_lit_raw_unicode", "Eval", ':a :resume "resumé" .',
+     f'<{A}a> <{A}resume> "resumé" .', _OB),
+    ("r2_lit_long_escape", "Eval",
+     '@prefix : <http://example.org/foo#> . :a :b """\\U00015678another""" .',
+     '<http://example.org/foo#a> <http://example.org/foo#b> "\U00015678another" .', _OB),
+    ("r2_lit_long_single_escape", "Eval",
+     "@prefix : <http://example.org/foo#> . :a :b '''\\U00015678another''' .",
+     '<http://example.org/foo#a> <http://example.org/foo#b> "\U00015678another" .', _OB),
+    ("r2_lit_string3_trailing_dquote", "Eval", ':a :b """ " """ .',
+     f'<{A}a> <{A}b> " \\" " .', _OB),
+    ("r2_lit_string3_cwm_regression", "Eval",
+     ':a :b """sameDan.n3 sameThing.n3 --think --apply=forgetDups.n3 --purge --n3="/" """ .',
+     f'<{A}a> <{A}b> "sameDan.n3 sameThing.n3 --think --apply=forgetDups.n3 --purge --n3=\\"/\\" " .', _OB),
+    ("r2_lit_xmlliteral_dt", "Eval",
+     f'<http://example.org/r25> <http://example.org/p> "<a></a>"^^<{RDFS}XMLLiteral> .',
+     f'<http://example.org/r25> <http://example.org/p> "<a></a>"^^<{RDFS}XMLLiteral> .', _OB),
+    ("r2_lit_lang_fr", "Eval",
+     '<http://example.org/r30> <http://example.org/p> "chat"@fr .',
+     '<http://example.org/r30> <http://example.org/p> "chat"@fr .', _OB),
+    ("r2_lit_mixed_case_lang", "Eval", ':x2 :p "xyz"@En .',
+     f'<{A}x2> <{A}p> "xyz"@en .', _OB),
+    ("r2_lit_custom_datatype", "Eval",
+     '<http://example.org/r32> <http://example.org/p> "abc"^^<http://example.org/datatype1> .',
+     '<http://example.org/r32> <http://example.org/p> "abc"^^<http://example.org/datatype1> .', _OB),
+    # --- URI creation (reader_spec.rb:303-347) --------------------------
+    ("r2_uri_relative_resolution", "Eval", '<joe> <knows> <jane> .',
+     '<http://a/joe> <http://a/knows> <http://a/jane> .', _OB),
+    ("r2_uri_percent_encoded", "Eval",
+     '<#D%C3%BCrst> a "URI percent ^encoded as C3, BC".',
+     f'<{A}D%C3%BCrst> <{RDFNS}type> "URI percent ^encoded as C3, BC" .', _OB),
+    ("r2_uri_utf8_fragment", "Eval", '<#Dürst> :knows :jane.',
+     f'<{A}Dürst> <{A}knows> <{A}jane> .', _OB),
+    ("r2_uri_utf8_pname", "Eval", ':Dürst :knows :jane.',
+     f'<{A}Dürst> <{A}knows> <{A}jane> .', _OB),
+    ("r2_uri_unicode_local", "Eval", ':a :related :ひらがな .',
+     f'<{A}a> <{A}related> <{A}ひらがな> .', _OB),
+    # --- syntactic expressions (reader_spec.rb:351-492) -----------------
+    ("r2_empty_iri_prefix", "Eval", '@prefix : <> . <> a :a.',
+     f'<{AB}> <{RDFNS}type> <http://a/ba> .', _OB),
+    ("r2_hash_iri_prefix", "Eval", '@prefix : <#> . <#> a :a.',
+     f'<{AB}#> <{RDFNS}type> <{A}a> .', _OB),
+    ("r2_a_as_type", "Eval",
+     f'@prefix a: <{FOO}> . a:b a <{RDFS}resource> .',
+     f'<{FOO}b> <{RDFNS}type> <{RDFS}resource> .', _OB),
+    ("r2_is_of_literal_subject", "Eval", '"value" is :prop of :b .',
+     f'<{A}b> <{A}prop> "value" .', _OB),
+    ("r2_arrow_literal_subject", "Eval", '"value" <- :prop :b .',
+     f'<{A}b> <{A}prop> "value" .', _OB),
+    ("r2_is_of_object_list", "Eval", '"value" is :prop of :b, :c .',
+     f'<{A}b> <{A}prop> "value" .\n<{A}c> <{A}prop> "value" .', _OB),
+    ("r2_is_of_bnpl", "Eval", '[ is :prop of :George] .',
+     f'<{A}George> <{A}prop> _:A .', _OB),
+    ("r2_is_of_bnode_subject", "Eval", '_:bn is :prop of :George.',
+     f'<{A}George> <{A}prop> _:A .', _OB),
+    ("r2_has_pred", "Eval", f'@prefix a: <{FOO}> . a:b has :pred a:c .',
+     f'<{FOO}b> <{A}pred> <{FOO}c> .', _OB),
+    ("r2_implies_bnode", "Eval", f'@prefix a: <{FOO}> . _:a => a:something .',
+     f'_:A <{LOG}implies> <{FOO}something> .', _OB),
+    ("r2_implied_by_bnode", "Eval", f'@prefix a: <{FOO}> . _:a <= a:something .',
+     f'<{FOO}something> <{LOG}implies> _:A .', _OB),
+    ("r2_sameas_bnode", "Eval", f'@prefix a: <{FOO}> . _:a = a:something .',
+     f'_:A <{OWL}sameAs> <{FOO}something> .', _OB),
+    ("r2_num_int", "Eval", ':a :b 1 .',
+     f'<{A}a> <{A}b> "1"^^<{XSD}integer> .', _OB),
+    ("r2_num_neg_int", "Eval", ':a :b -1 .',
+     f'<{A}a> <{A}b> "-1"^^<{XSD}integer> .', _OB),
+    ("r2_num_pos_int", "Eval", ':a :b +1 .',
+     f'<{A}a> <{A}b> "+1"^^<{XSD}integer> .', _OB),
+    ("r2_num_decimal", "Eval", ':a :b 1.0 .',
+     f'<{A}a> <{A}b> "1.0"^^<{XSD}decimal> .', _OB),
+    ("r2_num_double_e1", "Eval", ':a :b 1.0e1 .',
+     f'<{A}a> <{A}b> "1.0e1"^^<{XSD}double> .', _OB),
+    ("r2_num_double_neg_exp", "Eval", ':a :b 1.0e-1 .',
+     f'<{A}a> <{A}b> "1.0e-1"^^<{XSD}double> .', _OB),
+    ("r2_num_double_pos_exp", "Eval", ':a :b 1.0e+1 .',
+     f'<{A}a> <{A}b> "1.0e+1"^^<{XSD}double> .', _OB),
+    ("r2_num_double_E1", "Eval", ':a :b 1.0E1 .',
+     f'<{A}a> <{A}b> "1.0E1"^^<{XSD}double> .', _OB),
+    ("r2_empty_localname", "Eval", ': : : .',
+     f'<{A}> <{A}> <{A}> .', _OB),
+    ("r2_prefix_empty_local", "Eval",
+     '@prefix foo: <http://foo/bar#> . foo: foo: foo: .',
+     '<http://foo/bar#> <http://foo/bar#> <http://foo/bar#> .', _OB),
+    # --- prefixes / bases (reader_spec.rb:518-654) ----------------------
+    ("r2_prefix_no_hash_append", "Eval",
+     '@prefix : <http://foo/bar> . :a : :b .',
+     '<http://foo/bara> <http://foo/bar> <http://foo/barb> .', _OB),
+    ("r2_sparql_prefix_mixed_case", "Eval",
+     'PrEfIx : <http://foo/bar> :a : :b .',
+     '<http://foo/bara> <http://foo/bar> <http://foo/barb> .', _OB),
+    ("r2_prefix_trailing_slash", "Eval",
+     '@prefix : <http://foo/bar/> . :a : :b .',
+     '<http://foo/bar/a> <http://foo/bar/> <http://foo/bar/b> .', _OB),
+    ("r2_prefix_trailing_hash", "Eval",
+     '@prefix : <http://foo/bar#> . :a : :b .',
+     '<http://foo/bar#a> <http://foo/bar#> <http://foo/bar#b> .', _OB),
+    ("r2_base_absolute", "Eval",
+     '@base <http://foo/bar> . <> :a <b> . <#c> :d </e>.',
+     '<http://foo/bar> <http://foo/bar#a> <http://foo/b> .\n'
+     '<http://foo/bar#c> <http://foo/bar#d> <http://foo/e> .', _OB),
+    ("r2_sparql_base_mixed_case", "Eval",
+     'BaSe <http://foo/bar> <> :a <b> . <#c> :d </e>.',
+     '<http://foo/bar> <http://foo/bar#a> <http://foo/b> .\n'
+     '<http://foo/bar#c> <http://foo/bar#d> <http://foo/e> .', _OB),
+    ("r2_base_trailing_slash", "Eval",
+     '@base <http://foo/bar/> . <> :a <b> . <#c> :d </e>.',
+     '<http://foo/bar/> <http://foo/bar/#a> <http://foo/bar/b> .\n'
+     '<http://foo/bar/#c> <http://foo/bar/#d> <http://foo/e> .', _OB),
+    ("r2_base_trailing_hash", "Eval",
+     '@base <http://foo/bar#> . <> :a <b> . <#c> :d </e>.',
+     '<http://foo/bar#> <http://foo/bar#a> <http://foo/b> .\n'
+     '<http://foo/bar#c> <http://foo/bar#d> <http://foo/e> .', _OB),
+    ("r2_base_relative_chain", "Eval",
+     '@base <http://example.org/products/>. <> :a <b>, <#c>. '
+     '@base <prod123/>. <> :a <b>, <#c>. @base <../>. <> :a <d>, <#e>.',
+     '<http://example.org/products/> <http://example.org/products/#a> <http://example.org/products/b> .\n'
+     '<http://example.org/products/> <http://example.org/products/#a> <http://example.org/products/#c> .\n'
+     '<http://example.org/products/prod123/> <http://example.org/products/prod123/#a> <http://example.org/products/prod123/b> .\n'
+     '<http://example.org/products/prod123/> <http://example.org/products/prod123/#a> <http://example.org/products/prod123/#c> .\n'
+     '<http://example.org/products/> <http://example.org/products/#a> <http://example.org/products/d> .\n'
+     '<http://example.org/products/> <http://example.org/products/#a> <http://example.org/products/#e> .', _OB),
+    ("r2_base_sequential_swap", "Eval",
+     '@base <http://example.com/ontolgies>. <a> :b <foo/bar#baz>.\n'
+     '@base <path/DFFERENT/>. <a2> :b2 <foo/bar#baz2>.\n'
+     '@prefix : <#>. <d3> :b3 <e3>.',
+     '<http://example.com/a> <http://example.com/ontolgies#b> <http://example.com/foo/bar#baz> .\n'
+     '<http://example.com/path/DFFERENT/a2> <http://example.com/path/DFFERENT/#b2> <http://example.com/path/DFFERENT/foo/bar#baz2> .\n'
+     '<http://example.com/path/DFFERENT/d3> <http://example.com/path/DFFERENT/#b3> <http://example.com/path/DFFERENT/e3> .', _OB),
+    ("r2_prefix_redefine", "Eval",
+     '@prefix a: <http://host/A#>. a:b a:p a:v . '
+     '@prefix a: <http://host/Z#>. a:b a:p a:v .',
+     '<http://host/A#b> <http://host/A#p> <http://host/A#v> .\n'
+     '<http://host/Z#b> <http://host/Z#p> <http://host/Z#v> .', _OB),
+    # --- bnodes / property lists (reader_spec.rb:655-761) ---------------
+    ("r2_bnode_subject", "Eval",
+     '_:anon <http://example.org/property> <http://example.org/resource2> .',
+     '_:A <http://example.org/property> <http://example.org/resource2> .', _OB),
+    ("r2_bnode_predicate", "Eval",
+     '<http://example.org/resource2> _:anon <http://example.org/object> .',
+     '<http://example.org/resource2> _:A <http://example.org/object> .', _OB),
+    ("r2_bnode_object", "Eval",
+     '<http://example.org/resource2> <http://example.org/property> _:anon .',
+     '<http://example.org/resource2> <http://example.org/property> _:A .', _OB),
+    ("r2_bnpl_one_ref", "Eval",
+     f'@prefix a: <{FOO}> . a:b a:oneRef [ a:pp "1" ; a:qq "2" ] .',
+     f'_:A <{FOO}pp> "1" .\n_:A <{FOO}qq> "2" .\n<{FOO}b> <{FOO}oneRef> _:A .', _OB),
+    ("r2_bnode_shared", "Eval",
+     f'@prefix a: <{FOO}> . a:b1 a:twoRef _:a . a:b2 a:twoRef _:a . '
+     '_:a :pred [ a:pp "1" ; a:qq "2" ].',
+     f'<{FOO}b1> <{FOO}twoRef> _:S .\n<{FOO}b2> <{FOO}twoRef> _:S .\n'
+     f'_:B <{FOO}pp> "1" .\n_:B <{FOO}qq> "2" .\n_:S <{A}pred> _:B .', _OB),
+    ("r2_bnode_nested", "Eval",
+     f'@prefix a: <{FOO}> . a:a a:p [ a:p2 [ a:p3 "v1" , "v2" ; a:p4 "v3" ] ; a:p5 "v4" ] .',
+     f'_:I <{FOO}p3> "v1" .\n_:I <{FOO}p3> "v2" .\n_:I <{FOO}p4> "v3" .\n'
+     f'_:O <{FOO}p2> _:I .\n_:O <{FOO}p5> "v4" .\n<{FOO}a> <{FOO}p> _:O .', _OB),
+    ("r2_property_list", "Eval",
+     f'@prefix a: <{FOO}> . a:b a:p1 "123" ; a:p1 "456" . a:b a:p2 a:v1 ; a:p3 a:v2 .',
+     f'<{FOO}b> <{FOO}p1> "123" .\n<{FOO}b> <{FOO}p1> "456" .\n'
+     f'<{FOO}b> <{FOO}p2> <{FOO}v1> .\n<{FOO}b> <{FOO}p3> <{FOO}v2> .', _OB),
+    # --- collections (reader_spec.rb:762-924) ---------------------------
+    ("r2_coll_empty", "Eval",
+     '@prefix :<http://example.com/>. :empty :set ().',
+     f'<http://example.com/empty> <http://example.com/set> <{RDFNS}nil> .', _OB),
+    ("r2_coll_single", "Eval",
+     '@prefix :<http://example.com/>. :gregg :edited ("JSON-LD").',
+     f'_:A <{RDFNS}first> "JSON-LD" .\n_:A <{RDFNS}rest> <{RDFNS}nil> .\n'
+     '<http://example.com/gregg> <http://example.com/edited> _:A .', _OB),
+    ("r2_coll_multi", "Eval",
+     '@prefix :<http://example.com/>. :gregg :name ("Gregg" "Barnum" "Kellogg").',
+     f'_:A <{RDFNS}first> "Gregg" .\n_:A <{RDFNS}rest> _:B .\n'
+     f'_:B <{RDFNS}first> "Barnum" .\n_:B <{RDFNS}rest> _:C .\n'
+     f'_:C <{RDFNS}first> "Kellogg" .\n_:C <{RDFNS}rest> <{RDFNS}nil> .\n'
+     '<http://example.com/gregg> <http://example.com/name> _:A .', _OB),
+    ("r2_coll_unattached", "Eval",
+     f'@prefix a: <{FOO}> . ("1" "2" "3") .\n# This is not a statement.\n() .',
+     f'_:A <{RDFNS}first> "1" .\n_:A <{RDFNS}rest> _:B .\n'
+     f'_:B <{RDFNS}first> "2" .\n_:B <{RDFNS}rest> _:C .\n'
+     f'_:C <{RDFNS}first> "3" .\n_:C <{RDFNS}rest> <{RDFNS}nil> .', _OB),
+    ("r2_coll_nil_property", "Eval",
+     f'@prefix a: <{FOO}> . () a:prop "nilProp" .',
+     f'<{RDFNS}nil> <{FOO}prop> "nilProp" .', _OB),
+    ("r2_coll_compound_items", "Eval",
+     f'@prefix a: <{FOO}> . a:a a:p ( [ a:p2 "v1" ] <http://resource1> '
+     '<http://resource2> ("inner list") ) . <http://resource1> a:p "value" .',
+     f'_:P2 <{FOO}p2> "v1" .\n'
+     f'_:I <{RDFNS}first> "inner list" .\n_:I <{RDFNS}rest> <{RDFNS}nil> .\n'
+     f'_:L1 <{RDFNS}first> _:P2 .\n_:L1 <{RDFNS}rest> _:L2 .\n'
+     f'_:L2 <{RDFNS}first> <http://resource1> .\n_:L2 <{RDFNS}rest> _:L3 .\n'
+     f'_:L3 <{RDFNS}first> <http://resource2> .\n_:L3 <{RDFNS}rest> _:L4 .\n'
+     f'_:L4 <{RDFNS}first> _:I .\n_:L4 <{RDFNS}rest> <{RDFNS}nil> .\n'
+     f'<{FOO}a> <{FOO}p> _:L1 .\n<http://resource1> <{FOO}p> "value" .', _OB),
+    # --- property paths (reader_spec.rb:925-984) ------------------------
+    ("r2_path_subject_bang", "Eval", ':x2!:y2 :p2 "3" .',
+     f'<{A}x2> <{A}y2> _:A .\n_:A <{A}p2> "3" .', _OB),
+    ("r2_path_subject_caret", "Eval", ':x2^:y2 :p2 "3" .',
+     f'_:A <{A}y2> <{A}x2> .\n_:A <{A}p2> "3" .', _OB),
+    ("r2_path_predicate", "Eval",
+     ':albert!:mother :mentor!:inverse :auntieAnne .',
+     f'<{A}albert> <{A}mother> _:A .\n<{A}mentor> <{A}inverse> _:P .\n'
+     f'_:A _:P <{A}auntieAnne> .', _OB),
+    ("r2_path_converse_pred", "Eval",
+     ':albert :admires!:converse :grumpy .',
+     f'<{A}admires> <{A}converse> _:P .\n<{A}albert> _:P <{A}grumpy> .', _OB),
+    ("r2_path_list_subject", "Eval", '("1" "2")!:sum a :THREE.',
+     f'_:A <{RDFNS}first> "1" .\n_:A <{RDFNS}rest> _:B .\n'
+     f'_:B <{RDFNS}first> "2" .\n_:B <{RDFNS}rest> <{RDFNS}nil> .\n'
+     f'_:A <{A}sum> _:S .\n_:S <{RDFNS}type> <{A}THREE> .', _OB),
+    ("r2_path_related_to", "Eval",
+     '(:a!:b :c^:d) :relatedTo (:e!:f!:g ) .',
+     f'<{A}a> <{A}b> _:PA .\n_:PC <{A}d> <{A}c> .\n'
+     f'_:L1 <{RDFNS}first> _:PA .\n_:L1 <{RDFNS}rest> _:L2 .\n'
+     f'_:L2 <{RDFNS}first> _:PC .\n_:L2 <{RDFNS}rest> <{RDFNS}nil> .\n'
+     f'<{A}e> <{A}f> _:E1 .\n_:E1 <{A}g> _:E2 .\n'
+     f'_:R1 <{RDFNS}first> _:E2 .\n_:R1 <{RDFNS}rest> <{RDFNS}nil> .\n'
+     f'_:L1 <{A}relatedTo> _:R1 .', _OB),
+    ("r2_path_bare_chain", "Eval", ':joe!:mother!:office!:zip .',
+     f'<{A}joe> <{A}mother> _:A .\n_:A <{A}office> _:B .\n'
+     f'_:B <{A}zip> _:C .', _OB),
+    ("r2_path_bare_mixed", "Eval", ':joe!:mother^:mother .',
+     f'<{A}joe> <{A}mother> _:A .\n_:B <{A}mother> _:A .', _OB),
+    ("r2_path_caret_literal_object", "Eval", ':a :b "lit"^:c.',
+     f'_:A <{A}c> "lit" .\n<{A}a> <{A}b> _:A .', _OB),
+    ("r2_path_object_chain", "Eval", ':r :p :o!:p1!:p2 .',
+     f'<{A}o> <{A}p1> _:A .\n_:A <{A}p2> _:B .\n<{A}r> <{A}p> _:B .', _OB),
+    # --- iriPropertyList (reader_spec.rb:986-1064) ----------------------
+    ("r2_ipl_whitespace", "Eval", '[ id :s :p :o] .',
+     f'<{A}s> <{A}p> <{A}o> .', _OB),
+    ("r2_ipl_linefeed", "Eval", '[\n  id :s\n  :p :o\n ] .',
+     f'<{A}s> <{A}p> <{A}o> .', _OB),
+    ("r2_ipl_single_object", "Eval",
+     f'@prefix a: <{FOO}> . a:b a:oneRef [ id a:node0 a:pp "1" ; a:qq "2" ] .',
+     f'<{FOO}node0> <{FOO}pp> "1" .\n<{FOO}node0> <{FOO}qq> "2" .\n'
+     f'<{FOO}b> <{FOO}oneRef> <{FOO}node0> .', _OB),
+    ("r2_ipl_nested", "Eval",
+     f'@prefix a: <{FOO}> . a:a a:p [ id a:node1 a:p2 [ id a:node0 '
+     'a:p3 "v1" , "v2" ; a:p4 "v3" ] ; a:p5 "v4" ] .',
+     f'<{FOO}node0> <{FOO}p3> "v1" .\n<{FOO}node0> <{FOO}p3> "v2" .\n'
+     f'<{FOO}node0> <{FOO}p4> "v3" .\n<{FOO}node1> <{FOO}p2> <{FOO}node0> .\n'
+     f'<{FOO}node1> <{FOO}p5> "v4" .\n<{FOO}a> <{FOO}p> <{FOO}node1> .', _OB),
+    ("r2_neg_ipl_semicolon", "NegativeSyntax", '[ id :s ; :p :o] .', None, _OB),
+    ("r2_neg_ipl_subject_list", "NegativeSyntax", '[ id :s1, :s2 :p :o] .', None, _OB),
+    ("r2_neg_ipl_bnode_subject", "NegativeSyntax", '[ id _:bn :p :o] .', None, _OB),
+    # --- formulae (reader_spec.rb:1065-1203) ----------------------------
+    ("r2_formula_empty_object", "Eval", ':a :b {} .',
+     f'<{A}a> <{A}b> _:F .', _OB),
+    ("r2_formula_bnpl_inside", "Eval", ':a :b {[:c :d]} .',
+     f'_:A <{A}c> <{A}d> _:F .\n<{A}a> <{A}b> _:F .', _OB),
+    ("r2_formula_empty_subject", "Eval", '{} <b> <c> .',
+     f'_:F <{AB}> <http://a/c> .', _OB),
+    ("r2_formula_const_subject", "Eval", '{<x> <y> <z>} <b> <c> .',
+     f'<http://a/x> <http://a/y> <http://a/z> _:F .\n'
+     f'_:F <{AB}> <http://a/c> .', _OB),
+    ("r2_formula_sameas_graph", "Eval",
+     '@prefix u: <http://www.example.org/utilities#> . @prefix : <#> . '
+     ':assumption = { :fred u:knows :john . :john u:knows :mary .} .',
+     f'<{A}fred> <http://www.example.org/utilities#knows> <{A}john> _:F .\n'
+     f'<{A}john> <http://www.example.org/utilities#knows> <{A}mary> _:F .\n'
+     f'<{A}assumption> <{OWL}sameAs> _:F .', _OB),
+    ("r2_object_list_two", "Eval", ':a :b :c, :d .',
+     f'<{A}a> <{A}b> <{A}c> .\n<{A}a> <{A}b> <{A}d> .', _OB),
+    # --- validation (reader_spec.rb:1349-1376) --------------------------
+    ("r2_neg_ill_typed_integer", "NegativeSyntax",
+     '@prefix xsd: <http://www.w3.org/2001/XMLSchema#> . :y :p1 "xyz"^^xsd:integer .',
+     None, _OB),
+    ("r2_neg_ill_typed_integer2", "NegativeSyntax",
+     '@prefix xsd: <http://www.w3.org/2001/XMLSchema#> . :y :p1 "12xyz"^^xsd:integer .',
+     None, _OB),
+    ("r2_neg_ill_typed_double", "NegativeSyntax",
+     '@prefix xsd: <http://www.w3.org/2001/XMLSchema#> . :y :p1 "xy.z"^^xsd:double .',
+     None, _OB),
+    ("r2_neg_ill_typed_double2", "NegativeSyntax",
+     '@prefix xsd: <http://www.w3.org/2001/XMLSchema#> . :y :p1 "+1.0z"^^xsd:double .',
+     None, _OB),
+    ("r2_neg_missing_object", "NegativeSyntax", ':a :b .', None, _OB),
+    ("r2_neg_keywords_directive", "NegativeSyntax",
+     '@keywords prefix. :e prefix :f .', None, _OB),
+    ("r2_pos_bnode_predicate_valid", "PositiveSyntax",
+     ':y _:p1 "z" .', None, _OB),
+    ("r2_pos_literal_subject_valid", "PositiveSyntax",
+     '"y" :p1 "z" .', None, _OB),
+    ("r2_pos_ws_tabs", "PositiveSyntax",
+     ' \t <http://example.org/resource3> \t <http://example.org/property>\t '
+     '<http://example.org/resource2> \t.\t ', None, _OB),
+    ("r2_pos_crnl", "PositiveSyntax",
+     '<http://example.org/resource4> <http://example.org/property> '
+     '<http://example.org/resource2> .\r\n', None, _OB),
+]

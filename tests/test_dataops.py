@@ -86,6 +86,40 @@ def test_langid():
     assert lid.classify("") == "und"
 
 
+# real per-language sentences (the synthetic documents table carries
+# random lang labels over English word-soup, so classifier ACCURACY is
+# only measurable on a genuine fixture corpus — round-1 gap)
+_LANG_FIXTURE = [
+    ("en", "the weather is nice and it is a good day for a walk"),
+    ("en", "she said that the results of the experiment were clear"),
+    ("en", "it is important to test the code before it ships"),
+    ("en", "a quick look at the data shows that the trend is real"),
+    ("en", "the committee agreed that the plan was good for everyone"),
+    ("de", "der zug ist nicht mit den anderen wagen gekommen"),
+    ("de", "die kinder spielen mit dem hund und der katze im garten"),
+    ("de", "das wetter ist heute nicht so gut wie gestern"),
+    ("de", "der lehrer hat die aufgabe mit den studenten besprochen"),
+    ("de", "die stadt ist von dem fluss und den bergen umgeben"),
+    ("fr", "le chat est sur la table et les enfants sont pour le parc"),
+    ("fr", "la maison est grande et le jardin est pour les fleurs"),
+    ("fr", "il est important de tester le code et les programmes"),
+    ("fr", "les résultats de la recherche sont pour un nouveau projet"),
+    ("fr", "le train est arrivé et les passagers sont pour la sortie"),
+    ("es", "el perro y el gato están en la casa de los abuelos"),
+    ("es", "los niños juegan en el parque y la plaza de la ciudad"),
+    ("es", "es importante que el código funcione en los servidores"),
+    ("es", "la comida de la abuela es la mejor de todas las casas"),
+    ("es", "el tren llega a la estación y los pasajeros bajan en orden"),
+]
+
+
+def test_langid_accuracy_on_fixture_corpus():
+    lid = LangId()
+    preds = [(want, lid.classify(text)) for want, text in _LANG_FIXTURE]
+    acc = sum(w == g for w, g in preds) / len(preds)
+    assert acc >= 0.9, preds
+
+
 def test_exact_dedup_docs(ray_session):
     import ray.data as rd
 
@@ -380,6 +414,87 @@ def test_reason_dataset_multi_pattern_chain(ray_session):
     assert inferred == 2 * (n - 1)
     assert ((df.pred == "<skip>") & (df.subj == "<n0>")
             & (df.obj == "<n2>")).any()
+
+
+def test_instantiate_gappy_index():
+    """Regression: bindings frames arrive straight from drop_duplicates()
+    with a gappy index; constant/existential slots are fresh RangeIndex
+    Series.  Without reset_index the DataFrame constructor aligns on the
+    index union, emitting NaN-corrupted triples and dropping bindings."""
+    from rdf_n3_ray.pipelines.reasoning import _instantiate
+
+    bindings = pd.DataFrame({"?x": ["<a>", "<b>", "<b>", "<c>"]})
+    bindings = bindings.drop_duplicates()          # index [0, 1, 3]
+    inst = _instantiate(bindings, [("?x", "<p>", "<C>")])
+    assert len(inst) == 3
+    assert not inst.isna().any().any()
+    assert set(inst.subj) == {"<a>", "<b>", "<c>"}
+    assert set(inst.pred) == {"<p>"} and set(inst.obj) == {"<C>"}
+    # unbound existential slot must also stay aligned
+    inst2 = _instantiate(bindings.drop_duplicates(), [("?x", "<p>", "?new")])
+    assert len(inst2) == 3 and not inst2.isna().any().any()
+    assert inst2.obj.nunique() == 1  # one interned node across firings
+
+
+def test_reason_dataset_duplicate_bindings_no_nan(ray_session):
+    """End-to-end: rules whose antecedents yield duplicate bindings
+    (dropped mid-frame) must still infer clean, complete triples."""
+    import ray.data as rd
+
+    from rdf_n3_ray.pipelines.reasoning import reason_dataset
+
+    base = pd.DataFrame({
+        "subj": ["<a>", "<a>", "<b>", "<c>"],
+        "pred": ["<p>", "<q>", "<p>", "<p>"],
+        "obj": ["<o1>", "<o2>", "<o3>", "<o4>"],
+    })
+    # ?x matched by two patterns -> concat of slot pieces has duplicate
+    # rows for <a>, drop_duplicates leaves a gappy index
+    rules = [([("?x", "<p>", "?y")], [("?x", "<t>", "<K>")])]
+    closure, inferred = reason_dataset(rd.from_pandas(base), rules)
+    df = closure.to_pandas()
+    got = df[df.pred == "<t>"]
+    assert set(got.subj) == {"<a>", "<b>", "<c>"}
+    assert (got.obj == "<K>").all()
+    assert not df.isna().any().any()
+
+
+def test_reason_dataset_broad_antecedent_distributed(ray_session):
+    """A non-selective pattern (?s <type> ?c over 1M triples) must stay
+    distributed: bindings exceed _DRIVER_JOIN_LIMIT, so the join with
+    the small subclass table runs as a bucket-paired merge and the
+    consequent instantiation as map_batches — and still infer exactly
+    the expected closure."""
+    import ray.data as rd
+
+    from rdf_n3_ray.pipelines.reasoning import (
+        _DRIVER_JOIN_LIMIT,
+        reason_dataset,
+    )
+
+    n = 1_000_000
+    assert n > _DRIVER_JOIN_LIMIT
+    idx = np.arange(n)
+    base = pd.DataFrame({
+        "subj": pd.Series(idx).map(lambda i: f"<s{i}>"),
+        "pred": "<type>",
+        "obj": pd.Series(idx % 100).map(lambda c: f"<c{c}>"),
+    })
+    sub = pd.DataFrame({
+        "subj": [f"<c{j}>" for j in range(100)],
+        "pred": "<subclass>",
+        "obj": [f"<d{j}>" for j in range(100)],
+    })
+    ds = rd.from_pandas(pd.concat([base, sub], ignore_index=True))
+    rules = [([("?s", "<type>", "?c"), ("?c", "<subclass>", "?d")],
+              [("?s", "<type>", "?d")])]
+    closure, inferred = reason_dataset(ds, rules, max_iterations=4)
+    assert inferred == n
+    assert closure.count() == 2 * n + 100
+    got = closure.map_batches(
+        lambda b: b[(b.subj == "<s7>") & (b.obj == "<d7>")],
+        batch_format="pandas").to_pandas()
+    assert len(got) == 1 and got.iloc[0].pred == "<type>"
 
 
 def test_reason_kb_path_partition_pruned(ray_session, tmp_path):

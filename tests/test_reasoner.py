@@ -400,6 +400,21 @@ def test_log_content_missing_file_no_solution(tmp_path):
     assert got == []
 
 
+def test_log_content_refuses_plain_literal_path(tmp_path):
+    """A string literal subject is NOT a dereferenceable resource —
+    the reference's log:content only accepts IRIs (log/content.rb:20),
+    and literal-as-path would let data-driven rules read arbitrary
+    local files ("/etc/passwd" log:content ?x)."""
+    doc = tmp_path / "secret.n3"
+    doc.write_text("<#a> <#b> <#c> .")
+    got = run(
+        '@prefix log: <http://www.w3.org/2000/10/swap/log#>.\n'
+        f'{{ "{doc}" log:content ?c }} => {{ :t :c ?c }}.\n'
+        f'{{ "{doc}" log:semantics ?f }} => {{ :t :sem ?f }}.'
+    ).conclusions()
+    assert got == []
+
+
 # --- full-registry builtin sweep: one behavioral case per remaining
 # kernel (table-driven; complements the per-semantics tests above) -----
 
