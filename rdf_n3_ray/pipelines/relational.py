@@ -23,7 +23,15 @@ import pyarrow.compute as pc
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    ds = rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                         columns=columns)
+    # Parquet blocks carry b'pandas' schema metadata, which makes
+    # pa.Schema UNHASHABLE ("Failed to hash the schemas" warnings) and
+    # defeats Ray's schema-dedup fast path when slicing batches.  Strip
+    # it once here — replace_schema_metadata is zero-copy and the stage
+    # fuses with whatever follows.
+    return ds.map_batches(lambda t: t.replace_schema_metadata(None),
+                          batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -327,7 +327,8 @@ def ivf_query(out_dir: str, queries: np.ndarray, k: int = 10,
     if not paths:
         return pd.DataFrame(columns=["query_idx", "vec_id", "sim"])
     probed = rd.read_parquet(
-        paths, columns=["vec_id", "embedding", "cluster_id"])
+        paths, columns=["vec_id", "embedding", "cluster_id"]).map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow")
 
     # same per-query probe mask as ivf_topk (the persisted cluster_id
     # column restores the cluster of every row): each query scores only

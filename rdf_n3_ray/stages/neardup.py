@@ -224,14 +224,11 @@ def minhash_lsh_dedup(
     pairs = band_rows.groupby("bb").map_groups(
         candidate_pairs, batch_format="pandas"
     )
-
-    # Global candidate dedup BEFORE verification: the same (a, b) pair
-    # surfaces from every band the two docs agree on (and lands in
-    # different coarse buckets, so per-batch dedup is not enough — the
-    # output would depend on block boundaries).
-    from .dedup import dedup_pairs
-
-    pairs = dedup_pairs(pairs, keep_cols=["a", "b"])
+    # NB: `pairs` still contains global duplicates (the same (a, b)
+    # surfaces from every band the two docs agree on).  They are NOT
+    # deduped here — all copies of a half-row are identical and land in
+    # the same endpoint bucket below, so `attach` dedups them for free
+    # inside its group, saving a dedicated dedup shuffle.
 
     # --- endpoint co-group: attach (signature, text) to each pair half.
     # Union schema (explicit Arrow types so both sides unify): [eb, role,
@@ -277,6 +274,9 @@ def minhash_lsh_dedup(
     def attach(group: pd.DataFrame) -> pa.Table:
         docs = group[group["role"] == -1][["doc_id", "signature", "text"]]
         need = group[group["role"] != -1][["role", "doc_id", "a", "b"]]
+        # global pair dedup happens HERE: every copy of a half-row is
+        # identical and hashes to this same endpoint bucket
+        need = need.drop_duplicates()
         got = need.merge(docs, on="doc_id", how="inner")
         # explicit Arrow types: an empty group must not emit null-typed
         # columns (they would clash with list<int64>/string blocks in
