@@ -163,4 +163,5 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": R.MINHASH_PAIRS_SQL,
         "jaccard_dup_groups": R.JACCARD_GROUPS_SQL,
         "simhash": R.SIMHASH_SQL,
+        "lang_id": R.LANG_ID_SQL,
     }

@@ -332,6 +332,44 @@ def lang_distribution(sf_dir: str):
     return out.map_batches(finish, batch_format="pandas").sort("lang_pred")
 
 
+def _lang_id_sql() -> str:
+    """Oracle for lang_distribution: the stopword-argmax classifier
+    recomputed in SQL.  Generated from text_stats._STOPWORDS so the
+    profiles cannot drift; ties resolve to the FIRST language reaching
+    the max (profile insertion order en/de/fr/es — Python updates best
+    only on strictly-greater score), zero hits -> 'und'."""
+    from ..stages.text_stats import _STOPWORDS
+
+    def inlist(lang):
+        return "[" + ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang])) + "]"
+
+    counts = ",\n    ".join(
+        f"length(list_filter(ws, x -> list_contains({inlist(l)}, x))) AS c_{l}"
+        for l in ("en", "de", "fr", "es"))
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+    list_transform(list_slice(regexp_extract_all(coalesce(text, ''),
+      '[a-zA-Zäöüßéèêàçñ]+'), 1, 200), w -> lower(w)) AS ws
+  FROM documents
+), scored AS (
+  SELECT doc_id, {counts} FROM words
+), pred AS (
+  SELECT doc_id,
+    CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'und'
+         WHEN c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+         WHEN c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+         WHEN c_fr = greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
+         ELSE 'es' END AS lang_pred
+  FROM scored)
+SELECT lang_pred, count(*)::BIGINT AS n_docs FROM pred
+GROUP BY lang_pred ORDER BY lang_pred
+"""
+
+
+LANG_ID_SQL = _lang_id_sql()
+
+
 # ---------------------------------------------------------------------------
 # ANN brute-force cosine top-k (vs duckdb list_cosine_similarity oracle)
 # ---------------------------------------------------------------------------
