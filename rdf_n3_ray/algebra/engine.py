@@ -638,8 +638,8 @@ def _semantics(engine: Engine, s, o, sol):
             text = f.read()
     except OSError:
         return None
-    base = s_v if isinstance(s_v, str) and T.is_iri(s_v) else f"file://{path}"
-    base_uri = T.iri_value(base) if T.is_iri(base) else base
+    # path non-None implies s_v is a file:// IRI (_resource_to_path)
+    base_uri = T.iri_value(s_v)
     result = parse_n3(text, base_uri=base_uri, list_terms=True)
     if result.errors:
         return None

@@ -241,8 +241,9 @@ def _bucket_merge(left, right, shared, num_buckets: int = 64):
             .map_groups(join_bucket, batch_format="pandas").materialize())
 
 
-def _join2(out, pb, limit: int):
-    """One pairwise bindings join, driver or distributed by size."""
+def _join2(out, pb):
+    """One pairwise bindings join: driver pd.merge when both sides are
+    already-shrunk pandas frames, distributed bucket merge otherwise."""
     small_out = isinstance(out, pd.DataFrame)
     small_pb = isinstance(pb, pd.DataFrame)
     shared = [c for c in _colnames(out) if c in _colnames(pb)]
@@ -278,7 +279,7 @@ def _join_seq(frames, limit: int = _DRIVER_JOIN_LIMIT):
             pb = pb.drop_duplicates()
         else:
             pb = _dedup_bindings_ds(pb, _colnames(pb))
-        out = pb if out is None else _join2(out, pb, limit)
+        out = pb if out is None else _join2(out, pb)
         if out is not None and not isinstance(out, pd.DataFrame):
             out = _shrink(out, limit)
         if _nrows(out) == 0:
@@ -426,25 +427,12 @@ def reason_dataset(triples_ds, rules, max_iterations: int = 10):
         for extra in parts[1:]:
             add = add.union(extra)
         delta = add.materialize()
-        ds = ds.union(add)
-        # exact dedup shuffle (repository set semantics): coarse bucket
-        # + vectorized drop_duplicates (see stages/dedup.py)
-        ds = ds.map_batches(
-            lambda b: b.assign(
-                db=(
-                    pd.util.hash_pandas_object(
-                        b["subj"] + "\x00" + b["pred"] + "\x00" + b["obj"],
-                        index=False,
-                    )
-                    % 64
-                ).astype("int32")
-            ),
-            batch_format="pandas",
-        )
-        ds = ds.groupby("db").map_groups(
-            lambda g: g.drop_duplicates(subset=["subj", "pred", "obj"]),
-            batch_format="pandas",
-        ).drop_columns(["db"]).materialize()
+        # union the MATERIALIZED delta, not the lazy `add` lineage —
+        # unioning `add` would re-execute every instantiation map when
+        # the dedup shuffle below runs (double work per iteration)
+        ds = ds.union(delta)
+        # exact dedup shuffle (repository set semantics)
+        ds = _dedup_bindings_ds(ds, ["subj", "pred", "obj"])
         new_total = ds.count()
         if new_total == total:
             break

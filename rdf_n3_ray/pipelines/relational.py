@@ -554,8 +554,9 @@ def simhash_docs(sf_dir: str):
 _SHINGLE_PAIRS_CTE = """
 WITH RECURSIVE sh AS (
   SELECT DISTINCT doc_id, substring(lower(text), i, 5) AS s FROM (
-    SELECT doc_id, text,
-           unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+    SELECT doc_id, coalesce(text, '') AS text,
+           unnest(generate_series(1,
+               greatest(length(coalesce(text, '')) - 4, 1))) AS i
     FROM documents)
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id

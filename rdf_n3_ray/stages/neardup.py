@@ -144,18 +144,19 @@ def _verify_pair_group(group: pd.DataFrame, threshold: float,
     def shingles(doc_id, text):
         got = cache.get(doc_id)
         if got is None:
-            got = cache[doc_id] = (
-                _hash_shingles(pd.Series([text]), k=shingle_k)[0]
-                if isinstance(text, str) and text
-                else np.empty(0, dtype=np.uint64))
+            # _hash_shingles handles short/empty text (single whole-text
+            # hash), so an empty doc has ONE shingle — two empty docs
+            # are an exact pair (sim 1.0), matching the SQL oracle's
+            # substring('' ,1,5) = '' shingle and jaccard("","") == 1
+            got = cache[doc_id] = _hash_shingles(
+                pd.Series([text if isinstance(text, str) else ""]),
+                k=shingle_k)[0]
         return got
 
     out_a, out_b, out_s = [], [], []
     for a, b, ta, tb in zip(m["a"], m["b"], m["text_a"], m["text_b"]):
         A = shingles(a, ta)
         B = shingles(b, tb)
-        if not len(A) or not len(B):
-            continue
         if A.size > B.size:
             A, B = B, A
         # shingle arrays are sorted-unique (np.unique): binary probe the
@@ -248,7 +249,10 @@ def minhash_lsh_dedup(
             "a": pa.array(np.full(n, -1, np.int64), pa.int64()),
             "b": pa.array(np.full(n, -1, np.int64), pa.int64()),
             "signature": pa.array(b["signature"].tolist(), _SIG_T),
-            "text": pa.array(b["text"].astype(str).tolist(), pa.string()),
+            # fillna BEFORE str conversion: astype(str) on NaN would
+            # ship the literal string "nan" into the verify stage
+            "text": pa.array(b["text"].fillna("").astype(str).tolist(),
+                             pa.string()),
         })
 
     def tag_halves(b: pd.DataFrame) -> pa.Table:

@@ -120,6 +120,25 @@ def test_langid_accuracy_on_fixture_corpus():
     assert acc >= 0.9, preds
 
 
+def test_minhash_empty_and_null_text_pairs(ray_session):
+    """Empty-text docs form exact pairs (one whole-text shingle each) and
+    NULL text is treated as empty — matching the SQL oracle's
+    coalesce(text,'') + substring semantics.  Regression: the verify
+    stage used to silently drop 0-shingle docs, and NULL text round-
+    tripped through astype(str) as the literal \"nan\"."""
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["", "", None, "some actual long content goes here"],
+    })
+    pairs = minhash_lsh_dedup(rd.from_pandas(df), threshold=0.5).to_pandas()
+    got = {(a, b): s for a, b, s in zip(pairs.a, pairs.b, pairs.sim)}
+    assert got.get((1, 2)) == 1.0
+    assert got.get((1, 3)) == 1.0 and got.get((2, 3)) == 1.0
+    assert not any(4 in p for p in got)
+
+
 def test_exact_dedup_docs(ray_session):
     import ray.data as rd
 
