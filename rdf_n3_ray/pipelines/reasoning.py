@@ -263,11 +263,13 @@ def _join2(out, pb):
                            batch_format="pandas").materialize()
 
 
-def _join_seq(frames, limit: int = _DRIVER_JOIN_LIMIT):
+def _join_seq(frames, limit: int | None = None):
     """Join a sequence of bindings tables on shared variable columns;
     None = some pattern had no matches.  Frames arrive as materialized
     Datasets; small ones drop to the driver fast path, large ones stay
     distributed (bucket-paired merges)."""
+    if limit is None:
+        limit = _DRIVER_JOIN_LIMIT  # read at call time (testable)
     out = None
     for pb in frames:
         if _nrows(pb) == 0:

@@ -5,10 +5,12 @@ Reimplements the *behavior* of the reference Writer
 ordering, predicate ordering with `a` sugar, `[ ]` inlining of
 single-referenced bnodes, `( )` reconstruction of rdf:first/rest
 ladders, `{ }` formula rendering — as a pure function over a quad set.
-Byte-level parity with the reference's pretty-printer is intentionally
-out of scope (SURVEY.md §7 hard part (e)); round-trip tests assert
-parse(serialize(G)) ≅ G under bnode isomorphism, the same contract the
-reference's own writer specs check.
+Round-trip tests assert parse(serialize(G)) ≅ G under bnode
+isomorphism; additionally the surface format (punctuation, bracket
+spacing, @base relativization, prefix headers, property order) is
+pinned by tests transcribed from the reference's own writer_spec.rb
+regexp expectations (tests/test_writer.py).  Full byte parity beyond
+those assertions stays out of scope (SURVEY.md §7 hard part (e)).
 
 Ray mapping (SURVEY.md §2.1): N-Triples is a stateless vectorizable
 map_batches render; canonical N3 is per-document
@@ -42,6 +44,17 @@ _DEFAULT_PREFIXES = {
     "string": T.STR_NS,
     "time": T.TIME_NS,
     "owl": T.OWL_NS,
+}
+
+# well-known vocabularies offered when standard_prefixes is set (the
+# reference pulls these from RDF::Vocabulary, writer_spec.rb:126-137)
+_STANDARD_PREFIXES = {
+    "foaf": "http://xmlns.com/foaf/0.1/",
+    "dc": "http://purl.org/dc/terms/",
+    "dce": "http://purl.org/dc/elements/1.1/",
+    "skos": "http://www.w3.org/2004/02/skos/core#",
+    "schema": "http://schema.org/",
+    "geo": "http://www.w3.org/2003/01/geo/wgs84_pos#",
 }
 
 import re as _lex_re
@@ -90,10 +103,12 @@ class N3Writer:
     """Pretty N3 serializer for one (small) quad set/document."""
 
     def __init__(self, quads: list[Quad], prefixes: dict[str, str] | None = None,
-                 base_uri: str | None = None):
+                 base_uri: str | None = None, standard_prefixes: bool = False):
         self.quads = list(dict.fromkeys(quads))
         self.base_uri = base_uri
         self.prefixes = dict(prefixes or {})
+        if standard_prefixes:
+            self.prefixes = {**_STANDARD_PREFIXES, **self.prefixes}
         self.graphs: dict[str | None, list[Quad]] = defaultdict(list)
         for q in self.quads:
             self.graphs[q[3]].append(q)
@@ -107,26 +122,49 @@ class N3Writer:
     def _used_namespaces(self) -> dict[str, str]:
         used = {}
         names = {**_DEFAULT_PREFIXES, **self.prefixes}
-        by_ns = {v: k for k, v in names.items() if k}
+        # user prefixes override defaults for the same namespace (dict
+        # inversion keeps the LAST writer); the empty prefix ("") is a
+        # legal prefix name (writer_spec "pname URIs with empty prefix")
+        by_ns = {v: k for k, v in names.items()}
         for s, p, o, g in self.quads:
             for t in (s, p, o):
                 if T.is_iri(t):
                     v = T.iri_value(t)
+                    if self._relativize(v) is not None:
+                        continue  # relativized form wins over pname
                     for ns, pfx in by_ns.items():
                         if v.startswith(ns) and _pname_safe(v[len(ns):]):
                             used[pfx] = ns
                             break
         return used
 
+    def _relativize(self, v: str) -> str | None:
+        """Relative form of IRI `v` under base_uri, or None.  Pragmatic
+        subset of RDF::URI#relativize (writer.rb:315): exact base -> "",
+        prefix-of-base when the remainder starts cleanly."""
+        b = self.base_uri
+        if not b:
+            return None
+        if v == b:
+            return ""
+        if v.startswith(b):
+            rest = v[len(b):]
+            if b.endswith(("/", "#")) or rest.startswith(("#", "?")):
+                return rest
+        return None
+
     def _term(self, t: str, graph: str | None, inline_depth: int = 0) -> str:
         if T.is_iri(t):
+            if t == T.RDF_NIL:
+                return "()"  # the empty collection (before pname sugar)
             v = T.iri_value(t)
+            rel = self._relativize(v)
+            if rel is not None:
+                return f"<{rel}>"
             for pfx, ns in self._active.items():
                 local = v[len(ns):]
                 if v.startswith(ns) and _pname_safe(local):
                     return f"{pfx}:{local}"
-            if t == T.RDF_NIL:
-                return "()"
             return t
         if T.is_literal(t):
             value, dt, lang = T.literal_parts(t)
@@ -177,7 +215,8 @@ class N3Writer:
         return t
 
     # -- list reconstruction (writer.rb:705-786 with_graph rebuild) -----
-    def _is_list_head(self, head: str, graph: str | None) -> bool:
+    def _is_list_head(self, head: str, graph: str | None,
+                      allow_head_extra: bool = False) -> bool:
         """Structural probe WITHOUT side effects: _as_list marks quads
         serialized and renders items, so it must only run when the list
         is actually being emitted."""
@@ -189,13 +228,20 @@ class N3Writer:
             outgoing = [q for q in self.graphs.get(graph, []) if q[0] == node]
             firsts = [q for q in outgoing if q[1] == T.RDF_FIRST]
             rests = [q for q in outgoing if q[1] == T.RDF_REST]
-            if len(firsts) != 1 or len(rests) != 1 or len(outgoing) != 2:
+            if len(firsts) != 1 or len(rests) != 1:
+                return False
+            if len(outgoing) != 2 and not (allow_head_extra and node == head):
                 return False
             node = rests[0][2]
         return True
 
-    def _as_list(self, head: str, graph: str | None) -> str | None:
+    def _as_list(self, head: str, graph: str | None,
+                 allow_head_extra: bool = False) -> str | None:
+        """Render a first/rest ladder as "( ... )", marking ONLY the
+        ladder quads serialized (a head with extra properties keeps them
+        for its predicateObjectList when allow_head_extra is set)."""
         items, seen = [], set()
+        ladder: list[Quad] = []
         node = head
         while node != T.RDF_NIL:
             if node in seen or not T.is_bnode(node):
@@ -204,14 +250,15 @@ class N3Writer:
             outgoing = [q for q in self.graphs.get(graph, []) if q[0] == node]
             firsts = [q for q in outgoing if q[1] == T.RDF_FIRST]
             rests = [q for q in outgoing if q[1] == T.RDF_REST]
-            if len(firsts) != 1 or len(rests) != 1 or len(outgoing) != 2:
+            if len(firsts) != 1 or len(rests) != 1:
                 return None
+            if len(outgoing) != 2 and not (allow_head_extra and node == head):
+                return None
+            ladder += [firsts[0], rests[0]]
             items.append(firsts[0][2])
             node = rests[0][2]
-        for n in seen:
-            for q in self.graphs.get(graph, []):
-                if q[0] == n:
-                    self.serialized.add(q)
+        for q in ladder:
+            self.serialized.add(q)
         return "( " + " ".join(self._term(i, graph) for i in items) + " )"
 
     def _cyclic_bnodes(self, graph: str | None) -> set:
@@ -271,7 +318,9 @@ class N3Writer:
             self.serialized.add(q)
         if not props:
             return "[]"
-        return "[ " + self._predicate_object_list(props, graph, depth + 1) + " ]"
+        # no inner padding: the reference writes "[ex:c ex:d]"
+        # (writer.rb:616-622 blankNodePropertyList)
+        return "[" + self._predicate_object_list(props, graph, depth + 1) + "]"
 
     def _formula(self, node: str) -> str:
         memo = getattr(self, "_formula_memo", None)
@@ -297,11 +346,19 @@ class N3Writer:
             by_pred[p].append(o)
         parts = []
         for p in sorted(by_pred, key=lambda x: (_PREDICATE_ORDER.get(x, 9), x)):
-            pred = "a" if p == T.RDF_TYPE else (
-                "=>" if p == T.LOG_IMPLIES else self._term(p, graph))
+            if p == T.RDF_TYPE:
+                pred = "a"
+            elif p == T.LOG_IMPLIES:
+                pred = "=>"
+            elif p == T.RDF_NIL:
+                pred = p  # "()" is not legal in predicate position
+            else:
+                pred = self._term(p, graph)
             objs = ", ".join(self._term(o, graph, depth) for o in by_pred[p])
             parts.append(f"{pred} {objs}")
-        return " ;\n    ".join(parts)
+        # ";" attaches to the object, next property indented
+        # (writer.rb:594 predicateObjectList)
+        return ";\n    ".join(parts)
 
     def _subject_sort_key(self, s: str, quads: list[Quad]):
         # writer.rb:372-413 order_subjects: base first, classes, then
@@ -320,12 +377,29 @@ class N3Writer:
             if not sq:
                 continue
             if T.is_bnode(s) and s not in self.graphs \
+                    and self.ref_count[(graph, s)] == 0 \
+                    and self._is_list_head(s, graph, allow_head_extra=True):
+                # subject-position list: "(ex:a ex:b) ." / "(ex:a) :p :o ."
+                # (writer_spec.rb "bare list" / "list as subject")
+                lst = self._as_list(s, graph, allow_head_extra=True)
+                if lst is not None:
+                    rest = [q for q in quads
+                            if q[0] == s and q not in self.serialized]
+                    for q in rest:
+                        self.serialized.add(q)
+                    if rest:
+                        out.append(
+                            f"{lst} {self._predicate_object_list(rest, graph)} .")
+                    else:
+                        out.append(f"{lst} .")
+                    continue
+            if T.is_bnode(s) and s not in self.graphs \
                     and not self._is_list_head(s, graph) \
                     and self.ref_count[(graph, s)] == 0:
                 # root bnode: render as [ ... ] statement
                 for q in sq:
                     self.serialized.add(q)
-                out.append(f"[ {self._predicate_object_list(sq, graph)} ] .")
+                out.append(f"[{self._predicate_object_list(sq, graph)}] .")
                 continue
             if T.is_bnode(s) and s not in self.graphs:
                 # subject position: any bnode (including list-ladder
@@ -361,8 +435,10 @@ class N3Writer:
 
 
 def serialize_n3(quads: list[Quad], prefixes: dict[str, str] | None = None,
-                 base_uri: str | None = None) -> str:
-    return N3Writer(quads, prefixes=prefixes, base_uri=base_uri).serialize()
+                 base_uri: str | None = None,
+                 standard_prefixes: bool = False) -> str:
+    return N3Writer(quads, prefixes=prefixes, base_uri=base_uri,
+                    standard_prefixes=standard_prefixes).serialize()
 
 
 def serialize_documents(triples_ds):

@@ -558,6 +558,48 @@ def test_reason_kb_path_partition_pruned(ray_session, tmp_path):
     assert got == want
 
 
+def test_reason_kb_path_broad_antecedent_distributed(ray_session, tmp_path):
+    """Partitioned-KB reasoner with a non-selective pattern above the
+    driver-join limit: bindings joins run distributed, only the deduped
+    delta reaches the driver, and the closure matches expectations."""
+    import ray.data as rd
+
+    from rdf_n3_ray.pipelines import reasoning as RZ
+    from rdf_n3_ray.pipelines.reasoning import (
+        reason_kb_path,
+        write_kb_partitioned,
+    )
+
+    n = 60_000
+    idx = np.arange(n)
+    base = pd.DataFrame({
+        "subj": pd.Series(idx).map(lambda i: f"<s{i}>"),
+        "pred": "<type>",
+        "obj": pd.Series(idx % 50).map(lambda c: f"<c{c}>"),
+    })
+    sub = pd.DataFrame({
+        "subj": [f"<c{j}>" for j in range(50)],
+        "pred": "<subclass>",
+        "obj": [f"<d{j}>" for j in range(50)],
+    })
+    kb = pd.concat([base, sub], ignore_index=True)
+    out = str(tmp_path / "kb")
+    write_kb_partitioned(rd.from_pandas(kb), out)
+    rules = [([("?s", "<type>", "?c"), ("?c", "<subclass>", "?d")],
+              [("?s", "<type>", "?d")])]
+    # force the distributed path without needing 500k+ test rows
+    orig = RZ._DRIVER_JOIN_LIMIT
+    RZ._DRIVER_JOIN_LIMIT = 10_000
+    try:
+        adds, inferred = reason_kb_path(out, rules)
+    finally:
+        RZ._DRIVER_JOIN_LIMIT = orig
+    assert inferred == n
+    assert len(adds) == n
+    assert (adds.pred == "<type>").all()
+    assert set(adds[adds.subj == "<s7>"].obj) == {"<d7>"}
+
+
 def test_reason_kb_path_rederivation_not_counted(ray_session, tmp_path):
     """Symmetric rule over symmetric base facts derives nothing new —
     re-derivations of base triples must not count as inferred."""

@@ -95,3 +95,119 @@ def test_invalid_lexical_never_bare():
         back = parse_n3(out, base_uri="http://x/")
         assert not back.errors, (bad, out, back.errors)
         assert isomorphic(q, back.quads), (bad, out)
+
+
+# --- surface-format parity: transcribed from the reference's own
+# writer_spec.rb regexp expectations (:37-157 simple tests, :154-200
+# collections).  Each case parses the input, serializes with the given
+# options, and asserts every regexp matches a line of the output —
+# exactly what the reference's `serialize(input, regexps)` helper does.
+import re as _re2
+
+_WRITER_SURFACE_CASES = [
+    ("full URIs without base",
+     '<http://a/b> <http://a/c> <http://a/d> .',
+     [r'(?m)^<http://a/b> <http://a/c> <http://a/d> \.$'], {}),
+    ("relative URIs with base",
+     '<http://a/b> <http://a/c> <http://a/d> .',
+     [r'(?m)^@base <http://a/> \.$', r'(?m)^<b> <c> <d> \.$'],
+     {"base_uri": "http://a/"}),
+    ("pname URIs with prefix",
+     '<http://example.com/b> <http://example.com/c> <http://example.com/d> .',
+     [r'(?m)^@prefix ex: <http://example.com/> \.$',
+      r'(?m)^ex:b ex:c ex:d \.$'],
+     {"prefixes": {"ex": "http://example.com/"}}),
+    ("pname URIs with empty prefix",
+     '<http://example.com/b> <http://example.com/c> <http://example.com/d> .',
+     [r'(?m)^@prefix : <http://example.com/> \.$', r'(?m)^:b :c :d \.$'],
+     {"prefixes": {"": "http://example.com/"}}),
+    ("pname URIs with empty suffix",
+     '<http://xmlns.com/foaf/0.1/> <http://xmlns.com/foaf/0.1/> <http://xmlns.com/foaf/0.1/> .',
+     [r'(?m)^@prefix foaf: <http://xmlns.com/foaf/0\.1/> \.$',
+      r'(?m)^foaf: foaf: foaf: \.$'],
+     {"prefixes": {"foaf": "http://xmlns.com/foaf/0.1/"}}),
+    ("order properties",
+     '@prefix ex: <http://example.com/> .\n'
+     '@prefix dc: <http://purl.org/dc/elements/1.1/> .\n'
+     '@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n'
+     'ex:b ex:c ex:d .\nex:b dc:title "title" .\n'
+     'ex:b a ex:class .\nex:b rdfs:label "label" .',
+     [r'(?m)^ex:b a ex:class;$',
+      r'ex:class;\s+rdfs:label "label"',
+      r'"label";\s+ex:c ex:d',
+      r'(?m)ex:d;\s+dc:title "title" \.$'],
+     {"prefixes": {"ex": "http://example.com/",
+                   "dc": "http://purl.org/dc/elements/1.1/",
+                   "rdfs": "http://www.w3.org/2000/01/rdf-schema#"}}),
+    ("object list",
+     '@prefix ex: <http://example.com/> . ex:b ex:c ex:d, ex:e .',
+     [r'(?m)^@prefix ex: <http://example.com/> \.$',
+      r'(?m)^ex:b ex:c ex:[de],\s+ex:[de] \.$'],
+     {"prefixes": {"ex": "http://example.com/"}}),
+    ("property list",
+     '@prefix ex: <http://example.com/> . ex:b ex:c ex:d; ex:e ex:f .',
+     [r'(?m)^@prefix ex: <http://example.com/> \.$',
+      r'(?m)^ex:b ex:c ex:d;$',
+      r'(?m)^\s+ex:e ex:f \.$'],
+     {"prefixes": {"ex": "http://example.com/"}}),
+    ("bare anon",
+     '@prefix ex: <http://example.com/> . [ex:a ex:b] .',
+     [r'(?m)^\s*\[ex:a ex:b\] \.$'],
+     {"prefixes": {"ex": "http://example.com/"}}),
+    ("anon as subject",
+     '@prefix ex: <http://example.com/> . [ex:a ex:b] ex:c ex:d .',
+     [r'(?m)^\s*\[\s*ex:a ex:b;$',
+      r'(?m)^\s+ex:c ex:d\s*\] \.$'],
+     {"prefixes": {"ex": "http://example.com/"}}),
+    ("anon as object",
+     '@prefix ex: <http://example.com/> . ex:a ex:b [ex:c ex:d] .',
+     [r'(?m)^ex:a ex:b \[ex:c ex:d\] \.$'],
+     {"prefixes": {"ex": "http://example.com/"}}),
+    ("standard prefixes",
+     '<http://x/a> a <http://xmlns.com/foaf/0.1/Person>;'
+     ' <http://purl.org/dc/terms/title> "Person" .',
+     [r'(?m)^@prefix foaf: <http://xmlns\.com/foaf/0\.1/> \.$',
+      r'(?m)^@prefix dc: <http://purl\.org/dc/terms/> \.$',
+      r'(?m)a foaf:Person;$',
+      r'(?m)dc:title "Person" \.$'],
+     {"standard_prefixes": True}),
+    ("no pname with illegal local part",
+     '@prefix db: <http://dbpedia.org/resource/> .\n'
+     '@prefix dbo: <http://dbpedia.org/ontology/> .\n'
+     'db:Michael_Jackson dbo:artistOf <http://dbpedia.org/resource/(I_Can%27t_Make_It)_Another_Day> .',
+     [r'(?m)^@prefix db: <http://dbpedia\.org/resource/> \.$',
+      r'(?m)^db:Michael_Jackson dbo:artistOf <http://dbpedia\.org/resource/\(I_Can%27t_Make_It\)_Another_Day> \.$'],
+     {"prefixes": {"db": "http://dbpedia.org/resource/",
+                   "dbo": "http://dbpedia.org/ontology/"}}),
+    ("bare list",
+     '@prefix ex: <http://example.com/> . (ex:a ex:b) .',
+     [r'(?m)^\(\s*ex:a ex:b\s*\) \.$'],
+     {"prefixes": {"ex": "http://example.com/"}}),
+    ("literal list",
+     '@prefix ex: <http://example.com/> . ex:a ex:b ( "apple" "banana" ) .',
+     [r'(?m)^ex:a ex:b \(\s*"apple" "banana"\s*\) \.$'],
+     {"prefixes": {"ex": "http://example.com/"}}),
+    ("empty list",
+     '@prefix ex: <http://example.com/> . ex:a ex:b () .',
+     [r'(?m)^ex:a ex:b \(\s*\) \.$'],
+     {"prefixes": {"ex": "http://example.com/"}}),
+    ("list as subject",
+     '@prefix ex: <http://example.com/> . (ex:a) ex:b ex:c .',
+     [r'(?m)^\(\s*ex:a\s*\) ex:b ex:c \.$'],
+     {"prefixes": {"ex": "http://example.com/"}}),
+]
+
+
+@pytest.mark.parametrize(
+    "case", _WRITER_SURFACE_CASES, ids=[c[0] for c in _WRITER_SURFACE_CASES])
+def test_writer_surface_format(case):
+    name, doc, regexps, opts = case
+    r = parse_n3(doc, base_uri=opts.get("base_uri"))
+    assert not r.errors, (name, r.errors)
+    out = serialize_n3(r.quads, **opts)
+    for rx in regexps:
+        assert _re2.search(rx, out), f"{name}: /{rx}/ not found in:\n{out}"
+    # surface format must never break the round-trip contract
+    back = parse_n3(out, base_uri=opts.get("base_uri"))
+    assert not back.errors, (name, out, back.errors)
+    assert isomorphic(r.quads, back.quads), (name, out)
