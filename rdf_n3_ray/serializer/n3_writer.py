@@ -184,8 +184,11 @@ class N3Writer:
         if T.is_var(t):
             return t
         if T.is_bnode(t):
-            # formula node?
-            if t in self.graphs:
+            # formula node?  (an EMPTY formula has no quads, so it is
+            # absent from self.graphs — the parser's _:_form_* label
+            # convention still identifies it; "{}" must not degrade to
+            # a plain bnode "[]", writer_spec.rb:515-527)
+            if t in self.graphs or t.startswith("_:_form_"):
                 return self._formula(t)
             if self._is_list_head(t, graph):
                 if self.ref_count[(graph, t)] > 1:
@@ -377,6 +380,7 @@ class N3Writer:
             if not sq:
                 continue
             if T.is_bnode(s) and s not in self.graphs \
+                    and not s.startswith("_:_form_") \
                     and self.ref_count[(graph, s)] == 0 \
                     and self._is_list_head(s, graph, allow_head_extra=True):
                 # subject-position list: "(ex:a ex:b) ." / "(ex:a) :p :o ."
@@ -393,6 +397,13 @@ class N3Writer:
                     else:
                         out.append(f"{lst} .")
                     continue
+            if T.is_bnode(s) and s not in self.graphs \
+                    and s.startswith("_:_form_"):
+                # empty formula as subject: "{} <b> <c> ."
+                for q in sq:
+                    self.serialized.add(q)
+                out.append(f"{{}} {self._predicate_object_list(sq, graph)} .")
+                continue
             if T.is_bnode(s) and s not in self.graphs \
                     and not self._is_list_head(s, graph) \
                     and self.ref_count[(graph, s)] == 0:

@@ -211,3 +211,43 @@ def test_writer_surface_format(case):
     back = parse_n3(out, base_uri=opts.get("base_uri"))
     assert not back.errors, (name, out, back.errors)
     assert isomorphic(r.quads, back.quads), (name, out)
+
+
+# formulae / variables / list_terms results (writer_spec.rb:514-652)
+_WRITER_FORMULA_CASES = [
+    ("empty formula subject", '{} <b> <c> .',
+     [r'\{\} <http://a/b> <http://a/c> \.'], {}),
+    ("empty formula object", '<a> <b> {} .',
+     [r'<http://a/a> <http://a/b> \{\} \.'], {}),
+    ("formula subject with content", '{<x> <y> <z>} <b> <c> .',
+     [r'\{\s+<http://a/x> <http://a/y> <http://a/z> \.\s+\} <http://a/b> <http://a/c> \.'], {}),
+    ("formula object with content", '<a> <b> {<x> <y> <z>} .',
+     [r'<http://a/a> <http://a/b> \{\s+<http://a/x> <http://a/y> <http://a/z> \.\s+\} \.'], {}),
+    ("implies with scoped bnodes",
+     '@prefix : <http://ex/>. { _:x :is _:x } => {_:x :is _:x } .',
+     [r'\{\s+_:\S+ :is _:\S+ \.\s+\} => \{\s+_:\S+ :is _:\S+ \.\s+\} \.'],
+     {"prefixes": {"": "http://ex/"}}),
+    ("quickvar statement", '@prefix : <http://ex/>. :s :p ?o .',
+     [r'(?m)^:s :p \?o \.$'], {"prefixes": {"": "http://ex/"}}),
+    ("list plus member statements",
+     '@prefix : <http://ex/>. ( "one"  "two" ) a :whatever. '
+     '"one" a :SUCCESS. "two" a :SUCCESS.',
+     [r'\(\s*"one"\s+"two"\s*\) a :whatever\s*\.',
+      r'(?m)^"one" a :SUCCESS \.$',
+      r'(?m)^"two" a :SUCCESS \.$'],
+     {"prefixes": {"": "http://ex/"}}),
+]
+
+
+@pytest.mark.parametrize(
+    "case", _WRITER_FORMULA_CASES, ids=[c[0] for c in _WRITER_FORMULA_CASES])
+def test_writer_formula_surface(case):
+    name, doc, regexps, opts = case
+    r = parse_n3(doc, base_uri="http://a/b")
+    assert not r.errors, (name, r.errors)
+    out = serialize_n3(r.quads, **opts)
+    for rx in regexps:
+        assert _re2.search(rx, out), f"{name}: /{rx}/ not found in:\n{out}"
+    back = parse_n3(out, base_uri="http://a/b")
+    assert not back.errors, (name, out, back.errors)
+    assert isomorphic(r.quads, back.quads), (name, out)
