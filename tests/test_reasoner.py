@@ -619,3 +619,30 @@ def test_combinatorial_concatenation():
         '"3.1415926 + 3.1415926 = 6.2831852"',
     }
     assert got == want, got ^ want
+
+
+LOGPFX = "@prefix log: <http://www.w3.org/2000/10/swap/log#>.\n"
+
+
+def test_log_conclusion_super_simple():
+    """reasoner_spec.rb:22-45 conclusion-super-simple: the bound ?y is
+    the deductive CLOSURE formula of the subject formula (base facts +
+    fired consequents + the rule itself)."""
+    check_conclusions(
+        LOGPFX +
+        "{ { {<a> <b> <c>} => {<test> a <SUCCESS>} . <a> <b> <c>. }"
+        "  log:conclusion ?y } => { ?y a :TestResult }.",
+        "{ <a> <b> <c> . <test> a <SUCCESS> ."
+        "  {<a> <b> <c>} => {<test> a <SUCCESS>} . } a :TestResult .")
+
+
+def test_log_conclusion_simple_via_type_join():
+    """reasoner_spec.rb:46-70 conclusion-simple: the subject formula is
+    found by a type pattern, then log:conclusion binds its closure."""
+    check_conclusions(
+        LOGPFX +
+        "{ {<a> <b> <c>} => {<test> a <SUCCESS>} . <a> <b> <c>. }"
+        "  a :TestRule.\n"
+        "{ ?x a :TestRule; log:conclusion ?y } => { ?y a :TestResult }.",
+        "{ <a> <b> <c> . <test> a <SUCCESS> ."
+        "  {<a> <b> <c>} => {<test> a <SUCCESS>} . } a :TestResult .")
