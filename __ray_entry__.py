@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "ann_ivf": R.ann_ivf,
         "jaccard_dup_groups": R.jaccard_dup_groups,
+        "decontaminate": R.decontaminate,
     }
 
 
@@ -164,4 +165,5 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_dup_groups": R.JACCARD_GROUPS_SQL,
         "simhash": R.SIMHASH_SQL,
         "lang_id": R.LANG_ID_SQL,
+        "decontaminate": R.DECONTAMINATE_SQL,
     }

@@ -332,6 +332,71 @@ def lang_distribution(sf_dir: str):
     return out.map_batches(finish, batch_format="pandas").sort("lang_pred")
 
 
+def decontaminate(sf_dir: str, bench_mod: int = 37, n: int = 13):
+    """Benchmark decontamination: per-document count of distinct
+    13-word-grams shared with a benchmark set (the standard n-gram-
+    overlap hygiene check for training corpora).  The benchmark is
+    derived deterministically from the corpus itself (the first 13-gram
+    of every doc_id % 37 == 0 document) so the DuckDB oracle can
+    recompute it exactly.
+
+    Scale shape: the benchmark side is tiny and broadcast ONCE via
+    ray.put (at 100 TB you broadcast 8-byte gram hashes instead of the
+    strings); the corpus side is a single map pass — per batch, each
+    doc's distinct grams are intersected with the broadcast set.  No
+    shuffle except the final doc_id sort."""
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    bench_rows = ds.map_batches(
+        lambda b: b[b["doc_id"] % bench_mod == 0],
+        batch_format="pandas").to_pandas()
+    bench = set()
+    for t in bench_rows["text"]:
+        w = t.lower().split() if isinstance(t, str) else []
+        if len(w) >= n:
+            bench.add(" ".join(w[:n]))
+    bench_ref = ray.put(frozenset(bench))
+
+    def hits(b: pd.DataFrame) -> pd.DataFrame:
+        bset = ray.get(bench_ref)
+        counts = np.empty(len(b), dtype=np.int64)
+        for i, t in enumerate(b["text"]):
+            w = t.lower().split() if isinstance(t, str) else []
+            grams = {" ".join(w[j:j + n])
+                     for j in range(max(0, len(w) - n + 1))}
+            counts[i] = len(grams & bset)
+        return pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
+                             "n_hits": counts})
+
+    return ds.map_batches(hits, batch_format="pandas").sort("doc_id")
+
+
+DECONTAMINATE_SQL = r"""
+WITH wf AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+), bench AS (
+  SELECT DISTINCT array_to_string(list_slice(w, 1, 13), ' ') AS gram
+  FROM wf WHERE doc_id % 37 = 0 AND length(w) >= 13
+), grams AS (
+  SELECT doc_id, array_to_string(list_slice(w, i, i + 12), ' ') AS gram
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(1, greatest(length(w) - 12, 0))) AS i
+        FROM wf)
+), hits AS (
+  SELECT DISTINCT g.doc_id, g.gram FROM grams g JOIN bench b USING (gram)
+)
+SELECT d.doc_id, COALESCE(cnt.n, 0)::BIGINT AS n_hits
+FROM documents d
+LEFT JOIN (SELECT doc_id, count(*) AS n FROM hits GROUP BY doc_id) cnt
+  USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def _lang_id_sql() -> str:
     """Oracle for lang_distribution: the stopword-argmax classifier
     recomputed in SQL.  Generated from text_stats._STOPWORDS so the

@@ -628,3 +628,20 @@ def test_explode_bands_validates_divisibility():
         explode_bands(sig, bands=24)    # 64 % 24 != 0
     ok = explode_bands(sig, bands=16)
     assert len(ok) == 16
+
+
+def test_decontaminate_flags_overlapping_docs(ray_session):
+    """Benchmark decontamination finds the benchmark docs themselves and
+    any doc sharing a 13-word-gram; clean docs score 0."""
+    from rdf_n3_ray.pipelines.relational import decontaminate
+
+    out = decontaminate("/root/testdata/sf0.01").to_pandas()
+    assert len(out) == 500
+    docs = pd.read_parquet("/root/testdata/sf0.01/documents.parquet",
+                           columns=["doc_id", "text"])
+    wc = docs.set_index("doc_id").text.str.split().str.len()
+    # every benchmark doc LONG ENOUGH to contribute a gram self-hits
+    bench_ids = [d for d in out.doc_id if d % 37 == 0 and wc[d] >= 13]
+    assert bench_ids and (out.set_index("doc_id").n_hits[bench_ids] >= 1).all()
+    assert (out.n_hits == 0).sum() > 400  # most of the corpus is clean
+    assert out.n_hits.dtype == "int64"
