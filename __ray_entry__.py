@@ -138,6 +138,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": R.ann_ivf,
         "jaccard_dup_groups": R.jaccard_dup_groups,
         "decontaminate": R.decontaminate,
+        "top_tokens": R.top_tokens,
+        "event_histogram": R.event_histogram,
     }
 
 
@@ -166,4 +168,6 @@ def oracle_sql() -> dict[str, str]:
         "simhash": R.SIMHASH_SQL,
         "lang_id": R.LANG_ID_SQL,
         "decontaminate": R.DECONTAMINATE_SQL,
+        "top_tokens": R.TOP_TOKENS_SQL,
+        "event_histogram": R.EVENT_HISTOGRAM_SQL,
     }

@@ -332,6 +332,89 @@ def lang_distribution(sf_dir: str):
     return out.map_batches(finish, batch_format="pandas").sort("lang_pred")
 
 
+def top_tokens(sf_dir: str, k: int = 50, num_buckets: int = 32):
+    """Corpus-wide token frequency top-k: map-side partial counts per
+    batch (vectorized explode+value_counts), token-hash bucket groupby
+    merges partials (each bucket sums its own tokens — a token never
+    spans buckets), per-bucket partial top-k, tiny driver merge.  The
+    full vocabulary never assembles in one place."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        counts = (b["text"].fillna("").str.lower().str.split()
+                  .explode().dropna().value_counts())
+        out = counts.rename_axis("token").reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        out["tb"] = (pd.util.hash_pandas_object(out["token"], index=False)
+                     % num_buckets).astype("int32")
+        return out
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("token", as_index=False)["n"].sum()
+        m["n"] = m["n"].astype("int64")
+        # per-bucket partial top-k (count DESC, token ASC)
+        return m.sort_values(["n", "token"],
+                             ascending=[False, True]).head(k)
+
+    partials = (ds.map_batches(partial, batch_format="pandas")
+                .groupby("tb").map_groups(merge_bucket,
+                                          batch_format="pandas"))
+    top = partials.to_pandas()  # <= num_buckets * k rows
+    return (top.sort_values(["n", "token"], ascending=[False, True])
+            .head(k).reset_index(drop=True)[["token", "n"]])
+
+
+TOP_TOKENS_SQL = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(
+           regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+           x -> x <> '')) AS token
+  FROM documents
+)
+SELECT token, count(*)::BIGINT AS n
+FROM toks GROUP BY token
+ORDER BY n DESC, token LIMIT 50
+"""
+
+
+def event_histogram(sf_dir: str, bin_width: float = 50.0, n_bins: int = 10):
+    """Fixed-bin histogram of events.value: per-batch numpy bincount
+    partials, single tiny groupby to sum — the classic map-side-combine
+    aggregate; only n_bins rows ever shuffle per block."""
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        bins = np.clip((b["value"].to_numpy() // bin_width).astype(np.int64),
+                       0, n_bins - 1)
+        counts = np.bincount(bins, minlength=n_bins)
+        return pd.DataFrame({"bin": np.arange(n_bins, dtype=np.int64),
+                             "n": counts.astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("bin").aggregate(Sum("n", alias_name="n")))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["n"] = b["n"].astype("int64")
+        return b
+
+    return out.map_batches(finish, batch_format="pandas").sort("bin")
+
+
+EVENT_HISTOGRAM_SQL = r"""
+WITH binned AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR(value / 50.0) AS BIGINT), 0), 9) AS bin
+  FROM events
+)
+SELECT b.bin, COALESCE(c.n, 0)::BIGINT AS n
+FROM (SELECT unnest(generate_series(0, 9)) AS bin) b
+LEFT JOIN (SELECT bin, count(*) AS n FROM binned GROUP BY bin) c
+  USING (bin)
+ORDER BY b.bin
+"""
+
+
 def decontaminate(sf_dir: str, bench_mod: int = 37, n: int = 13):
     """Benchmark decontamination: per-document count of distinct
     13-word-grams shared with a benchmark set (the standard n-gram-
