@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": R.decontaminate,
         "top_tokens": R.top_tokens,
         "event_histogram": R.event_histogram,
+        "events_sliding": R.events_sliding,
     }
 
 
@@ -170,4 +171,5 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": R.DECONTAMINATE_SQL,
         "top_tokens": R.TOP_TOKENS_SQL,
         "event_histogram": R.EVENT_HISTOGRAM_SQL,
+        "events_sliding": R.EVENTS_SLIDING_SQL,
     }

@@ -415,6 +415,63 @@ ORDER BY b.bin
 """
 
 
+_SLIDE_US = 900 * 1_000_000        # 15-minute slide
+_WINDOWS_PER_EVENT = 4             # 1-hour window / 15-minute slide
+
+
+def events_sliding(sf_dir: str, num_buckets: int = 32):
+    """Sliding-window aggregate over the event stream: 1-hour windows
+    sliding every 15 minutes.  Every event belongs to exactly 4 windows
+    (window k covers [k*15min, k*15min + 1h)); the map side explodes
+    each batch into per-window PARTIAL (count, cent-sum) rows — so only
+    #windows-per-batch rows shuffle, not 4x the events — and a coarse
+    window-hash groupby folds partials.  Sums use integer cents
+    (floor(v*100+0.5)) so the DuckDB oracle is bit-exact."""
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        us = ((b["ts"] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
+              ).to_numpy(dtype=np.int64)
+        cents = np.floor(b["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        k0 = us // _SLIDE_US
+        ks = np.concatenate([k0 - o for o in range(_WINDOWS_PER_EVENT)])
+        cs = np.tile(cents, _WINDOWS_PER_EVENT)
+        g = (pd.DataFrame({"k": ks, "cents": cs})
+             .groupby("k", as_index=False)
+             .agg(n_events=("cents", "size"), sum_cents=("cents", "sum")))
+        g["wb"] = (g["k"] % num_buckets).astype("int32")
+        return g
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("k", as_index=False)
+               .agg(n_events=("n_events", "sum"),
+                    sum_cents=("sum_cents", "sum")))
+        out["window_start_s"] = (out["k"] * 900).astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        out["sum_cents"] = out["sum_cents"].astype("int64")
+        return out[["window_start_s", "n_events", "sum_cents"]]
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("wb").map_groups(fold, batch_format="pandas")
+            .sort("window_start_s"))
+
+
+EVENTS_SLIDING_SQL = r"""
+WITH e AS (
+  SELECT epoch_us(ts) // 900000000 AS k0,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), x AS (
+  SELECT (k0 - o.o) AS k, cents
+  FROM e, (SELECT unnest([0, 1, 2, 3]) AS o) o
+)
+SELECT (k * 900)::BIGINT AS window_start_s,
+       count(*)::BIGINT AS n_events,
+       sum(cents)::BIGINT AS sum_cents
+FROM x GROUP BY k ORDER BY window_start_s
+"""
+
+
 def decontaminate(sf_dir: str, bench_mod: int = 37, n: int = 13):
     """Benchmark decontamination: per-document count of distinct
     13-word-grams shared with a benchmark set (the standard n-gram-
