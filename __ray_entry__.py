@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": R.top_tokens,
         "event_histogram": R.event_histogram,
         "events_sliding": R.events_sliding,
+        "event_percentiles": R.event_percentiles,
     }
 
 
@@ -172,4 +173,5 @@ def oracle_sql() -> dict[str, str]:
         "top_tokens": R.TOP_TOKENS_SQL,
         "event_histogram": R.EVENT_HISTOGRAM_SQL,
         "events_sliding": R.EVENTS_SLIDING_SQL,
+        "event_percentiles": R.EVENT_PERCENTILES_SQL,
     }

@@ -415,6 +415,95 @@ ORDER BY b.bin
 """
 
 
+def event_percentiles(sf_dir: str, qs=(0.25, 0.5, 0.9, 0.99),
+                      coarse_bins: int = 4096, collect_limit: int = 100_000):
+    """EXACT distributed percentiles (order statistics) of events.value
+    by iterative histogram descent — no global sort:
+
+    1. one Min/Max/Count aggregate pass fixes the domain,
+    2. per quantile, repeated passes histogram the candidate range
+       [lo, hi) into `coarse_bins` (vectorized np bincount per batch)
+       and descend into the bin containing the target rank,
+    3. once the candidate bin holds <= collect_limit values, only THOSE
+       values are pulled to the driver and the exact rank is read off.
+
+    Each descent level divides the candidate population by ~coarse_bins,
+    so a 10^12-row column needs ~3 levels before the collect; the
+    driver never sees more than collect_limit values.  Rank rule
+    matches DuckDB's quantile_disc: 1-based rank = max(1, ceil(q*n))."""
+    import math
+
+    import ray
+
+    ds = _read(sf_dir, "events", columns=["value"]).materialize()
+    from ray.data.aggregate import Count, Max, Min
+
+    stats = ds.aggregate(Min("value"), Max("value"), Count())
+    lo0 = float(stats["min(value)"])
+    hi0 = float(np.nextafter(stats["max(value)"], np.inf))  # half-open
+    n = int(stats["count()"])
+
+    def hist(lo: float, hi: float) -> np.ndarray:
+        width = (hi - lo) / coarse_bins
+
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            v = b["value"].to_numpy()
+            v = v[(v >= lo) & (v < hi)]
+            bins = np.clip(((v - lo) / width).astype(np.int64),
+                           0, coarse_bins - 1)
+            c = np.bincount(bins, minlength=coarse_bins)
+            nz = np.nonzero(c)[0]
+            return pd.DataFrame({"bin": nz.astype(np.int64),
+                                 "n": c[nz].astype(np.int64)})
+
+        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        out = np.zeros(coarse_bins, dtype=np.int64)
+        if len(parts):
+            agg = parts.groupby("bin")["n"].sum()
+            out[agg.index.to_numpy()] = agg.to_numpy()
+        return out
+
+    def collect(lo: float, hi: float) -> np.ndarray:
+        vals = []
+        sub = ds.map_batches(
+            lambda b: b[(b["value"] >= lo) & (b["value"] < hi)],
+            batch_format="pandas")
+        for b in sub.iter_batches(batch_format="pandas"):
+            vals.append(b["value"].to_numpy())
+        return np.sort(np.concatenate(vals)) if vals else np.empty(0)
+
+    rows = []
+    for q in qs:
+        r = max(1, math.ceil(q * n))  # 1-based target rank
+        lo, hi, rank_below, in_range = lo0, hi0, 0, n
+        for _ in range(12):  # descent levels (each divides by ~4096)
+            if in_range <= collect_limit or hi - lo <= 0 \
+                    or not np.isfinite((hi - lo) / coarse_bins) \
+                    or (hi - lo) / coarse_bins == 0:
+                break
+            counts = hist(lo, hi)
+            cum = np.cumsum(counts)
+            j = int(np.searchsorted(cum, r - rank_below))
+            width = (hi - lo) / coarse_bins
+            rank_below += int(cum[j - 1]) if j else 0
+            lo, hi = lo + j * width, lo + (j + 1) * width
+            in_range = int(counts[j])
+        vals = collect(lo, hi)
+        rows.append({"q": float(q),
+                     "value": float(vals[r - rank_below - 1])})
+    return pd.DataFrame(rows).sort_values("q").reset_index(drop=True)
+
+
+EVENT_PERCENTILES_SQL = r"""
+WITH agg AS (
+  SELECT quantile_disc(value, [0.25, 0.5, 0.9, 0.99]) AS vs FROM events
+)
+SELECT [0.25, 0.5, 0.9, 0.99][i] AS q, vs[i] AS value
+FROM agg, (SELECT unnest(generate_series(1, 4)) AS i) t
+ORDER BY q
+"""
+
+
 _SLIDE_US = 900 * 1_000_000        # 15-minute slide
 _WINDOWS_PER_EVENT = 4             # 1-hour window / 15-minute slide
 

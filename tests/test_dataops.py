@@ -645,3 +645,22 @@ def test_decontaminate_flags_overlapping_docs(ray_session):
     assert bench_ids and (out.set_index("doc_id").n_hits[bench_ids] >= 1).all()
     assert (out.n_hits == 0).sum() > 400  # most of the corpus is clean
     assert out.n_hits.dtype == "int64"
+
+
+def test_event_percentiles_descent_exact(ray_session):
+    """Histogram-descent selection returns EXACT order statistics even
+    when forced to actually descend (tiny collect_limit)."""
+    import math
+
+    from rdf_n3_ray.pipelines.relational import event_percentiles
+
+    qs = (0.25, 0.5, 0.9, 0.99)
+    out = event_percentiles("/root/testdata/sf0.01", qs=qs,
+                            coarse_bins=64, collect_limit=50)
+    vals = np.sort(pd.read_parquet(
+        "/root/testdata/sf0.01/events.parquet", columns=["value"])
+        ["value"].to_numpy())
+    n = len(vals)
+    for q, got in zip(out.q, out.value):
+        want = vals[max(1, math.ceil(q * n)) - 1]
+        assert got == want, (q, got, want)
