@@ -517,16 +517,37 @@ def _conjunction(engine: Engine, s, o, sol):
     return _formula_object_check(engine, new_g, o, sol)
 
 
+def _reachable_quads(graphs: dict, s_g: str) -> list:
+    """Quads of formula `s_g` plus every formula reachable through its
+    terms: the root's quads land in the default graph, nested formulae
+    keep their graph label (so the writer renders nested { ... })."""
+    out = []
+    stack = [s_g]
+    seen: set = set()
+    while stack:
+        g = stack.pop()
+        if g in seen:
+            continue
+        seen.add(g)
+        for a, b, c, _ in graphs.get(g, []):
+            out.append((a, b, c, None if g == s_g else g))
+            for t in (a, c):
+                if t in graphs and t not in seen:
+                    stack.append(t)
+    return out
+
+
 def _n3string(engine: Engine, s, o, sol):
-    """log:n3String — serialize formula via the Writer (log/n3_string.rb)."""
+    """log:n3String — serialize formula via the Writer (log/n3_string.rb).
+    Nested formulae are included transitively: serializing only the
+    direct quads would render inner {A}=>{B} terms as empty formulae."""
     from ..serializer.n3_writer import serialize_n3
 
     s_g = sol.get(s, s) if is_var(s) else s
     graphs = engine._graphs()
     if s_g not in graphs:
         return None
-    quads = [(a, b, c, None) for a, b, c, _ in graphs[s_g]]
-    text = serialize_n3(quads)
+    text = serialize_n3(_reachable_quads(graphs, s_g))
     lit = T.literal(text)
     if is_var(o):
         return [{**sol, o: lit}]
@@ -568,20 +589,7 @@ def _conclusion(engine: Engine, s, o, sol):
     if s_g not in graphs:
         return None
     # formula contents + anything reachable (nested formulae)
-    sub_quads = []
-    stack = [s_g]
-    seen = set()
-    while stack:
-        g = stack.pop()
-        if g in seen:
-            continue
-        seen.add(g)
-        for a, b, c, _ in graphs.get(g, []):
-            gg = None if g == s_g else g
-            sub_quads.append((a, b, c, gg))
-            for t in (a, c):
-                if t in graphs and t not in seen:
-                    stack.append(t)
+    sub_quads = _reachable_quads(graphs, s_g)
     nested = Engine(sub_quads, ctx=EvalContext(now=engine.ctx.now))
     closure = nested.reason(think=True)
     new_g = _content_graph_id("concl", [(a, b, c) for a, b, c, g in closure.quads])

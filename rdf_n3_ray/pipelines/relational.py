@@ -431,25 +431,45 @@ def event_percentiles(sf_dir: str, qs=(0.25, 0.5, 0.9, 0.99),
     so a 10^12-row column needs ~3 levels before the collect; the
     driver never sees more than collect_limit values.  Rank rule
     matches DuckDB's quantile_disc: 1-based rank = max(1, ceil(q*n))."""
+    ds = _read(sf_dir, "events", columns=["value"]).materialize()
+    return exact_percentiles(ds, "value", qs=qs, coarse_bins=coarse_bins,
+                             collect_limit=collect_limit)
+
+
+def exact_percentiles(ds, col: str, qs=(0.25, 0.5, 0.9, 0.99),
+                      coarse_bins: int = 4096, collect_limit: int = 100_000):
+    """Core of event_percentiles over any (materialized) Dataset; see
+    that docstring for the algorithm."""
     import math
 
-    import ray
-
-    ds = _read(sf_dir, "events", columns=["value"]).materialize()
     from ray.data.aggregate import Count, Max, Min
 
-    stats = ds.aggregate(Min("value"), Max("value"), Count())
-    lo0 = float(stats["min(value)"])
-    hi0 = float(np.nextafter(stats["max(value)"], np.inf))  # half-open
+    stats = ds.aggregate(Min(col), Max(col), Count())
+    lo0 = float(stats[f"min({col})"])
+    hi0 = float(np.nextafter(stats[f"max({col})"], np.inf))  # half-open
     n = int(stats["count()"])
 
-    def hist(lo: float, hi: float) -> np.ndarray:
-        width = (hi - lo) / coarse_bins
+    def make_edges(lo: float, hi: float) -> np.ndarray:
+        # the SAME edge doubles drive binning, the next level's bounds
+        # and the final collect, so float truncation can never put a
+        # value outside the interval its bin bookkeeping claims
+        e = lo + (hi - lo) * np.arange(coarse_bins + 1) / coarse_bins
+        e[0], e[-1] = lo, hi
+        return e
+
+    hist_cache: dict[tuple[float, float], np.ndarray] = {}
+
+    def hist(lo: float, hi: float, edges: np.ndarray) -> np.ndarray:
+        # quantiles share descent prefixes (all start at (lo0, hi0)):
+        # memoize so each level's full-data pass runs once per call
+        key = (lo, hi)
+        if key in hist_cache:
+            return hist_cache[key]
 
         def partial(b: pd.DataFrame) -> pd.DataFrame:
-            v = b["value"].to_numpy()
+            v = b[col].to_numpy()
             v = v[(v >= lo) & (v < hi)]
-            bins = np.clip(((v - lo) / width).astype(np.int64),
+            bins = np.clip(np.searchsorted(edges, v, side="right") - 1,
                            0, coarse_bins - 1)
             c = np.bincount(bins, minlength=coarse_bins)
             nz = np.nonzero(c)[0]
@@ -461,36 +481,51 @@ def event_percentiles(sf_dir: str, qs=(0.25, 0.5, 0.9, 0.99),
         if len(parts):
             agg = parts.groupby("bin")["n"].sum()
             out[agg.index.to_numpy()] = agg.to_numpy()
+        hist_cache[key] = out
         return out
 
-    def collect(lo: float, hi: float) -> np.ndarray:
-        vals = []
-        sub = ds.map_batches(
-            lambda b: b[(b["value"] >= lo) & (b["value"] < hi)],
-            batch_format="pandas")
-        for b in sub.iter_batches(batch_format="pandas"):
-            vals.append(b["value"].to_numpy())
-        return np.sort(np.concatenate(vals)) if vals else np.empty(0)
+    def collect_distinct(lo: float, hi: float) -> pd.DataFrame:
+        """(value, count) pairs for values in [lo, hi), merged map-side:
+        bounded by the DISTINCT value count of the range, so a range
+        dominated by duplicates (the case plain value-collect cannot
+        subdivide) still fits on the driver."""
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            v = b[col].to_numpy()
+            v = v[(v >= lo) & (v < hi)]
+            vals, counts = np.unique(v, return_counts=True)
+            return pd.DataFrame({"value": vals,
+                                 "n": counts.astype(np.int64)})
+
+        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        if parts.empty:
+            return parts
+        return (parts.groupby("value", as_index=False)["n"].sum()
+                .sort_values("value").reset_index(drop=True))
 
     rows = []
     for q in qs:
         r = max(1, math.ceil(q * n))  # 1-based target rank
         lo, hi, rank_below, in_range = lo0, hi0, 0, n
+        stuck = 0
         for _ in range(12):  # descent levels (each divides by ~4096)
-            if in_range <= collect_limit or hi - lo <= 0 \
-                    or not np.isfinite((hi - lo) / coarse_bins) \
-                    or (hi - lo) / coarse_bins == 0:
+            if in_range <= collect_limit or stuck >= 2:
                 break
-            counts = hist(lo, hi)
+            edges = make_edges(lo, hi)
+            if edges[1] <= edges[0]:  # interval no longer subdivides
+                break
+            counts = hist(lo, hi, edges)
             cum = np.cumsum(counts)
             j = int(np.searchsorted(cum, r - rank_below))
-            width = (hi - lo) / coarse_bins
+            j = min(j, coarse_bins - 1)
             rank_below += int(cum[j - 1]) if j else 0
-            lo, hi = lo + j * width, lo + (j + 1) * width
-            in_range = int(counts[j])
-        vals = collect(lo, hi)
-        rows.append({"q": float(q),
-                     "value": float(vals[r - rank_below - 1])})
+            # a duplicate-heavy bin stops shrinking: fall through to the
+            # distinct-value collect instead of descending forever
+            stuck = stuck + 1 if counts[j] > in_range // 2 else 0
+            lo, hi, in_range = float(edges[j]), float(edges[j + 1]), int(counts[j])
+        pairs = collect_distinct(lo, hi)
+        cum = pairs["n"].cumsum().to_numpy()
+        i = int(np.searchsorted(cum, r - rank_below))
+        rows.append({"q": float(q), "value": float(pairs["value"].iloc[i])})
     return pd.DataFrame(rows).sort_values("q").reset_index(drop=True)
 
 
@@ -576,15 +611,23 @@ def decontaminate(sf_dir: str, bench_mod: int = 37, n: int = 13):
     shuffle except the final doc_id sort."""
     import ray
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    bench_rows = ds.map_batches(
-        lambda b: b[b["doc_id"] % bench_mod == 0],
-        batch_format="pandas").to_pandas()
-    bench = set()
-    for t in bench_rows["text"]:
-        w = t.lower().split() if isinstance(t, str) else []
-        if len(w) >= n:
-            bench.add(" ".join(w[:n]))
+    # materialize: both the benchmark pass and the scoring pass scan the
+    # table; without it each pass re-reads and re-decodes the text column
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).materialize()
+
+    def bench_grams(b: pd.DataFrame) -> pd.DataFrame:
+        # emit ONLY the gram per qualifying doc — never ship full texts
+        # to the driver (at 100 TB that is 1/bench_mod of the corpus)
+        sel = b[b["doc_id"] % bench_mod == 0]
+        grams = []
+        for t in sel["text"]:
+            w = t.lower().split() if isinstance(t, str) else []
+            if len(w) >= n:
+                grams.append(" ".join(w[:n]))
+        return pd.DataFrame({"gram": pd.Series(grams, dtype="object")})
+
+    bench = set(ds.map_batches(bench_grams,
+                               batch_format="pandas").to_pandas()["gram"])
     bench_ref = ray.put(frozenset(bench))
 
     def hits(b: pd.DataFrame) -> pd.DataFrame:

@@ -19,6 +19,7 @@ are small, so in-group work is bounded.
 """
 from __future__ import annotations
 
+import re as _re
 from collections import defaultdict
 
 import pandas as pd
@@ -26,6 +27,15 @@ import pandas as pd
 from .. import terms as T
 
 Quad = tuple[str, str, str, str | None]
+
+# formula-node label conventions: the parser mints _:_form_N, the
+# engine mints _:{kind}_form_{hash} (engine._content_graph_id) — both
+# identify a formula even when it has NO quads in the writer's input
+# (an empty formula must render "{}", not degrade to a bnode "[]").
+# A user-authored bnode label matching this pattern would false-
+# positive; the reference avoids that only because its writer sees the
+# repository's formula map, which a pure quad-set API does not carry.
+_FORMULA_LABEL_RE = _re.compile(r"_:([A-Za-z0-9]+)?_form_")
 
 # writer.rb:248-263 predicate_order — rdf:type, rdfs:label, dc:title first
 _PREDICATE_ORDER = {
@@ -62,8 +72,6 @@ import re as _lex_re
 _INT_LEX_RE = _lex_re.compile(r"[+-]?[0-9]+\Z")
 _DEC_LEX_RE = _lex_re.compile(r"[+-]?[0-9]*\.[0-9]+\Z")
 _DBL_LEX_RE = _lex_re.compile(r"[+-]?(?:[0-9]+\.[0-9]*|\.?[0-9]+)[eE][+-]?[0-9]+\Z")
-
-import re as _re
 
 _PNAME_SAFE_RE = _re.compile(r"[A-Za-z0-9_\-\.]*[A-Za-z0-9_\-]$|^$")
 
@@ -184,11 +192,8 @@ class N3Writer:
         if T.is_var(t):
             return t
         if T.is_bnode(t):
-            # formula node?  (an EMPTY formula has no quads, so it is
-            # absent from self.graphs — the parser's _:_form_* label
-            # convention still identifies it; "{}" must not degrade to
-            # a plain bnode "[]", writer_spec.rb:515-527)
-            if t in self.graphs or t.startswith("_:_form_"):
+            # formula node? (see _FORMULA_LABEL_RE for the empty case)
+            if t in self.graphs or _FORMULA_LABEL_RE.match(t):
                 return self._formula(t)
             if self._is_list_head(t, graph):
                 if self.ref_count[(graph, t)] > 1:
@@ -380,7 +385,7 @@ class N3Writer:
             if not sq:
                 continue
             if T.is_bnode(s) and s not in self.graphs \
-                    and not s.startswith("_:_form_") \
+                    and not _FORMULA_LABEL_RE.match(s) \
                     and self.ref_count[(graph, s)] == 0 \
                     and self._is_list_head(s, graph, allow_head_extra=True):
                 # subject-position list: "(ex:a ex:b) ." / "(ex:a) :p :o ."
@@ -398,7 +403,7 @@ class N3Writer:
                         out.append(f"{lst} .")
                     continue
             if T.is_bnode(s) and s not in self.graphs \
-                    and s.startswith("_:_form_"):
+                    and _FORMULA_LABEL_RE.match(s):
                 # empty formula as subject: "{} <b> <c> ."
                 for q in sq:
                     self.serialized.add(q)

@@ -664,3 +664,29 @@ def test_event_percentiles_descent_exact(ray_session):
     for q, got in zip(out.q, out.value):
         want = vals[max(1, math.ceil(q * n)) - 1]
         assert got == want, (q, got, want)
+
+
+def test_exact_percentiles_duplicate_heavy(ray_session):
+    """Review regression: a value whose multiplicity exceeds
+    collect_limit can never be subdivided by descent — the distinct-
+    value final collect must still return exact order statistics
+    (the old plain-value collect crashed with IndexError here)."""
+    import math
+
+    import ray.data as rd
+
+    from rdf_n3_ray.pipelines.relational import exact_percentiles
+
+    rng = np.random.default_rng(9)
+    vals = np.concatenate([
+        np.full(5000, 42.42),                  # multiplicity >> limit
+        np.round(rng.uniform(0, 100, 5000), 2),
+    ])
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).materialize()
+    qs = (0.1, 0.5, 0.75, 0.9)
+    out = exact_percentiles(ds, "v", qs=qs, coarse_bins=64,
+                            collect_limit=100)
+    svals = np.sort(vals)
+    for q, got in zip(out.q, out.value):
+        want = svals[max(1, math.ceil(q * len(vals))) - 1]
+        assert got == want, (q, got, want)

@@ -646,3 +646,20 @@ def test_log_conclusion_simple_via_type_join():
         "{ ?x a :TestRule; log:conclusion ?y } => { ?y a :TestResult }.",
         "{ <a> <b> <c> . <test> a <SUCCESS> ."
         "  {<a> <b> <c>} => {<test> a <SUCCESS>} . } a :TestResult .")
+
+
+def test_n3string_includes_nested_formulae():
+    """log:n3String must serialize nested formulae WITH their contents —
+    review regression: only the outer formula's direct quads were passed
+    to the writer, so inner {A}=>{B} rendered as empty formulae."""
+    got = run(
+        LOGPFX +
+        '{ { :a :b :c . { :x :y :z } => { :p :q :r } } log:n3String ?x }'
+        ' => { :t :got ?x }.'
+    ).conclusions()
+    lits = [o for s, p, o, g in got if p.endswith("got>")]
+    assert len(lits) == 1
+    text = lits[0]
+    assert "example.com/x" in text and "example.com/z" in text, text
+    assert "example.com/p" in text and "example.com/r" in text, text
+    assert "=>" in text and "{}" not in text, text
