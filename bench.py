@@ -92,6 +92,10 @@ def run_bench() -> dict:
     timed("revenue_by_priority",
           lambda: R.revenue_by_priority(sf_dir).to_pandas())
     timed("embed_cosine_dups", lambda: R.embed_cosine_dups(sf_dir))
+    timed("decontaminate", lambda: R.decontaminate(sf_dir).to_pandas())
+    timed("top_tokens", lambda: R.top_tokens(sf_dir))
+    timed("events_sliding", lambda: R.events_sliding(sf_dir).to_pandas())
+    timed("event_percentiles", lambda: R.event_percentiles(sf_dir))
 
     total = round(sum(timings.values()), 3)
     out = {
