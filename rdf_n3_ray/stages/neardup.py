@@ -174,6 +174,75 @@ def _verify_pair_group(group: pd.DataFrame, threshold: float,
                          "sim": np.array(out_s, dtype=np.float64)})
 
 
+def _verify_pairs_broadcast(info, pairs_ds, threshold: float,
+                            est_cut: float, shingle_k: int = 5):
+    """Small-corpus verification: (doc_id, signature, text) broadcast
+    once via ray.put (caller guarantees the bound), candidate pairs
+    deduped + signature-prefiltered on the driver (pairs are small),
+    exact shingle verify in an elastic actor pool with a lazy per-actor
+    shingle cache.  One groupby shuffle total for the whole pipeline."""
+    import ray
+    import ray.data as rd
+
+    info_df = info.to_pandas()
+    order = np.argsort(info_df["doc_id"].to_numpy())
+    sig_ids = info_df["doc_id"].to_numpy(dtype=np.int64)[order]
+    sig_mat = np.asarray(info_df["signature"].tolist(),
+                         dtype=np.int64)[order]
+    texts = dict(zip(info_df["doc_id"].astype(np.int64), info_df["text"]))
+
+    pairs = pairs_ds.to_pandas().drop_duplicates(subset=["a", "b"])
+    empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                          "b": pd.Series(dtype="int64"),
+                          "sim": pd.Series(dtype="float64")})
+    if pairs.empty:
+        return rd.from_pandas(empty)
+    pa_ = np.searchsorted(sig_ids, pairs["a"].to_numpy(dtype=np.int64))
+    pb_ = np.searchsorted(sig_ids, pairs["b"].to_numpy(dtype=np.int64))
+    est = (sig_mat[pa_] == sig_mat[pb_]).mean(axis=1)
+    pairs = pairs.loc[est >= est_cut, ["a", "b"]]
+    if pairs.empty:
+        return rd.from_pandas(empty)
+    text_ref = ray.put(texts)
+
+    class Verify:
+        def __init__(self):
+            self.tmap = ray.get(text_ref)
+            self.cache: dict = {}
+
+        def _sh(self, d):
+            got = self.cache.get(d)
+            if got is None:
+                t = self.tmap.get(d, "")
+                got = self.cache[d] = _hash_shingles(
+                    pd.Series([t if isinstance(t, str) else ""]),
+                    k=shingle_k)[0]
+            return got
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            out_a, out_b, out_s = [], [], []
+            for a, bb_ in zip(b["a"], b["b"]):
+                A, B = self._sh(a), self._sh(bb_)
+                if A.size > B.size:
+                    A, B = B, A
+                idx = np.searchsorted(B, A)
+                idx[idx == B.size] = B.size - 1
+                inter = int((B[idx] == A).sum())
+                sim = inter / (A.size + B.size - inter)
+                if sim >= threshold:
+                    out_a.append(a)
+                    out_b.append(bb_)
+                    out_s.append(sim)
+            return pd.DataFrame({"a": np.array(out_a, dtype=np.int64),
+                                 "b": np.array(out_b, dtype=np.int64),
+                                 "sim": np.array(out_s, dtype=np.float64)})
+
+    return (rd.from_pandas(pairs.reset_index(drop=True))
+            .repartition(16)
+            .map_batches(Verify, batch_format="pandas",
+                         batch_size=8192, concurrency=(1, 8)))
+
+
 def minhash_lsh_dedup(
     docs_ds,
     num_perm: int = 64,
@@ -182,21 +251,25 @@ def minhash_lsh_dedup(
     text_col: str = "text",
     num_buckets: int = 64,
     prefilter_sigma: float | None = 2.5,
+    broadcast_limit: int = 100_000,
 ):
     """Full near-dup pipeline: returns a Dataset of (a, b, sim) verified
     duplicate pairs.
 
-    Fully distributed — nothing corpus-sized ever reaches the driver:
+    Two verification paths, chosen by MEASURED corpus size (same
+    small-side-fast-path convention as the reasoner's _join_seq):
 
-    1. signature+text per doc (one map pass, cached in the object store)
-    2. band explosion -> groupby(band-hash bucket) -> candidate pairs
-    3. global pair dedup (coarse bucket shuffle)
-    4. endpoint co-group: pair halves (keyed by a / by b) shuffled
-       together with the per-doc (signature, text) rows on
-       doc_id % num_buckets; each half picks up its doc's attributes
-       by a vectorized in-bucket merge
-    5. pair regroup on (a, b) bucket: signature pre-filter + exact
-       k-shingle Jaccard verify inside the group
+    - corpus <= `broadcast_limit` docs: signatures+texts broadcast once
+      via ray.put, candidate pairs verified by an actor pool — one
+      groupby shuffle total (the known bound keeps the broadcast safe).
+    - larger: fully distributed, nothing corpus-sized on the driver:
+      1. band explosion -> groupby(band-hash bucket) -> candidates
+      2. endpoint co-group: pair halves (keyed by a / by b) shuffled
+         together with the per-doc (signature, text) rows on
+         doc_id % num_buckets; vectorized in-bucket merge (also dedups
+         duplicate candidates for free)
+      3. pair regroup on (a, b) bucket: signature pre-filter + exact
+         k-shingle Jaccard verify inside the group
 
     `prefilter_sigma`: the pre-filter keeps pairs whose estimated
     Jaccard (fraction of agreeing minhash components, unbiased,
@@ -207,7 +280,7 @@ def minhash_lsh_dedup(
     """
     def sig_and_text(b: pd.DataFrame) -> pd.DataFrame:
         out = minhash_signatures(b, text_col=text_col, num_perm=num_perm)
-        out["text"] = b[text_col].values
+        out["text"] = b[text_col].fillna("").values
         return out
 
     # one shingling pass; reused by band explosion AND verification
@@ -226,10 +299,20 @@ def minhash_lsh_dedup(
         candidate_pairs, batch_format="pandas"
     )
     # NB: `pairs` still contains global duplicates (the same (a, b)
-    # surfaces from every band the two docs agree on).  They are NOT
-    # deduped here — all copies of a half-row are identical and land in
-    # the same endpoint bucket below, so `attach` dedups them for free
-    # inside its group, saving a dedicated dedup shuffle.
+    # surfaces from every band the two docs agree on).  Broadcast path:
+    # deduped on the driver (bounded).  Distributed path: all copies of
+    # a half-row are identical and land in the same endpoint bucket, so
+    # `attach` dedups them for free — no dedicated dedup shuffle.
+
+    if prefilter_sigma is None:
+        est_cut = 0.0
+    else:
+        margin = prefilter_sigma * float(
+            np.sqrt(threshold * (1 - threshold) / num_perm))
+        est_cut = max(0.0, threshold - margin)
+
+    if info.count() <= broadcast_limit:
+        return _verify_pairs_broadcast(info, pairs, threshold, est_cut)
 
     # --- endpoint co-group: attach (signature, text) to each pair half.
     # Union schema (explicit Arrow types so both sides unify): [eb, role,
@@ -296,13 +379,6 @@ def minhash_lsh_dedup(
     halves = tagged.groupby("eb").map_groups(attach, batch_format="pandas")
 
     # --- pair regroup + verify
-    if prefilter_sigma is None:
-        est_cut = 0.0
-    else:
-        margin = prefilter_sigma * float(
-            np.sqrt(threshold * (1 - threshold) / num_perm))
-        est_cut = max(0.0, threshold - margin)
-
     def pair_bucket(b: pd.DataFrame) -> pd.DataFrame:
         return b.assign(pb=((b["a"] * 1_000_003 + b["b"])
                             % num_buckets).astype("int32"))

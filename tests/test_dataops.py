@@ -690,3 +690,20 @@ def test_exact_percentiles_duplicate_heavy(ray_session):
     for q, got in zip(out.q, out.value):
         want = svals[max(1, math.ceil(q * len(vals))) - 1]
         assert got == want, (q, got, want)
+
+
+def test_minhash_broadcast_and_distributed_paths_agree(ray_session):
+    """The size-gated broadcast fast path and the distributed co-group
+    path must produce identical verified pairs (same candidates, same
+    pre-filter, same exact verify)."""
+    import ray.data as rd
+
+    docs = pd.read_parquet("/root/testdata/sf0.01/documents.parquet",
+                           columns=["doc_id", "text"])
+    a = (minhash_lsh_dedup(rd.from_pandas(docs), threshold=0.5)
+         .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    b = (minhash_lsh_dedup(rd.from_pandas(docs), threshold=0.5,
+                           broadcast_limit=0)  # force distributed
+         .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
