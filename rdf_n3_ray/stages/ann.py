@@ -191,6 +191,9 @@ def ivf_build(embeddings_ds, n_clusters: int = 16, sample_size: int = 2048,
     broadcast in task args — shipped once per task spec, not per batch).
     At 100 TB the assigned dataset is written partitioned by `cluster`
     so probes read only matching partitions."""
+    # materialize: count, the centroid sample and the assignment pass
+    # all consume this dataset — one read instead of three
+    embeddings_ds = embeddings_ds.materialize()
     frac = None
     try:
         n = embeddings_ds.count()

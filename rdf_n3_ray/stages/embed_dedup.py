@@ -56,8 +56,11 @@ def cosine_dup_pairs(embeddings_ds, threshold: float = 0.95,
     the object store; beyond that use `cosine_dup_pairs_lsh`)."""
     import ray
 
-    tbl = (embeddings_ds.select_columns([id_col, emb_col])
-           .to_arrow_refs())
+    # materialize once: the broadcast build (to_arrow_refs) and the
+    # block_pairs map below both consume it — without this the read
+    # lineage executes twice
+    selected = embeddings_ds.select_columns([id_col, emb_col]).materialize()
+    tbl = selected.to_arrow_refs()
     # driver-side concat of the *small* side only (ids + vectors)
     full = pa.concat_tables([ray.get(r) for r in tbl])
     ids_all = full[id_col].to_numpy().astype(np.int64)
@@ -77,7 +80,7 @@ def cosine_dup_pairs(embeddings_ds, threshold: float = 0.95,
             "sim": pa.array(np.round(s, round_to), pa.float64()),
         })
 
-    return embeddings_ds.select_columns([id_col, emb_col]).map_batches(
+    return selected.map_batches(
         block_pairs, batch_format="pyarrow", batch_size=2048)
 
 
