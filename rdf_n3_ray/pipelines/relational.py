@@ -23,13 +23,17 @@ import pyarrow.compute as pc
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
 
-    ds = rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
-                         columns=columns)
-    # Parquet blocks carry b'pandas' schema metadata, which makes
-    # pa.Schema UNHASHABLE ("Failed to hash the schemas" warnings) and
-    # defeats Ray's schema-dedup fast path when slicing batches.  Strip
-    # it once here — replace_schema_metadata is zero-copy and the stage
-    # fuses with whatever follows.
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                           columns=columns)
+
+
+def _strip_meta(ds):
+    """Drop parquet's b'pandas' schema metadata (it makes pa.Schema
+    unhashable — "Failed to hash the schemas" — and defeats Ray's
+    schema-dedup fast path).  Applied ONLY in front of batch_size-
+    slicing stages (ANN / embedding paths) where the dedup matters:
+    as a blanket _read stage it cost ~0.8s per two-table query
+    (measured A/B on asof_join) for no benefit elsewhere."""
     return ds.map_batches(lambda t: t.replace_schema_metadata(None),
                           batch_format="pyarrow")
 
@@ -714,7 +718,8 @@ LANG_ID_SQL = _lang_id_sql()
 def ann_topk(sf_dir: str, k: int = 5, n_queries: int = 4):
     from ..stages.ann import brute_force_topk
 
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = _strip_meta(_read(sf_dir, "embeddings",
+                           columns=["vec_id", "embedding"]))
     first = sorted(ds.take(n_queries), key=lambda r: r["vec_id"])
     queries = np.asarray([r["embedding"] for r in first], dtype=np.float64)
     df = brute_force_topk(ds, queries, k=k, dtype=np.float64)
@@ -800,7 +805,8 @@ ORDER BY doc_id
 def embed_cosine_dups(sf_dir: str, threshold: float = 0.35):
     from ..stages.embed_dedup import cosine_dup_pairs
 
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = _strip_meta(_read(sf_dir, "embeddings",
+                           columns=["vec_id", "embedding"]))
     pairs = cosine_dup_pairs(ds, threshold=threshold)
     df = pairs.to_pandas()
     if df.empty:  # all-empty blocks lose the schema in to_pandas()
@@ -828,7 +834,8 @@ ORDER BY a, b
 def ann_ivf(sf_dir: str, k: int = 5, n_queries: int = 4):
     from ..stages.ann import ivf_topk
 
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = _strip_meta(_read(sf_dir, "embeddings",
+                           columns=["vec_id", "embedding"]))
     first = sorted(ds.take(n_queries), key=lambda r: r["vec_id"])
     queries = np.asarray([r["embedding"] for r in first], dtype=np.float64)
     df = ivf_topk(ds, queries, k=k, n_clusters=16, nprobe=6)
