@@ -488,44 +488,59 @@ def exact_percentiles(ds, col: str, qs=(0.25, 0.5, 0.9, 0.99),
         hist_cache[key] = out
         return out
 
+    collect_cache: dict[tuple[float, float], pd.DataFrame] = {}
+
     def collect_distinct(lo: float, hi: float) -> pd.DataFrame:
         """(value, count) pairs for values in [lo, hi), merged map-side:
         bounded by the DISTINCT value count of the range, so a range
         dominated by duplicates (the case plain value-collect cannot
-        subdivide) still fits on the driver."""
+        subdivide) still fits on the driver.  Memoized like hist —
+        quantiles converging to the same range share the pass."""
+        key = (lo, hi)
+        if key in collect_cache:
+            return collect_cache[key]
+
         def partial(b: pd.DataFrame) -> pd.DataFrame:
             v = b[col].to_numpy()
-            v = v[(v >= lo) & (v < hi)]
+            if np.isfinite(lo) and np.isfinite(hi):
+                v = v[(v >= lo) & (v < hi)]
             vals, counts = np.unique(v, return_counts=True)
             return pd.DataFrame({"value": vals,
                                  "n": counts.astype(np.int64)})
 
         parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
-        if parts.empty:
-            return parts
-        return (parts.groupby("value", as_index=False)["n"].sum()
-                .sort_values("value").reset_index(drop=True))
+        out = parts if parts.empty else (
+            parts.groupby("value", as_index=False)["n"].sum()
+            .sort_values("value").reset_index(drop=True))
+        collect_cache[key] = out
+        return out
 
+    finite_domain = np.isfinite(lo0) and np.isfinite(hi0)
     rows = []
     for q in qs:
         r = max(1, math.ceil(q * n))  # 1-based target rank
         lo, hi, rank_below, in_range = lo0, hi0, 0, n
-        stuck = 0
-        for _ in range(12):  # descent levels (each divides by ~4096)
-            if in_range <= collect_limit or stuck >= 2:
+        # 48 levels: each multiplies resolution by 4096 = 2^12, so 48
+        # levels exceed the 2^64 distinct doubles of ANY interval — the
+        # loop always ends with a small population or a <=1-ulp interval
+        # (whose distinct-value collect is tiny by construction).  A
+        # non-finite domain (+/-inf values) skips descent: make_edges
+        # would produce NaN edges; the unfiltered distinct collect still
+        # returns exact answers.
+        for _ in range(48 if finite_domain else 0):
+            if in_range <= collect_limit:
                 break
             edges = make_edges(lo, hi)
-            if edges[1] <= edges[0]:  # interval no longer subdivides
+            if edges[1] <= edges[0]:  # <=1-ulp interval: cannot subdivide
                 break
             counts = hist(lo, hi, edges)
             cum = np.cumsum(counts)
             j = int(np.searchsorted(cum, r - rank_below))
             j = min(j, coarse_bins - 1)
             rank_below += int(cum[j - 1]) if j else 0
-            # a duplicate-heavy bin stops shrinking: fall through to the
-            # distinct-value collect instead of descending forever
-            stuck = stuck + 1 if counts[j] > in_range // 2 else 0
             lo, hi, in_range = float(edges[j]), float(edges[j + 1]), int(counts[j])
+        if not finite_domain:
+            lo, hi, rank_below = -np.inf, np.inf, 0
         pairs = collect_distinct(lo, hi)
         cum = pairs["n"].cumsum().to_numpy()
         i = int(np.searchsorted(cum, r - rank_below))
@@ -619,16 +634,18 @@ def decontaminate(sf_dir: str, bench_mod: int = 37, n: int = 13):
     # table; without it each pass re-reads and re-decodes the text column
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).materialize()
 
-    def bench_grams(b: pd.DataFrame) -> pd.DataFrame:
+    def bench_grams(b: pd.DataFrame) -> pa.Table:
         # emit ONLY the gram per qualifying doc — never ship full texts
-        # to the driver (at 100 TB that is 1/bench_mod of the corpus)
+        # to the driver (at 100 TB that is 1/bench_mod of the corpus).
+        # Typed Arrow output: all-empty pandas blocks would lose the
+        # schema and make the driver's ["gram"] access KeyError.
         sel = b[b["doc_id"] % bench_mod == 0]
         grams = []
         for t in sel["text"]:
             w = t.lower().split() if isinstance(t, str) else []
             if len(w) >= n:
                 grams.append(" ".join(w[:n]))
-        return pd.DataFrame({"gram": pd.Series(grams, dtype="object")})
+        return pa.table({"gram": pa.array(grams, pa.string())})
 
     bench = set(ds.map_batches(bench_grams,
                                batch_format="pandas").to_pandas()["gram"])

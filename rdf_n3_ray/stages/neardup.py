@@ -122,6 +122,27 @@ def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     return len(A & B) / len(A | B)
 
 
+def _shingles_cached(cache: dict, doc_id, text, k: int = 5) -> np.ndarray:
+    """Lazy per-doc shingle-hash array; non-str/None text counts as ""
+    (one whole-text shingle — see the empty-text pair semantics)."""
+    got = cache.get(doc_id)
+    if got is None:
+        got = cache[doc_id] = _hash_shingles(
+            pd.Series([text if isinstance(text, str) else ""]), k=k)[0]
+    return got
+
+
+def _probe_jaccard(A: np.ndarray, B: np.ndarray) -> float:
+    """Exact Jaccard of two sorted-unique hash arrays: binary-probe the
+    smaller into the larger — O(|A| log |B|)."""
+    if A.size > B.size:
+        A, B = B, A
+    idx = np.searchsorted(B, A)
+    idx[idx == B.size] = B.size - 1
+    inter = int((B[idx] == A).sum())
+    return inter / (A.size + B.size - inter)
+
+
 def _verify_pair_group(group: pd.DataFrame, threshold: float,
                        est_cut: float, shingle_k: int = 5) -> pd.DataFrame:
     """Per pair-bucket verification: pivot the two half-rows of each
@@ -141,30 +162,11 @@ def _verify_pair_group(group: pd.DataFrame, threshold: float,
     m = m.loc[est >= est_cut]
     cache: dict = {}
 
-    def shingles(doc_id, text):
-        got = cache.get(doc_id)
-        if got is None:
-            # _hash_shingles handles short/empty text (single whole-text
-            # hash), so an empty doc has ONE shingle — two empty docs
-            # are an exact pair (sim 1.0), matching the SQL oracle's
-            # substring('' ,1,5) = '' shingle and jaccard("","") == 1
-            got = cache[doc_id] = _hash_shingles(
-                pd.Series([text if isinstance(text, str) else ""]),
-                k=shingle_k)[0]
-        return got
-
     out_a, out_b, out_s = [], [], []
     for a, b, ta, tb in zip(m["a"], m["b"], m["text_a"], m["text_b"]):
-        A = shingles(a, ta)
-        B = shingles(b, tb)
-        if A.size > B.size:
-            A, B = B, A
-        # shingle arrays are sorted-unique (np.unique): binary probe the
-        # smaller into the larger — O(|A| log |B|)
-        idx = np.searchsorted(B, A)
-        idx[idx == B.size] = B.size - 1
-        inter = int((B[idx] == A).sum())
-        sim = inter / (A.size + B.size - inter)
+        A = _shingles_cached(cache, a, ta, k=shingle_k)
+        B = _shingles_cached(cache, b, tb, k=shingle_k)
+        sim = _probe_jaccard(A, B)
         if sim >= threshold:
             out_a.append(a)
             out_b.append(b)
@@ -191,7 +193,13 @@ def _verify_pairs_broadcast(info, pairs_ds, threshold: float,
                          dtype=np.int64)[order]
     texts = dict(zip(info_df["doc_id"].astype(np.int64), info_df["text"]))
 
-    pairs = pairs_ds.to_pandas().drop_duplicates(subset=["a", "b"])
+    # per-block dedup BEFORE the driver collect: duplicate candidate
+    # copies (one per agreeing band) shrink distributively first, the
+    # driver only dedups across blocks
+    pairs = (pairs_ds.map_batches(
+        lambda b: b.drop_duplicates(subset=["a", "b"]),
+        batch_format="pandas")
+        .to_pandas().drop_duplicates(subset=["a", "b"]))
     empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
                           "b": pd.Series(dtype="int64"),
                           "sim": pd.Series(dtype="float64")})
@@ -210,25 +218,14 @@ def _verify_pairs_broadcast(info, pairs_ds, threshold: float,
             self.tmap = ray.get(text_ref)
             self.cache: dict = {}
 
-        def _sh(self, d):
-            got = self.cache.get(d)
-            if got is None:
-                t = self.tmap.get(d, "")
-                got = self.cache[d] = _hash_shingles(
-                    pd.Series([t if isinstance(t, str) else ""]),
-                    k=shingle_k)[0]
-            return got
-
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
             out_a, out_b, out_s = [], [], []
             for a, bb_ in zip(b["a"], b["b"]):
-                A, B = self._sh(a), self._sh(bb_)
-                if A.size > B.size:
-                    A, B = B, A
-                idx = np.searchsorted(B, A)
-                idx[idx == B.size] = B.size - 1
-                inter = int((B[idx] == A).sum())
-                sim = inter / (A.size + B.size - inter)
+                A = _shingles_cached(self.cache, a, self.tmap.get(a, ""),
+                                     k=shingle_k)
+                B = _shingles_cached(self.cache, bb_, self.tmap.get(bb_, ""),
+                                     k=shingle_k)
+                sim = _probe_jaccard(A, B)
                 if sim >= threshold:
                     out_a.append(a)
                     out_b.append(bb_)
