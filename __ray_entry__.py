@@ -142,6 +142,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_histogram": R.event_histogram,
         "events_sliding": R.events_sliding,
         "event_percentiles": R.event_percentiles,
+        "distinct_users_by_type": R.distinct_users_by_type,
+        "approx_distinct_users": R.approx_distinct_users,
     }
 
 
@@ -174,4 +176,5 @@ def oracle_sql() -> dict[str, str]:
         "event_histogram": R.EVENT_HISTOGRAM_SQL,
         "events_sliding": R.EVENTS_SLIDING_SQL,
         "event_percentiles": R.EVENT_PERCENTILES_SQL,
+        "distinct_users_by_type": R.DISTINCT_USERS_SQL,
     }

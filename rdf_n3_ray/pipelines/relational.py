@@ -419,6 +419,94 @@ ORDER BY b.bin
 """
 
 
+def distinct_users_by_type(sf_dir: str, num_buckets: int = 64):
+    """Exact COUNT(DISTINCT user_id) per event_type: map-side pair dedup
+    (only unique (type, user) pairs per batch enter the shuffle), a
+    user-hash bucket dedup shuffle, then map-side counts + tiny Sum
+    groupby.  Never shuffles raw events; never builds a global set."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.drop_duplicates()
+        return b.assign(ub=(b["user_id"] % num_buckets).astype("int32"))
+
+    uniq = (ds.map_batches(partial, batch_format="pandas")
+            .groupby("ub")
+            .map_groups(lambda g: g.drop_duplicates(
+                subset=["event_type", "user_id"]),
+                batch_format="pandas"))
+
+    def cnt(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby("event_type", as_index=False).agg(
+            n_users=("user_id", "size"))
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    from ray.data.aggregate import Sum
+
+    out = (uniq.map_batches(cnt, batch_format="pandas")
+           .groupby("event_type")
+           .aggregate(Sum("n_users", alias_name="n_users")))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["n_users"] = b["n_users"].astype("int64")
+        return b
+
+    return out.map_batches(finish, batch_format="pandas").sort("event_type")
+
+
+DISTINCT_USERS_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def approx_distinct_users(sf_dir: str, p: int = 12):
+    """HyperLogLog distinct-user estimate: each batch computes its own
+    2^p register array (vectorized numpy max-of-leading-zero-ranks) and
+    emits it as ONE row; registers merge by elementwise max on the
+    driver (blocks x 2^p bytes — tiny, mergeable, the classic sketch
+    shape for 100 TB streams).  Deterministic hash (splitmix64)."""
+    import ray.data as rd
+
+    m = 1 << p
+
+    def _splitmix64(x: np.ndarray) -> np.ndarray:
+        x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) \
+            & np.uint64(0xFFFFFFFFFFFFFFFF)
+        x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) \
+            & np.uint64(0xFFFFFFFFFFFFFFFF)
+        return x ^ (x >> np.uint64(31))
+
+    def registers(b: pd.DataFrame) -> pd.DataFrame:
+        h = _splitmix64(b["user_id"].to_numpy(dtype=np.uint64))
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = (h << np.uint64(p)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        # rank = leading zeros of the remaining 64-p bits, + 1
+        nz = rest != 0
+        lz = np.full(len(h), 64 - p, dtype=np.int64)
+        lz[nz] = 63 - np.floor(np.log2(rest[nz].astype(np.float64))).astype(np.int64)
+        rank = np.minimum(lz, 64 - p) + 1
+        regs = np.zeros(m, dtype=np.int8)
+        np.maximum.at(regs, idx, rank.astype(np.int8))
+        return pd.DataFrame({"regs": [regs.tobytes()]})
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    merged = np.zeros(m, dtype=np.int8)
+    for b in (ds.map_batches(registers, batch_format="pandas")
+              .iter_batches(batch_format="pandas")):
+        for raw in b["regs"]:
+            merged = np.maximum(merged, np.frombuffer(raw, dtype=np.int8))
+    # standard HLL estimate with small-range correction
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(2.0 ** -merged.astype(np.float64))
+    zeros = int((merged == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return pd.DataFrame({"n_users_approx": [int(round(est))]})
+
+
 def event_percentiles(sf_dir: str, qs=(0.25, 0.5, 0.9, 0.99),
                       coarse_bins: int = 4096, collect_limit: int = 100_000):
     """EXACT distributed percentiles (order statistics) of events.value

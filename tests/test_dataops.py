@@ -707,3 +707,13 @@ def test_minhash_broadcast_and_distributed_paths_agree(ray_session):
          .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+def test_hll_approx_distinct_within_tolerance(ray_session):
+    """HLL estimate within ~3/sqrt(2^12) (~5%) of the exact count."""
+    from rdf_n3_ray.pipelines.relational import approx_distinct_users
+
+    exact = pd.read_parquet("/root/testdata/sf0.01/events.parquet",
+                            columns=["user_id"]).user_id.nunique()
+    est = approx_distinct_users("/root/testdata/sf0.01").n_users_approx[0]
+    assert abs(est - exact) / exact < 0.05, (est, exact)
