@@ -486,7 +486,11 @@ def approx_distinct_users(sf_dir: str, p: int = 12):
         # rank = leading zeros of the remaining 64-p bits, + 1
         nz = rest != 0
         lz = np.full(len(h), 64 - p, dtype=np.int64)
-        lz[nz] = 63 - np.floor(np.log2(rest[nz].astype(np.float64))).astype(np.int64)
+        # clip at 0: float64 rounds values within 2^40 of 2^64 UP to
+        # 2^64, making log2 return 64.0 and lz go negative
+        lz[nz] = np.maximum(
+            63 - np.floor(np.log2(rest[nz].astype(np.float64))).astype(np.int64),
+            0)
         rank = np.minimum(lz, 64 - p) + 1
         regs = np.zeros(m, dtype=np.int8)
         np.maximum.at(regs, idx, rank.astype(np.int8))
