@@ -27,6 +27,13 @@ def _read(sf_dir: str, table: str, columns=None):
                            columns=columns)
 
 
+def _user_bucket(user_id: "pd.Series", num_buckets: int) -> "pd.Series":
+    """Shared co-location bucket for user-keyed shuffles (sessionize,
+    as-of join, COUNT DISTINCT): one definition so co-grouped operators
+    can never disagree on bucket assignment."""
+    return (user_id % num_buckets).astype("int32")
+
+
 def _strip_meta(ds):
     """Drop parquet's b'pandas' schema metadata (it makes pa.Schema
     unhashable — "Failed to hash the schemas" — and defeats Ray's
@@ -428,7 +435,7 @@ def distinct_users_by_type(sf_dir: str, num_buckets: int = 64):
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         b = b.drop_duplicates()
-        return b.assign(ub=(b["user_id"] % num_buckets).astype("int32"))
+        return b.assign(ub=_user_bucket(b["user_id"], num_buckets))
 
     uniq = (ds.map_batches(partial, batch_format="pandas")
             .groupby("ub")
@@ -461,42 +468,48 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
-def approx_distinct_users(sf_dir: str, p: int = 12):
-    """HyperLogLog distinct-user estimate: each batch computes its own
-    2^p register array (vectorized numpy max-of-leading-zero-ranks) and
-    emits it as ONE row; registers merge by elementwise max on the
-    driver (blocks x 2^p bytes — tiny, mergeable, the classic sketch
-    shape for 100 TB streams).  Deterministic hash (splitmix64)."""
-    import ray.data as rd
+def _bitlen64(x: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit length of uint64 values (0 for 0) — no
+    float round-trip: float64 rounds integers just below a power of two
+    UP across the boundary, giving off-by-one leading-zero counts."""
+    x = x.copy()
+    n = np.zeros(x.shape, dtype=np.int64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        m = (x >> np.uint64(shift)) != 0
+        n[m] += shift
+        x[m] >>= np.uint64(shift)
+    n[x != 0] += 1
+    return n
 
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) \
+        & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) \
+        & np.uint64(0xFFFFFFFFFFFFFFFF)
+    return x ^ (x >> np.uint64(31))
+
+
+def hll_distinct(ds, col: str, p: int = 12) -> int:
+    """HyperLogLog distinct estimate over a Dataset column: each batch
+    computes its own 2^p register array (vectorized numpy
+    max-of-leading-zero-ranks) and emits it as ONE row; registers merge
+    by elementwise max on the driver (blocks x 2^p bytes — tiny,
+    mergeable, the classic sketch shape for 100 TB streams).
+    Deterministic hash (splitmix64); exact integer rank kernel."""
     m = 1 << p
 
-    def _splitmix64(x: np.ndarray) -> np.ndarray:
-        x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-        x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) \
-            & np.uint64(0xFFFFFFFFFFFFFFFF)
-        x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) \
-            & np.uint64(0xFFFFFFFFFFFFFFFF)
-        return x ^ (x >> np.uint64(31))
-
     def registers(b: pd.DataFrame) -> pd.DataFrame:
-        h = _splitmix64(b["user_id"].to_numpy(dtype=np.uint64))
+        h = _splitmix64(b[col].to_numpy(dtype=np.uint64))
         idx = (h >> np.uint64(64 - p)).astype(np.int64)
         rest = (h << np.uint64(p)) & np.uint64(0xFFFFFFFFFFFFFFFF)
         # rank = leading zeros of the remaining 64-p bits, + 1
-        nz = rest != 0
-        lz = np.full(len(h), 64 - p, dtype=np.int64)
-        # clip at 0: float64 rounds values within 2^40 of 2^64 UP to
-        # 2^64, making log2 return 64.0 and lz go negative
-        lz[nz] = np.maximum(
-            63 - np.floor(np.log2(rest[nz].astype(np.float64))).astype(np.int64),
-            0)
-        rank = np.minimum(lz, 64 - p) + 1
+        rank = np.minimum(64 - _bitlen64(rest), 64 - p) + 1
         regs = np.zeros(m, dtype=np.int8)
         np.maximum.at(regs, idx, rank.astype(np.int8))
         return pd.DataFrame({"regs": [regs.tobytes()]})
 
-    ds = _read(sf_dir, "events", columns=["user_id"])
     merged = np.zeros(m, dtype=np.int8)
     for b in (ds.map_batches(registers, batch_format="pandas")
               .iter_batches(batch_format="pandas")):
@@ -508,7 +521,16 @@ def approx_distinct_users(sf_dir: str, p: int = 12):
     zeros = int((merged == 0).sum())
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)
-    return pd.DataFrame({"n_users_approx": [int(round(est))]})
+    return int(round(est))
+
+
+def approx_distinct_users(sf_dir: str, p: int = 12):
+    import ray.data as rd
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    est = hll_distinct(ds, "user_id", p=p)
+    # Dataset return keeps the queries() contract shape uniform
+    return rd.from_pandas(pd.DataFrame({"n_users_approx": [est]}))
 
 
 def event_percentiles(sf_dir: str, qs=(0.25, 0.5, 0.9, 0.99),
@@ -1093,7 +1115,7 @@ def sessionize(sf_dir: str, num_buckets: int = 32):
     ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
 
     def bucketed(b: pd.DataFrame) -> pd.DataFrame:
-        return b.assign(ub=(b["user_id"] % num_buckets).astype("int32"))
+        return b.assign(ub=_user_bucket(b["user_id"], num_buckets))
 
     def sessions(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["user_id", "ts", "event_id"], kind="stable")
@@ -1153,13 +1175,13 @@ def asof_join_orders(sf_dir: str, num_buckets: int = 32):
                             "o_totalprice"])
 
     def tag_ev(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.assign(jb=(b["user_id"] % num_buckets).astype("int32"))
+        b = b.assign(jb=_user_bucket(b["user_id"], num_buckets))
         b["side"] = 0
         return b[["jb", "side", "event_id", "ts", "user_id"]]
 
     def tag_ord(b: pd.DataFrame) -> pd.DataFrame:
         b = b.rename(columns={"o_custkey": "user_id", "o_orderdate": "ts"})
-        b = b.assign(jb=(b["user_id"] % num_buckets).astype("int32"))
+        b = b.assign(jb=_user_bucket(b["user_id"], num_buckets))
         b["side"] = 1
         b["event_id"] = -1
         return b[["jb", "side", "event_id", "ts", "user_id",

@@ -715,5 +715,20 @@ def test_hll_approx_distinct_within_tolerance(ray_session):
 
     exact = pd.read_parquet("/root/testdata/sf0.01/events.parquet",
                             columns=["user_id"]).user_id.nunique()
-    est = approx_distinct_users("/root/testdata/sf0.01").n_users_approx[0]
+    est = approx_distinct_users(
+        "/root/testdata/sf0.01").to_pandas().n_users_approx[0]
     assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
+def test_hll_core_estimator_branch(ray_session):
+    """Exercise the RAW HLL estimator (not the small-range linear-
+    counting correction): 60k distinct ids >> 2.5 * 2^12 registers."""
+    import ray.data as rd
+
+    from rdf_n3_ray.pipelines.relational import hll_distinct
+
+    n = 60_000
+    ds = rd.from_pandas(pd.DataFrame({"uid": np.arange(n, dtype=np.int64)}))
+    est = hll_distinct(ds, "uid", p=12)
+    assert est > 2.5 * (1 << 12)  # must have taken the raw-HLL branch
+    assert abs(est - n) / n < 0.05, est
