@@ -591,3 +591,42 @@ CASES += [
      '<http://example.org/resource4> <http://example.org/property> '
      '<http://example.org/resource2> .\r\n', None, _OB),
 ]
+
+# --- round-2 Reason additions: one manifest-style entry per builtin
+# family beyond math/list-member (semantics verified in the reasoner
+# spec transcriptions; these pin them at suite level)
+STRNS = "http://www.w3.org/2000/10/swap/string#"
+TIMENS = "http://www.w3.org/2000/10/swap/time#"
+CASES += [
+    ("r2_reason_list_append", "Reason",
+     "@prefix : <http://ex/>. @prefix list: <http://www.w3.org/2000/10/swap/list#>. "
+     "{ ((1 2) (3)) list:append ?x } => { :r :is ?x }.",
+     f'<{X}r> <{X}is> ("1"^^<{XSD}integer> "2"^^<{XSD}integer> "3"^^<{XSD}integer>) .',
+     {"think": True, "conclusions": True}),
+    ("r2_reason_string_concat", "Reason",
+     f"@prefix : <http://ex/>. @prefix string: <{STRNS}>. "
+     '{ ("ab" "cd") string:concatenation ?c } => { :r :is ?c }.',
+     f'<{X}r> <{X}is> "abcd" .',
+     {"think": True, "conclusions": True}),
+    ("r2_reason_log_includes", "Reason",
+     "@prefix : <http://ex/>. @prefix log: <http://www.w3.org/2000/10/swap/log#>. "
+     "{ { :a :b :c . :d :e :f } log:includes { :a :b :c } } => { :inc a :OK }.",
+     f"<{X}inc> <{RDFNS}type> <{X}OK> .",
+     {"think": True, "conclusions": True}),
+    ("r2_reason_log_not_includes", "Reason",
+     "@prefix : <http://ex/>. @prefix log: <http://www.w3.org/2000/10/swap/log#>. "
+     "{ { :a :b :c } log:notIncludes { :x :y :z } } => { :ninc a :OK }.",
+     f"<{X}ninc> <{RDFNS}type> <{X}OK> .",
+     {"think": True, "conclusions": True}),
+    ("r2_reason_time_day", "Reason",
+     f"@prefix : <http://ex/>. @prefix time: <{TIMENS}>. "
+     '{ "2002-06-22T22:09:32-05:00"^^<http://www.w3.org/2001/XMLSchema#dateTime>'
+     ' time:day ?x } => { :t :is ?x }.',
+     f'<{X}t> <{X}is> "22"^^<{XSD}integer> .',
+     {"think": True, "conclusions": True}),
+    ("r2_reason_math_difference", "Reason",
+     "@prefix : <http://ex/>. @prefix math: <http://www.w3.org/2000/10/swap/math#>. "
+     "{ (7 3) math:difference ?d } => { :r :is ?d }.",
+     f'<{X}r> <{X}is> "4"^^<{XSD}integer> .',
+     {"think": True, "conclusions": True}),
+]
