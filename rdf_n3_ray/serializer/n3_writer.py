@@ -111,8 +111,10 @@ class N3Writer:
     """Pretty N3 serializer for one (small) quad set/document."""
 
     def __init__(self, quads: list[Quad], prefixes: dict[str, str] | None = None,
-                 base_uri: str | None = None, standard_prefixes: bool = False):
+                 base_uri: str | None = None, standard_prefixes: bool = False,
+                 canonicalize: bool = False):
         self.quads = list(dict.fromkeys(quads))
+        self.canonicalize = canonicalize
         self.base_uri = base_uri
         self.prefixes = dict(prefixes or {})
         if standard_prefixes:
@@ -176,6 +178,18 @@ class N3Writer:
             return t
         if T.is_literal(t):
             value, dt, lang = T.literal_parts(t)
+            if self.canonicalize and lang is None:
+                # writer canonicalize option (writer_spec.rb:339-513
+                # literal tables; RDF::Literal#canonicalize semantics)
+                if dt == T.XSD_INTEGER:
+                    value = T.canonical_integer(value)
+                elif dt == T.XSD_DECIMAL:
+                    value = T.canonical_decimal(value)
+                elif dt == T.XSD_DOUBLE:
+                    value = T.canonical_double(value)
+                elif dt == T.XSD_BOOLEAN:
+                    value = T.canonical_boolean(value)
+                t = T.literal(value, datatype=dt)
             # bare tokens only for lexically valid forms — "abc"^^xsd:integer
             # rendered bare would be unparseable, and "1"^^xsd:boolean
             # would re-parse as an integer
@@ -452,9 +466,11 @@ class N3Writer:
 
 def serialize_n3(quads: list[Quad], prefixes: dict[str, str] | None = None,
                  base_uri: str | None = None,
-                 standard_prefixes: bool = False) -> str:
+                 standard_prefixes: bool = False,
+                 canonicalize: bool = False) -> str:
     return N3Writer(quads, prefixes=prefixes, base_uri=base_uri,
-                    standard_prefixes=standard_prefixes).serialize()
+                    standard_prefixes=standard_prefixes,
+                    canonicalize=canonicalize).serialize()
 
 
 def serialize_documents(triples_ds):

@@ -362,7 +362,12 @@ def canonical_double(lex: str) -> str:
 
 
 def canonical_boolean(lex: str) -> str:
-    return {"1": "true", "0": "false"}.get(lex, lex)
+    low = lex.lower()
+    if low in ("true", "1"):
+        return "true"
+    if low in ("false", "0"):
+        return "false"
+    return lex
 
 
 def canonical_iri_value(value: str) -> str:

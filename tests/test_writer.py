@@ -251,3 +251,34 @@ def test_writer_formula_surface(case):
     back = parse_n3(out, base_uri="http://a/b")
     assert not back.errors, (name, out, back.errors)
     assert isomorphic(r.quads, back.quads), (name, out)
+
+
+# literal canonicalization option (writer_spec.rb:339-513 tables)
+_CANON_LITERAL_CASES = [
+    ('"true"^^xsd:boolean', r'(?m) true \.$'),
+    ('"TrUe"^^xsd:boolean', r'(?m) true \.$'),
+    ('"1"^^xsd:boolean', r'(?m) true \.$'),
+    ("true", r'(?m) true \.$'),
+    ('"false"^^xsd:boolean', r'(?m) false \.$'),
+    ('"FaLsE"^^xsd:boolean', r'(?m) false \.$'),
+    ('"0"^^xsd:boolean', r'(?m) false \.$'),
+    ("false", r'(?m) false \.$'),
+    ('"1"^^xsd:integer', r'(?m) 1 \.$'),
+    ("1", r'(?m) 1 \.$'),
+    ('"010"^^xsd:integer', r'(?m) 10 \.$'),
+    ('"+5"^^xsd:integer', r'(?m) 5 \.$'),
+    ('"1.50"^^xsd:decimal', r'(?m) 1\.5 \.$'),
+    ('"1.0e3"^^xsd:double', r'(?m) 1\.0E3 \.$'),
+]
+
+
+@pytest.mark.parametrize("case", _CANON_LITERAL_CASES,
+                         ids=[c[0] for c in _CANON_LITERAL_CASES])
+def test_writer_canonicalize_literals(case):
+    lit, rx = case
+    doc = ('@prefix xsd: <http://www.w3.org/2001/XMLSchema#> . '
+           f'<http://a> <http://b> {lit} .')
+    r = parse_n3(doc)
+    assert not r.errors, r.errors
+    out = serialize_n3(r.quads, canonicalize=True)
+    assert _re2.search(rx, out), (lit, out)
