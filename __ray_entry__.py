@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_percentiles": R.event_percentiles,
         "distinct_users_by_type": R.distinct_users_by_type,
         "approx_distinct_users": R.approx_distinct_users,
+        "percentiles_by_type": R.percentiles_by_type,
     }
 
 
@@ -177,4 +178,5 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding": R.EVENTS_SLIDING_SQL,
         "event_percentiles": R.EVENT_PERCENTILES_SQL,
         "distinct_users_by_type": R.DISTINCT_USERS_SQL,
+        "percentiles_by_type": R.PERCENTILES_BY_TYPE_SQL,
     }

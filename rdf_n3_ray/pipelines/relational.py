@@ -662,6 +662,40 @@ def exact_percentiles(ds, col: str, qs=(0.25, 0.5, 0.9, 0.99),
     return pd.DataFrame(rows).sort_values("q").reset_index(drop=True)
 
 
+def percentiles_by_type(sf_dir: str, qs=(0.5, 0.9)):
+    """Exact per-group order statistics: histogram-descent selection
+    (exact_percentiles) per event_type over a shared materialized read.
+    Group count is tiny (enumerated distributively first), so the
+    per-group passes stay bounded; within a group the descent never
+    ships more than collect_limit distinct values to the driver."""
+    ds = _read(sf_dir, "events",
+               columns=["event_type", "value"]).materialize()
+    types = sorted(
+        ds.map_batches(lambda b: b[["event_type"]].drop_duplicates(),
+                       batch_format="pandas")
+        .to_pandas()["event_type"].unique())
+    rows = []
+    for t in types:
+        sub = ds.map_batches(lambda b, t=t: b[b["event_type"] == t],
+                             batch_format="pandas").materialize()
+        out = exact_percentiles(sub, "value", qs=qs)
+        for q, v in zip(out.q, out.value):
+            rows.append({"event_type": t, "q": float(q), "value": float(v)})
+    return (pd.DataFrame(rows)
+            .sort_values(["event_type", "q"]).reset_index(drop=True))
+
+
+PERCENTILES_BY_TYPE_SQL = r"""
+WITH agg AS (
+  SELECT event_type, quantile_disc(value, [0.5, 0.9]) AS vs
+  FROM events GROUP BY event_type
+)
+SELECT event_type, [0.5, 0.9][i] AS q, vs[i] AS value
+FROM agg, (SELECT unnest(generate_series(1, 2)) AS i) t
+ORDER BY event_type, q
+"""
+
+
 EVENT_PERCENTILES_SQL = r"""
 WITH agg AS (
   SELECT quantile_disc(value, [0.25, 0.5, 0.9, 0.99]) AS vs FROM events
