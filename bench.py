@@ -96,6 +96,9 @@ def run_bench() -> dict:
     timed("top_tokens", lambda: R.top_tokens(sf_dir))
     timed("events_sliding", lambda: R.events_sliding(sf_dir).to_pandas())
     timed("event_percentiles", lambda: R.event_percentiles(sf_dir))
+    timed("distinct_users_by_type",
+          lambda: R.distinct_users_by_type(sf_dir).to_pandas())
+    timed("percentiles_by_type", lambda: R.percentiles_by_type(sf_dir))
 
     total = round(sum(timings.values()), 3)
     out = {
