@@ -136,6 +136,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "media_features": _q_media_features,
         "ann_ivf": R.ann_ivf,
+        # IVF machinery at nprobe == n_clusters is exact -> the brute-
+        # force window-rank oracle hash-checks the partition/probe path
+        "ann_ivf_exact": R.ann_ivf_exact,
         "jaccard_dup_groups": R.jaccard_dup_groups,
         "decontaminate": R.decontaminate,
         "top_tokens": R.top_tokens,
@@ -160,6 +163,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_stats": R.DOC_TOKEN_STATS_SQL,
         "dedup_exact_docs": R.DEDUP_EXACT_SQL,
         "ann_topk": R.ANN_TOPK_SQL,
+        "ann_ivf_exact": R.ANN_TOPK_SQL,
         "doc_quality": R.DOC_QUALITY_SQL,
         "embed_cosine_dups": R.EMBED_COSINE_DUPS_SQL,
         "sessionize": R.SESSIONIZE_SQL,

@@ -76,7 +76,7 @@ def run_bench() -> dict:
 
     timed("lineitem_agg", lambda: R.lineitem_agg(sf_dir).to_pandas())
     timed("events_hourly", lambda: R.events_hourly(sf_dir).to_pandas())
-    timed("orders_by_nation", lambda: R.orders_by_nation(sf_dir).to_pandas())
+    timed("orders_by_nation", lambda: R.orders_by_nation(sf_dir))
     timed("top_events", lambda: R.top_events(sf_dir))
     timed("doc_token_stats", lambda: R.doc_token_stats(sf_dir).to_pandas())
     timed(

@@ -601,11 +601,17 @@ def _conclusion(engine: Engine, s, o, sol):
 
 
 def _resource_to_path(term) -> str | None:
-    """file:// IRI -> local filesystem path.  Only resources (IRIs) are
-    dereferenceable, matching log/content.rb:20-33; a plain string
-    literal is NOT treated as a path (data-driven rules must not be able
-    to read arbitrary local files).  http(s) is deliberately unsupported
-    (no network in this engine's deployment)."""
+    """file:// IRI -> local filesystem path.
+
+    DELIBERATE DIVERGENCE from the reference: its ResourceOperator
+    resolve() (log/content.rb:20-33) accepts `resource.literal? ||
+    resource.uri?`, i.e. a plain string literal is also dereferenced as
+    a path.  Here only IRIs are dereferenceable — a security hardening
+    so data-driven rules cannot read arbitrary local files via literal
+    subjects.  Reference-suite cases exercising literal-path
+    log:content/log:semantics will therefore (intentionally) not bind;
+    see SURVEY.md §2.1 parity notes.  http(s) is also unsupported (no
+    network in this engine's deployment)."""
     if isinstance(term, str) and T.is_iri(term):
         v = T.iri_value(term)
         if v.startswith("file://"):

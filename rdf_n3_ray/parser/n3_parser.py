@@ -77,6 +77,11 @@ class ParseResult:
     quads: list[Quad] = field(default_factory=list)
     errors: list[str] = field(default_factory=list)
     prefixes: dict[str | None, str] = field(default_factory=dict)
+    # every formula node minted for this document (including EMPTY `{}`
+    # formulae, which have no quads) — pass to the writer as
+    # `formula_labels=` so round-trips never misread a user-authored
+    # `_:x_form_y` bnode as a formula (ADVICE r2)
+    formula_labels: set = field(default_factory=set)
 
     @property
     def ok(self) -> bool:
@@ -516,6 +521,7 @@ class N3Parser:
             return None
         self.shift()
         node = f"_:_form_{self._unique_label()}"
+        self.result.formula_labels.add(node)
         self.formulae.append(node)
         try:
             self.read_formulaContent()

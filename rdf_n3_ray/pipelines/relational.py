@@ -125,45 +125,78 @@ ORDER BY l_returnflag, l_linestatus
 
 
 # ---------------------------------------------------------------------------
-# Broadcast join: orders x customer x nation -> per-nation order stats
+# Big-big bucket join: orders x customer (both fact-scaled) with the
+# nation DIMENSION broadcast -> per-nation order stats
 # ---------------------------------------------------------------------------
 
-def orders_by_nation(sf_dir: str):
+def orders_by_nation(sf_dir: str, num_partitions: int = 64):
+    """orders ⋈ customer ⋈ nation.  customer scales with the fact table
+    (TPC-H: 150k x SF rows), so it is NOT broadcast: both fact sides are
+    shuffled once on the shared custkey bucket and merged per group
+    (the revenue_by_priority pattern); only the 25-row nation dimension
+    travels by ray.put.  Orders pre-aggregate per custkey map-side, so
+    the shuffle ships one partial row per (batch, custkey), not every
+    order."""
     import ray
 
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
-    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
-    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
-    lookup = ray.put(dict(zip(dim["c_custkey"], dim["n_name"])))
+    nation = _read(sf_dir, "nation",
+                   columns=["n_nationkey", "n_name"]).to_pandas()
+    nation_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
-    def attach(batch: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(lookup)
-        batch = batch.assign(
-            n_name=batch["o_custkey"].map(m),
-            price_c=np.floor(batch["o_totalprice"] * 100.0 + 0.5).astype("int64"),
-        )
-        batch = batch.dropna(subset=["n_name"])
-        return batch.groupby("n_name", as_index=False).agg(
-            order_count=("o_custkey", "size"),
-            total_price=("price_c", "sum"),
-        )
+    def pre_orders(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(price_c=np.floor(
+            b["o_totalprice"] * 100.0 + 0.5).astype("int64"))
+        g = (b.groupby("o_custkey", as_index=False)
+             .agg(order_count=("price_c", "size"),
+                  total_price=("price_c", "sum")))
+        g["jb"] = (g["o_custkey"] % num_partitions).astype("int32")
+        g["side"] = 0
+        return g
 
-    partials = orders.map_batches(attach, batch_format="pandas", batch_size=65536)
-    from ray.data.aggregate import Sum
+    left = orders.map_batches(pre_orders, batch_format="pandas",
+                              batch_size=65536)
 
-    out = partials.groupby("n_name").aggregate(
-        Sum("order_count", alias_name="order_count"),
-        Sum("total_price", alias_name="total_price"),
-    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
 
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["order_count"] = batch["order_count"].astype("int64")
-        batch["total_price"] = batch["total_price"].astype("int64") / 100.0
-        return batch
+    def tag_cust(b: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(nation_ref)
+        b = b.assign(n_name=b["c_nationkey"].map(m),
+                     jb=(b["c_custkey"] % num_partitions).astype("int32"))
+        b["side"] = 1
+        return b[["c_custkey", "n_name", "jb", "side"]]
 
-    return out.map_batches(finish, batch_format="pandas").sort("n_name")
+    both = left.union(cust.map_batches(tag_cust, batch_format="pandas"))
+
+    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group["side"] == 0]
+        r = group[group["side"] == 1][["c_custkey", "n_name"]]
+        if l.empty or r.empty:
+            return pd.DataFrame({
+                "n_name": pd.Series(dtype="object"),
+                "order_count": pd.Series(dtype="int64"),
+                "total_price": pd.Series(dtype="int64")})
+        per_cust = (l.groupby("o_custkey", as_index=False)
+                    .agg(order_count=("order_count", "sum"),
+                         total_price=("total_price", "sum")))
+        m = per_cust.merge(r, left_on="o_custkey", right_on="c_custkey")
+        return (m.groupby("n_name", as_index=False)
+                .agg(order_count=("order_count", "sum"),
+                     total_price=("total_price", "sum")))
+
+    partials = both.groupby("jb").map_groups(join_bucket,
+                                             batch_format="pandas")
+    # per-bucket output is pre-aggregated to <= |nation| rows, so the
+    # final fold is bounded by num_partitions x 25 rows — driver-side
+    # merge, no second shuffle
+    out = (partials.to_pandas()
+           .groupby("n_name", as_index=False)
+           .agg(order_count=("order_count", "sum"),
+                total_price=("total_price", "sum")))
+    out["order_count"] = out["order_count"].astype("int64")
+    out["total_price"] = out["total_price"].astype("int64") / 100.0
+    return out.sort_values("n_name").reset_index(drop=True)
 
 
 ORDERS_BY_NATION_SQL = """
@@ -557,15 +590,97 @@ def event_percentiles(sf_dir: str, qs=(0.25, 0.5, 0.9, 0.99),
 def exact_percentiles(ds, col: str, qs=(0.25, 0.5, 0.9, 0.99),
                       coarse_bins: int = 4096, collect_limit: int = 100_000):
     """Core of event_percentiles over any (materialized) Dataset; see
-    that docstring for the algorithm."""
+    that docstring for the algorithm.  NULL/NaN values are ignored
+    (DuckDB quantile_disc semantics); an all-null/empty column returns
+    an empty frame instead of raising."""
+    out = grouped_exact_percentiles(ds, col, qs=qs, group_col=None,
+                                    coarse_bins=coarse_bins,
+                                    collect_limit=collect_limit)
+    return out[["q", "value"]].sort_values("q").reset_index(drop=True)
+
+
+def percentiles_by_type(sf_dir: str, qs=(0.5, 0.9)):
+    """Exact per-group order statistics over events: ONE shared
+    histogram-descent keyed (group, bin) — every group (and every
+    quantile) advances through the same full-data passes, so the pass
+    count is O(descent depth), not O(groups x depth).  Per-group rank
+    bookkeeping is a small driver-side dict."""
+    ds = _read(sf_dir, "events",
+               columns=["event_type", "value"]).materialize()
+    out = grouped_exact_percentiles(ds, "value", qs=qs,
+                                    group_col="event_type")
+    out = out.rename(columns={"group": "event_type"})
+    return (out[["event_type", "q", "value"]]
+            .sort_values(["event_type", "q"]).reset_index(drop=True))
+
+
+def grouped_exact_percentiles(ds, col: str, qs=(0.5, 0.9),
+                              group_col: str | None = None,
+                              coarse_bins: int = 4096,
+                              collect_limit: int = 100_000):
+    """EXACT distributed order statistics, optionally per group, by a
+    SHARED iterative histogram descent — no global sort, no per-group
+    dataset scan:
+
+    1. one map-side pass computes per-group (min, max, non-null count);
+       the driver merges the tiny partials,
+    2. per level, ONE full-data pass histograms every still-active
+       (group, candidate-range) pair into `coarse_bins` (vectorized
+       np.searchsorted/bincount per batch, ranges deduped so quantiles
+       sharing a descent prefix share the work); the driver holds only
+       per-(group, quantile) rank state and descends each into the bin
+       containing its target rank,
+    3. once a (group, quantile)'s candidate bin holds <= collect_limit
+       values, its final range joins ONE shared distinct-value collect
+       pass ((range_id, value, count) pairs, merged map-side — bounded
+       by the range's DISTINCT value count, so duplicate-dominated
+       ranges that descent cannot subdivide still fit on the driver).
+
+    Every level divides each candidate population by ~coarse_bins, so a
+    10^12-row group needs ~3 levels; with G groups the total pass count
+    is unchanged — each pass just carries G range specs (broadcast via
+    ray.put, read once per batch).  NULL/NaN values are ignored and n
+    counts non-null rows (DuckDB quantile_disc parity); groups with no
+    non-null values yield NaN.  Rank rule: 1-based rank =
+    max(1, ceil(q*n)).  Returns columns (group, q, value)."""
     import math
 
-    from ray.data.aggregate import Count, Max, Min
+    import ray
 
-    stats = ds.aggregate(Min(col), Max(col), Count())
-    lo0 = float(stats[f"min({col})"])
-    hi0 = float(np.nextafter(stats[f"max({col})"], np.inf))  # half-open
-    n = int(stats["count()"])
+    def stats_partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "g": b[group_col].to_numpy() if group_col else 0,
+            "v": b[col].to_numpy(),
+        })
+        d = d[d["v"].notna()]
+        if d.empty:
+            return pd.DataFrame({"g": [], "mn": [], "mx": [], "n": []})
+        return (d.groupby("g")["v"].agg(mn="min", mx="max", n="count")
+                .reset_index())
+
+    stats = ds.map_batches(stats_partial, batch_format="pandas").to_pandas()
+    if stats.empty:
+        return pd.DataFrame({"group": [], "q": [], "value": []})
+    stats = stats.groupby("g").agg(
+        mn=("mn", "min"), mx=("mx", "max"), n=("n", "sum"))
+
+    # per-(group, quantile) descent state; `finite` gates subdivision
+    # (inf-valued domains produce NaN edges -> straight to collect)
+    tasks = []
+    for g, row in stats.iterrows():
+        lo0 = float(row["mn"])
+        hi0 = float(np.nextafter(row["mx"], np.inf))  # half-open
+        n = int(row["n"])
+        finite = bool(np.isfinite(lo0) and np.isfinite(hi0))
+        for q in qs:
+            tasks.append({
+                "group": g, "q": float(q), "n": n,
+                "r": max(1, math.ceil(q * n)),
+                "lo": lo0 if finite else -np.inf,
+                "hi": hi0 if finite else np.inf,
+                "rank_below": 0, "in_range": n,
+                "finite": finite, "subdividable": finite,
+            })
 
     def make_edges(lo: float, hi: float) -> np.ndarray:
         # the SAME edge doubles drive binning, the next level's bounds
@@ -575,114 +690,149 @@ def exact_percentiles(ds, col: str, qs=(0.25, 0.5, 0.9, 0.99),
         e[0], e[-1] = lo, hi
         return e
 
-    hist_cache: dict[tuple[float, float], np.ndarray] = {}
+    def group_values(b: pd.DataFrame) -> dict:
+        """batch -> {group: np.ndarray of that group's values} (one
+        factorize per batch instead of one boolean scan per range)"""
+        v = b[col].to_numpy()
+        if group_col is None:
+            return {0: v}
+        codes, uniques = pd.factorize(b[group_col].to_numpy())
+        order = np.argsort(codes, kind="stable")
+        order = order[codes[order] >= 0]  # drop NULL-group rows (code -1)
+        sc, sv = codes[order], v[order]
+        bounds = np.searchsorted(sc, np.arange(len(uniques)))
+        return {uniques[i]: sv[bounds[i]:(bounds[i + 1] if i + 1 < len(uniques) else len(sv))]
+                for i in range(len(uniques))}
 
-    def hist(lo: float, hi: float, edges: np.ndarray) -> np.ndarray:
-        # quantiles share descent prefixes (all start at (lo0, hi0)):
-        # memoize so each level's full-data pass runs once per call
-        key = (lo, hi)
-        if key in hist_cache:
-            return hist_cache[key]
+    # 48 levels: each multiplies resolution by `coarse_bins`, so 48
+    # levels of 4096 exceed the 2^64 distinct doubles of ANY interval —
+    # every task always ends with a small population or a <=1-ulp
+    # interval (whose distinct-value collect is tiny by construction).
+    for _level in range(48):
+        pending = [t for t in tasks
+                   if t["subdividable"] and t["in_range"] > collect_limit]
+        if not pending:
+            break
+        # dedup (group, lo, hi) so quantiles sharing a prefix share work
+        ranges: dict[tuple, int] = {}
+        spec = []
+        for t in pending:
+            key = (t["group"], t["lo"], t["hi"])
+            if key not in ranges:
+                edges = make_edges(t["lo"], t["hi"])
+                if edges[1] <= edges[0]:  # <=1-ulp: cannot subdivide
+                    ranges[key] = -1
+                else:
+                    ranges[key] = len(spec)
+                    spec.append((t["group"], t["lo"], t["hi"], edges))
+        for t in pending:
+            if ranges[(t["group"], t["lo"], t["hi"])] < 0:
+                t["subdividable"] = False
+        if not spec:
+            continue
+        spec_ref = ray.put(spec)
 
-        def partial(b: pd.DataFrame) -> pd.DataFrame:
-            v = b[col].to_numpy()
-            v = v[(v >= lo) & (v < hi)]
-            bins = np.clip(np.searchsorted(edges, v, side="right") - 1,
-                           0, coarse_bins - 1)
-            c = np.bincount(bins, minlength=coarse_bins)
-            nz = np.nonzero(c)[0]
-            return pd.DataFrame({"bin": nz.astype(np.int64),
-                                 "n": c[nz].astype(np.int64)})
+        def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+            sp = ray.get(spec_ref)
+            by_g = group_values(b)
+            rids, bins, ns = [], [], []
+            for rid, (g, lo, hi, edges) in enumerate(sp):
+                v = by_g.get(g)
+                if v is None:
+                    continue
+                v = v[(v >= lo) & (v < hi)]  # NaN compares False: dropped
+                if not len(v):
+                    continue
+                c = np.bincount(
+                    np.clip(np.searchsorted(edges, v, side="right") - 1,
+                            0, coarse_bins - 1),
+                    minlength=coarse_bins)
+                nz = np.nonzero(c)[0]
+                rids.append(np.full(len(nz), rid, dtype=np.int64))
+                bins.append(nz.astype(np.int64))
+                ns.append(c[nz].astype(np.int64))
+            if not rids:
+                return pd.DataFrame({"rid": pd.Series(dtype=np.int64),
+                                     "bin": pd.Series(dtype=np.int64),
+                                     "n": pd.Series(dtype=np.int64)})
+            return pd.DataFrame({"rid": np.concatenate(rids),
+                                 "bin": np.concatenate(bins),
+                                 "n": np.concatenate(ns)})
 
-        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
-        out = np.zeros(coarse_bins, dtype=np.int64)
+        parts = ds.map_batches(hist_partial,
+                               batch_format="pandas").to_pandas()
+        hists = np.zeros((len(spec), coarse_bins), dtype=np.int64)
         if len(parts):
-            agg = parts.groupby("bin")["n"].sum()
-            out[agg.index.to_numpy()] = agg.to_numpy()
-        hist_cache[key] = out
-        return out
-
-    collect_cache: dict[tuple[float, float], pd.DataFrame] = {}
-
-    def collect_distinct(lo: float, hi: float) -> pd.DataFrame:
-        """(value, count) pairs for values in [lo, hi), merged map-side:
-        bounded by the DISTINCT value count of the range, so a range
-        dominated by duplicates (the case plain value-collect cannot
-        subdivide) still fits on the driver.  Memoized like hist —
-        quantiles converging to the same range share the pass."""
-        key = (lo, hi)
-        if key in collect_cache:
-            return collect_cache[key]
-
-        def partial(b: pd.DataFrame) -> pd.DataFrame:
-            v = b[col].to_numpy()
-            if np.isfinite(lo) and np.isfinite(hi):
-                v = v[(v >= lo) & (v < hi)]
-            vals, counts = np.unique(v, return_counts=True)
-            return pd.DataFrame({"value": vals,
-                                 "n": counts.astype(np.int64)})
-
-        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
-        out = parts if parts.empty else (
-            parts.groupby("value", as_index=False)["n"].sum()
-            .sort_values("value").reset_index(drop=True))
-        collect_cache[key] = out
-        return out
-
-    finite_domain = np.isfinite(lo0) and np.isfinite(hi0)
-    rows = []
-    for q in qs:
-        r = max(1, math.ceil(q * n))  # 1-based target rank
-        lo, hi, rank_below, in_range = lo0, hi0, 0, n
-        # 48 levels: each multiplies resolution by 4096 = 2^12, so 48
-        # levels exceed the 2^64 distinct doubles of ANY interval — the
-        # loop always ends with a small population or a <=1-ulp interval
-        # (whose distinct-value collect is tiny by construction).  A
-        # non-finite domain (+/-inf values) skips descent: make_edges
-        # would produce NaN edges; the unfiltered distinct collect still
-        # returns exact answers.
-        for _ in range(48 if finite_domain else 0):
-            if in_range <= collect_limit:
-                break
-            edges = make_edges(lo, hi)
-            if edges[1] <= edges[0]:  # <=1-ulp interval: cannot subdivide
-                break
-            counts = hist(lo, hi, edges)
-            cum = np.cumsum(counts)
-            j = int(np.searchsorted(cum, r - rank_below))
+            agg = parts.groupby(["rid", "bin"])["n"].sum().reset_index()
+            hists[agg["rid"].to_numpy(), agg["bin"].to_numpy()] = \
+                agg["n"].to_numpy()
+        for t in pending:
+            rid = ranges[(t["group"], t["lo"], t["hi"])]
+            if rid < 0:
+                continue
+            edges = spec[rid][3]
+            cum = np.cumsum(hists[rid])
+            j = int(np.searchsorted(cum, t["r"] - t["rank_below"]))
             j = min(j, coarse_bins - 1)
-            rank_below += int(cum[j - 1]) if j else 0
-            lo, hi, in_range = float(edges[j]), float(edges[j + 1]), int(counts[j])
-        if not finite_domain:
-            lo, hi, rank_below = -np.inf, np.inf, 0
-        pairs = collect_distinct(lo, hi)
-        cum = pairs["n"].cumsum().to_numpy()
-        i = int(np.searchsorted(cum, r - rank_below))
-        rows.append({"q": float(q), "value": float(pairs["value"].iloc[i])})
-    return pd.DataFrame(rows).sort_values("q").reset_index(drop=True)
+            t["rank_below"] += int(cum[j - 1]) if j else 0
+            t["lo"], t["hi"] = float(edges[j]), float(edges[j + 1])
+            t["in_range"] = int(hists[rid][j])
 
+    # ONE shared distinct-value collect over every task's final range
+    live = [t for t in tasks if t["n"] > 0]
+    cranges: dict[tuple, int] = {}
+    cspec = []
+    for t in live:
+        key = (t["group"], t["lo"], t["hi"], t["finite"])
+        if key not in cranges:
+            cranges[key] = len(cspec)
+            cspec.append(key)
+    out_rows = [{"group": t["group"], "q": t["q"], "value": np.nan}
+                for t in tasks if t["n"] == 0]
+    if cspec:
+        cspec_ref = ray.put(cspec)
 
-def percentiles_by_type(sf_dir: str, qs=(0.5, 0.9)):
-    """Exact per-group order statistics: histogram-descent selection
-    (exact_percentiles) per event_type over a shared materialized read.
-    Group count is tiny (enumerated distributively first), so the
-    per-group passes stay bounded; within a group the descent never
-    ships more than collect_limit distinct values to the driver."""
-    ds = _read(sf_dir, "events",
-               columns=["event_type", "value"]).materialize()
-    types = sorted(
-        ds.map_batches(lambda b: b[["event_type"]].drop_duplicates(),
-                       batch_format="pandas")
-        .to_pandas()["event_type"].unique())
-    rows = []
-    for t in types:
-        sub = ds.map_batches(lambda b, t=t: b[b["event_type"] == t],
-                             batch_format="pandas").materialize()
-        out = exact_percentiles(sub, "value", qs=qs)
-        for q, v in zip(out.q, out.value):
-            rows.append({"event_type": t, "q": float(q), "value": float(v)})
-    return (pd.DataFrame(rows)
-            .sort_values(["event_type", "q"]).reset_index(drop=True))
+        def collect_partial(b: pd.DataFrame) -> pd.DataFrame:
+            sp = ray.get(cspec_ref)
+            by_g = group_values(b)
+            rids, vals, ns = [], [], []
+            for rid, (g, lo, hi, finite) in enumerate(sp):
+                v = by_g.get(g)
+                if v is None:
+                    continue
+                if finite:
+                    v = v[(v >= lo) & (v < hi)]
+                else:
+                    v = v[~pd.isna(v)]
+                if not len(v):
+                    continue
+                u, c = np.unique(v, return_counts=True)
+                rids.append(np.full(len(u), rid, dtype=np.int64))
+                vals.append(u)
+                ns.append(c.astype(np.int64))
+            if not rids:
+                return pd.DataFrame({"rid": pd.Series(dtype=np.int64),
+                                     "value": pd.Series(dtype=np.float64),
+                                     "n": pd.Series(dtype=np.int64)})
+            return pd.DataFrame({"rid": np.concatenate(rids),
+                                 "value": np.concatenate(vals),
+                                 "n": np.concatenate(ns)})
+
+        parts = ds.map_batches(collect_partial,
+                               batch_format="pandas").to_pandas()
+        merged = (parts.groupby(["rid", "value"], as_index=False)["n"]
+                  .sum().sort_values(["rid", "value"]))
+        by_rid = {rid: sub.reset_index(drop=True)
+                  for rid, sub in merged.groupby("rid")}
+        for t in live:
+            rid = cranges[(t["group"], t["lo"], t["hi"], t["finite"])]
+            pairs = by_rid[rid]
+            cum = pairs["n"].cumsum().to_numpy()
+            i = int(np.searchsorted(cum, t["r"] - t["rank_below"]))
+            out_rows.append({"group": t["group"], "q": t["q"],
+                             "value": float(pairs["value"].iloc[i])})
+    return (pd.DataFrame(out_rows, columns=["group", "q", "value"])
+            .sort_values(["group", "q"]).reset_index(drop=True))
 
 
 PERCENTILES_BY_TYPE_SQL = r"""
@@ -1007,6 +1157,26 @@ def ann_ivf(sf_dir: str, k: int = 5, n_queries: int = 4):
     df["query_idx"] = df["query_idx"].astype("int64")
     df["sim"] = df["sim"].round(4)
     return df.reset_index(drop=True)
+
+
+def ann_ivf_exact(sf_dir: str, k: int = 5, n_queries: int = 4):
+    """IVF probe machinery at nprobe == n_clusters: every partition is
+    probed, so the result is EXACT top-k and the brute-force window-rank
+    SQL oracle applies — a hash-checked witness that the IVF
+    partition/probe/mask path itself (cluster assignment, pc.is_in
+    filter, per-query np.isin mask, partial top-k, driver merge) loses
+    nothing; the approximate-probe entry `ann_ivf` stays for recall."""
+    from ..stages.ann import ivf_topk
+
+    ds = _strip_meta(_read(sf_dir, "embeddings",
+                           columns=["vec_id", "embedding"]))
+    first = sorted(ds.take(n_queries), key=lambda r: r["vec_id"])
+    queries = np.asarray([r["embedding"] for r in first], dtype=np.float64)
+    df = ivf_topk(ds, queries, k=k, n_clusters=16, nprobe=16)
+    df["query_idx"] = df["query_idx"].astype("int64")
+    df["sim"] = df["sim"].round(4)
+    return df.sort_values(["query_idx", "sim", "vec_id"],
+                          ascending=[True, False, True]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------

@@ -32,9 +32,13 @@ Quad = tuple[str, str, str, str | None]
 # engine mints _:{kind}_form_{hash} (engine._content_graph_id) — both
 # identify a formula even when it has NO quads in the writer's input
 # (an empty formula must render "{}", not degrade to a bnode "[]").
-# A user-authored bnode label matching this pattern would false-
-# positive; the reference avoids that only because its writer sees the
-# repository's formula map, which a pure quad-set API does not carry.
+# The regex is only a FALLBACK heuristic for callers that hand the
+# writer a bare quad set: a user-authored bnode matching the pattern
+# would false-positive (the reference avoids that because its writer
+# sees the repository's formula map, writer.rb:630-649).  Callers that
+# KNOW their formula set (parser ParseResult.formula_labels, the
+# engine's graph map) pass `formula_labels=` explicitly, which
+# replaces the heuristic entirely.
 _FORMULA_LABEL_RE = _re.compile(r"_:([A-Za-z0-9]+)?_form_")
 
 # writer.rb:248-263 predicate_order — rdf:type, rdfs:label, dc:title first
@@ -112,9 +116,14 @@ class N3Writer:
 
     def __init__(self, quads: list[Quad], prefixes: dict[str, str] | None = None,
                  base_uri: str | None = None, standard_prefixes: bool = False,
-                 canonicalize: bool = False):
+                 canonicalize: bool = False,
+                 formula_labels: set | frozenset | None = None):
         self.quads = list(dict.fromkeys(quads))
         self.canonicalize = canonicalize
+        # None -> label-pattern heuristic; a set (possibly empty) is the
+        # caller's authoritative formula map and disables the heuristic
+        self.formula_labels = (None if formula_labels is None
+                               else set(formula_labels))
         self.base_uri = base_uri
         self.prefixes = dict(prefixes or {})
         if standard_prefixes:
@@ -127,6 +136,14 @@ class N3Writer:
         for s, p, o, g in self.quads:
             self.ref_count[(g, o)] += 1
         self.serialized: set[tuple] = set()
+
+    def _is_formula_label(self, t: str) -> bool:
+        """Is `t` a formula node even without quads in this input?
+        Explicit formula_labels (authoritative) beats the label-pattern
+        heuristic (fallback for bare quad-set callers)."""
+        if self.formula_labels is not None:
+            return t in self.formula_labels
+        return bool(_FORMULA_LABEL_RE.match(t))
 
     # -- prefix handling (writer.rb:416-450 preprocess) -----------------
     def _used_namespaces(self) -> dict[str, str]:
@@ -207,7 +224,7 @@ class N3Writer:
             return t
         if T.is_bnode(t):
             # formula node? (see _FORMULA_LABEL_RE for the empty case)
-            if t in self.graphs or _FORMULA_LABEL_RE.match(t):
+            if t in self.graphs or self._is_formula_label(t):
                 return self._formula(t)
             if self._is_list_head(t, graph):
                 if self.ref_count[(graph, t)] > 1:
@@ -399,7 +416,7 @@ class N3Writer:
             if not sq:
                 continue
             if T.is_bnode(s) and s not in self.graphs \
-                    and not _FORMULA_LABEL_RE.match(s) \
+                    and not self._is_formula_label(s) \
                     and self.ref_count[(graph, s)] == 0 \
                     and self._is_list_head(s, graph, allow_head_extra=True):
                 # subject-position list: "(ex:a ex:b) ." / "(ex:a) :p :o ."
@@ -417,7 +434,7 @@ class N3Writer:
                         out.append(f"{lst} .")
                     continue
             if T.is_bnode(s) and s not in self.graphs \
-                    and _FORMULA_LABEL_RE.match(s):
+                    and self._is_formula_label(s):
                 # empty formula as subject: "{} <b> <c> ."
                 for q in sq:
                     self.serialized.add(q)
@@ -467,10 +484,12 @@ class N3Writer:
 def serialize_n3(quads: list[Quad], prefixes: dict[str, str] | None = None,
                  base_uri: str | None = None,
                  standard_prefixes: bool = False,
-                 canonicalize: bool = False) -> str:
+                 canonicalize: bool = False,
+                 formula_labels: set | frozenset | None = None) -> str:
     return N3Writer(quads, prefixes=prefixes, base_uri=base_uri,
                     standard_prefixes=standard_prefixes,
-                    canonicalize=canonicalize).serialize()
+                    canonicalize=canonicalize,
+                    formula_labels=formula_labels).serialize()
 
 
 def serialize_documents(triples_ds):

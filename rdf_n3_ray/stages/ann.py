@@ -19,6 +19,22 @@ import pyarrow as pa
 
 
 def _matrix(col, dtype=np.float32) -> np.ndarray:
+    """(N, D) matrix from an embedding column.  An Arrow
+    list/fixed_size_list array goes flatten() -> to_numpy() -> reshape
+    (zero-copy off the object store but for the final dtype cast);
+    any other sequence-of-vectors falls back to a Python-level build.
+    Vectors are assumed equal-length and non-null (embedding
+    contract)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.Array) and (
+            pa.types.is_list(col.type) or pa.types.is_large_list(col.type)
+            or pa.types.is_fixed_size_list(col.type)):
+        n = len(col)
+        if n == 0:
+            return np.empty((0, 0), dtype=dtype)
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        return flat.reshape(n, -1).astype(dtype, copy=False)
     return np.asarray([np.asarray(v, dtype=dtype) for v in col], dtype=dtype)
 
 
@@ -44,7 +60,7 @@ class BruteForceTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id").to_numpy()
-        emb = _normalize(_matrix(batch.column("embedding").to_pylist(), self.dtype))
+        emb = _normalize(_matrix(batch.column("embedding"), self.dtype))
         sims = emb @ self.q.T  # (N, Q)
         k = min(self.k, len(ids))
         out_q, out_id, out_sim = [], [], []
@@ -139,8 +155,7 @@ class MaskedTopK:
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         parts = (batch.column(self.part_col).cast(pa.int64())
                  .to_numpy(zero_copy_only=False))
-        emb = _normalize(_matrix(batch.column("embedding").to_pylist(),
-                                 self.dtype))
+        emb = _normalize(_matrix(batch.column("embedding"), self.dtype))
         sims = emb @ self.q.T  # (N, Q)
         out_q, out_id, out_sim = [], [], []
         for qi in range(self.q.shape[0]):
@@ -206,7 +221,7 @@ def ivf_build(embeddings_ds, n_clusters: int = 16, sample_size: int = 2048,
     cent = _kmeans(mat, n_clusters, seed=seed)
 
     def assign(batch: pa.Table) -> pa.Table:
-        emb = _normalize(_matrix(batch.column("embedding").to_pylist())
+        emb = _normalize(_matrix(batch.column("embedding"))
                          .astype(np.float64))
         cl = np.argmax(emb @ cent.T, axis=1).astype(np.int32)
         return batch.append_column("cluster", pa.array(cl, pa.int32()))
@@ -239,7 +254,7 @@ def ivf_topk(embeddings_ds, queries: np.ndarray, k: int = 10,
 
 def lsh_bucket_signatures(batch: pa.Table, planes: np.ndarray) -> pa.Table:
     """Random-hyperplane LSH bucket id per row (sign bits packed)."""
-    emb = _matrix(batch.column("embedding").to_pylist())
+    emb = _matrix(batch.column("embedding"))
     signs = (emb @ planes.T) > 0  # (N, P)
     weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
     buckets = (signs.astype(np.int64) * weights).sum(axis=1)
@@ -329,9 +344,30 @@ def ivf_query(out_dir: str, queries: np.ndarray, k: int = 10,
             os.path.join(out_dir, f"cluster={c}", "*.parquet"))))
     if not paths:
         return pd.DataFrame(columns=["query_idx", "vec_id", "sim"])
-    probed = rd.read_parquet(
-        paths, columns=["vec_id", "embedding", "cluster_id"]).map_batches(
+
+    # index format v2 persists a `cluster_id` data column (ivf_write);
+    # v1 indexes (pre-bump) lack it — detect from the file schema and
+    # fall back to scoring every row of the probed partitions per query
+    # (the old, slightly-wider union-of-probes semantics) instead of
+    # failing the read
+    import pyarrow.parquet as pq
+
+    has_cluster_id = "cluster_id" in pq.read_schema(paths[0]).names
+    cols = ["vec_id", "embedding"] + (
+        ["cluster_id"] if has_cluster_id else [])
+    probed = rd.read_parquet(paths, columns=cols).map_batches(
         lambda t: t.replace_schema_metadata(None), batch_format="pyarrow")
+
+    if not has_cluster_id:
+        partials = probed.map_batches(
+            BruteForceTopK,
+            fn_constructor_kwargs={"queries": qn, "k": k,
+                                   "dtype": np.float64},
+            batch_format="pyarrow",
+            batch_size=4096,
+            concurrency=(1, 4),
+        )
+        return _merge_topk(partials, k)
 
     # same per-query probe mask as ivf_topk (the persisted cluster_id
     # column restores the cluster of every row): each query scores only

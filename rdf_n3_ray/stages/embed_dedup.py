@@ -64,7 +64,7 @@ def cosine_dup_pairs(embeddings_ds, threshold: float = 0.95,
     # driver-side concat of the *small* side only (ids + vectors)
     full = pa.concat_tables([ray.get(r) for r in tbl])
     ids_all = full[id_col].to_numpy().astype(np.int64)
-    mat_all = _normalize(_matrix(full[emb_col].to_pylist()).astype(np.float64))
+    mat_all = _normalize(_matrix(full[emb_col]).astype(np.float64))
     ids_ref = ray.put(ids_all)
     mat_ref = ray.put(mat_all)
 
@@ -72,7 +72,7 @@ def cosine_dup_pairs(embeddings_ds, threshold: float = 0.95,
         ids_a = ray.get(ids_ref)
         mat_a = ray.get(mat_ref)
         ids_b = batch[id_col].to_numpy().astype(np.int64)
-        mat_b = _normalize(_matrix(batch[emb_col].to_pylist()).astype(np.float64))
+        mat_b = _normalize(_matrix(batch[emb_col]).astype(np.float64))
         a, b, s = _pairs_against_matrix(ids_b, mat_b, ids_a, mat_a, threshold)
         return pa.table({
             "a": pa.array(a, pa.int64()),
@@ -99,7 +99,7 @@ def cosine_dup_pairs_lsh(embeddings_ds, threshold: float = 0.9,
     rng = np.random.default_rng(seed)
 
     def sig(batch: pa.Table, band: int, planes: np.ndarray) -> pd.DataFrame:
-        mat = _normalize(_matrix(batch[emb_col].to_pylist()).astype(np.float64))
+        mat = _normalize(_matrix(batch[emb_col]).astype(np.float64))
         bits = (mat @ planes.T) > 0
         key = np.zeros(len(mat), dtype=np.int64)
         for j in range(bits.shape[1]):
@@ -107,7 +107,9 @@ def cosine_dup_pairs_lsh(embeddings_ds, threshold: float = 0.9,
         return pd.DataFrame({
             id_col: batch[id_col].to_numpy().astype(np.int64),
             "bucket": key + (np.int64(band) << 32),
-            emb_col: batch[emb_col].to_pylist(),
+            # object array of np vectors (cheaper than to_pylist; the
+            # in-bucket _matrix fallback consumes either)
+            emb_col: batch[emb_col].to_numpy(zero_copy_only=False),
         })
 
     def in_bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:

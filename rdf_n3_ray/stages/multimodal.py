@@ -100,24 +100,32 @@ class FrameSample:
         self.fps = fps
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, frame_idx, ts_ms = [], [], []
-        for mid, kind, dur in zip(
-            batch.column("media_id").to_pylist(),
-            batch.column("kind").to_pylist(),
-            batch.column("duration_ms").to_pylist(),
-        ):
-            if kind != "video" or not dur:
-                continue
-            n_frames = max(1, int(dur / 1000.0 * self.fps))
-            for f in range(n_frames):
-                ids.append(mid)
-                frame_idx.append(f)
-                ts_ms.append(int(f * 1000 / self.fps))
+        import pyarrow.compute as pc
+
+        dur_col = batch.column("duration_ms")
+        mask = pc.and_kleene(
+            pc.equal(batch.column("kind"), "video"),
+            pc.greater(pc.coalesce(dur_col, pa.scalar(0, dur_col.type)), 0))
+        vid = batch.filter(mask)
+        if vid.num_rows == 0:
+            return pa.table({"media_id": pa.array([], pa.int64()),
+                             "frame_idx": pa.array([], pa.int32()),
+                             "ts_ms": pa.array([], pa.int32())})
+        dur = (vid.column("duration_ms").to_numpy(zero_copy_only=False)
+               .astype(np.float64))
+        n = np.maximum(1, (dur / 1000.0 * self.fps).astype(np.int64))
+        mids = np.repeat(
+            vid.column("media_id").to_numpy(zero_copy_only=False), n)
+        # concat of per-row arange(n_i): global arange minus repeated
+        # row offsets
+        offsets = np.concatenate(([0], np.cumsum(n)[:-1]))
+        fi = np.arange(int(n.sum()), dtype=np.int64) - np.repeat(offsets, n)
+        ts = (fi * 1000 / self.fps).astype(np.int64)
         return pa.table(
             {
-                "media_id": pa.array(ids, pa.int64()),
-                "frame_idx": pa.array(frame_idx, pa.int32()),
-                "ts_ms": pa.array(ts_ms, pa.int32()),
+                "media_id": pa.array(mids, pa.int64()),
+                "frame_idx": pa.array(fi.astype(np.int32), pa.int32()),
+                "ts_ms": pa.array(ts.astype(np.int32), pa.int32()),
             }
         )
 
@@ -132,7 +140,13 @@ def decode_pipeline(media_ds, concurrency: int = 2, batch_size: int = 8):
         # a single input block starves the actor pool; split so every
         # actor gets work (binary payloads: keep blocks small anyway)
         media_ds = media_ds.repartition(concurrency * 2)
-    images = media_ds.filter(lambda r: r["kind"] == "image")
+    # Arrow-native predicate (vectorized pc mask, fuses with the read) —
+    # a per-row filter(lambda) here was the brief's named anti-pattern
+    import pyarrow.compute as pc
+
+    images = media_ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), "image")),
+        batch_format="pyarrow")
     features = images.map_batches(
         DecodeImage,
         batch_format="pyarrow",

@@ -94,21 +94,47 @@ def explode_bands(batch: pd.DataFrame, bands: int = 16) -> pd.DataFrame:
     )
 
 
-def candidate_pairs(group: pd.DataFrame) -> pd.DataFrame:
+MAX_LSH_BUCKET = 1024  # per-(band, band_hash) member cap, see below
+
+
+def candidate_pairs(group: pd.DataFrame,
+                    max_bucket: int | None = None) -> pd.DataFrame:
     """All pairs within each (band, band_hash) LSH bucket.
 
     Called per COARSE shuffle bucket (band_hash % B); the fine
     (band, band_hash) grouping happens vectorized inside, avoiding
-    Ray's per-group UDF overhead on millions of tiny buckets."""
+    Ray's per-group UDF overhead on millions of tiny buckets.
+
+    Pair count is O(|bucket|^2): a degenerate hot bucket (e.g. a
+    boilerplate band shared by millions of docs) would explode, so
+    buckets above `max_bucket` members are truncated to their
+    `max_bucket` smallest doc_ids (deterministic) and the drop is
+    logged.  Recall safety: a true near-dup pair agrees on MANY bands,
+    so it keeps surfacing from its other, non-degenerate buckets;
+    exact-dup removal upstream already collapses the worst case."""
+    import logging
+
+    cap = MAX_LSH_BUCKET if max_bucket is None else max_bucket
     out_a, out_b = [], []
+    dropped_docs = 0
+    capped_buckets = 0
     for (_, _), g in group.groupby(["band", "band_hash"], sort=False):
         if len(g) < 2:
             continue
         ids = sorted(set(g["doc_id"]))
+        if cap and len(ids) > cap:
+            dropped_docs += len(ids) - cap
+            capped_buckets += 1
+            ids = ids[:cap]
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 out_a.append(ids[i])
                 out_b.append(ids[j])
+    if capped_buckets:
+        logging.getLogger(__name__).warning(
+            "candidate_pairs: capped %d hot LSH bucket(s) at %d members "
+            "(%d doc slots dropped; pairs for them still surface from "
+            "other bands)", capped_buckets, cap, dropped_docs)
     return pd.DataFrame({"a": out_a, "b": out_b})
 
 

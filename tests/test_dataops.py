@@ -732,3 +732,108 @@ def test_hll_core_estimator_branch(ray_session):
     est = hll_distinct(ds, "uid", p=12)
     assert est > 2.5 * (1 << 12)  # must have taken the raw-HLL branch
     assert abs(est - n) / n < 0.05, est
+
+
+def test_grouped_percentiles_shared_descent(ray_session):
+    """Round-3 rewrite: ONE shared keyed histogram descent must give
+    exact per-group order statistics even with many groups, NULL
+    values (ignored, DuckDB quantile_disc parity) and duplicate-heavy
+    groups that descent cannot subdivide."""
+    import math
+
+    import ray.data as rd
+
+    from rdf_n3_ray.pipelines.relational import grouped_exact_percentiles
+
+    rng = np.random.default_rng(31)
+    frames = []
+    for g in range(40):  # enough groups that a per-group loop would crawl
+        vals = np.round(rng.uniform(0, 1000, 500), 2)
+        if g % 3 == 0:
+            vals[:300] = 7.77  # multiplicity above collect_limit
+        frames.append(pd.DataFrame({"g": f"g{g:02d}", "v": vals}))
+    df = pd.concat(frames, ignore_index=True)
+    df.loc[rng.choice(len(df), 500, replace=False), "v"] = np.nan
+    ds = rd.from_pandas(df).materialize()
+    qs = (0.1, 0.5, 0.9)
+    out = grouped_exact_percentiles(ds, "v", qs=qs, group_col="g",
+                                    coarse_bins=64, collect_limit=100)
+    got = {(r.group, r.q): r.value for r in out.itertuples()}
+    for g, sub in df.groupby("g"):
+        vals = np.sort(sub["v"].dropna().to_numpy())
+        for q in qs:
+            want = vals[max(1, math.ceil(q * len(vals))) - 1]
+            assert got[(g, q)] == want, (g, q, got[(g, q)], want)
+
+
+def test_exact_percentiles_all_null_and_empty(ray_session):
+    """ADVICE r2: all-NULL / empty input must return an empty frame,
+    not IndexError; NULL rows must not shift the target rank."""
+    import math
+
+    import ray.data as rd
+
+    from rdf_n3_ray.pipelines.relational import exact_percentiles
+
+    ds = rd.from_pandas(pd.DataFrame({"v": [np.nan] * 50})).materialize()
+    out = exact_percentiles(ds, "v", qs=(0.5,))
+    assert len(out) == 0  # all-null column: no order statistics exist
+
+    # NULLs interleaved with values: n must count non-null only
+    vals = [1.0, np.nan, 2.0, np.nan, 3.0, 4.0, np.nan]
+    ds2 = rd.from_pandas(pd.DataFrame({"v": vals})).materialize()
+    out2 = exact_percentiles(ds2, "v", qs=(0.5, 1.0))
+    clean = np.sort([v for v in vals if not np.isnan(v)])
+    for q, got in zip(out2.q, out2.value):
+        assert got == clean[max(1, math.ceil(q * len(clean))) - 1]
+
+
+def test_candidate_pairs_hot_bucket_cap():
+    """A degenerate hot LSH bucket must not emit O(n^2) pairs: members
+    above the cap are truncated deterministically; small buckets are
+    untouched."""
+    from rdf_n3_ray.stages.neardup import candidate_pairs
+
+    n = 5000
+    hot = pd.DataFrame({"doc_id": np.arange(n), "band": 0, "band_hash": 7})
+    out = candidate_pairs(hot, max_bucket=100)
+    assert len(out) == 100 * 99 // 2  # not n*(n-1)/2 = 12.5M
+    assert out["a"].max() < 100 and out["b"].max() < 100  # smallest ids kept
+
+    small = pd.DataFrame({"doc_id": [3, 1, 2], "band": 0, "band_hash": 9})
+    out2 = candidate_pairs(small)
+    assert sorted(map(tuple, out2[["a", "b"]].values.tolist())) == [
+        (1, 2), (1, 3), (2, 3)]
+
+
+def test_ivf_query_v1_index_fallback(ray_session, tmp_path):
+    """ADVICE r2: an index directory written before the cluster_id
+    data-column bump (v1) must still be queryable — the reader detects
+    the missing column and falls back to scoring all rows of the probed
+    partitions (union-of-probes semantics) instead of failing."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from rdf_n3_ray.stages.ann import ivf_query, ivf_write
+
+    rng = np.random.default_rng(11)
+    emb = rng.standard_normal((120, 8)).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(range(120), pa.int64()),
+        "embedding": pa.array([list(map(float, e)) for e in emb],
+                              pa.list_(pa.float32())),
+    })
+    out_dir = str(tmp_path / "ivf")
+    ivf_write(rd.from_arrow(tbl), out_dir, n_clusters=4)
+
+    # strip cluster_id from every data file -> a v1-format index
+    import glob
+    import os
+    for f in glob.glob(os.path.join(out_dir, "cluster=*", "*.parquet")):
+        t = pq.read_table(f)
+        pq.write_table(t.drop_columns(["cluster_id"]), f)
+
+    df = ivf_query(out_dir, emb[:2], k=3, nprobe=4)  # all clusters probed
+    for qi in range(2):
+        sub = df[df["query_idx"] == qi]
+        assert len(sub) == 3 and sub.iloc[0]["vec_id"] == qi  # self top hit

@@ -282,3 +282,35 @@ def test_writer_canonicalize_literals(case):
     assert not r.errors, r.errors
     out = serialize_n3(r.quads, canonicalize=True)
     assert _re2.search(rx, out), (lit, out)
+
+
+def test_explicit_formula_labels_disable_heuristic():
+    """ADVICE r2: a USER-authored bnode labeled like _:x_form_1 must not
+    be misrendered as '{}' when the caller supplies the authoritative
+    formula set; the label-pattern heuristic remains the default for
+    bare quad-set callers."""
+    from rdf_n3_ray.serializer.n3_writer import serialize_n3
+
+    quads = [("_:x_form_1", "<http://ex/p>", '"v"', None)]
+    # explicit (empty) formula set: plain bnode rendering, no '{'
+    out = serialize_n3(quads, formula_labels=set())
+    assert "{" not in out and '"v"' in out
+    # default heuristic keeps legacy behavior (documented fallback)
+    legacy = serialize_n3(quads)
+    assert "{" in legacy
+
+
+def test_parse_result_formula_labels_round_trip():
+    """ParseResult.formula_labels carries every minted formula node —
+    including EMPTY {} formulae — so writer round-trips are exact
+    without label-pattern guessing."""
+    from rdf_n3_ray.parser.n3_parser import parse_n3
+    from rdf_n3_ray.serializer.n3_writer import serialize_n3
+
+    text = '@prefix : <http://ex/> .\n{ :a :b :c } :says :x .\n{} :p :q .\n'
+    r = parse_n3(text)
+    assert r.ok
+    assert len(r.formula_labels) == 2
+    out = serialize_n3(r.quads, formula_labels=r.formula_labels)
+    assert "{}" in out            # empty formula survives
+    assert "{ <http://ex/a> <http://ex/b> <http://ex/c> . }" in out
