@@ -283,14 +283,12 @@ class N3Parser:
 
     def read_objectList(self, subject, predicate, invert: bool) -> None:
         # [11] objectList ::= object (',' object)*  (reader.rb:360-377)
-        seen = False
+        # Each ',' must be followed by exactly one object: `:o ,, :q`
+        # and a trailing `, .` are syntax errors.
         while True:
             obj = self.read_path()
             if obj is None:
-                if not seen:
-                    self.error("Expected objectList", self.first())
-                break
-            seen = True
+                self.error("Expected objectList", self.first())
             if invert:
                 self.add_statement(obj, predicate, subject)
             else:
@@ -298,8 +296,7 @@ class N3Parser:
             tok = self.first()
             if tok is None or tok.value != "," or tok.type is not None:
                 break
-            while (tok := self.first()) is not None and tok.value == "," and tok.type is None:
-                self.shift()
+            self.shift()
 
     def read_verb(self) -> tuple[str | None, bool]:
         # [12] verb  (reader.rb:392-420)

@@ -630,3 +630,256 @@ CASES += [
      f'<{X}r> <{X}is> "4"^^<{XSD}integer> .',
      {"think": True, "conclusions": True}),
 ]
+
+# --- round-3 additions: negative-syntax tail, literal/IRI corners,
+# list/path compositions, builtin Reason coverage ---------------------------
+MATHNS = "http://www.w3.org/2000/10/swap/math#"
+LISTNS = "http://www.w3.org/2000/10/swap/list#"
+
+CASES += [
+    # --- negative syntax (validate mode must error) ---------------------
+    ("r3_neg_num_double_dot", "NegativeSyntax",
+     "@prefix : <http://ex/>. :s :p 1.2.3 .", None, {}),
+    ("r3_neg_bare_exponent", "NegativeSyntax",
+     "@prefix : <http://ex/>. :s :p 5e .", None, {}),
+    ("r3_neg_undefined_prefix", "NegativeSyntax",
+     "@prefix : <http://ex/>. :s q:p :o .", None, {}),
+    ("r3_neg_missing_datatype", "NegativeSyntax",
+     '@prefix : <http://ex/>. :s :p "x"^^ .', None, {}),
+    ("r3_neg_dot_in_collection", "NegativeSyntax",
+     "@prefix : <http://ex/>. :s :p ( :a . :b ) .", None, {}),
+    ("r3_neg_double_comma", "NegativeSyntax",
+     "@prefix : <http://ex/>. :s :p :o ,, :q .", None, {}),
+    ("r3_neg_bnpl_missing_object", "NegativeSyntax",
+     "@prefix : <http://ex/>. :s :p [ :q ] .", None, {}),
+    ("r3_neg_equals_no_object", "NegativeSyntax",
+     "@prefix : <http://ex/>. :s = .", None, {}),
+    ("r3_neg_base_pname", "NegativeSyntax",
+     "@prefix : <http://ex/>. @base :x .", None, {}),
+    ("r3_neg_hex_number", "NegativeSyntax",
+     "@prefix : <http://ex/>. :s :p 0x1F .", None, {}),
+    ("r3_neg_unterminated_long_string", "NegativeSyntax",
+     '@prefix : <http://ex/>. :s :p """abc .', None, {}),
+    ("r3_neg_stray_at_verb", "NegativeSyntax",
+     "@prefix : <http://ex/>. :s @p :o .", None, {}),
+    ("r3_neg_stray_close_brace", "NegativeSyntax",
+     "@prefix : <http://ex/>. :s :p :o . }", None, {}),
+    ("r3_neg_stray_close_bracket", "NegativeSyntax",
+     "@prefix : <http://ex/>. :s :p ] .", None, {}),
+    ("r3_neg_comma_start", "NegativeSyntax",
+     "@prefix : <http://ex/>. , :p :o .", None, {}),
+    ("r3_neg_mismatched_collection", "NegativeSyntax",
+     "@prefix : <http://ex/>. :s :p (] .", None, {}),
+    ("r3_neg_graph_keyword", "NegativeSyntax",
+     "@prefix : <http://ex/>. GRAPH :g { :a :b :c } .", None, {}),
+    ("r3_neg_semicolon_start", "NegativeSyntax",
+     "@prefix : <http://ex/>. ; :p :o .", None, {}),
+    ("r3_neg_double_terminator", "NegativeSyntax",
+     "@prefix : <http://ex/>. :s :p :o . .", None, {}),
+    # --- positive syntax ------------------------------------------------
+    # literal in predicate position is grammar-legal in N3 (predicate ::=
+    # expression ::= path, and paths admit literals)
+    ("r3_syntax_literal_predicate", "PositiveSyntax",
+     '@prefix : <http://ex/>. :s "p" :o .', None, {}),
+    ("r3_syntax_verb_path", "PositiveSyntax",
+     "@prefix : <http://ex/>. :s :a!:b :o .", None, {}),
+    ("r3_syntax_quickvar_predicate", "PositiveSyntax",
+     "@prefix : <http://ex/>. :s ?p :o .", None, {}),
+    ("r3_syntax_compact_punctuation", "PositiveSyntax",
+     "@prefix : <http://ex/>.:s :p :o,:q;:r :t.", None, {}),
+    ("r3_syntax_directive_in_formula", "PositiveSyntax",
+     "@prefix : <http://ex/>. { @prefix q: <http://q/>. q:a q:b q:c } :r :o .",
+     None, {}),
+    # --- eval: literal corner cases -------------------------------------
+    # `4.` = integer 4 + statement terminator (terminals.rb: the numeric
+    # terminal does not consume a trailing bare dot)
+    ("r3_eval_integer_then_dot", "Eval",
+     "@prefix : <http://ex/>. :s :p 4.",
+     f'<{X}s> <{X}p> "4"^^<{XSD}integer> .', {}),
+    ("r3_eval_plus_integer", "Eval",
+     "@prefix : <http://ex/>. :s :p +5 .",
+     f'<{X}s> <{X}p> "+5"^^<{XSD}integer> .', {}),
+    ("r3_eval_negative_decimal", "Eval",
+     "@prefix : <http://ex/>. :s :p -2.5 .",
+     f'<{X}s> <{X}p> "-2.5"^^<{XSD}decimal> .', {}),
+    ("r3_eval_double_forms", "Eval",
+     "@prefix : <http://ex/>. :s :p 1E0 , 2.5e-1 .",
+     f'<{X}s> <{X}p> "1E0"^^<{XSD}double> .\n'
+     f'<{X}s> <{X}p> "2.5e-1"^^<{XSD}double> .', {}),
+    ("r3_eval_single_quote_strings", "Eval",
+     "@prefix : <http://ex/>. :s :p 'x' , '''a\nb''' .",
+     f'<{X}s> <{X}p> "x" .\n<{X}s> <{X}p> "a\\nb" .', {}),
+    ("r3_eval_string_escapes", "Eval",
+     '@prefix : <http://ex/>. :s :p "a\\tb\\u0041" .',
+     f'<{X}s> <{X}p> "a\\tbA" .', {}),
+    ("r3_eval_long_string_embedded_quotes", "Eval",
+     '@prefix : <http://ex/>. :s :p """she said "hi" and \'bye\'""" .',
+     f'<{X}s> <{X}p> "she said \\"hi\\" and \'bye\'" .', {}),
+    # language tags normalize to lowercase (RDF 1.1 Concepts §3.3)
+    ("r3_eval_langtag_subtag_lowercase", "Eval",
+     '@prefix : <http://ex/>. :s :p "x"@en-GB .',
+     f'<{X}s> <{X}p> "x"@en-gb .', {}),
+    ("r3_eval_full_iri_datatype", "Eval",
+     f'@prefix : <http://ex/>. :s :p "7"^^<{XSD}byte> .',
+     f'<{X}s> <{X}p> "7"^^<{XSD}byte> .', {}),
+    ("r3_eval_boolean_literals", "Eval",
+     "@prefix : <http://ex/>. :s :p true , false .",
+     f'<{X}s> <{X}p> "true"^^<{XSD}boolean> .\n'
+     f'<{X}s> <{X}p> "false"^^<{XSD}boolean> .', {}),
+    # --- eval: IRI / pname corners --------------------------------------
+    ("r3_eval_dot_segments", "Eval",
+     "@base <http://h/a/b/>. <../c> <./d> <e/f> .",
+     "<http://h/a/c> <http://h/a/b/d> <http://h/a/b/e/f> .", {}),
+    ("r3_eval_iri_unicode_escape", "Eval",
+     "@prefix : <http://ex/>. :s :p <http://ex/\\u0041> .",
+     f"<{X}s> <{X}p> <{X}A> .", {}),
+    ("r3_eval_pname_colon_local", "Eval",
+     "@prefix : <http://ex/>. :s :p :a:b .",
+     f"<{X}s> <{X}p> <{X}a:b> .", {}),
+    ("r3_eval_pname_percent", "Eval",
+     "@prefix : <http://ex/>. :s :p :a%2Fb .",
+     f"<{X}s> <{X}p> <{X}a%2Fb> .", {}),
+    ("r3_eval_pname_dotted_local", "Eval",
+     "@prefix : <http://ex/>. :s :p :a.b.c .",
+     f"<{X}s> <{X}p> <{X}a.b.c> .", {}),
+    ("r3_eval_prefix_redefinition", "Eval",
+     "@prefix p: <http://a/>. p:x p:y p:z . @prefix p: <http://b/>. p:x p:y p:z .",
+     "<http://a/x> <http://a/y> <http://a/z> .\n"
+     "<http://b/x> <http://b/y> <http://b/z> .", {}),
+    ("r3_eval_crlf_line_endings", "Eval",
+     "@prefix : <http://ex/>.\r\n:a :b :c .",
+     f"<{X}a> <{X}b> <{X}c> .", {}),
+    ("r3_eval_comment_at_eof", "Eval",
+     "@prefix : <http://ex/>. :a :b :c . # end",
+     f"<{X}a> <{X}b> <{X}c> .", {}),
+    # --- eval: lists, bnodes, formulae, paths ---------------------------
+    ("r3_eval_list_of_lists", "Eval",
+     "@prefix : <http://ex/>. :s :p ( ( :a ) ( ) ) .",
+     f"_:A <{RDFNS}first> <{X}a> .\n_:A <{RDFNS}rest> <{RDFNS}nil> .\n"
+     f"_:B <{RDFNS}first> _:A .\n_:B <{RDFNS}rest> _:C .\n"
+     f"_:C <{RDFNS}first> <{RDFNS}nil> .\n_:C <{RDFNS}rest> <{RDFNS}nil> .\n"
+     f"<{X}s> <{X}p> _:B .", {}),
+    ("r3_eval_mixed_list", "Eval",
+     '@prefix : <http://ex/>. :s :p ( 1 "x" [ :q :r ] ) .',
+     f'_:PL <{X}q> <{X}r> .\n'
+     f'_:A <{RDFNS}first> "1"^^<{XSD}integer> .\n_:A <{RDFNS}rest> _:B .\n'
+     f'_:B <{RDFNS}first> "x" .\n_:B <{RDFNS}rest> _:C .\n'
+     f"_:C <{RDFNS}first> _:PL .\n_:C <{RDFNS}rest> <{RDFNS}nil> .\n"
+     f"<{X}s> <{X}p> _:A .", {}),
+    ("r3_eval_nested_bnpl", "Eval",
+     "@prefix : <http://ex/>. :s :p [ :q [ :r :t ] ] .",
+     f"_:B <{X}r> <{X}t> .\n_:A <{X}q> _:B .\n<{X}s> <{X}p> _:A .", {}),
+    ("r3_eval_path_in_collection", "Eval",
+     "@prefix : <http://ex/>. :s :p ( :a!:b ) .",
+     f"<{X}a> <{X}b> _:A .\n"
+     f"_:B <{RDFNS}first> _:A .\n_:B <{RDFNS}rest> <{RDFNS}nil> .\n"
+     f"<{X}s> <{X}p> _:B .", {}),
+    ("r3_eval_verb_path", "Eval",
+     "@prefix : <http://ex/>. :s :a!:b :o .",
+     f"<{X}a> <{X}b> _:A .\n<{X}s> _:A <{X}o> .", {}),
+    ("r3_eval_quickvar_self_triple", "Eval",
+     "@prefix : <http://ex/>. ?x :p ?x .",
+     f"?x <{X}p> ?x .", {}),
+    ("r3_eval_empty_antecedent_rule", "Eval",
+     "@prefix : <http://ex/>. {} => { :a :b :c } .",
+     f"<{X}a> <{X}b> <{X}c> _:F2 .\n_:F1 <{LOG}implies> _:F2 .", {}),
+    ("r3_eval_directive_in_formula", "Eval",
+     "@prefix : <http://ex/>. { @prefix q: <http://q/>. q:a q:b q:c } :r :o .",
+     f"<http://q/a> <http://q/b> <http://q/c> _:F1 .\n_:F1 <{X}r> <{X}o> .",
+     {}),
+    ("r3_eval_a_inside_formula", "Eval",
+     "@prefix : <http://ex/>. { :x a :T } :g :o .",
+     f"<{X}x> <{RDFNS}type> <{X}T> _:F1 .\n_:F1 <{X}g> <{X}o> .", {}),
+    ("r3_eval_has_object_list", "Eval",
+     "@prefix : <http://ex/>. :s has :p :o , :q .",
+     f"<{X}s> <{X}p> <{X}o> .\n<{X}s> <{X}p> <{X}q> .", {}),
+    ("r3_eval_literal_predicate", "Eval",
+     '@prefix : <http://ex/>. :s "p" :o .',
+     f'<{X}s> "p" <{X}o> .', {}),
+    # --- reason: builtin families ---------------------------------------
+    ("r3_reason_math_greater_filter", "Reason",
+     f"@prefix : <http://ex/>. @prefix math: <{MATHNS}>. "
+     ":a :v 5 . :b :v 2 . { ?x :v ?n . ?n math:greaterThan 3 } => { ?x a :Big } .",
+     f'<{X}a> <{X}v> "5"^^<{XSD}integer> .\n'
+     f'<{X}b> <{X}v> "2"^^<{XSD}integer> .\n'
+     f"<{X}a> <{RDFNS}type> <{X}Big> .",
+     {"think": True, "data": True}),
+    ("r3_reason_string_concatenation", "Reason",
+     f'@prefix : <http://ex/>. @prefix string: <{STRNS}>. '
+     '{ ("a" "b") string:concatenation ?s } => { :r :val ?s } .',
+     f'<{X}r> <{X}val> "ab" .',
+     {"think": True, "conclusions": True}),
+    ("r3_reason_list_append", "Reason",
+     f"@prefix : <http://ex/>. @prefix list: <{LISTNS}>. "
+     "{ ((:a) (:b :c)) list:append ?l } => { :r :val ?l } .",
+     f"<{X}r> <{X}val> (<{X}a> <{X}b> <{X}c>) .",
+     {"think": True, "conclusions": True}),
+    ("r3_reason_list_length", "Reason",
+     f"@prefix : <http://ex/>. @prefix list: <{LISTNS}>. "
+     "{ (:a :b :c) list:length ?n } => { :r :len ?n } .",
+     f'<{X}r> <{X}len> "3"^^<{XSD}integer> .',
+     {"think": True, "conclusions": True}),
+    ("r3_reason_list_in", "Reason",
+     f"@prefix : <http://ex/>. @prefix list: <{LISTNS}>. "
+     "{ :b list:in (:a :b) } => { :r :ok :yes } .",
+     f"<{X}r> <{X}ok> <{X}yes> .",
+     {"think": True, "conclusions": True}),
+    ("r3_reason_string_starts_with", "Reason",
+     f'@prefix : <http://ex/>. @prefix string: <{STRNS}>. '
+     '{ "hello" string:startsWith "he" } => { :r :ok :yes } .',
+     f"<{X}r> <{X}ok> <{X}yes> .",
+     {"think": True, "conclusions": True}),
+    ("r3_reason_string_replace", "Reason",
+     f'@prefix : <http://ex/>. @prefix string: <{STRNS}>. '
+     '{ ("oldX" "X" "Y") string:replace ?v } => { :r :val ?v } .',
+     f'<{X}r> <{X}val> "oldY" .',
+     {"think": True, "conclusions": True}),
+    ("r3_reason_math_negation", "Reason",
+     f"@prefix : <http://ex/>. @prefix math: <{MATHNS}>. "
+     "{ 5 math:negation ?n } => { :r :val ?n } .",
+     f'<{X}r> <{X}val> "-5"^^<{XSD}integer> .',
+     {"think": True, "conclusions": True}),
+    ("r3_reason_math_absolute_value", "Reason",
+     f"@prefix : <http://ex/>. @prefix math: <{MATHNS}>. "
+     "{ -4 math:absoluteValue ?v } => { :r :val ?v } .",
+     f'<{X}r> <{X}val> "4"^^<{XSD}integer> .',
+     {"think": True, "conclusions": True}),
+    ("r3_reason_math_remainder", "Reason",
+     f"@prefix : <http://ex/>. @prefix math: <{MATHNS}>. "
+     "{ (7 3) math:remainder ?v } => { :r :val ?v } .",
+     f'<{X}r> <{X}val> "1"^^<{XSD}integer> .',
+     {"think": True, "conclusions": True}),
+    ("r3_reason_math_exponentiation", "Reason",
+     f"@prefix : <http://ex/>. @prefix math: <{MATHNS}>. "
+     "{ (2 10) math:exponentiation ?v } => { :r :val ?v } .",
+     f'<{X}r> <{X}val> "1024"^^<{XSD}integer> .',
+     {"think": True, "conclusions": True}),
+    ("r3_reason_log_equal_to_filter", "Reason",
+     f"@prefix : <http://ex/>. @prefix log: <{LOG[:-1]}#>. "
+     ":x :v 5 . { ?s :v ?n . ?n log:equalTo 5 } => { ?s a :Five } .",
+     f'<{X}x> <{X}v> "5"^^<{XSD}integer> .\n'
+     f"<{X}x> <{RDFNS}type> <{X}Five> .",
+     {"think": True, "data": True}),
+    ("r3_reason_log_dtlit", "Reason",
+     f"@prefix : <http://ex/>. @prefix log: <{LOG[:-1]}#>. "
+     f'{{ ("13" <{XSD}integer>) log:dtlit ?x }} => {{ :r :val ?x }} .',
+     f'<{X}r> <{X}val> "13"^^<{XSD}integer> .',
+     {"think": True, "conclusions": True}),
+    ("r3_reason_time_year", "Reason",
+     f"@prefix : <http://ex/>. @prefix time: <{TIMENS}>. "
+     '{ "2024-03-09T01:02:03Z"^^<http://www.w3.org/2001/XMLSchema#dateTime>'
+     " time:year ?y } => { :r :val ?y } .",
+     f'<{X}r> <{X}val> "2024"^^<{XSD}integer> .',
+     {"think": True, "conclusions": True}),
+    ("r3_reason_notincludes_rule", "Reason",
+     f"@prefix : <http://ex/>. @prefix log: <{LOG[:-1]}#>. "
+     ":x :p :y . { { :x :p :y } log:notIncludes { :x :p :z } } => { :r :ok :yes } .",
+     f"<{X}x> <{X}p> <{X}y> .\n<{X}r> <{X}ok> <{X}yes> .",
+     {"think": True, "data": True}),
+    ("r3_reason_list_member_ints", "Reason",
+     f"@prefix : <http://ex/>. @prefix list: <{LISTNS}>. "
+     "{ (1 2) list:member ?m } => { :r :has ?m } .",
+     f'<{X}r> <{X}has> "1"^^<{XSD}integer> .\n'
+     f'<{X}r> <{X}has> "2"^^<{XSD}integer> .',
+     {"think": True, "conclusions": True}),
+]

@@ -46,6 +46,10 @@ REASON_PAIRS = [
     ("list/append", "-ref", "parse"),
     ("includes/conclusion-simple", "-ref", "think"),
     ("string/endsWith", "-out", "think"),
+    ("unify/reflexive", "-ref", "think"),
+    # ref file uses a dashed name; a "/"-containing suffix is a full
+    # replacement relpath
+    ("includes/bnodeConclude", "includes/bnode-conclude-ref", "think"),
 ]
 
 LEGACY_DIRECTIVE_SKIPS = [
@@ -72,7 +76,8 @@ def _ground_data_projection(quads):
                          REASON_PAIRS, ids=[p[0] for p in REASON_PAIRS])
 def test_golden_pair(rel, suffix, mode):
     inp = os.path.join(EX, rel + ".n3")
-    ref = os.path.join(EX, rel + suffix + ".n3")
+    ref = os.path.join(
+        EX, (suffix if "/" in suffix else rel + suffix) + ".n3")
     base = f"http://example.com/{os.path.basename(rel)}.n3#"
     text = open(inp).read()
     reftext = open(ref).read()
@@ -97,3 +102,14 @@ def test_legacy_directive_cases_unsupported_by_reference():
     for rel in LEGACY_DIRECTIVE_SKIPS:
         text = open(os.path.join(EX, rel + ".n3")).read()
         assert any(d in text for d in ("@forAll", "@forSome", "@keywords")), rel
+
+
+def test_uri_encode_golden_needs_builtins_absent_from_reference():
+    """string/uriEncode's cwm golden exercises string:encodeForURI /
+    string:encodeForFragID, which the reference never implemented (no
+    algebra/str/encode_*.rb) — running the reference on this input
+    would not reproduce the golden either, so it is out of parity
+    scope, not a gap."""
+    import glob
+
+    assert not glob.glob("/root/reference/lib/rdf/n3/algebra/str/encode*")
