@@ -148,6 +148,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_by_type": R.distinct_users_by_type,
         "approx_distinct_users": R.approx_distinct_users,
         "percentiles_by_type": R.percentiles_by_type,
+        "shipping_priority": R.shipping_priority,
+        "top_event_per_user": R.top_event_per_user,
+        "user_running_total": R.user_running_total,
     }
 
 
@@ -183,4 +186,7 @@ def oracle_sql() -> dict[str, str]:
         "event_percentiles": R.EVENT_PERCENTILES_SQL,
         "distinct_users_by_type": R.DISTINCT_USERS_SQL,
         "percentiles_by_type": R.PERCENTILES_BY_TYPE_SQL,
+        "shipping_priority": R.SHIPPING_PRIORITY_SQL,
+        "top_event_per_user": R.TOP_EVENT_PER_USER_SQL,
+        "user_running_total": R.USER_RUNNING_TOTAL_SQL,
     }

@@ -1629,3 +1629,207 @@ SELECT p_brand, COUNT(*) AS n_parts,
 FROM part WHERE p_size >= 10
 GROUP BY p_brand ORDER BY p_brand
 """
+
+
+# ---------------------------------------------------------------------------
+# Q3-style shipping priority: two chained big-big bucket joins
+# (orders semi-join customer-segment on custkey, then lineitem partials
+# join the surviving orders on orderkey), per-order revenue, global
+# top-k by revenue.  Customer and orders both scale with the fact table,
+# so NEITHER side is broadcast — each join is the bucket-paired union +
+# map_groups pattern; only the final k rows reach the driver.
+# ---------------------------------------------------------------------------
+
+def shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                      cutoff: str = "1998-01-01", k: int = 10,
+                      num_partitions: int = 64):
+    """TPC-H Q3 shape: top-k unshipped orders by revenue for one market
+    segment.  Revenue uses the repo-wide integer-cents convention so the
+    Ray result hashes identically to the DuckDB oracle."""
+    cut = pd.Timestamp(cutoff)
+
+    # --- join 1: orders (o_orderdate < cutoff) semi-join customers in
+    # the segment, bucketed on custkey.  Both sides are fact-scale.
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    def cust_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["c_mktsegment"] == segment]
+        key = b["c_custkey"].to_numpy().astype("int64")
+        return pd.DataFrame({
+            "key": key,
+            "o_orderkey": np.zeros(len(b), dtype="int64"),
+            "o_date_us": np.zeros(len(b), dtype="int64"),
+            "jb": (key % num_partitions).astype("int32"),
+            "side": np.zeros(len(b), dtype="int8")})
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def order_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["o_orderdate"] < cut]
+        return pd.DataFrame({
+            "key": b["o_custkey"].astype("int64"),
+            "o_orderkey": b["o_orderkey"].astype("int64"),
+            # pin to ns before the int cast: pandas 2 preserves the
+            # parquet us unit, and a unit-ambiguous int64 round-trips
+            # to the wrong date
+            "o_date_us": b["o_orderdate"].astype("datetime64[ns]")
+                          .astype("int64"),
+            "jb": (b["o_custkey"] % num_partitions).astype("int32"),
+            "side": np.ones(len(b), dtype="int8")})
+
+    both1 = (cust.map_batches(cust_side, batch_format="pandas")
+             .union(orders.map_batches(order_side, batch_format="pandas")))
+
+    def semi(group: pd.DataFrame) -> pd.DataFrame:
+        keep = group.loc[group["side"] == 0, "key"].to_numpy()
+        o = group[group["side"] == 1]
+        o = o[o["key"].isin(keep)]
+        # re-bucket the surviving orders on orderkey for join 2
+        return pd.DataFrame({
+            "o_orderkey": o["o_orderkey"].to_numpy(),
+            "o_date_us": o["o_date_us"].to_numpy(),
+            "rev_c": np.zeros(len(o), dtype="int64"),
+            "jb": (o["o_orderkey"] % num_partitions).astype("int32"),
+            "side": np.ones(len(o), dtype="int8")})
+
+    orders_kept = both1.groupby("jb").map_groups(semi, batch_format="pandas")
+
+    # --- join 2: lineitem (l_shipdate > cutoff) per-order revenue
+    # partials, bucketed on orderkey, joined to the surviving orders.
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"])
+
+    def li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_shipdate"] > cut]
+        rev = np.floor(b["l_extendedprice"].to_numpy()
+                       * (1.0 - b["l_discount"].to_numpy()) * 100.0
+                       + 0.5).astype("int64")
+        g = (pd.DataFrame({"o_orderkey": b["l_orderkey"].to_numpy(),
+                           "rev_c": rev})
+             .groupby("o_orderkey", as_index=False).agg(rev_c=("rev_c", "sum")))
+        return pd.DataFrame({
+            "o_orderkey": g["o_orderkey"].astype("int64"),
+            "o_date_us": np.zeros(len(g), dtype="int64"),
+            "rev_c": g["rev_c"].astype("int64"),
+            "jb": (g["o_orderkey"] % num_partitions).astype("int32"),
+            "side": np.zeros(len(g), dtype="int8")})
+
+    both2 = orders_kept.union(
+        li.map_batches(li_partial, batch_format="pandas", batch_size=65536))
+
+    def join2(group: pd.DataFrame) -> pd.DataFrame:
+        o = group[group["side"] == 1][["o_orderkey", "o_date_us"]]
+        l = group[group["side"] == 0]
+        if o.empty or l.empty:
+            return pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
+                                 "o_date_us": pd.Series(dtype="int64"),
+                                 "revenue_c": pd.Series(dtype="int64")})
+        per = (l.groupby("o_orderkey", as_index=False)
+               .agg(revenue_c=("rev_c", "sum")))
+        m = per.merge(o, on="o_orderkey")
+        # per-bucket partial top-k: only k rows per bucket leave the node
+        return (m.sort_values(["revenue_c", "o_orderkey"],
+                              ascending=[False, True], kind="stable")
+                .head(k)[["o_orderkey", "o_date_us", "revenue_c"]])
+
+    partials = both2.groupby("jb").map_groups(join2, batch_format="pandas")
+    top = partials.to_pandas()  # ≤ num_partitions × k rows
+    top = (top.sort_values(["revenue_c", "o_orderkey"],
+                           ascending=[False, True], kind="stable").head(k))
+    return pd.DataFrame({
+        "o_orderkey": top["o_orderkey"].astype("int64").to_numpy(),
+        "o_orderdate": pd.to_datetime(top["o_date_us"].to_numpy()),
+        "revenue": top["revenue_c"].astype("int64").to_numpy() / 100.0,
+    }).reset_index(drop=True)
+
+
+SHIPPING_PRIORITY_SQL = """
+SELECT li.o_orderkey, o.o_orderdate, li.rev_c / 100.0 AS revenue
+FROM (
+  SELECT l_orderkey AS o_orderkey,
+         SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+                  AS BIGINT)) AS rev_c
+  FROM lineitem WHERE l_shipdate > DATE '1998-01-01'
+  GROUP BY l_orderkey
+) li
+JOIN orders o ON li.o_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1998-01-01'
+ORDER BY revenue DESC, li.o_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-user argmax (top event per user): map-side partial argmax inside
+# each batch, then one user-bucket shuffle and a final in-group argmax.
+# Raw events never shuffle — at most one row per (batch, user) does.
+# ---------------------------------------------------------------------------
+
+def top_event_per_user(sf_dir: str, num_buckets: int = 64):
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b.sort_values(["value", "event_id"],
+                           ascending=[False, True], kind="stable")
+             .groupby("user_id", as_index=False).head(1))
+        return g.assign(ub=_user_bucket(g["user_id"], num_buckets))
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.sort_values(["value", "event_id"],
+                               ascending=[False, True], kind="stable")
+             .groupby("user_id", as_index=False).head(1))
+        return g[["user_id", "event_id", "event_type", "value", "ts"]]
+
+    out = (ev.map_batches(partial, batch_format="pandas", batch_size=65536)
+           .groupby("ub").map_groups(final, batch_format="pandas"))
+    return out.sort("user_id")
+
+
+TOP_EVENT_PER_USER_SQL = """
+SELECT user_id, event_id, event_type, value, ts
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-user running total (cumulative window): user-bucket shuffle, then a
+# vectorized in-group cumsum over integer cents.  The window never needs
+# global state — each user's history lives in exactly one bucket.
+# ---------------------------------------------------------------------------
+
+def user_running_total(sf_dir: str, num_buckets: int = 32):
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def bucketed(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(ub=_user_bucket(b["user_id"], num_buckets))
+
+    def running(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        cents = np.floor(g["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+        run = pd.Series(cents).groupby(g["user_id"].to_numpy()).cumsum()
+        g = g.assign(running_total=run.to_numpy() / 100.0)
+        return g[["event_id", "user_id", "ts", "value", "running_total"]]
+
+    out = (ev.map_batches(bucketed, batch_format="pandas")
+           .groupby("ub").map_groups(running, batch_format="pandas"))
+    return out.sort(["user_id", "ts", "event_id"])
+
+
+USER_RUNNING_TOTAL_SQL = """
+SELECT event_id, user_id, ts, value,
+       SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) / 100.0 AS running_total
+FROM events
+ORDER BY user_id, ts, event_id
+"""

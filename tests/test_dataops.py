@@ -837,3 +837,60 @@ def test_ivf_query_v1_index_fallback(ray_session, tmp_path):
     for qi in range(2):
         sub = df[df["query_idx"] == qi]
         assert len(sub) == 3 and sub.iloc[0]["vec_id"] == qi  # self top hit
+
+
+def _duckdb_oracle(sql: str, sf_dir: str = "/root/testdata/sf0.01"):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')")
+    return con.execute(sql).fetchdf()
+
+
+def _assert_oracle_equal(ray_df: pd.DataFrame, oracle_df: pd.DataFrame):
+    """Driver-gate-style compare: sorted columns, sorted rows, str cast."""
+    a, b = ray_df.copy(), oracle_df.copy()
+    assert sorted(a.columns) == sorted(b.columns)
+    a, b = a[sorted(a.columns)], b[sorted(b.columns)]
+    for c in a.columns:
+        a[c], b[c] = a[c].astype(str), b[c].astype(str)
+    a = a.sort_values(list(a.columns)).reset_index(drop=True)
+    b = b.sort_values(list(b.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_shipping_priority_matches_oracle(ray_session):
+    """TPC-H Q3 shape: two chained big-big bucket joins (no broadcast of
+    either fact side), per-bucket partial top-k, driver merges <= B*k."""
+    from rdf_n3_ray.pipelines.relational import (
+        SHIPPING_PRIORITY_SQL, shipping_priority)
+
+    out = shipping_priority("/root/testdata/sf0.01")
+    assert len(out) == 10
+    _assert_oracle_equal(out, _duckdb_oracle(SHIPPING_PRIORITY_SQL))
+
+
+def test_top_event_per_user_matches_oracle(ray_session):
+    """Per-user argmax: map-side partial argmax means at most one row per
+    (batch, user) crosses the user-bucket shuffle."""
+    from rdf_n3_ray.pipelines.relational import (
+        TOP_EVENT_PER_USER_SQL, top_event_per_user)
+
+    out = top_event_per_user("/root/testdata/sf0.01").to_pandas()
+    assert out.user_id.is_unique
+    _assert_oracle_equal(out, _duckdb_oracle(TOP_EVENT_PER_USER_SQL))
+
+
+def test_user_running_total_matches_oracle(ray_session):
+    """Cumulative window per user: in-bucket vectorized cumsum over
+    integer cents, ties broken (ts, event_id) exactly as the SQL frame."""
+    from rdf_n3_ray.pipelines.relational import (
+        USER_RUNNING_TOTAL_SQL, user_running_total)
+
+    out = user_running_total("/root/testdata/sf0.01").to_pandas()
+    assert len(out) == 10000
+    _assert_oracle_equal(out, _duckdb_oracle(USER_RUNNING_TOTAL_SQL))
