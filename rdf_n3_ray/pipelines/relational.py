@@ -591,8 +591,9 @@ def exact_percentiles(ds, col: str, qs=(0.25, 0.5, 0.9, 0.99),
                       coarse_bins: int = 4096, collect_limit: int = 100_000):
     """Core of event_percentiles over any (materialized) Dataset; see
     that docstring for the algorithm.  NULL/NaN values are ignored
-    (DuckDB quantile_disc semantics); an all-null/empty column returns
-    an empty frame instead of raising."""
+    (DuckDB quantile_disc semantics); an all-null column returns one
+    NaN row per quantile (quantile_disc over all-NULL is NULL) and a
+    zero-row input returns an empty frame."""
     out = grouped_exact_percentiles(ds, col, qs=qs, group_col=None,
                                     coarse_bins=coarse_bins,
                                     collect_limit=collect_limit)
@@ -652,9 +653,12 @@ def grouped_exact_percentiles(ds, col: str, qs=(0.5, 0.9),
             "g": b[group_col].to_numpy() if group_col else 0,
             "v": b[col].to_numpy(),
         })
-        d = d[d["v"].notna()]
-        if d.empty:
-            return pd.DataFrame({"g": [], "mn": [], "mx": [], "n": []})
+        # group BEFORE null filtering: min/max/count all skip NaN, so a
+        # group whose values are all NULL still surfaces (n=0) and ends
+        # up a NaN output row — quantile_disc GROUP BY parity.  Passing
+        # the (possibly empty) groupby result through also keeps the
+        # group-key dtype stable across blocks (no hand-built empty
+        # frame with object columns).
         return (d.groupby("g")["v"].agg(mn="min", mx="max", n="count")
                 .reset_index())
 
@@ -1146,14 +1150,15 @@ ORDER BY a, b
 # IVF ANN (approximate; rows-only check + recall-vs-brute-force unit test)
 # ---------------------------------------------------------------------------
 
-def ann_ivf(sf_dir: str, k: int = 5, n_queries: int = 4):
+def ann_ivf(sf_dir: str, k: int = 5, n_queries: int = 4,
+            n_clusters: int = 16, nprobe: int = 6):
     from ..stages.ann import ivf_topk
 
     ds = _strip_meta(_read(sf_dir, "embeddings",
                            columns=["vec_id", "embedding"]))
     first = sorted(ds.take(n_queries), key=lambda r: r["vec_id"])
     queries = np.asarray([r["embedding"] for r in first], dtype=np.float64)
-    df = ivf_topk(ds, queries, k=k, n_clusters=16, nprobe=6)
+    df = ivf_topk(ds, queries, k=k, n_clusters=n_clusters, nprobe=nprobe)
     df["query_idx"] = df["query_idx"].astype("int64")
     df["sim"] = df["sim"].round(4)
     return df.reset_index(drop=True)
@@ -1165,16 +1170,10 @@ def ann_ivf_exact(sf_dir: str, k: int = 5, n_queries: int = 4):
     SQL oracle applies — a hash-checked witness that the IVF
     partition/probe/mask path itself (cluster assignment, pc.is_in
     filter, per-query np.isin mask, partial top-k, driver merge) loses
-    nothing; the approximate-probe entry `ann_ivf` stays for recall."""
-    from ..stages.ann import ivf_topk
-
-    ds = _strip_meta(_read(sf_dir, "embeddings",
-                           columns=["vec_id", "embedding"]))
-    first = sorted(ds.take(n_queries), key=lambda r: r["vec_id"])
-    queries = np.asarray([r["embedding"] for r in first], dtype=np.float64)
-    df = ivf_topk(ds, queries, k=k, n_clusters=16, nprobe=16)
-    df["query_idx"] = df["query_idx"].astype("int64")
-    df["sim"] = df["sim"].round(4)
+    nothing; the approximate-probe entry `ann_ivf` stays for recall.
+    Delegates to ann_ivf so query selection / sim rounding (the parts
+    the oracle hash depends on) live in exactly one place."""
+    df = ann_ivf(sf_dir, k=k, n_queries=n_queries, n_clusters=16, nprobe=16)
     return df.sort_values(["query_idx", "sim", "vec_id"],
                           ascending=[True, False, True]).reset_index(drop=True)
 
@@ -1658,7 +1657,7 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
         return pd.DataFrame({
             "key": key,
             "o_orderkey": np.zeros(len(b), dtype="int64"),
-            "o_date_us": np.zeros(len(b), dtype="int64"),
+            "o_date_ns": np.zeros(len(b), dtype="int64"),
             "jb": (key % num_partitions).astype("int32"),
             "side": np.zeros(len(b), dtype="int8")})
 
@@ -1673,7 +1672,7 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
             # pin to ns before the int cast: pandas 2 preserves the
             # parquet us unit, and a unit-ambiguous int64 round-trips
             # to the wrong date
-            "o_date_us": b["o_orderdate"].astype("datetime64[ns]")
+            "o_date_ns": b["o_orderdate"].astype("datetime64[ns]")
                           .astype("int64"),
             "jb": (b["o_custkey"] % num_partitions).astype("int32"),
             "side": np.ones(len(b), dtype="int8")})
@@ -1688,7 +1687,7 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
         # re-bucket the surviving orders on orderkey for join 2
         return pd.DataFrame({
             "o_orderkey": o["o_orderkey"].to_numpy(),
-            "o_date_us": o["o_date_us"].to_numpy(),
+            "o_date_ns": o["o_date_ns"].to_numpy(),
             "rev_c": np.zeros(len(o), dtype="int64"),
             "jb": (o["o_orderkey"] % num_partitions).astype("int32"),
             "side": np.ones(len(o), dtype="int8")})
@@ -1711,7 +1710,7 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
              .groupby("o_orderkey", as_index=False).agg(rev_c=("rev_c", "sum")))
         return pd.DataFrame({
             "o_orderkey": g["o_orderkey"].astype("int64"),
-            "o_date_us": np.zeros(len(g), dtype="int64"),
+            "o_date_ns": np.zeros(len(g), dtype="int64"),
             "rev_c": g["rev_c"].astype("int64"),
             "jb": (g["o_orderkey"] % num_partitions).astype("int32"),
             "side": np.zeros(len(g), dtype="int8")})
@@ -1720,11 +1719,11 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
         li.map_batches(li_partial, batch_format="pandas", batch_size=65536))
 
     def join2(group: pd.DataFrame) -> pd.DataFrame:
-        o = group[group["side"] == 1][["o_orderkey", "o_date_us"]]
+        o = group[group["side"] == 1][["o_orderkey", "o_date_ns"]]
         l = group[group["side"] == 0]
         if o.empty or l.empty:
             return pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
-                                 "o_date_us": pd.Series(dtype="int64"),
+                                 "o_date_ns": pd.Series(dtype="int64"),
                                  "revenue_c": pd.Series(dtype="int64")})
         per = (l.groupby("o_orderkey", as_index=False)
                .agg(revenue_c=("rev_c", "sum")))
@@ -1732,7 +1731,7 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
         # per-bucket partial top-k: only k rows per bucket leave the node
         return (m.sort_values(["revenue_c", "o_orderkey"],
                               ascending=[False, True], kind="stable")
-                .head(k)[["o_orderkey", "o_date_us", "revenue_c"]])
+                .head(k)[["o_orderkey", "o_date_ns", "revenue_c"]])
 
     partials = both2.groupby("jb").map_groups(join2, batch_format="pandas")
     top = partials.to_pandas()  # ≤ num_partitions × k rows
@@ -1740,7 +1739,7 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
                            ascending=[False, True], kind="stable").head(k))
     return pd.DataFrame({
         "o_orderkey": top["o_orderkey"].astype("int64").to_numpy(),
-        "o_orderdate": pd.to_datetime(top["o_date_us"].to_numpy()),
+        "o_orderdate": pd.to_datetime(top["o_date_ns"].to_numpy()),
         "revenue": top["revenue_c"].astype("int64").to_numpy() / 100.0,
     }).reset_index(drop=True)
 

@@ -23,8 +23,9 @@ def _matrix(col, dtype=np.float32) -> np.ndarray:
     list/fixed_size_list array goes flatten() -> to_numpy() -> reshape
     (zero-copy off the object store but for the final dtype cast);
     any other sequence-of-vectors falls back to a Python-level build.
-    Vectors are assumed equal-length and non-null (embedding
-    contract)."""
+    Null rows and ragged lengths are rejected (the embedding contract
+    is equal-length non-null vectors; flatten() would silently
+    misalign them otherwise)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if isinstance(col, pa.Array) and (
@@ -33,6 +34,22 @@ def _matrix(col, dtype=np.float32) -> np.ndarray:
         n = len(col)
         if n == 0:
             return np.empty((0, 0), dtype=dtype)
+        # flatten() silently DROPS null entries, which would shift every
+        # following vector into the wrong row — reject instead of
+        # corrupting similarities.
+        if col.null_count:
+            raise ValueError(
+                f"_matrix: {col.null_count} null embedding row(s); "
+                "embeddings must be non-null")
+        if not pa.types.is_fixed_size_list(col.type):
+            import pyarrow.compute as pc
+
+            mm = pc.min_max(pc.list_value_length(col))
+            if mm["min"].as_py() != mm["max"].as_py():
+                raise ValueError(
+                    "_matrix: ragged embedding lengths "
+                    f"({mm['min']}..{mm['max']}); vectors must be "
+                    "equal-length")
         flat = col.flatten().to_numpy(zero_copy_only=False)
         return flat.reshape(n, -1).astype(dtype, copy=False)
     return np.asarray([np.asarray(v, dtype=dtype) for v in col], dtype=dtype)

@@ -109,9 +109,15 @@ def candidate_pairs(group: pd.DataFrame,
     boilerplate band shared by millions of docs) would explode, so
     buckets above `max_bucket` members are truncated to their
     `max_bucket` smallest doc_ids (deterministic) and the drop is
-    logged.  Recall safety: a true near-dup pair agrees on MANY bands,
-    so it keeps surfacing from its other, non-degenerate buckets;
-    exact-dup removal upstream already collapses the worst case."""
+    logged.  Recall caveat: a pair WELL above the similarity threshold
+    collides in many bands and keeps surfacing from other,
+    non-degenerate buckets, but a pair NEAR the threshold typically
+    collides in only one (per-band collision p ~ sim^r), so capping a
+    hot bucket can drop near-threshold pairs for good — the cap trades
+    exactness for bounded output and is deliberately a parameter:
+    exactness-checked paths run corpora small enough that the cap
+    never triggers, and a 100 TB run accepts the logged truncation
+    (materializing O(|bucket|^2) pairs is infeasible there anyway)."""
     import logging
 
     cap = MAX_LSH_BUCKET if max_bucket is None else max_bucket
@@ -275,6 +281,7 @@ def minhash_lsh_dedup(
     num_buckets: int = 64,
     prefilter_sigma: float | None = 2.5,
     broadcast_limit: int = 100_000,
+    max_bucket: int | None = None,
 ):
     """Full near-dup pipeline: returns a Dataset of (a, b, sim) verified
     duplicate pairs.
@@ -300,6 +307,13 @@ def minhash_lsh_dedup(
     BOUND: a true pair at exactly `threshold` is dropped with
     probability ~Phi(-sigma) (~0.6% at the default 2.5); pass None to
     disable the pre-filter and verify every LSH candidate exactly.
+
+    `max_bucket`: per-(band, band_hash) candidate-bucket member cap
+    (None -> candidate_pairs' MAX_LSH_BUCKET default).  Capping bounds
+    the O(|bucket|^2) pair blowup on boilerplate-heavy corpora but can
+    drop near-threshold pairs whose only band collision is the hot
+    bucket — see candidate_pairs.  Exactness-oracle paths rely on the
+    cap never triggering at their corpus size.
     """
     def sig_and_text(b: pd.DataFrame) -> pd.DataFrame:
         out = minhash_signatures(b, text_col=text_col, num_perm=num_perm)
@@ -319,7 +333,8 @@ def minhash_lsh_dedup(
         batch_format="pandas",
     )
     pairs = band_rows.groupby("bb").map_groups(
-        candidate_pairs, batch_format="pandas"
+        lambda g: candidate_pairs(g, max_bucket=max_bucket),
+        batch_format="pandas",
     )
     # NB: `pairs` still contains global duplicates (the same (a, b)
     # surfaces from every band the two docs agree on).  Broadcast path:

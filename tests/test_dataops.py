@@ -767,8 +767,9 @@ def test_grouped_percentiles_shared_descent(ray_session):
 
 
 def test_exact_percentiles_all_null_and_empty(ray_session):
-    """ADVICE r2: all-NULL / empty input must return an empty frame,
-    not IndexError; NULL rows must not shift the target rank."""
+    """ADVICE r2 + r3 review: all-NULL input must yield NaN rows (one
+    per quantile — quantile_disc over all-NULL is NULL), not IndexError
+    and not a silently-missing row; NULLs must not shift the rank."""
     import math
 
     import ray.data as rd
@@ -777,7 +778,7 @@ def test_exact_percentiles_all_null_and_empty(ray_session):
 
     ds = rd.from_pandas(pd.DataFrame({"v": [np.nan] * 50})).materialize()
     out = exact_percentiles(ds, "v", qs=(0.5,))
-    assert len(out) == 0  # all-null column: no order statistics exist
+    assert len(out) == 1 and np.isnan(out["value"].iloc[0])
 
     # NULLs interleaved with values: n must count non-null only
     vals = [1.0, np.nan, 2.0, np.nan, 3.0, 4.0, np.nan]
@@ -894,3 +895,49 @@ def test_user_running_total_matches_oracle(ray_session):
     out = user_running_total("/root/testdata/sf0.01").to_pandas()
     assert len(out) == 10000
     _assert_oracle_equal(out, _duckdb_oracle(USER_RUNNING_TOTAL_SQL))
+
+
+def test_grouped_percentiles_all_null_group(ray_session):
+    """r3 review: a group whose values are ALL null must still appear
+    in the output as NaN rows (quantile_disc GROUP BY keeps the group),
+    and partial blocks with no surviving rows must not change the
+    stage's schema."""
+    import ray.data as rd
+
+    from rdf_n3_ray.pipelines.relational import grouped_exact_percentiles
+
+    df = pd.concat([
+        pd.DataFrame({"g": "a", "v": np.arange(100, dtype="float64")}),
+        pd.DataFrame({"g": "c", "v": [np.nan] * 50}),  # all-null group
+    ], ignore_index=True)
+    ds = rd.from_pandas(df).materialize()
+    out = grouped_exact_percentiles(ds, "v", qs=(0.5,), group_col="g")
+    got = {r.group: r.value for r in out.itertuples()}
+    assert set(got) == {"a", "c"}
+    assert got["a"] == 49.0  # rank ceil(0.5*100)=50 -> value 49
+    assert np.isnan(got["c"])
+
+
+def test_matrix_rejects_null_and_ragged():
+    """r3 review: ListArray.flatten() silently drops null entries, which
+    would misalign every following vector — _matrix must raise instead."""
+    import pyarrow as pa
+    import pytest
+
+    from rdf_n3_ray.stages.ann import _matrix
+
+    with_null = pa.array([[1.0, 2.0], None, [3.0, 4.0]],
+                         type=pa.list_(pa.float64()))
+    with pytest.raises(ValueError, match="null embedding"):
+        _matrix(with_null)
+
+    # ragged lengths whose total still divides the row count (6 vals /
+    # 3 rows) would reshape "successfully" into garbage
+    ragged = pa.array([[1.0], [2.0, 3.0, 4.0], [5.0, 6.0]],
+                      type=pa.list_(pa.float64()))
+    with pytest.raises(ValueError, match="ragged"):
+        _matrix(ragged)
+
+    ok = pa.array([[1.0, 2.0], [3.0, 4.0]], type=pa.list_(pa.float64()))
+    m = _matrix(ok)
+    assert m.shape == (2, 2) and m[1, 0] == 3.0
