@@ -151,6 +151,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": R.shipping_priority,
         "top_event_per_user": R.top_event_per_user,
         "user_running_total": R.user_running_total,
+        "local_supplier_volume": R.local_supplier_volume,
+        "small_qty_revenue": R.small_qty_revenue,
+        "events_rollup": R.events_rollup,
     }
 
 
@@ -189,4 +192,7 @@ def oracle_sql() -> dict[str, str]:
         "shipping_priority": R.SHIPPING_PRIORITY_SQL,
         "top_event_per_user": R.TOP_EVENT_PER_USER_SQL,
         "user_running_total": R.USER_RUNNING_TOTAL_SQL,
+        "local_supplier_volume": R.LOCAL_SUPPLIER_VOLUME_SQL,
+        "small_qty_revenue": R.SMALL_QTY_REVENUE_SQL,
+        "events_rollup": R.EVENTS_ROLLUP_SQL,
     }

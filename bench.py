@@ -122,6 +122,14 @@ def run_bench() -> dict:
          ("distinct_users_by_type",
           lambda: R.distinct_users_by_type(sf_dir).to_pandas()),
          ("percentiles_by_type", lambda: R.percentiles_by_type(sf_dir))],
+        [("shipping_priority", lambda: R.shipping_priority(sf_dir)),
+         ("top_event_per_user",
+          lambda: R.top_event_per_user(sf_dir).to_pandas()),
+         ("user_running_total",
+          lambda: R.user_running_total(sf_dir).to_pandas())],
+        [("local_supplier_volume", lambda: R.local_supplier_volume(sf_dir)),
+         ("small_qty_revenue", lambda: R.small_qty_revenue(sf_dir)),
+         ("events_rollup", lambda: R.events_rollup(sf_dir))],
     ]
 
     def fresh_session():

@@ -1832,3 +1832,341 @@ SELECT event_id, user_id, ts, value,
 FROM events
 ORDER BY user_id, ts, event_id
 """
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: three fact-fact bucket joins (lineitem ⋈ supplier on
+# suppkey, orders ⋈ customer on custkey, then the two halves ⋈ on
+# orderkey with the c_nationkey = s_nationkey "local supplier"
+# condition).  nation ⋈ region is the only broadcast — a true
+# dimension.  The supplier and customer joins are INDEPENDENT subtrees,
+# so their shuffles overlap in the streaming executor; only the final
+# orderkey bucket join waits on both — two barrier depths, not three.
+# Nothing fact-sized lands on the driver; lineitem pre-aggregates per
+# (suppkey, orderkey) map-side so shuffles ship partials, not rows.
+# ---------------------------------------------------------------------------
+
+def local_supplier_volume(sf_dir: str, region: str = "ASIA",
+                          date_from: str = "1996-01-01",
+                          date_to: str = "1997-01-01",
+                          num_partitions: int = 64):
+    import ray
+
+    # dimension broadcast: nationkey -> name, restricted to the region
+    nation = _read(sf_dir, "nation",
+                   columns=["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region",
+                columns=["r_regionkey", "r_name"]).to_pandas()
+    rk = set(reg.loc[reg["r_name"] == region, "r_regionkey"])
+    nation = nation[nation["n_regionkey"].isin(rk)]
+    nat_ref = ray.put(dict(zip(nation["n_nationkey"].astype("int64"),
+                               nation["n_name"])))
+    lo, hi = pd.Timestamp(date_from), pd.Timestamp(date_to)
+
+    # --- branch A: lineitem partials ⋈ supplier, bucketed on suppkey --
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"])
+
+    def li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        rev = np.floor(b["l_extendedprice"].to_numpy()
+                       * (1.0 - b["l_discount"].to_numpy()) * 100.0
+                       + 0.5).astype("int64")
+        g = (pd.DataFrame({"key": b["l_suppkey"].astype("int64"),
+                           "o_orderkey": b["l_orderkey"].astype("int64"),
+                           "rev_c": rev})
+             .groupby(["key", "o_orderkey"], as_index=False)
+             .agg(rev_c=("rev_c", "sum")))
+        g["nk"] = np.int64(0)
+        g["jb"] = (g["key"] % num_partitions).astype("int32")
+        g["side"] = np.int8(0)
+        return g[["key", "o_orderkey", "rev_c", "nk", "jb", "side"]]
+
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+
+    def supp_side(b: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(nat_ref)
+        b = b[b["s_nationkey"].isin(m)]
+        key = b["s_suppkey"].to_numpy().astype("int64")
+        return pd.DataFrame({
+            "key": key,
+            "o_orderkey": np.zeros(len(b), dtype="int64"),
+            "rev_c": np.zeros(len(b), dtype="int64"),
+            "nk": b["s_nationkey"].to_numpy().astype("int64"),
+            "jb": (key % num_partitions).astype("int32"),
+            "side": np.full(len(b), 1, dtype="int8")})
+
+    both_a = (li.map_batches(li_partial, batch_format="pandas",
+                             batch_size=65536)
+              .union(supp.map_batches(supp_side, batch_format="pandas")))
+
+    def _empty():
+        return pd.DataFrame({"key": pd.Series(dtype="int64"),
+                             "nk": pd.Series(dtype="int64"),
+                             "rev_c": pd.Series(dtype="int64"),
+                             "jb": pd.Series(dtype="int32"),
+                             "side": pd.Series(dtype="int8")})
+
+    def join_a(group: pd.DataFrame) -> pd.DataFrame:
+        s = group[group["side"] == 1][["key", "nk"]]
+        l = group[group["side"] == 0]
+        if s.empty or l.empty:
+            return _empty()
+        m = l[["key", "o_orderkey", "rev_c"]].merge(s, on="key")
+        # re-key on orderkey for the final join; pre-group per
+        # (order, supplier-nation)
+        g = (m.groupby(["o_orderkey", "nk"], as_index=False)
+             .agg(rev_c=("rev_c", "sum"))
+             .rename(columns={"o_orderkey": "key"}))
+        g["jb"] = (g["key"] % num_partitions).astype("int32")
+        g["side"] = np.int8(0)
+        return g[["key", "nk", "rev_c", "jb", "side"]]
+
+    li_supp = both_a.groupby("jb").map_groups(join_a, batch_format="pandas")
+
+    # --- branch B: orders (date window) ⋈ customer, bucketed on
+    # custkey — independent of branch A, shuffles concurrently --------
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def order_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["o_orderdate"] >= lo) & (b["o_orderdate"] < hi)]
+        key = b["o_custkey"].to_numpy().astype("int64")
+        return pd.DataFrame({
+            "key": key,
+            "o_orderkey": b["o_orderkey"].to_numpy().astype("int64"),
+            "rev_c": np.zeros(len(b), dtype="int64"),
+            "nk": np.zeros(len(b), dtype="int64"),
+            "jb": (key % num_partitions).astype("int32"),
+            "side": np.full(len(b), 0, dtype="int8")})
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def cust_side(b: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(nat_ref)
+        b = b[b["c_nationkey"].isin(m)]
+        key = b["c_custkey"].to_numpy().astype("int64")
+        return pd.DataFrame({
+            "key": key,
+            "o_orderkey": np.zeros(len(b), dtype="int64"),
+            "rev_c": np.zeros(len(b), dtype="int64"),
+            "nk": b["c_nationkey"].to_numpy().astype("int64"),
+            "jb": (key % num_partitions).astype("int32"),
+            "side": np.full(len(b), 1, dtype="int8")})
+
+    both_b = (orders.map_batches(order_side, batch_format="pandas")
+              .union(cust.map_batches(cust_side, batch_format="pandas")))
+
+    def join_b(group: pd.DataFrame) -> pd.DataFrame:
+        c = group[group["side"] == 1][["key", "nk"]]
+        o = group[group["side"] == 0][["key", "o_orderkey"]]
+        if c.empty or o.empty:
+            return _empty()
+        m = o.merge(c, on="key")
+        # re-key on orderkey; carry the customer nation for the final
+        # local-supplier equality
+        g = pd.DataFrame({"key": m["o_orderkey"].to_numpy(),
+                          "nk": m["nk"].to_numpy(),
+                          "rev_c": np.zeros(len(m), dtype="int64")})
+        g["jb"] = (g["key"] % num_partitions).astype("int32")
+        g["side"] = np.int8(1)
+        return g[["key", "nk", "rev_c", "jb", "side"]]
+
+    ord_cust = both_b.groupby("jb").map_groups(join_b, batch_format="pandas")
+
+    # --- final: ⋈ on orderkey with nk equality (local supplier) ------
+    def join_final(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group["side"] == 0][["key", "nk", "rev_c"]]
+        r = group[group["side"] == 1][["key", "nk"]]
+        if l.empty or r.empty:
+            return pd.DataFrame({"nk": pd.Series(dtype="int64"),
+                                 "rev_c": pd.Series(dtype="int64")})
+        m = l.merge(r, on=["key", "nk"])
+        return m.groupby("nk", as_index=False).agg(rev_c=("rev_c", "sum"))
+
+    partials = (li_supp.union(ord_cust)
+                .groupby("jb").map_groups(join_final, batch_format="pandas"))
+    out = partials.to_pandas()  # ≤ num_partitions × |region nations| rows
+    if out.empty:
+        return pd.DataFrame({"n_name": pd.Series(dtype="object"),
+                             "revenue": pd.Series(dtype="float64")})
+    names = dict(zip(nation["n_nationkey"].astype("int64"),
+                     nation["n_name"]))
+    g = out.groupby("nk", as_index=False).agg(rev_c=("rev_c", "sum"))
+    g["n_name"] = g["nk"].map(names)
+    g["revenue"] = g["rev_c"].astype("int64") / 100.0
+    return (g.sort_values(["revenue", "n_name"],
+                          ascending=[False, True], kind="stable")
+            [["n_name", "revenue"]].reset_index(drop=True))
+
+
+LOCAL_SUPPLIER_VOLUME_SQL = """
+SELECT n.n_name,
+       SUM(x.rev_c)::BIGINT / 100.0 AS revenue
+FROM (
+  SELECT c.c_nationkey AS nk,
+         CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100.0 + 0.5)
+              AS BIGINT) AS rev_c
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                 AND s.s_nationkey = c.c_nationkey
+  WHERE o.o_orderdate >= DATE '1996-01-01'
+    AND o.o_orderdate <  DATE '1997-01-01'
+) x
+JOIN nation n ON x.nk = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n.n_name
+"""
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape: per-part average threshold + join back, in ONE
+# shuffle.  The trick: l_quantity is low-cardinality (integers 1..50),
+# so the map side ships (partkey, quantity) -> (count, price_cents)
+# partials — ≤50 rows per part per batch, never raw lineitem.  Inside
+# the partkey bucket both the per-part average AND the qty < 0.2*avg
+# row filter are computed from those partials, so there is no second
+# pass over the fact table and no threshold broadcast.
+# ---------------------------------------------------------------------------
+
+def small_qty_revenue(sf_dir: str, brand: str = "Brand#23",
+                      max_size: int = 15, factor: float = 0.2,
+                      num_partitions: int = 64):
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        price_c = np.floor(b["l_extendedprice"].to_numpy() * 100.0
+                           + 0.5).astype("int64")
+        g = (pd.DataFrame({"key": b["l_partkey"].astype("int64"),
+                           "qty": b["l_quantity"].to_numpy(),
+                           "price_c": price_c})
+             .groupby(["key", "qty"], as_index=False)
+             .agg(cnt=("price_c", "size"), price_c=("price_c", "sum")))
+        g["jb"] = (g["key"] % num_partitions).astype("int32")
+        g["side"] = np.int8(0)
+        return g[["key", "qty", "cnt", "price_c", "jb", "side"]]
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+
+    def part_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["p_brand"] == brand) & (b["p_size"] <= max_size)]
+        key = b["p_partkey"].to_numpy().astype("int64")
+        return pd.DataFrame({
+            "key": key,
+            "qty": np.zeros(len(b), dtype="float64"),
+            "cnt": np.zeros(len(b), dtype="int64"),
+            "price_c": np.zeros(len(b), dtype="int64"),
+            "jb": (key % num_partitions).astype("int32"),
+            "side": np.full(len(b), 1, dtype="int8")})
+
+    both = (li.map_batches(li_partial, batch_format="pandas",
+                           batch_size=65536)
+            .union(part.map_batches(part_side, batch_format="pandas")))
+
+    def bucket(group: pd.DataFrame) -> pd.DataFrame:
+        keep = group.loc[group["side"] == 1, "key"].unique()
+        l = group[group["side"] == 0]
+        l = l[l["key"].isin(keep)]
+        if l.empty:
+            return pd.DataFrame({"price_c": pd.Series(dtype="int64")})
+        # fold multi-batch partials per (part, qty), then per-part avg
+        g = (l.groupby(["key", "qty"], as_index=False)
+             .agg(cnt=("cnt", "sum"), price_c=("price_c", "sum")))
+        per = g.assign(qty_sum=g["qty"] * g["cnt"]).groupby("key").agg(
+            qty_sum=("qty_sum", "sum"), n=("cnt", "sum"))
+        thresh = factor * (per["qty_sum"] / per["n"])  # float64, = SQL AVG
+        small = g[g["qty"] < g["key"].map(thresh).to_numpy()]
+        return pd.DataFrame({"price_c": [small["price_c"].sum()]},
+                            dtype="int64")
+
+    partials = both.groupby("jb").map_groups(bucket, batch_format="pandas")
+    pdf = partials.to_pandas()  # ≤ P rows
+    # empty Ray datasets lose their schema in to_pandas (zero columns)
+    total_c = int(pdf["price_c"].sum()) if "price_c" in pdf.columns else 0
+    return pd.DataFrame({"avg_yearly": [total_c / 100.0 / 7.0]})
+
+
+SMALL_QTY_REVENUE_SQL = """
+SELECT SUM(t.price_c)::BIGINT / 100.0 / 7.0 AS avg_yearly
+FROM (
+  SELECT l.l_partkey, l.l_quantity,
+         CAST(FLOOR(l.l_extendedprice * 100.0 + 0.5) AS BIGINT) AS price_c
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand = 'Brand#23' AND p.p_size <= 15
+) t
+WHERE t.l_quantity < (
+  SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+  WHERE l2.l_partkey = t.l_partkey
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP / grouping-sets aggregate: the finest grain (event_type, day)
+# is aggregated distributed (map-side partials + one small groupby);
+# the super-aggregate levels are re-aggregations of that small grain,
+# so they cost nothing extra — the classic way to run GROUPING SETS
+# without scanning the fact table once per level.  NULL group keys are
+# encoded as sentinels ('ALL' / epoch) on BOTH sides so the driver's
+# string-hash compare never sees engine-specific null spellings.
+# ---------------------------------------------------------------------------
+
+def events_rollup(sf_dir: str):
+    ev = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        val_c = np.floor(b["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+        return (pd.DataFrame({"event_type": b["event_type"],
+                              "day": b["ts"].dt.floor("D"),
+                              "n": np.ones(len(b), dtype="int64"),
+                              "val_c": val_c})
+                .groupby(["event_type", "day"], as_index=False)
+                .agg(n=("n", "sum"), val_c=("val_c", "sum")))
+
+    from ray.data.aggregate import Sum
+
+    fine = (ev.map_batches(partial, batch_format="pandas", batch_size=65536)
+            .groupby(["event_type", "day"])
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("val_c", alias_name="val_c"))
+            .to_pandas())  # |types| × |days| rows — dimension-sized
+    fine["n"] = fine["n"].astype("int64")
+    fine["val_c"] = fine["val_c"].astype("int64")
+
+    epoch = pd.Timestamp("1970-01-01")
+    lvl0 = fine.assign(lvl=np.int64(0))
+    lvl1 = (fine.groupby("event_type", as_index=False)
+            .agg(n=("n", "sum"), val_c=("val_c", "sum"))
+            .assign(day=epoch, lvl=np.int64(1)))
+    lvl2 = pd.DataFrame({"event_type": ["ALL"], "day": [epoch],
+                         "n": [fine["n"].sum()],
+                         "val_c": [fine["val_c"].sum()], "lvl": [np.int64(3)]})
+    out = pd.concat([lvl0, lvl1, lvl2], ignore_index=True)
+    # concat of parquet-us and Timestamp-ns days upcasts to object;
+    # pin the unit so str-rendering matches DuckDB's fetchdf (us)
+    out["day"] = pd.to_datetime(out["day"]).astype("datetime64[us]")
+    out["total"] = out["val_c"].astype("int64") / 100.0
+    out = (out.sort_values(["lvl", "event_type", "day"], kind="stable")
+           [["lvl", "event_type", "day", "n", "total"]]
+           .reset_index(drop=True))
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+EVENTS_ROLLUP_SQL = """
+SELECT GROUPING(event_type, day) AS lvl,
+       COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(day, TIMESTAMP '1970-01-01') AS day,
+       COUNT(*) AS n,
+       SUM(val_c)::BIGINT / 100.0 AS total
+FROM (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS val_c
+  FROM events
+) GROUP BY ROLLUP(event_type, day)
+ORDER BY lvl, event_type, day
+"""

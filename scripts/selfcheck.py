@@ -43,7 +43,13 @@ def value_hash(df: pd.DataFrame) -> int:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i:i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     import ray
 
     ray.init(address="local", num_cpus=8, include_dashboard=False,
@@ -64,6 +70,8 @@ def main():
     qs, oracles = E.queries(), E.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if only is not None and name not in only:
+            continue
         t0 = time.time()
         try:
             got = to_pandas(fn(sf_dir))

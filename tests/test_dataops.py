@@ -941,3 +941,53 @@ def test_matrix_rejects_null_and_ragged():
     ok = pa.array([[1.0, 2.0], [3.0, 4.0]], type=pa.list_(pa.float64()))
     m = _matrix(ok)
     assert m.shape == (2, 2) and m[1, 0] == 3.0
+
+
+def test_local_supplier_volume_matches_oracle(ray_session):
+    """TPC-H Q5 shape: two independent bucket-join branches (lineitem ⋈
+    supplier, orders ⋈ customer) whose shuffles overlap, then one final
+    orderkey bucket join with the c_nationkey = s_nationkey condition.
+    nation ⋈ region is the only broadcast."""
+    from rdf_n3_ray.pipelines.relational import (
+        LOCAL_SUPPLIER_VOLUME_SQL, local_supplier_volume)
+
+    out = local_supplier_volume("/root/testdata/sf0.01")
+    assert len(out) == 5  # every ASIA nation has local volume at sf0.01
+    # revenue sorted descending
+    assert (out["revenue"].to_numpy()[:-1]
+            >= out["revenue"].to_numpy()[1:]).all()
+    _assert_oracle_equal(out, _duckdb_oracle(LOCAL_SUPPLIER_VOLUME_SQL))
+
+
+def test_small_qty_revenue_matches_oracle(ray_session):
+    """TPC-H Q17 shape: the per-part AVG threshold and the qty < 0.2*avg
+    row filter both computed from (partkey, quantity) count partials in
+    ONE shuffle — no second fact pass, no threshold broadcast."""
+    from rdf_n3_ray.pipelines.relational import (
+        SMALL_QTY_REVENUE_SQL, small_qty_revenue)
+
+    out = small_qty_revenue("/root/testdata/sf0.01")
+    assert len(out) == 1 and out["avg_yearly"].iloc[0] > 0
+    _assert_oracle_equal(out, _duckdb_oracle(SMALL_QTY_REVENUE_SQL))
+
+
+def test_small_qty_revenue_empty_filter(ray_session):
+    """No part matches -> zero revenue row, not a crash."""
+    from rdf_n3_ray.pipelines.relational import small_qty_revenue
+
+    out = small_qty_revenue("/root/testdata/sf0.001", brand="Brand#none")
+    assert len(out) == 1 and out["avg_yearly"].iloc[0] == 0.0
+
+
+def test_events_rollup_matches_oracle(ray_session):
+    """GROUPING SETS via distributed finest-grain agg + driver re-agg of
+    the dimension-sized grain; sentinel-encoded super-aggregate keys."""
+    from rdf_n3_ray.pipelines.relational import (
+        EVENTS_ROLLUP_SQL, events_rollup)
+
+    out = events_rollup("/root/testdata/sf0.01")
+    # grand total row consistency: n at lvl 3 == sum of lvl-0 ns
+    lvl0, lvl3 = out[out["lvl"] == 0], out[out["lvl"] == 3]
+    assert len(lvl3) == 1
+    assert int(lvl3["n"].iloc[0]) == int(lvl0["n"].sum())
+    _assert_oracle_equal(out, _duckdb_oracle(EVENTS_ROLLUP_SQL))
