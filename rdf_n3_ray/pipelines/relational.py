@@ -1834,21 +1834,28 @@ ORDER BY user_id, ts, event_id
 """
 
 # ---------------------------------------------------------------------------
-# TPC-H Q5 shape: three fact-fact bucket joins (lineitem ⋈ supplier on
+# TPC-H Q5 shape: fact-fact bucket joins (lineitem ⋈ supplier on
 # suppkey, orders ⋈ customer on custkey, then the two halves ⋈ on
 # orderkey with the c_nationkey = s_nationkey "local supplier"
-# condition).  nation ⋈ region is the only broadcast — a true
-# dimension.  The supplier and customer joins are INDEPENDENT subtrees,
-# so their shuffles overlap in the streaming executor; only the final
-# orderkey bucket join waits on both — two barrier depths, not three.
-# Nothing fact-sized lands on the driver; lineitem pre-aggregates per
-# (suppkey, orderkey) map-side so shuffles ship partials, not rows.
+# condition).  nation ⋈ region is the only unconditional broadcast — a
+# true dimension.  supplier is fact-scaled but ~100× smaller than
+# lineitem, so a size-gated semi-join reduction applies: when the
+# region-filtered supplier set fits `supp_broadcast_limit`, it is
+# broadcast once and the suppkey shuffle disappears (lineitem is also
+# pre-filtered ~|nations in region|/|nations| before its shuffle);
+# past the gate the fully distributed suppkey bucket join runs.  The
+# supplier and customer joins are INDEPENDENT subtrees, so their
+# shuffles overlap in the streaming executor; only the final orderkey
+# bucket join waits on both.  Nothing fact-sized lands on the driver;
+# lineitem pre-aggregates per (suppkey, orderkey) map-side so shuffles
+# ship partials, not rows.
 # ---------------------------------------------------------------------------
 
 def local_supplier_volume(sf_dir: str, region: str = "ASIA",
                           date_from: str = "1996-01-01",
                           date_to: str = "1997-01-01",
-                          num_partitions: int = 64):
+                          num_partitions: int = 64,
+                          supp_broadcast_limit: int = 2_000_000):
     import ray
 
     # dimension broadcast: nationkey -> name, restricted to the region
@@ -1883,21 +1890,17 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
 
     supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
 
-    def supp_side(b: pd.DataFrame) -> pd.DataFrame:
+    def supp_filter(b: pd.DataFrame) -> pd.DataFrame:
         m = ray.get(nat_ref)
         b = b[b["s_nationkey"].isin(m)]
-        key = b["s_suppkey"].to_numpy().astype("int64")
         return pd.DataFrame({
-            "key": key,
-            "o_orderkey": np.zeros(len(b), dtype="int64"),
-            "rev_c": np.zeros(len(b), dtype="int64"),
-            "nk": b["s_nationkey"].to_numpy().astype("int64"),
-            "jb": (key % num_partitions).astype("int32"),
-            "side": np.full(len(b), 1, dtype="int8")})
+            "s_suppkey": b["s_suppkey"].to_numpy().astype("int64"),
+            "s_nationkey": b["s_nationkey"].to_numpy().astype("int64")})
 
-    both_a = (li.map_batches(li_partial, batch_format="pandas",
-                             batch_size=65536)
-              .union(supp.map_batches(supp_side, batch_format="pandas")))
+    # materialize: supplier is ~100× smaller than lineitem, and the gate
+    # decision needs its count before the lineitem scan plan is built
+    supp_f = supp.map_batches(supp_filter,
+                              batch_format="pandas").materialize()
 
     def _empty():
         return pd.DataFrame({"key": pd.Series(dtype="int64"),
@@ -1906,22 +1909,71 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
                              "jb": pd.Series(dtype="int32"),
                              "side": pd.Series(dtype="int8")})
 
-    def join_a(group: pd.DataFrame) -> pd.DataFrame:
-        s = group[group["side"] == 1][["key", "nk"]]
-        l = group[group["side"] == 0]
-        if s.empty or l.empty:
-            return _empty()
-        m = l[["key", "o_orderkey", "rev_c"]].merge(s, on="key")
-        # re-key on orderkey for the final join; pre-group per
-        # (order, supplier-nation)
-        g = (m.groupby(["o_orderkey", "nk"], as_index=False)
-             .agg(rev_c=("rev_c", "sum"))
-             .rename(columns={"o_orderkey": "key"}))
-        g["jb"] = (g["key"] % num_partitions).astype("int32")
-        g["side"] = np.int8(0)
-        return g[["key", "nk", "rev_c", "jb", "side"]]
+    if supp_f.count() <= supp_broadcast_limit:
+        # semi-join reduction: broadcast the sorted (suppkey -> nation)
+        # arrays once; lineitem is filtered AND nation-tagged map-side,
+        # so the suppkey shuffle disappears entirely
+        sdf = supp_f.to_pandas().sort_values("s_suppkey")
+        sup_ref = ray.put((sdf["s_suppkey"].to_numpy(),
+                           sdf["s_nationkey"].to_numpy()))
 
-    li_supp = both_a.groupby("jb").map_groups(join_a, batch_format="pandas")
+        def li_semi(b: pd.DataFrame) -> pd.DataFrame:
+            keys, nks = ray.get(sup_ref)
+            if len(keys) == 0:
+                return _empty()
+            sk = b["l_suppkey"].to_numpy().astype("int64")
+            pos = np.searchsorted(keys, sk).clip(0, len(keys) - 1)
+            hit = keys[pos] == sk
+            b = b[hit]
+            rev = np.floor(b["l_extendedprice"].to_numpy()
+                           * (1.0 - b["l_discount"].to_numpy()) * 100.0
+                           + 0.5).astype("int64")
+            g = (pd.DataFrame({"key": b["l_orderkey"].to_numpy()
+                               .astype("int64"),
+                               "nk": nks[pos[hit]],
+                               "rev_c": rev})
+                 .groupby(["key", "nk"], as_index=False)
+                 .agg(rev_c=("rev_c", "sum")))
+            g["jb"] = (g["key"] % num_partitions).astype("int32")
+            g["side"] = np.int8(0)
+            return g[["key", "nk", "rev_c", "jb", "side"]]
+
+        li_supp = li.map_batches(li_semi, batch_format="pandas",
+                                 batch_size=65536)
+    else:
+        # distributed path: suppkey bucket join, nothing broadcast
+        def supp_side(b: pd.DataFrame) -> pd.DataFrame:
+            key = b["s_suppkey"].to_numpy()
+            return pd.DataFrame({
+                "key": key,
+                "o_orderkey": np.zeros(len(b), dtype="int64"),
+                "rev_c": np.zeros(len(b), dtype="int64"),
+                "nk": b["s_nationkey"].to_numpy(),
+                "jb": (key % num_partitions).astype("int32"),
+                "side": np.full(len(b), 1, dtype="int8")})
+
+        both_a = (li.map_batches(li_partial, batch_format="pandas",
+                                 batch_size=65536)
+                  .union(supp_f.map_batches(supp_side,
+                                            batch_format="pandas")))
+
+        def join_a(group: pd.DataFrame) -> pd.DataFrame:
+            s = group[group["side"] == 1][["key", "nk"]]
+            l = group[group["side"] == 0]
+            if s.empty or l.empty:
+                return _empty()
+            m = l[["key", "o_orderkey", "rev_c"]].merge(s, on="key")
+            # re-key on orderkey for the final join; pre-group per
+            # (order, supplier-nation)
+            g = (m.groupby(["o_orderkey", "nk"], as_index=False)
+                 .agg(rev_c=("rev_c", "sum"))
+                 .rename(columns={"o_orderkey": "key"}))
+            g["jb"] = (g["key"] % num_partitions).astype("int32")
+            g["side"] = np.int8(0)
+            return g[["key", "nk", "rev_c", "jb", "side"]]
+
+        li_supp = both_a.groupby("jb").map_groups(join_a,
+                                                  batch_format="pandas")
 
     # --- branch B: orders (date window) ⋈ customer, bucketed on
     # custkey — independent of branch A, shuffles concurrently --------

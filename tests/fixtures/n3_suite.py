@@ -882,4 +882,110 @@ CASES += [
      f'<{X}r> <{X}has> "1"^^<{XSD}integer> .\n'
      f'<{X}r> <{X}has> "2"^^<{XSD}integer> .',
      {"think": True, "conclusions": True}),
+    # --- round-3b additions: quantifier rejection, langtag/datatype
+    # combinators, IRIREF/PN terminal edges, long tails of the Turtle
+    # suite families, and more builtin Reason coverage -----------------
+    # Modern N3 (and the reference) dropped @forAll/@forSome: the
+    # grammar comment lists existential|universal (reader.rb:241) but
+    # read_n3Statement implements only triples (reader.rb:244-250), so
+    # the directive is a parse error there too.
+    ("r3b_neg_forall", "NegativeSyntax",
+     "@prefix : <http://ex/>. @forAll :x . :x :p :o .", None, {}),
+    ("r3b_neg_forsome", "NegativeSyntax",
+     "@prefix : <http://ex/>. @forSome :x . :x :p :o .", None, {}),
+    # LANGTAG only follows string literals (terminals.rb:51 attaches in
+    # the literal production only)
+    ("r3b_neg_int_langtag", "NegativeSyntax",
+     "@prefix : <http://ex/>. :s :p 1@en .", None, {}),
+    ("r3b_neg_lang_then_datatype", "NegativeSyntax",
+     '@prefix : <http://ex/>. :s :p "x"@en^^<http://ex/dt> .', None, {}),
+    # `a` is only a verb (reader.rb read_path rejects it as subject)
+    ("r3b_neg_a_as_subject", "NegativeSyntax",
+     "@prefix : <http://ex/>. a :p :o .", None, {}),
+    # PN_PREFIX must start with PN_CHARS_BASE — no leading digit
+    ("r3b_neg_digit_prefix", "NegativeSyntax",
+     "@prefix 1p: <http://ex/>. 1p:x 1p:y 1p:z .", None, {}),
+    # IRIREF admits UCHAR but not ECHAR (terminals.rb:42)
+    ("r3b_neg_iri_echar", "NegativeSyntax",
+     "<http://ex/a\\nb> <http://ex/p> <http://ex/o> .", None, {}),
+    # LANGTAG has a (?!is|has) lookahead (terminals.rb:51): "x"@is is
+    # not a language-tagged literal and nothing else can parse it
+    ("r3b_neg_langtag_is", "NegativeSyntax",
+     '@prefix : <http://ex/>. :s :p "x"@is .', None, {}),
+    ("r3b_neg_bad_uchar_hex", "NegativeSyntax",
+     '@prefix : <http://ex/>. :s :p "\\u12G4" .', None, {}),
+    ("r3b_neg_empty_bnode_label", "NegativeSyntax",
+     "@prefix : <http://ex/>. _: :p :o .", None, {}),
+    # --- eval ----------------------------------------------------------
+    # BLANK_NODE_LABEL admits interior dots (PN_CHARS with '.' medial)
+    ("r3b_eval_bnode_label_interior_dot", "Eval",
+     "@prefix : <http://ex/>. _:a.b :p :o . _:a.b :q :r .",
+     f"_:n0 <{X}p> <{X}o> .\n_:n0 <{X}q> <{X}r> .", {}),
+    ("r3b_eval_datatype_in_objectlist", "Eval",
+     '@prefix : <http://ex/>. :s :p "x"^^:dt, "y" .',
+     f'<{X}s> <{X}p> "x"^^<{X}dt> .\n<{X}s> <{X}p> "y" .', {}),
+    # ESCAPE_CHAR8 (\U 8-hex) above the BMP
+    ("r3b_eval_uchar8_astral", "Eval",
+     '@prefix : <http://ex/>. :s :p "\\U0001F600" .',
+     f'<{X}s> <{X}p> "\U0001F600" .', {}),
+    ("r3b_eval_long_single_quote_newline", "Eval",
+     "@prefix : <http://ex/>. :s :p '''a\nb'c''' .",
+     f'<{X}s> <{X}p> "a\\nb\'c" .', {}),
+    ("r3b_eval_negative_zero_forms", "Eval",
+     "@prefix : <http://ex/>. :s :p -0.0, -0 .",
+     f'<{X}s> <{X}p> "-0.0"^^<{XSD}decimal> .\n'
+     f'<{X}s> <{X}p> "-0"^^<{XSD}integer> .', {}),
+    # PN_LOCAL_ESC reserved-char escapes decode to the raw character in
+    # every position (terminals.rb:22)
+    ("r3b_eval_pn_local_esc_positions", "Eval",
+     "@prefix : <http://ex/>. :a\\~b :p\\!q :o\\=r .",
+     f"<{X}a~b> <{X}p!q> <{X}o=r> .", {}),
+    # a rule whose consequent is itself a rule: the inner implies lives
+    # in the outer consequent formula
+    ("r3b_eval_nested_rule_consequent", "Eval",
+     "@prefix : <http://ex/>. "
+     "{ :a :b :c } => { { :d :e :f } => { :g :h :i } } .",
+     f"<{X}a> <{X}b> <{X}c> _:F1 .\n"
+     f"<{X}d> <{X}e> <{X}f> _:F2 .\n"
+     f"<{X}g> <{X}h> <{X}i> _:F3 .\n"
+     f"_:F2 <{LOG}implies> _:F3 _:F4 .\n"
+     f"_:F1 <{LOG}implies> _:F4 .", {}),
+    # --- reason: more builtin families ----------------------------------
+    ("r3b_reason_math_abs", "Reason",
+     f"@prefix : <http://ex/>. @prefix math: <{MATHNS}>. "
+     "{ -4 math:absoluteValue ?v } => { :r :v ?v } .",
+     f'<{X}r> <{X}v> "4"^^<{XSD}integer> .',
+     {"think": True, "conclusions": True}),
+    ("r3b_reason_math_remainder_expo", "Reason",
+     f"@prefix : <http://ex/>. @prefix math: <{MATHNS}>. "
+     "{ (7 3) math:remainder ?v . (2 10) math:exponentiation ?w } "
+     "=> { :r :rem ?v ; :pow ?w } .",
+     f'<{X}r> <{X}rem> "1"^^<{XSD}integer> .\n'
+     f'<{X}r> <{X}pow> "1024"^^<{XSD}integer> .',
+     {"think": True, "conclusions": True}),
+    ("r3b_reason_string_matches_contains", "Reason",
+     f"@prefix : <http://ex/>. @prefix string: <{STRNS}>. "
+     '{ "hello" string:matches "h.*o" . "hello" string:contains "ell" . '
+     '"abc" string:lessThan "abd" } => { :r :ok :y } .',
+     f"<{X}r> <{X}ok> <{X}y> .",
+     {"think": True, "conclusions": True}),
+    ("r3b_reason_list_first_last", "Reason",
+     f"@prefix : <http://ex/>. @prefix list: <{LISTNS}>. "
+     "{ (:a :b) list:first ?f . (:a :b) list:last ?l } "
+     "=> { :r :first ?f ; :last ?l } .",
+     f"<{X}r> <{X}first> <{X}a> .\n<{X}r> <{X}last> <{X}b> .",
+     {"think": True, "conclusions": True}),
+    ("r3b_reason_crypto_sha256", "Reason",
+     "@prefix : <http://ex/>. "
+     "@prefix crypto: <http://www.w3.org/2000/10/swap/crypto#>. "
+     '{ "abc" crypto:sha256 ?h } => { :r :digest ?h } .',
+     f'<{X}r> <{X}digest> '
+     '"ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad" .',
+     {"think": True, "conclusions": True}),
+    ("r3b_reason_log_dtlit", "Reason",
+     f"@prefix : <http://ex/>. @prefix log: <{LOG}>. "
+     '{ ("5" <http://www.w3.org/2001/XMLSchema#integer>) log:dtlit ?l } '
+     "=> { :r :lit ?l } .",
+     f'<{X}r> <{X}lit> "5"^^<{XSD}integer> .',
+     {"think": True, "conclusions": True}),
 ]

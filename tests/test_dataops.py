@@ -957,6 +957,11 @@ def test_local_supplier_volume_matches_oracle(ray_session):
     assert (out["revenue"].to_numpy()[:-1]
             >= out["revenue"].to_numpy()[1:]).all()
     _assert_oracle_equal(out, _duckdb_oracle(LOCAL_SUPPLIER_VOLUME_SQL))
+    # the past-the-gate fully distributed suppkey bucket join must
+    # produce the identical frame
+    dist = local_supplier_volume("/root/testdata/sf0.01",
+                                 supp_broadcast_limit=0)
+    pd.testing.assert_frame_equal(out, dist)
 
 
 def test_small_qty_revenue_matches_oracle(ray_session):
