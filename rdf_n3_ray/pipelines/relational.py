@@ -1865,8 +1865,9 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
                 columns=["r_regionkey", "r_name"]).to_pandas()
     rk = set(reg.loc[reg["r_name"] == region, "r_regionkey"])
     nation = nation[nation["n_regionkey"].isin(rk)]
-    nat_ref = ray.put(dict(zip(nation["n_nationkey"].astype("int64"),
-                               nation["n_name"])))
+    names = dict(zip(nation["n_nationkey"].astype("int64"),
+                     nation["n_name"]))
+    nat_ref = ray.put(names)
     lo, hi = pd.Timestamp(date_from), pd.Timestamp(date_to)
 
     # --- branch A: lineitem partials ⋈ supplier, bucketed on suppkey --
@@ -2041,8 +2042,6 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
     if out.empty:
         return pd.DataFrame({"n_name": pd.Series(dtype="object"),
                              "revenue": pd.Series(dtype="float64")})
-    names = dict(zip(nation["n_nationkey"].astype("int64"),
-                     nation["n_name"]))
     g = out.groupby("nk", as_index=False).agg(rev_c=("rev_c", "sum"))
     g["n_name"] = g["nk"].map(names)
     g["revenue"] = g["rev_c"].astype("int64") / 100.0
@@ -2186,10 +2185,20 @@ def events_rollup(sf_dir: str):
             .aggregate(Sum("n", alias_name="n"),
                        Sum("val_c", alias_name="val_c"))
             .to_pandas())  # |types| × |days| rows — dimension-sized
+    epoch = pd.Timestamp("1970-01-01")
+    if fine.empty or "n" not in fine.columns:
+        # empty Ray datasets lose their schema in to_pandas; DuckDB's
+        # ROLLUP over an empty table still emits the grand-total row
+        # (COUNT 0, SUM NULL) — match it exactly
+        return pd.DataFrame({"lvl": pd.Series([3], dtype="int64"),
+                             "event_type": ["ALL"],
+                             "day": pd.Series([epoch],
+                                              dtype="datetime64[us]"),
+                             "n": pd.Series([0], dtype="int64"),
+                             "total": [float("nan")]})
     fine["n"] = fine["n"].astype("int64")
     fine["val_c"] = fine["val_c"].astype("int64")
 
-    epoch = pd.Timestamp("1970-01-01")
     lvl0 = fine.assign(lvl=np.int64(0))
     lvl1 = (fine.groupby("event_type", as_index=False)
             .agg(n=("n", "sum"), val_c=("val_c", "sum"))

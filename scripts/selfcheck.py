@@ -47,6 +47,8 @@ def main():
     only = None
     if "--only" in args:
         i = args.index("--only")
+        if i + 1 >= len(args):
+            sys.exit("usage: selfcheck.py [sf_dir] [--only name1,name2]")
         only = set(args[i + 1].split(","))
         del args[i:i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
@@ -68,6 +70,11 @@ def main():
         )
 
     qs, oracles = E.queries(), E.oracle_sql()
+    if only is not None:
+        unknown = only - set(qs)
+        if unknown:
+            sys.exit(f"unknown --only queries: {sorted(unknown)}; "
+                     f"known: {sorted(qs)}")
     failures = 0
     for name, fn in qs.items():
         if only is not None and name not in only:
