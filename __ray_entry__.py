@@ -154,6 +154,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_volume": R.local_supplier_volume,
         "small_qty_revenue": R.small_qty_revenue,
         "events_rollup": R.events_rollup,
+        "pii_scrub": R.pii_scrub,
+        "order_priority_exists": R.order_priority_exists,
+        "customer_order_distribution": R.customer_order_distribution,
+        "event_props_agg": R.event_props_agg,
     }
 
 
@@ -195,4 +199,8 @@ def oracle_sql() -> dict[str, str]:
         "local_supplier_volume": R.LOCAL_SUPPLIER_VOLUME_SQL,
         "small_qty_revenue": R.SMALL_QTY_REVENUE_SQL,
         "events_rollup": R.EVENTS_ROLLUP_SQL,
+        "pii_scrub": R.PII_SCRUB_SQL,
+        "order_priority_exists": R.ORDER_PRIORITY_EXISTS_SQL,
+        "customer_order_distribution": R.CUSTOMER_ORDER_DISTRIBUTION_SQL,
+        "event_props_agg": R.EVENT_PROPS_AGG_SQL,
     }

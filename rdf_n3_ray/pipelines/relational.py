@@ -2231,3 +2231,262 @@ FROM (
 ) GROUP BY ROLLUP(event_type, day)
 ORDER BY lvl, event_type, day
 """
+
+
+# ---------------------------------------------------------------------------
+# PII / sensitive-term redaction: the curation scrub every training-data
+# pipeline runs before tokenization.  Pure map — no shuffle, streams at
+# any scale.  The pattern set is configuration: the defaults bundle the
+# classic email/phone shapes plus a caller-supplied term list (the
+# synthetic corpus contains no real PII, so the term entries are what
+# exercise the path end-to-end).  Patterns are compiled ONCE at plan
+# time and captured by the batch fn (fns are pickled per task, not per
+# batch); replacement + counting are pandas vectorized str kernels.
+# Pattern syntax is kept in the RE2-compatible subset (no backrefs, no
+# lookaround) so the DuckDB oracle runs the IDENTICAL pattern.
+# ---------------------------------------------------------------------------
+
+_PII_PATTERNS = (
+    r"[\w.+-]+@[\w-]+\.[\w.-]+",        # email
+    r"\+?\d{3}[- ]\d{3}[- ]\d{4}",      # phone (NNN-NNN-NNNN)
+    r"\b(?:spark|customer)\b",           # term list (stand-in secrets)
+)
+_PII_COMBINED = "|".join(f"(?:{p})" for p in _PII_PATTERNS)
+
+
+def pii_scrub(sf_dir: str, pattern: str = _PII_COMBINED,
+              repl: str = "[PII]"):
+    import re
+
+    rx = re.compile(pattern)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def scrub(b: pd.DataFrame) -> pd.DataFrame:
+        txt = b["text"].fillna("")
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "redacted": txt.str.replace(rx, repl, regex=True),
+            "n_redactions": txt.str.count(rx).astype("int64"),
+        })
+
+    return ds.map_batches(scrub, batch_format="pandas",
+                          batch_size=8192).sort("doc_id")
+
+
+PII_SCRUB_SQL = f"""
+SELECT doc_id,
+       regexp_replace(COALESCE(text, ''), '{_PII_COMBINED}', '[PII]', 'g')
+           AS redacted,
+       len(regexp_extract_all(COALESCE(text, ''), '{_PII_COMBINED}'))
+           AS n_redactions
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape: EXISTS semi-join, fully distributed.  The lineitem
+# side ships one row per distinct qualifying orderkey per batch (map-
+# side dedup), the orders side ships (orderkey, priority) for the date
+# window; both land on the shared orderkey bucket and the exists-check
+# is a vectorized isin inside the group.  Per-bucket output is already
+# aggregated to <= |priorities| rows, so the driver fold is bounded by
+# num_partitions x 5.
+# ---------------------------------------------------------------------------
+
+def order_priority_exists(sf_dir: str, date_from: str = "1996-01-01",
+                          date_to: str = "1997-01-01",
+                          num_partitions: int = 64):
+    lo, hi = pd.Timestamp(date_from), pd.Timestamp(date_to)
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+
+    def li_keys(b: pd.DataFrame) -> pd.DataFrame:
+        k = (b.loc[b["l_returnflag"] == "R", "l_orderkey"]
+             .drop_duplicates().to_numpy().astype("int64"))
+        return pd.DataFrame({
+            "key": k,
+            "prio": np.full(len(k), "", dtype=object),
+            "jb": (k % num_partitions).astype("int32"),
+            "side": np.full(len(k), 0, dtype="int8")})
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def ord_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["o_orderdate"] >= lo) & (b["o_orderdate"] < hi)]
+        k = b["o_orderkey"].to_numpy().astype("int64")
+        return pd.DataFrame({
+            "key": k,
+            "prio": b["o_orderpriority"].to_numpy(),
+            "jb": (k % num_partitions).astype("int32"),
+            "side": np.full(len(k), 1, dtype="int8")})
+
+    both = (li.map_batches(li_keys, batch_format="pandas",
+                           batch_size=65536)
+            .union(orders.map_batches(ord_side, batch_format="pandas")))
+
+    def semi(group: pd.DataFrame) -> pd.DataFrame:
+        keys = group.loc[group["side"] == 0, "key"]
+        o = group[group["side"] == 1]
+        o = o[o["key"].isin(keys)]
+        if o.empty:
+            return pd.DataFrame({
+                "o_orderpriority": pd.Series(dtype="object"),
+                "order_count": pd.Series(dtype="int64")})
+        g = (o.groupby("prio", as_index=False)
+             .agg(order_count=("key", "size"))
+             .rename(columns={"prio": "o_orderpriority"}))
+        g["order_count"] = g["order_count"].astype("int64")
+        return g
+
+    partials = both.groupby("jb").map_groups(semi, batch_format="pandas")
+    out = partials.to_pandas()  # <= num_partitions x |priorities| rows
+    if out.empty or "order_count" not in out.columns:
+        return pd.DataFrame({"o_orderpriority": pd.Series(dtype="object"),
+                             "order_count": pd.Series(dtype="int64")})
+    g = (out.groupby("o_orderpriority", as_index=False)
+         .agg(order_count=("order_count", "sum")))
+    g["order_count"] = g["order_count"].astype("int64")
+    return g.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+ORDER_PRIORITY_EXISTS_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= DATE '1996-01-01'
+  AND o.o_orderdate <  DATE '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: LEFT OUTER join + count distribution.  Orders pre-
+# aggregate per custkey map-side; the customer side ships bare keys.
+# Inside the shared custkey bucket the left-join semantics (customers
+# with zero orders) come from a vectorized map+fillna(0); each bucket
+# emits its own (c_count -> custdist) histogram, so the final fold is
+# tiny (order counts are small integers).
+# ---------------------------------------------------------------------------
+
+def customer_order_distribution(sf_dir: str, num_partitions: int = 64):
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def ord_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b.groupby("o_custkey", as_index=False)
+             .agg(n=("o_custkey", "size")))
+        k = g["o_custkey"].to_numpy().astype("int64")
+        return pd.DataFrame({
+            "key": k,
+            "n": g["n"].to_numpy().astype("int64"),
+            "jb": (k % num_partitions).astype("int32"),
+            "side": np.full(len(k), 0, dtype="int8")})
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def cust_side(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["c_custkey"].to_numpy().astype("int64")
+        return pd.DataFrame({
+            "key": k,
+            "n": np.zeros(len(k), dtype="int64"),
+            "jb": (k % num_partitions).astype("int32"),
+            "side": np.full(len(k), 1, dtype="int8")})
+
+    both = (orders.map_batches(ord_partial, batch_format="pandas",
+                               batch_size=65536)
+            .union(cust.map_batches(cust_side, batch_format="pandas")))
+
+    def dist(group: pd.DataFrame) -> pd.DataFrame:
+        c = group.loc[group["side"] == 1, "key"]
+        if c.empty:
+            return pd.DataFrame({"c_count": pd.Series(dtype="int64"),
+                                 "custdist": pd.Series(dtype="int64")})
+        per = group[group["side"] == 0].groupby("key")["n"].sum()
+        counts = c.map(per).fillna(0).astype("int64")
+        vc = counts.value_counts()
+        return pd.DataFrame({
+            "c_count": vc.index.to_numpy().astype("int64"),
+            "custdist": vc.to_numpy().astype("int64")})
+
+    partials = both.groupby("jb").map_groups(dist, batch_format="pandas")
+    out = partials.to_pandas()  # <= num_partitions x |distinct counts|
+    if out.empty or "custdist" not in out.columns:
+        return pd.DataFrame({"c_count": pd.Series(dtype="int64"),
+                             "custdist": pd.Series(dtype="int64")})
+    g = (out.groupby("c_count", as_index=False)
+         .agg(custdist=("custdist", "sum")))
+    g["c_count"] = g["c_count"].astype("int64")
+    g["custdist"] = g["custdist"].astype("int64")
+    return (g.sort_values(["custdist", "c_count"],
+                          ascending=[False, False], kind="stable")
+            .reset_index(drop=True))
+
+
+CUSTOMER_ORDER_DISTRIBUTION_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_custkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured extraction: pull a typed field out of a JSON string
+# column and aggregate it — the props/metadata-column pattern.  The
+# extraction is ONE vectorized regex pass (pandas str.extract with a
+# pre-compiled pattern); partials combine map-side so the groupby
+# shuffle ships |types| rows per batch.  The oracle runs the identical
+# RE2-compatible pattern through DuckDB's regexp_extract.
+# ---------------------------------------------------------------------------
+
+def event_props_agg(sf_dir: str):
+    import re
+
+    rx = re.compile(r'"k":\s*(-?\d+)')
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        k = pd.to_numeric(b["props"].str.extract(rx, expand=False),
+                          errors="coerce")
+        t = pd.DataFrame({"event_type": b["event_type"],
+                          "k": k.fillna(0).astype("int64")})
+        g = (t.groupby("event_type", as_index=False)
+             .agg(n_events=("k", "size"), sum_k=("k", "sum")))
+        g["n_events"] = g["n_events"].astype("int64")
+        return g
+
+    from ray.data.aggregate import Sum
+
+    out = (ds.map_batches(partial, batch_format="pandas",
+                          batch_size=65536)
+           .groupby("event_type")
+           .aggregate(Sum("n_events", alias_name="n_events"),
+                      Sum("sum_k", alias_name="sum_k")))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["n_events"] = b["n_events"].astype("int64")
+        b["sum_k"] = b["sum_k"].astype("int64")
+        return b
+
+    return out.map_batches(finish,
+                           batch_format="pandas").sort("event_type")
+
+
+EVENT_PROPS_AGG_SQL = r"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(COALESCE(NULLIF(regexp_extract(props,
+                '"k":\s*(-?\d+)', 1), ''), '0') AS BIGINT))
+            AS BIGINT) AS sum_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -996,3 +996,96 @@ def test_events_rollup_matches_oracle(ray_session):
     assert len(lvl3) == 1
     assert int(lvl3["n"].iloc[0]) == int(lvl0["n"].sum())
     _assert_oracle_equal(out, _duckdb_oracle(EVENTS_ROLLUP_SQL))
+
+
+def test_pii_scrub_matches_oracle(ray_session):
+    """Vectorized redaction: identical RE2-subset pattern run through
+    pandas str kernels and DuckDB regexp_replace/extract_all."""
+    from rdf_n3_ray.pipelines.relational import PII_SCRUB_SQL, pii_scrub
+
+    out = pii_scrub("/root/testdata/sf0.01").to_pandas()
+    assert len(out) == 500
+    # the term list fires on this corpus; redaction counts consistent
+    # with the literal marker count in the redacted text
+    hit = out[out["n_redactions"] > 0]
+    assert len(hit) > 0
+    assert (hit["redacted"].str.count(r"\[PII\]").to_numpy()
+            == hit["n_redactions"].to_numpy()).all()
+    # no un-redacted term survives
+    assert not out["redacted"].str.contains(r"\bspark\b").any()
+    _assert_oracle_equal(out, _duckdb_oracle(PII_SCRUB_SQL))
+
+
+def test_pii_scrub_email_phone_patterns():
+    """The email/phone defaults (absent from the synthetic corpus) are
+    exercised at the pattern level against DuckDB's RE2 directly."""
+    import duckdb
+    import re
+
+    from rdf_n3_ray.pipelines.relational import _PII_COMBINED
+
+    rx = re.compile(_PII_COMBINED)
+    samples = [
+        "contact me at jane.doe+spam@example-mail.co.uk today",
+        "call 555-867-5309 or +155 555 1234x",
+        "customer spark sparkle customers",  # word-boundary edges
+        "no pii here at all",
+    ]
+    con = duckdb.connect()
+    for s in samples:
+        ours = rx.sub("[PII]", s)
+        theirs = con.execute(
+            "SELECT regexp_replace(?, ?, '[PII]', 'g')",
+            [s, _PII_COMBINED]).fetchone()[0]
+        assert ours == theirs, s
+
+
+def test_order_priority_exists_matches_oracle(ray_session):
+    """TPC-H Q4 shape: EXISTS semi-join on the shared orderkey bucket,
+    lineitem side deduped map-side."""
+    from rdf_n3_ray.pipelines.relational import (
+        ORDER_PRIORITY_EXISTS_SQL, order_priority_exists)
+
+    out = order_priority_exists("/root/testdata/sf0.01")
+    assert len(out) == 5  # all five priorities occur at sf0.01
+    _assert_oracle_equal(out, _duckdb_oracle(ORDER_PRIORITY_EXISTS_SQL))
+
+
+def test_order_priority_exists_empty_window(ray_session):
+    """A date window with no orders returns the typed empty frame."""
+    from rdf_n3_ray.pipelines.relational import order_priority_exists
+
+    out = order_priority_exists("/root/testdata/sf0.001",
+                                date_from="2050-01-01",
+                                date_to="2051-01-01")
+    assert len(out) == 0
+    assert list(out.columns) == ["o_orderpriority", "order_count"]
+
+
+def test_customer_order_distribution_matches_oracle(ray_session):
+    """TPC-H Q13 shape: LEFT JOIN count distribution; customers with
+    zero orders must appear in the c_count=0 bucket."""
+    import duckdb
+
+    from rdf_n3_ray.pipelines.relational import (
+        CUSTOMER_ORDER_DISTRIBUTION_SQL, customer_order_distribution)
+
+    out = customer_order_distribution("/root/testdata/sf0.01")
+    # total customers preserved across the distribution
+    con = duckdb.connect()
+    n_cust = con.execute(
+        "SELECT COUNT(*) FROM "
+        "read_parquet('/root/testdata/sf0.01/customer.parquet')"
+    ).fetchone()[0]
+    assert int(out["custdist"].sum()) == n_cust
+    _assert_oracle_equal(out, _duckdb_oracle(CUSTOMER_ORDER_DISTRIBUTION_SQL))
+
+
+def test_event_props_agg_matches_oracle(ray_session):
+    """JSON-string field extraction via one vectorized regex pass."""
+    from rdf_n3_ray.pipelines.relational import (
+        EVENT_PROPS_AGG_SQL, event_props_agg)
+
+    out = event_props_agg("/root/testdata/sf0.01").to_pandas()
+    assert (out["n_events"] > 0).all() and (out["sum_k"] > 0).all()
+    _assert_oracle_equal(out, _duckdb_oracle(EVENT_PROPS_AGG_SQL))
