@@ -158,6 +158,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_exists": R.order_priority_exists,
         "customer_order_distribution": R.customer_order_distribution,
         "event_props_agg": R.event_props_agg,
+        "train_val_split": R.train_val_split,
+        "stratified_sample": R.stratified_sample,
     }
 
 
@@ -203,4 +205,6 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_exists": R.ORDER_PRIORITY_EXISTS_SQL,
         "customer_order_distribution": R.CUSTOMER_ORDER_DISTRIBUTION_SQL,
         "event_props_agg": R.EVENT_PROPS_AGG_SQL,
+        "train_val_split": R.TRAIN_VAL_SPLIT_SQL,
+        "stratified_sample": R.STRATIFIED_SAMPLE_SQL,
     }

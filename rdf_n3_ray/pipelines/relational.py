@@ -2490,3 +2490,148 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic dataset splitting — the train/val assignment every
+# training pipeline needs to be REPRODUCIBLE and RESUMABLE: membership
+# is a pure function of the key (Knuth multiplicative hash), so any
+# re-run, any partition order, any cluster size yields the identical
+# split, and a new shard of data can be assigned without touching old
+# shards.  The hash is kept in the int64-safe range in BOTH engines:
+# (doc_id % 2^31) * 2654435761 < 2^63, so numpy int64 and DuckDB
+# BIGINT compute the identical value for every possible doc_id.
+# ---------------------------------------------------------------------------
+
+_SPLIT_HASH_PY = "((doc_id % 2147483648) * 2654435761) % 4294967296"
+
+
+def _split_hash(doc_id: np.ndarray) -> np.ndarray:
+    return ((doc_id.astype("int64") % 2147483648)
+            * 2654435761) % 4294967296
+
+
+def train_val_split(sf_dir: str, val_mod: int = 10):
+    """Pure map — streams at any scale, no shuffle (the sort is the
+    driver-contract presentation order only)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        h = _split_hash(b["doc_id"].to_numpy())
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "lang": b["lang"],
+            "split": np.where(h % val_mod == 0, "val", "train")})
+
+    return ds.map_batches(assign, batch_format="pandas").sort("doc_id")
+
+
+TRAIN_VAL_SPLIT_SQL = f"""
+SELECT doc_id, lang,
+       CASE WHEN {_SPLIT_HASH_PY} % 10 = 0 THEN 'val' ELSE 'train' END
+           AS split
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Stratified EXACT-quota sampling: ceil(rate * |stratum|) rows per
+# stratum, deterministically — the n smallest key-hashes of each
+# stratum.  Selecting "the n smallest of 10^12 hashes" without a
+# global sort is an order-statistic problem, so this reuses the shared
+# keyed histogram descent (grouped_exact_percentiles): the per-stratum
+# quota rank IS the rate-quantile rank (max(1, ceil(rate*n))), the
+# descent finds each stratum's threshold hash in O(log) full-data
+# passes, and ONE final vectorized filter pass emits the sample.
+# Hash ties at the threshold (possible at billions of rows under a
+# 32-bit hash) are broken by smallest doc_id; the tie set is collected
+# explicitly and is at most |strata| hash-collision groups.
+# ---------------------------------------------------------------------------
+
+def stratified_sample(sf_dir: str, rate: float = 0.2,
+                      group_col: str = "lang"):
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", group_col])
+
+    def add_hash(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "g": b[group_col],
+            # float64 holds 2^32 exactly; the descent runs on floats
+            "h": _split_hash(b["doc_id"].to_numpy()).astype("float64")})
+
+    # materialized: the descent + the tie pass + the final filter all
+    # re-read this projection (3 narrow columns, not the text)
+    hds = ds.map_batches(add_hash, batch_format="pandas").materialize()
+
+    thr = grouped_exact_percentiles(hds, "h", qs=(rate,), group_col="g")
+    if thr.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             group_col: pd.Series(dtype="object")})
+    # threshold hash per stratum (value at the quota rank)
+    hstar = {r["group"]: r["value"] for _, r in thr.iterrows()}
+    hstar_ref = ray.put(hstar)
+
+    # one pass: per stratum, count h < h* (strict keeps) and collect
+    # the doc_ids AT the threshold (tie candidates — tiny: only hash
+    # collisions at one specific value can exceed one row)
+    def tie_partial(b: pd.DataFrame) -> pd.DataFrame:
+        hs = ray.get(hstar_ref)
+        if len(b) == 0:
+            return pd.DataFrame({"g": pd.Series(dtype="object"),
+                                 "strict": pd.Series(dtype="int64"),
+                                 "tie_doc": pd.Series(dtype="int64")})
+        t = b["g"].map(hs).to_numpy(dtype="float64", na_value=np.nan)
+        h = b["h"].to_numpy()
+        strict = (pd.DataFrame({"g": b["g"][h < t]})
+                  .groupby("g").size().rename("strict").reset_index())
+        strict["tie_doc"] = np.int64(-1)
+        ties = b.loc[h == t, ["g", "doc_id"]].rename(
+            columns={"doc_id": "tie_doc"})
+        ties["strict"] = np.int64(0)
+        return pd.concat([strict, ties[["g", "strict", "tie_doc"]]],
+                         ignore_index=True)
+
+    tp = hds.map_batches(tie_partial, batch_format="pandas").to_pandas()
+    n_by_g = (hds.map_batches(
+        lambda b: b.groupby("g").size().rename("n").reset_index(),
+        batch_format="pandas").to_pandas()
+        .groupby("g")["n"].sum())
+
+    import math
+    keep_ties: set[int] = set()
+    for g, hv in hstar.items():
+        quota = max(1, math.ceil(rate * int(n_by_g.get(g, 0))))
+        sub = tp[tp["g"] == g]
+        strict = int(sub["strict"].sum())
+        ties = sorted(sub.loc[sub["tie_doc"] >= 0, "tie_doc"])
+        keep_ties.update(ties[:max(0, quota - strict)])
+    ties_ref = ray.put(keep_ties)
+
+    def final_filter(b: pd.DataFrame) -> pd.DataFrame:
+        hs = ray.get(hstar_ref)
+        tk = ray.get(ties_ref)
+        t = b["g"].map(hs).to_numpy(dtype="float64", na_value=np.nan)
+        h = b["h"].to_numpy()
+        keep = (h < t) | b["doc_id"].isin(tk).to_numpy()
+        out = b.loc[keep, ["doc_id", "g"]].rename(columns={"g": group_col})
+        out["doc_id"] = out["doc_id"].astype("int64")
+        return out
+
+    return (hds.map_batches(final_filter, batch_format="pandas")
+            .sort("doc_id"))
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY {_SPLIT_HASH_PY}, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+WHERE rn <= CEIL(0.2 * n)
+ORDER BY doc_id
+"""

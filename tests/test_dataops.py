@@ -1089,3 +1089,96 @@ def test_event_props_agg_matches_oracle(ray_session):
     out = event_props_agg("/root/testdata/sf0.01").to_pandas()
     assert (out["n_events"] > 0).all() and (out["sum_k"] > 0).all()
     _assert_oracle_equal(out, _duckdb_oracle(EVENT_PROPS_AGG_SQL))
+
+
+def test_train_val_split_matches_oracle(ray_session):
+    """Deterministic multiplicative-hash split: same expression in
+    numpy int64 and DuckDB BIGINT, overflow-safe for any doc_id."""
+    from rdf_n3_ray.pipelines.relational import (
+        TRAIN_VAL_SPLIT_SQL, train_val_split)
+
+    out = train_val_split("/root/testdata/sf0.01").to_pandas()
+    assert set(out["split"]) == {"train", "val"}
+    # val rate ~1/10
+    frac = (out["split"] == "val").mean()
+    assert 0.02 < frac < 0.25
+    _assert_oracle_equal(out, _duckdb_oracle(TRAIN_VAL_SPLIT_SQL))
+
+
+def test_split_hash_int64_safe():
+    """The hash never overflows int64 even at the uint extreme."""
+    from rdf_n3_ray.pipelines.relational import _split_hash
+
+    ids = np.array([0, 1, 2**31 - 1, 2**31, 2**62, 2**63 - 1],
+                   dtype="int64")
+    h = _split_hash(ids)
+    assert (h >= 0).all() and (h < 2**32).all()
+    # periodicity by construction: doc_id and doc_id + 2^31 collide
+    assert _split_hash(np.array([5]))[0] == _split_hash(
+        np.array([5 + 2**31]))[0]
+
+
+def test_stratified_sample_matches_oracle(ray_session):
+    """Exact per-stratum quota via the shared histogram descent."""
+    import duckdb
+    import math
+
+    from rdf_n3_ray.pipelines.relational import (
+        STRATIFIED_SAMPLE_SQL, stratified_sample)
+
+    out = stratified_sample("/root/testdata/sf0.01").to_pandas()
+    # exact quota per stratum
+    con = duckdb.connect()
+    strata = con.execute(
+        "SELECT lang, COUNT(*) n FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet') "
+        "GROUP BY lang").fetchdf()
+    for _, r in strata.iterrows():
+        want = max(1, math.ceil(0.2 * r["n"]))
+        assert (out["lang"] == r["lang"]).sum() == want
+    _assert_oracle_equal(out, _duckdb_oracle(STRATIFIED_SAMPLE_SQL))
+
+
+def test_stratified_sample_hash_ties(ray_session, tmp_path):
+    """doc_id and doc_id + 2^31 collide under the split hash by
+    construction, so a table built from such pairs exercises the
+    threshold-tie path (quota filled by smallest doc_id)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rdf_n3_ray.pipelines.relational import (
+        STRATIFIED_SAMPLE_SQL, stratified_sample)
+
+    base = np.arange(1, 21, dtype="int64")
+    ids = np.concatenate([base, base + 2**31])  # 20 collision pairs
+    t = pa.table({"doc_id": ids,
+                  "lang": ["en"] * len(ids),
+                  "text": ["x"] * len(ids),
+                  "source": ["s"] * len(ids),
+                  "n_chars": np.ones(len(ids), dtype="int64")})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    out = stratified_sample(str(tmp_path), rate=0.2).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    want = con.execute(STRATIFIED_SAMPLE_SQL).fetchdf()
+    assert len(out) == 8  # ceil(0.2 * 40)
+    _assert_oracle_equal(out, want)
+    # tie-break by doc_id: any collision pair with exactly ONE kept
+    # member must have kept the LOW id
+    kept = set(out["doc_id"])
+    for lo_id in base:
+        pair_kept = {lo_id, lo_id + 2**31} & kept
+        if len(pair_kept) == 1:
+            assert pair_kept == {lo_id}
+
+    # odd quota (ceil(0.125*40)=5) GUARANTEES the boundary splits a
+    # collision pair: exactly one pair keeps only its low id
+    out5 = stratified_sample(str(tmp_path), rate=0.125).to_pandas()
+    assert len(out5) == 5
+    kept5 = set(out5["doc_id"])
+    singles = [lo for lo in base
+               if len({lo, lo + 2**31} & kept5) == 1]
+    assert len(singles) == 1
+    assert singles[0] in kept5  # the LOW id won the tie-break
