@@ -103,6 +103,18 @@ def _q_media_features(sf_dir: str):
     return features
 
 
+def _q_embed_kmeans(sf_dir: str):
+    import os
+
+    import ray.data as rd
+
+    from rdf_n3_ray.stages.cluster import kmeans_cluster_profile
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return kmeans_cluster_profile(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from rdf_n3_ray.pipelines import relational as R
 
@@ -160,6 +172,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_props_agg": R.event_props_agg,
         "train_val_split": R.train_val_split,
         "stratified_sample": R.stratified_sample,
+        # iterative distributed algorithm (non-SQL: rows-only check;
+        # pytest pins blob recovery + monotone objective)
+        "embed_kmeans": _q_embed_kmeans,
     }
 
 

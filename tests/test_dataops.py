@@ -1182,3 +1182,48 @@ def test_stratified_sample_hash_ties(ray_session, tmp_path):
                if len({lo, lo + 2**31} & kept5) == 1]
     assert len(singles) == 1
     assert singles[0] in kept5  # the LOW id won the tie-break
+
+
+def test_kmeans_lloyd_recovers_blobs(ray_session):
+    """Three well-separated direction blobs on the sphere: full-data
+    Lloyd recovers them purely and the cosine objective is monotone
+    non-decreasing."""
+    import ray.data as rd
+
+    from rdf_n3_ray.stages.cluster import (kmeans_assign, kmeans_lloyd)
+
+    rng = np.random.default_rng(3)
+    centers = np.eye(3, 16)  # three orthogonal directions in R^16
+    rows = []
+    for b in range(3):
+        pts = centers[b] + 0.05 * rng.standard_normal((40, 16))
+        rows += [{"vec_id": b * 40 + i,
+                  "embedding": pts[i].astype(np.float32).tolist(),
+                  "blob": b} for i in range(40)]
+    ds = rd.from_items(rows)
+
+    cent, hist = kmeans_lloyd(ds, n_clusters=3, iters=5, seed=1)
+    assert all(b >= a - 1e-12 for a, b in zip(hist, hist[1:]))
+    assert hist[-1] > 0.95  # tight blobs -> near-1 mean cosine
+
+    got = kmeans_assign(ds, cent).to_pandas()
+    # purity: every blob maps to exactly one cluster, bijectively
+    m = got.groupby("blob")["cluster"].nunique()
+    assert (m == 1).all()
+    assert got.groupby("blob")["cluster"].first().nunique() == 3
+
+
+def test_kmeans_cluster_profile_shape(ray_session):
+    """queries() surface: k rows, sizes sum to N, mean_sim in [-1, 1]."""
+    import ray.data as rd
+
+    from rdf_n3_ray.stages.cluster import kmeans_cluster_profile
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    n = ds.count()
+    out = kmeans_cluster_profile(ds, n_clusters=4, iters=3)
+    assert out["size"].sum() == n
+    assert ((out["mean_sim"] <= 1.0 + 1e-9)
+            & (out["mean_sim"] >= -1.0 - 1e-9)).all()
+    assert list(out.columns) == ["cluster", "size", "mean_sim"]
