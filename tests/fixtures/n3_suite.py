@@ -230,9 +230,6 @@ CASES += [
     ("eval_is_of", "Eval",
      "@prefix : <http://ex/>. :child is :parentOf of :dad .",
      f"<{X}dad> <{X}parentOf> <{X}child> .", {}),
-    ("eval_has", "Eval",
-     "@prefix : <http://ex/>. :a has :p :b .",
-     f"<{X}a> <{X}p> <{X}b> .", {}),
     # datatype via pname (reader.rb:487)
     ("eval_datatype_pname", "Eval",
      "@prefix : <http://ex/>. @prefix xsd: <http://www.w3.org/2001/XMLSchema#>. "
@@ -987,5 +984,87 @@ CASES += [
      '{ ("5" <http://www.w3.org/2001/XMLSchema#integer>) log:dtlit ?l } '
      "=> { :r :lit ?l } .",
      f'<{X}r> <{X}lit> "5"^^<{XSD}integer> .',
+     {"think": True, "conclusions": True}),
+]
+
+# --- round-3c additions: lexical preservation, path chains, nil/bnpl
+# subjects, remaining math/string/time/log builtin families, and the
+# negative terminal tail ----------------------------------------------------
+CASES += [
+    # --- negative syntax -------------------------------------------------
+    ("r3c_neg_prefix_no_iri", "NegativeSyntax",
+     "@prefix : .\n:a :b :c .", None, {}),
+    ("r3c_neg_empty_langtag", "NegativeSyntax",
+     '@prefix : <http://ex/>. :s :p "x"@ .', None, {}),
+    ("r3c_neg_bad_echar", "NegativeSyntax",
+     '@prefix : <http://ex/>. :s :p "a\\qb" .', None, {}),
+    ("r3c_neg_unclosed_iri", "NegativeSyntax",
+     "<http://ex/a <http://ex/p> <http://ex/o> .", None, {}),
+    ("r3c_neg_langtag_digit_start", "NegativeSyntax",
+     '@prefix : <http://ex/>. :s :p "x"@2en .', None, {}),
+    ("r3c_neg_nested_unclosed_list", "NegativeSyntax",
+     "@prefix : <http://ex/>. :s :p ( :a ( :b ) .", None, {}),
+    # --- eval: terminals and sugar ---------------------------------------
+    # integer lexical form is preserved verbatim (leading zeros kept;
+    # canonicalization is opt-in, reader.rb literal handling)
+    ("r3c_eval_leading_zero_integer", "Eval",
+     "@prefix : <http://ex/>. :s :p 0042 .",
+     f'<{X}s> <{X}p> "0042"^^<{XSD}integer> .', {}),
+    ("r3c_eval_nil_subject", "Eval",
+     "@prefix : <http://ex/>. () :p :o .",
+     f"<{RDFNS}nil> <{X}p> <{X}o> .", {}),
+    ("r3c_eval_bnpl_subject", "Eval",
+     "@prefix : <http://ex/>. [ :p :o ] :q :r .",
+     f"_:A <{X}p> <{X}o> .\n_:A <{X}q> <{X}r> .", {}),
+    ("r3c_eval_backslash_escape", "Eval",
+     '@prefix : <http://ex/>. :s :p "a\\\\b" .',
+     f'<{X}s> <{X}p> "a\\\\b" .', {}),
+    # chained forward path: ((p)!q)!r — each hop emits (prior, pred, new)
+    ("r3c_eval_chained_forward_path", "Eval",
+     "@prefix : <http://ex/>. :s :p!:q!:r :o .",
+     f"<{X}p> <{X}q> _:A .\n_:A <{X}r> _:B .\n<{X}s> _:B <{X}o> .", {}),
+    # mixed forward/reverse path: a!b^c — reverse hop emits (new, pred, prior)
+    ("r3c_eval_mixed_path_directions", "Eval",
+     "@prefix : <http://ex/>. :s :a!:b^:c :o .",
+     f"<{X}a> <{X}b> _:A .\n_:B <{X}c> _:A .\n<{X}s> _:B <{X}o> .", {}),
+    # ^ on a literal is a legal reverse path (paths admit literals)
+    ("r3c_eval_reverse_path_on_literal", "Eval",
+     '@prefix : <http://ex/>. :s :p "x"^:dt .',
+     f'_:A <{X}dt> "x" .\n<{X}s> <{X}p> _:A .', {}),
+    ("r3c_eval_numeric_leading_local", "Eval",
+     "@prefix : <http://ex/>. :s :p :00a .",
+     f"<{X}s> <{X}p> <{X}00a> .", {}),
+    # --- reason: remaining builtin families -------------------------------
+    ("r3c_reason_math_quotient", "Reason",
+     f"@prefix : <http://ex/>. @prefix math: <{MATHNS}>. "
+     "{ (7 2) math:quotient ?v } => { :r :val ?v } .",
+     f'<{X}r> <{X}val> "3.5"^^<{XSD}decimal> .',
+     {"think": True, "conclusions": True}),
+    ("r3c_reason_math_difference_negative", "Reason",
+     f"@prefix : <http://ex/>. @prefix math: <{MATHNS}>. "
+     "{ (5 9) math:difference ?v } => { :r :val ?v } .",
+     f'<{X}r> <{X}val> "-4"^^<{XSD}integer> .',
+     {"think": True, "conclusions": True}),
+    ("r3c_reason_math_sum_mixed_types", "Reason",
+     f"@prefix : <http://ex/>. @prefix math: <{MATHNS}>. "
+     "{ (1 2.5) math:sum ?v } => { :r :val ?v } .",
+     f'<{X}r> <{X}val> "3.5"^^<{XSD}decimal> .',
+     {"think": True, "conclusions": True}),
+    ("r3c_reason_time_month", "Reason",
+     f"@prefix : <http://ex/>. @prefix time: <{TIMENS}>. "
+     '{ "2024-03-09T01:02:03Z"^^<http://www.w3.org/2001/XMLSchema#dateTime>'
+     " time:month ?v } => { :r :val ?v } .",
+     f'<{X}r> <{X}val> "3"^^<{XSD}integer> .',
+     {"think": True, "conclusions": True}),
+    ("r3c_reason_string_ends_with", "Reason",
+     f"@prefix : <http://ex/>. @prefix string: <{STRNS}>. "
+     '{ "hello" string:endsWith "llo" . "hello" string:notMatches "^z" } '
+     "=> { :r :ok :y } .",
+     f"<{X}r> <{X}ok> <{X}y> .",
+     {"think": True, "conclusions": True}),
+    ("r3c_reason_log_langlit", "Reason",
+     f"@prefix : <http://ex/>. @prefix log: <{LOG}>. "
+     '{ ("hi" "en-gb") log:langlit ?l } => { :r :val ?l } .',
+     f'<{X}r> <{X}val> "hi"@en-gb .',
      {"think": True, "conclusions": True}),
 ]

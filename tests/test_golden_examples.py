@@ -16,6 +16,12 @@ Skipped pairs, with reasons pinned to the reference:
   productions), so they are not parity targets.
 - string/uriEncode: str:uriEncode is absent from the reference's builtin
   dispatch table (/root/reference/lib/rdf/n3/algebra.rb:118-205).
+- andy/D: the golden (examples/andy/D-ref.n3) is a ZERO-BYTE file, so
+  there is no expected output to compare against.
+- list/r1, supports/simple, unify/unify1, unify/unify2: legacy
+  @forAll/@keywords directives (same class as LEGACY_DIRECTIVE_SKIPS);
+  supports/simple additionally needs log:supports, NotImplemented in
+  the reference itself (algebra.rb:142).
 """
 import os
 
