@@ -130,6 +130,13 @@ def run_bench() -> dict:
         [("local_supplier_volume", lambda: R.local_supplier_volume(sf_dir)),
          ("small_qty_revenue", lambda: R.small_qty_revenue(sf_dir)),
          ("events_rollup", lambda: R.events_rollup(sf_dir))],
+        [("pii_scrub", lambda: R.pii_scrub(sf_dir).count()),
+         ("order_priority_exists",
+          lambda: R.order_priority_exists(sf_dir)),
+         ("customer_order_distribution",
+          lambda: R.customer_order_distribution(sf_dir)),
+         ("stratified_sample",
+          lambda: R.stratified_sample(sf_dir).count())],
     ]
 
     def fresh_session():
