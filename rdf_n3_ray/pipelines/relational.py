@@ -2243,7 +2243,11 @@ ORDER BY lvl, event_type, day
 # time and captured by the batch fn (fns are pickled per task, not per
 # batch); replacement + counting are pandas vectorized str kernels.
 # Pattern syntax is kept in the RE2-compatible subset (no backrefs, no
-# lookaround) so the DuckDB oracle runs the IDENTICAL pattern.
+# lookaround) so the DuckDB oracle runs the IDENTICAL pattern — and the
+# Python side compiles with re.ASCII because RE2's \w/\d/\b are
+# ASCII-only (Python's default is Unicode: on 'tëst@ex.com' the two
+# engines would otherwise split the match differently and ship PII
+# half-redacted).
 # ---------------------------------------------------------------------------
 
 _PII_PATTERNS = (
@@ -2258,7 +2262,7 @@ def pii_scrub(sf_dir: str, pattern: str = _PII_COMBINED,
               repl: str = "[PII]"):
     import re
 
-    rx = re.compile(pattern)
+    rx = re.compile(pattern, re.ASCII)
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def scrub(b: pd.DataFrame) -> pd.DataFrame:
@@ -2501,13 +2505,19 @@ ORDER BY event_type
 # shards.  The hash is kept in the int64-safe range in BOTH engines:
 # (doc_id % 2^31) * 2654435761 < 2^63, so numpy int64 and DuckDB
 # BIGINT compute the identical value for every possible doc_id.
+# Negative doc_ids: numpy's % is floored (always non-negative) while
+# DuckDB's is truncated (sign of the dividend), so both engines run
+# the sign-normalizing ((x % m) + m) % m form — identical results on
+# the full int64 domain, a no-op on non-negative ids.
 # ---------------------------------------------------------------------------
 
-_SPLIT_HASH_PY = "((doc_id % 2147483648) * 2654435761) % 4294967296"
+_SPLIT_HASH_SQL = ("((((doc_id % 2147483648) + 2147483648) % 2147483648)"
+                   " * 2654435761) % 4294967296")
 
 
 def _split_hash(doc_id: np.ndarray) -> np.ndarray:
-    return ((doc_id.astype("int64") % 2147483648)
+    m = 2147483648
+    return ((((doc_id.astype("int64") % m) + m) % m)
             * 2654435761) % 4294967296
 
 
@@ -2528,7 +2538,7 @@ def train_val_split(sf_dir: str, val_mod: int = 10):
 
 TRAIN_VAL_SPLIT_SQL = f"""
 SELECT doc_id, lang,
-       CASE WHEN {_SPLIT_HASH_PY} % 10 = 0 THEN 'val' ELSE 'train' END
+       CASE WHEN {_SPLIT_HASH_SQL} % 10 = 0 THEN 'val' ELSE 'train' END
            AS split
 FROM documents
 ORDER BY doc_id
@@ -2549,16 +2559,24 @@ ORDER BY doc_id
 # explicitly and is at most |strata| hash-collision groups.
 # ---------------------------------------------------------------------------
 
+_NULL_STRATUM = "\x00<null>"  # \x00 cannot occur in a real lang code
+
+
 def stratified_sample(sf_dir: str, rate: float = 0.2,
                       group_col: str = "lang"):
     import ray
+    import ray.data as rd
 
     ds = _read(sf_dir, "documents", columns=["doc_id", group_col])
 
     def add_hash(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "doc_id": b["doc_id"].astype("int64"),
-            "g": b[group_col],
+            # NULL strata sample like any other partition (DuckDB's
+            # PARTITION BY puts NULLs in their own window); the
+            # sentinel survives the descent's factorize (which drops
+            # NaN groups) and is mapped back to NULL on output
+            "g": b[group_col].fillna(_NULL_STRATUM),
             # float64 holds 2^32 exactly; the descent runs on floats
             "h": _split_hash(b["doc_id"].to_numpy()).astype("float64")})
 
@@ -2568,37 +2586,42 @@ def stratified_sample(sf_dir: str, rate: float = 0.2,
 
     thr = grouped_exact_percentiles(hds, "h", qs=(rate,), group_col="g")
     if thr.empty:
-        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                             group_col: pd.Series(dtype="object")})
+        # same Dataset contract shape as the non-empty path; typed
+        # arrow arrays so the schema survives the empty conversion
+        import pyarrow as pa
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            group_col: pa.array([], pa.string())}))
     # threshold hash per stratum (value at the quota rank)
     hstar = {r["group"]: r["value"] for _, r in thr.iterrows()}
     hstar_ref = ray.put(hstar)
 
-    # one pass: per stratum, count h < h* (strict keeps) and collect
-    # the doc_ids AT the threshold (tie candidates — tiny: only hash
-    # collisions at one specific value can exceed one row)
+    # one pass: per stratum, count rows (n), count h < h* (strict
+    # keeps) and collect the doc_ids AT the threshold (tie candidates
+    # — tiny: only hash collisions at one specific value can exceed
+    # one row).  n rides along so no separate counting pass is needed.
     def tie_partial(b: pd.DataFrame) -> pd.DataFrame:
         hs = ray.get(hstar_ref)
         if len(b) == 0:
             return pd.DataFrame({"g": pd.Series(dtype="object"),
                                  "strict": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64"),
                                  "tie_doc": pd.Series(dtype="int64")})
         t = b["g"].map(hs).to_numpy(dtype="float64", na_value=np.nan)
         h = b["h"].to_numpy()
-        strict = (pd.DataFrame({"g": b["g"][h < t]})
-                  .groupby("g").size().rename("strict").reset_index())
-        strict["tie_doc"] = np.int64(-1)
+        agg = (pd.DataFrame({"g": b["g"], "lt": (h < t).astype("int64")})
+               .groupby("g")["lt"].agg(strict="sum", n="size")
+               .reset_index())
+        agg["tie_doc"] = np.int64(-1)
         ties = b.loc[h == t, ["g", "doc_id"]].rename(
             columns={"doc_id": "tie_doc"})
         ties["strict"] = np.int64(0)
-        return pd.concat([strict, ties[["g", "strict", "tie_doc"]]],
+        ties["n"] = np.int64(0)
+        return pd.concat([agg, ties[["g", "strict", "n", "tie_doc"]]],
                          ignore_index=True)
 
     tp = hds.map_batches(tie_partial, batch_format="pandas").to_pandas()
-    n_by_g = (hds.map_batches(
-        lambda b: b.groupby("g").size().rename("n").reset_index(),
-        batch_format="pandas").to_pandas()
-        .groupby("g")["n"].sum())
+    n_by_g = tp.groupby("g")["n"].sum()
 
     import math
     keep_ties: set[int] = set()
@@ -2618,6 +2641,7 @@ def stratified_sample(sf_dir: str, rate: float = 0.2,
         keep = (h < t) | b["doc_id"].isin(tk).to_numpy()
         out = b.loc[keep, ["doc_id", "g"]].rename(columns={"g": group_col})
         out["doc_id"] = out["doc_id"].astype("int64")
+        out[group_col] = out[group_col].replace(_NULL_STRATUM, None)
         return out
 
     return (hds.map_batches(final_filter, batch_format="pandas")
@@ -2628,7 +2652,7 @@ STRATIFIED_SAMPLE_SQL = f"""
 SELECT doc_id, lang FROM (
   SELECT doc_id, lang,
          ROW_NUMBER() OVER (PARTITION BY lang
-                            ORDER BY {_SPLIT_HASH_PY}, doc_id) AS rn,
+                            ORDER BY {_SPLIT_HASH_SQL}, doc_id) AS rn,
          COUNT(*) OVER (PARTITION BY lang) AS n
   FROM documents
 )

@@ -35,10 +35,13 @@ def kmeans_lloyd(embeddings_ds, n_clusters: int = 8, iters: int = 5,
     (non-decreasing by the standard Lloyd argument).
     """
     import ray
+    from ray.data.dataset import MaterializedDataset
 
     # materialized: init sample + `iters` assignment passes all
-    # re-consume this dataset
-    ds = embeddings_ds.materialize()
+    # re-consume this dataset (skip if the caller already materialized
+    # — kmeans_cluster_profile shares one copy across fit and assign)
+    ds = (embeddings_ds if isinstance(embeddings_ds, MaterializedDataset)
+          else embeddings_ds.materialize())
     n = ds.count()
     if n == 0:
         raise ValueError("kmeans_lloyd: empty embeddings dataset")
@@ -54,6 +57,13 @@ def kmeans_lloyd(embeddings_ds, n_clusters: int = 8, iters: int = 5,
 
         def partial(batch: pa.Table) -> pa.Table:
             c = ray.get(cent_ref)
+            if batch.num_rows == 0:  # _matrix gives (0,0) — no matmul
+                return pa.table({
+                    "cluster": pa.array([], pa.int32()),
+                    "count": pa.array([], pa.int64()),
+                    "sim_sum": pa.array([], pa.float64()),
+                    "vec_sum": pa.array([], pa.list_(pa.float64())),
+                })
             emb = _normalize(_matrix(batch.column(col))
                              .astype(np.float64))
             sims = emb @ c.T
@@ -93,14 +103,25 @@ def kmeans_lloyd(embeddings_ds, n_clusters: int = 8, iters: int = 5,
 
 def kmeans_assign(embeddings_ds, centroids: np.ndarray,
                   col: str = "embedding"):
-    """Streaming assignment pass: adds a `cluster` column.  Centroids
-    ship once per task spec (closure capture), not per batch."""
+    """Streaming assignment pass: adds `cluster` and `sim` (cosine to
+    the assigned centroid — already computed by the argmax, so callers
+    profiling cluster quality need no second matmul).  Centroids ship
+    once per task spec (closure capture), not per batch."""
     cent = np.asarray(centroids, dtype=np.float64)
 
     def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # _matrix gives (0,0) — no matmul
+            return (batch
+                    .append_column("cluster", pa.array([], pa.int32()))
+                    .append_column("sim", pa.array([], pa.float64())))
         emb = _normalize(_matrix(batch.column(col)).astype(np.float64))
-        cl = np.argmax(emb @ cent.T, axis=1).astype(np.int32)
-        return batch.append_column("cluster", pa.array(cl, pa.int32()))
+        sims = emb @ cent.T
+        cl = np.argmax(sims, axis=1)
+        best = sims[np.arange(len(cl)), cl]
+        return (batch
+                .append_column("cluster",
+                               pa.array(cl.astype(np.int32), pa.int32()))
+                .append_column("sim", pa.array(best, pa.float64())))
 
     return embeddings_ds.map_batches(assign, batch_format="pyarrow")
 
@@ -109,19 +130,20 @@ def kmeans_cluster_profile(embeddings_ds, n_clusters: int = 8,
                            iters: int = 4, seed: int = 5) -> pd.DataFrame:
     """Fit + assign + per-cluster profile (size, mean cosine to its
     centroid) — the queries() surface for the operator."""
-    cent, _ = kmeans_lloyd(embeddings_ds, n_clusters=n_clusters,
+    # one materialization shared by the fit's iters passes AND the
+    # assignment pass (kmeans_lloyd skips re-materializing)
+    ds = embeddings_ds.materialize()
+    cent, _ = kmeans_lloyd(ds, n_clusters=n_clusters,
                            iters=iters, seed=seed)
-    assigned = kmeans_assign(embeddings_ds, cent)
+    assigned = kmeans_assign(ds, cent)
 
     def profile(batch: pa.Table) -> pd.DataFrame:
-        emb = _normalize(_matrix(batch.column("embedding"))
-                         .astype(np.float64))
+        # `sim` was computed by the assignment matmul — no recompute
         cl = batch.column("cluster").to_numpy()
-        sims = np.einsum("ij,ij->i", emb, cent[cl])
         return pd.DataFrame({
             "cluster": cl.astype("int32"),
             "size": np.ones(len(cl), dtype="int64"),
-            "sim_sum": sims,
+            "sim_sum": batch.column("sim").to_numpy(),
         }).groupby("cluster", as_index=False).sum()
 
     parts = (assigned.map_batches(profile, batch_format="pyarrow")

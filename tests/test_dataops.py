@@ -1227,3 +1227,122 @@ def test_kmeans_cluster_profile_shape(ray_session):
     assert ((out["mean_sim"] <= 1.0 + 1e-9)
             & (out["mean_sim"] >= -1.0 - 1e-9)).all()
     assert list(out.columns) == ["cluster", "size", "mean_sim"]
+
+
+def test_pii_scrub_regex_ascii_parity_with_re2():
+    """Python re defaults to Unicode \\w/\\b/\\d while DuckDB's RE2 is
+    ASCII-only; pii_scrub compiles with re.ASCII so both engines split
+    matches identically on non-ASCII text (the corpus has de/es/fr
+    docs, and half-redacted PII is worse than none)."""
+    import duckdb
+    import re
+
+    from rdf_n3_ray.pipelines.relational import _PII_COMBINED
+
+    rx = re.compile(_PII_COMBINED, re.ASCII)
+    samples = [
+        "tëst@ex.com cafécustomer x",       # accented char adjacent
+        "naïve.user@exämple.com écrit",     # unicode inside the match
+        "müller spark café, customerß",     # \\b at unicode boundary
+        "电话 555-123-4567 联系",             # CJK around a phone
+    ]
+    con = duckdb.connect()
+    for s in samples:
+        ours = rx.sub("[PII]", s)
+        theirs = con.execute(
+            "SELECT regexp_replace(?, ?, '[PII]', 'g')",
+            [s, _PII_COMBINED]).fetchone()[0]
+        assert ours == theirs, s
+        n_ours = len(rx.findall(s))
+        n_theirs = con.execute(
+            "SELECT len(regexp_extract_all(?, ?))",
+            [s, _PII_COMBINED]).fetchone()[0]
+        assert n_ours == n_theirs, s
+
+
+def test_split_hash_negative_ids_match_duckdb():
+    """numpy % is floored, DuckDB % is truncated — the shared
+    sign-normalizing form must agree on negative ids too."""
+    import duckdb
+
+    from rdf_n3_ray.pipelines.relational import (_SPLIT_HASH_SQL,
+                                                 _split_hash)
+
+    ids = np.array([-1, -5, -(2**31), -(2**31) - 1, -(2**62),
+                    -(2**63) + 1, 0, 7], dtype="int64")
+    ours = _split_hash(ids)
+    con = duckdb.connect()
+    theirs = con.execute(
+        f"SELECT {_SPLIT_HASH_SQL} FROM (SELECT UNNEST(?) AS doc_id)",
+        [ids.tolist()]).fetchdf().iloc[:, 0].to_numpy()
+    np.testing.assert_array_equal(ours, theirs)
+
+
+def test_stratified_sample_null_stratum(ray_session, tmp_path):
+    """NULL lang rows form their own stratum (DuckDB PARTITION BY
+    semantics) instead of being silently dropped."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rdf_n3_ray.pipelines.relational import (
+        STRATIFIED_SAMPLE_SQL, stratified_sample)
+
+    n = 40
+    langs = ["en"] * 20 + [None] * 20
+    t = pa.table({"doc_id": np.arange(n, dtype="int64"),
+                  "lang": pa.array(langs, pa.string()),
+                  "text": ["x"] * n,
+                  "source": ["s"] * n,
+                  "n_chars": np.ones(n, dtype="int64")})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    out = stratified_sample(str(tmp_path), rate=0.2).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    want = con.execute(STRATIFIED_SAMPLE_SQL).fetchdf()
+    # ceil(0.2*20) per stratum, NULL included
+    assert len(out) == 8 and out["lang"].isna().sum() == 4
+    _assert_oracle_equal(out, want)
+
+
+def test_stratified_sample_empty_input_returns_dataset(ray_session,
+                                                       tmp_path):
+    """The empty branch keeps the Dataset contract shape (callers do
+    .to_pandas()/.count() uniformly)."""
+    import pyarrow.parquet as pq
+
+    from rdf_n3_ray.pipelines.relational import stratified_sample
+
+    t = pa.table({"doc_id": pa.array([], pa.int64()),
+                  "lang": pa.array([], pa.string()),
+                  "text": pa.array([], pa.string()),
+                  "source": pa.array([], pa.string()),
+                  "n_chars": pa.array([], pa.int64())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    out = stratified_sample(str(tmp_path))
+    assert out.count() == 0
+    # (to_pandas() of an empty Dataset drops columns — a Ray quirk —
+    # so the schema is the contract to pin)
+    assert sorted(out.schema().names) == ["doc_id", "lang"]
+
+
+def test_kmeans_assign_handles_empty_block(ray_session):
+    """A 0-row block must not reach the matmul ((0,0) @ (d,k) raises);
+    the guard emits typed empty cluster/sim columns."""
+    import ray.data as rd
+
+    from rdf_n3_ray.stages.cluster import kmeans_assign
+
+    full = pd.DataFrame({
+        "vec_id": np.arange(4, dtype="int64"),
+        "embedding": [np.eye(4)[i % 4].tolist() for i in range(4)]})
+    empty = full.iloc[:0]
+    ds = rd.from_pandas([empty, full])  # one empty block up front
+    cent = np.eye(4)
+    out = kmeans_assign(ds, cent).to_pandas()
+    assert len(out) == 4
+    assert set(out.columns) >= {"cluster", "sim"}
+    assert (out["sim"] > 0.99).all()  # each unit vector has a centroid
+    assert sorted(out["cluster"]) == [0, 1, 2, 3]

@@ -19,9 +19,9 @@ Skipped pairs, with reasons pinned to the reference:
 - andy/D: the golden (examples/andy/D-ref.n3) is a ZERO-BYTE file, so
   there is no expected output to compare against.
 - list/r1, supports/simple, unify/unify1, unify/unify2: legacy
-  @forAll/@keywords directives (same class as LEGACY_DIRECTIVE_SKIPS);
-  supports/simple additionally needs log:supports, NotImplemented in
-  the reference itself (algebra.rb:142).
+  @forAll/@keywords directives (in LEGACY_DIRECTIVE_SKIPS so the
+  pinning test verifies the claim); supports/simple additionally needs
+  log:supports, NotImplemented in the reference itself (algebra.rb:142).
 """
 import os
 
@@ -62,6 +62,10 @@ LEGACY_DIRECTIVE_SKIPS = [
     "reason/double", "list/builtin_generated_match", "list/list-bug1",
     "list/unify3", "list/unify5", "includes/concat", "includes/list-in",
     "includes/conjunction", "string/roughly", "norm/av",
+    # supports/simple additionally needs log:supports (NotImplemented
+    # in the reference, algebra.rb:142) — but the directive alone
+    # already disqualifies it, so the pinning test covers it too
+    "list/r1", "supports/simple", "unify/unify1", "unify/unify2",
 ]
 
 
