@@ -172,6 +172,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_props_agg": R.event_props_agg,
         "train_val_split": R.train_val_split,
         "stratified_sample": R.stratified_sample,
+        "promo_revenue": R.promo_revenue,
+        "above_avg_low_activity": R.above_avg_low_activity,
+        "doc_repetition": R.doc_repetition,
+        "keyword_search": R.keyword_search,
+        "tfidf_search": R.tfidf_search,
         # iterative distributed algorithm (non-SQL: rows-only check;
         # pytest pins blob recovery + monotone objective)
         "embed_kmeans": _q_embed_kmeans,
@@ -222,4 +227,9 @@ def oracle_sql() -> dict[str, str]:
         "event_props_agg": R.EVENT_PROPS_AGG_SQL,
         "train_val_split": R.TRAIN_VAL_SPLIT_SQL,
         "stratified_sample": R.STRATIFIED_SAMPLE_SQL,
+        "promo_revenue": R.PROMO_REVENUE_SQL,
+        "above_avg_low_activity": R.ABOVE_AVG_LOW_ACTIVITY_SQL,
+        "doc_repetition": R.DOC_REPETITION_SQL,
+        "keyword_search": R.KEYWORD_SEARCH_SQL,
+        "tfidf_search": R.TFIDF_SEARCH_SQL,
     }

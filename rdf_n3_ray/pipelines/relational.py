@@ -2659,3 +2659,366 @@ SELECT doc_id, lang FROM (
 WHERE rn <= CEIL(0.2 * n)
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape: promo revenue share over a big-big partkey join.
+# Both sides are fact-scaled (part is 200k x SF), so neither is
+# broadcast: lineitem pre-aggregates revenue per partkey map-side
+# (one partial row per (batch, partkey)), part ships (partkey,
+# is_promo), both land on the shared partkey bucket, and each bucket
+# emits exactly one (promo_c, total_c) pair — the driver folds
+# num_partitions rows into two int64 cents sums.  The percentage is
+# ONE float division at the very end, identical in numpy and DuckDB.
+# ---------------------------------------------------------------------------
+
+def promo_revenue(sf_dir: str, date_from: str = "1996-01-01",
+                  date_to: str = "1996-02-01",
+                  num_partitions: int = 64):
+    lo, hi = pd.Timestamp(date_from), pd.Timestamp(date_to)
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"])
+
+    def li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)]
+        rev = np.floor(b["l_extendedprice"].to_numpy()
+                       * (1.0 - b["l_discount"].to_numpy()) * 100.0
+                       + 0.5).astype("int64")
+        g = (pd.DataFrame({"key": b["l_partkey"].to_numpy()
+                           .astype("int64"), "rev_c": rev})
+             .groupby("key", as_index=False).agg(rev_c=("rev_c", "sum")))
+        g["promo"] = np.int8(-1)  # lineitem marker
+        g["jb"] = (g["key"] % num_partitions).astype("int32")
+        return g[["key", "rev_c", "promo", "jb"]]
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"])
+
+    def part_side(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": b["p_partkey"].to_numpy().astype("int64"),
+            "rev_c": np.zeros(len(b), dtype="int64"),
+            "promo": b["p_type"].str.startswith("PROMO")
+                       .to_numpy().astype("int8"),
+            "jb": (b["p_partkey"].to_numpy().astype("int64")
+                   % num_partitions).astype("int32")})
+
+    both = (li.map_batches(li_partial, batch_format="pandas",
+                           batch_size=65536)
+            .union(part.map_batches(part_side, batch_format="pandas")))
+
+    def bucket(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group["promo"] < 0]
+        r = group[group["promo"] >= 0][["key", "promo"]]
+        if l.empty or r.empty:
+            return pd.DataFrame({"promo_c": pd.Series(dtype="int64"),
+                                 "total_c": pd.Series(dtype="int64")})
+        m = (l.groupby("key", as_index=False).agg(rev_c=("rev_c", "sum"))
+             .merge(r, on="key"))
+        return pd.DataFrame({
+            "promo_c": [int(m.loc[m["promo"] == 1, "rev_c"].sum())],
+            "total_c": [int(m["rev_c"].sum())]})
+
+    parts = (both.groupby("jb").map_groups(bucket, batch_format="pandas")
+             .to_pandas())
+    # all-empty bucket output loses its columns in to_pandas (Ray quirk)
+    promo_c = int(parts["promo_c"].sum()) if "promo_c" in parts else 0
+    total_c = int(parts["total_c"].sum()) if "total_c" in parts else 0
+    pct = (100.0 * promo_c / total_c) if total_c else float("nan")
+    return pd.DataFrame({"promo_revenue_pct": [pct]})
+
+
+PROMO_REVENUE_SQL = """
+SELECT 100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%' THEN rev_c ELSE 0 END)
+           / SUM(rev_c) AS promo_revenue_pct
+FROM (
+  SELECT l_partkey,
+         SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+             AS BIGINT)) AS rev_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-02-01'
+  GROUP BY l_partkey
+) JOIN part ON l_partkey = p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: global-scalar subquery + bucketed count-join.  The
+# average balance is a two-int64 partial fold (sum_c, n) — no data
+# movement; the candidate filter is applied map-side against the
+# broadcast scalar; order counts arrive as per-batch custkey partials
+# on the shared custkey bucket (never raw orders rows).  "Inactive" is
+# <= max_orders rather than zero so the synthetic corpus (every
+# customer has orders) still exercises the join arm.
+# ---------------------------------------------------------------------------
+
+def above_avg_low_activity(sf_dir: str, max_orders: int = 2,
+                           num_partitions: int = 64):
+    import ray
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_acctbal", "c_mktsegment"])
+
+    # pass 1: global average of positive balances (cents-exact partials)
+    def bal_partial(b: pd.DataFrame) -> pd.DataFrame:
+        pos = b.loc[b["c_acctbal"] > 0.0, "c_acctbal"].to_numpy()
+        c = np.floor(pos * 100.0 + 0.5).astype("int64")
+        return pd.DataFrame({"s": [int(c.sum())], "n": [len(c)]})
+
+    bp = cust.map_batches(bal_partial, batch_format="pandas").to_pandas()
+    n_pos = int(bp["n"].sum())
+    if n_pos == 0:
+        return pd.DataFrame({"c_mktsegment": pd.Series(dtype="object"),
+                             "n_customers": pd.Series(dtype="int64"),
+                             "total_acctbal": pd.Series(dtype="float64")})
+    # the SQL compares against AVG(c_acctbal) directly; dividing the
+    # exact cents sum by 100.0*n reproduces that float in both engines
+    avg_bal = (int(bp["s"].sum()) / n_pos) / 100.0
+
+    def cust_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["c_acctbal"] > avg_bal]
+        return pd.DataFrame({
+            "key": b["c_custkey"].to_numpy().astype("int64"),
+            "seg": b["c_mktsegment"],
+            "bal_c": np.floor(b["c_acctbal"].to_numpy() * 100.0 + 0.5)
+                       .astype("int64"),
+            "cnt": np.zeros(len(b), dtype="int64"),
+            "side": np.full(len(b), 1, dtype="int8"),
+            "jb": (b["c_custkey"].to_numpy().astype("int64")
+                   % num_partitions).astype("int32")})
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def ord_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.DataFrame({"key": b["o_custkey"].to_numpy()
+                           .astype("int64")})
+             .groupby("key", as_index=False).size()
+             .rename(columns={"size": "cnt"}))
+        g["seg"] = ""
+        g["bal_c"] = np.int64(0)
+        g["side"] = np.int8(0)
+        g["jb"] = (g["key"] % num_partitions).astype("int32")
+        return g[["key", "seg", "bal_c", "cnt", "side", "jb"]]
+
+    both = (cust.map_batches(cust_side, batch_format="pandas")
+            .union(orders.map_batches(ord_partial, batch_format="pandas",
+                                      batch_size=65536)))
+
+    def bucket(group: pd.DataFrame) -> pd.DataFrame:
+        c = group[group["side"] == 1]
+        if c.empty:
+            return pd.DataFrame({"c_mktsegment": pd.Series(dtype="object"),
+                                 "n_customers": pd.Series(dtype="int64"),
+                                 "bal_c": pd.Series(dtype="int64")})
+        o = (group[group["side"] == 0].groupby("key")["cnt"].sum())
+        n_ord = c["key"].map(o).fillna(0).astype("int64")
+        keep = c[n_ord.to_numpy() <= max_orders]
+        return (keep.groupby("seg", as_index=False)
+                .agg(n_customers=("key", "size"), bal_c=("bal_c", "sum"))
+                .rename(columns={"seg": "c_mktsegment"}))
+
+    parts = (both.groupby("jb").map_groups(bucket, batch_format="pandas")
+             .to_pandas())
+    out = (parts.groupby("c_mktsegment", as_index=False)
+           .agg(n_customers=("n_customers", "sum"), bal_c=("bal_c", "sum")))
+    out["n_customers"] = out["n_customers"].astype("int64")
+    out["total_acctbal"] = out["bal_c"].astype("int64") / 100.0
+    return (out[["c_mktsegment", "n_customers", "total_acctbal"]]
+            .sort_values("c_mktsegment").reset_index(drop=True))
+
+
+ABOVE_AVG_LOW_ACTIVITY_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       SUM(CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT)) / 100.0
+           AS total_acctbal
+FROM customer c
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0.0)
+  AND (SELECT COUNT(*) FROM orders o
+       WHERE o.o_custkey = c.c_custkey) <= 2
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token-repetition quality score (type-token ratio): the classic
+# Gopher-style repetitiousness signal for corpus filtering.  Pure map —
+# tokens explode inside the batch (docs never span blocks), distinct
+# counting is a vectorized groupby-nunique, nothing shuffles.  Token
+# semantics are pinned to DuckDB's string_split(text, ' ') exactly
+# (single-space split; '' yields [''], so an empty doc has 1 token,
+# 1 distinct, repetition 0.0).
+# ---------------------------------------------------------------------------
+
+def doc_repetition(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def rep(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.split(" ")
+        ex = (pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
+                            "tok": toks}).explode("tok"))
+        g = ex.groupby("doc_id")["tok"].agg(n_tokens="size",
+                                            n_distinct="nunique")
+        g = g.reset_index()
+        g["n_tokens"] = g["n_tokens"].astype("int64")
+        g["n_distinct"] = g["n_distinct"].astype("int64")
+        g["repetition"] = 1.0 - g["n_distinct"] / g["n_tokens"]
+        return g
+
+    return ds.map_batches(rep, batch_format="pandas").sort("doc_id")
+
+
+DOC_REPETITION_SQL = """
+SELECT doc_id,
+       len(string_split(COALESCE(text, ''), ' ')) AS n_tokens,
+       len(list_distinct(string_split(COALESCE(text, ''), ' ')))
+           AS n_distinct,
+       1.0 - len(list_distinct(string_split(COALESCE(text, ''), ' ')))
+           / len(string_split(COALESCE(text, ''), ' ')) AS repetition
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Keyword search: top-k docs by how many distinct query terms they
+# contain (token membership, not substring).  Distributed shape: one
+# map pass — explode tokens inside the batch, isin against the tiny
+# query set, per-batch partial top-k under the total order
+# (score DESC, doc_id ASC) — then the driver merges <= blocks x k
+# rows.  The corpus never shuffles; the query set ships in the task
+# closure.
+# ---------------------------------------------------------------------------
+
+_SEARCH_TERMS = ("spark", "merge", "window")
+
+
+def keyword_search(sf_dir: str, terms: tuple = _SEARCH_TERMS,
+                   k: int = 15):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    tset = list(terms)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.split(" ")
+        ex = (pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
+                            "tok": toks}).explode("tok"))
+        ex = ex[ex["tok"].isin(tset)].drop_duplicates()
+        g = (ex.groupby("doc_id").size().rename("score").reset_index())
+        g["score"] = g["score"].astype("int64")
+        return (g.sort_values(["score", "doc_id"],
+                              ascending=[False, True]).head(k))
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return (parts.sort_values(["score", "doc_id"],
+                              ascending=[False, True])
+            .head(k).reset_index(drop=True))
+
+
+KEYWORD_SEARCH_SQL = f"""
+SELECT doc_id, score FROM (
+  SELECT doc_id,
+         (CASE WHEN list_contains(string_split(COALESCE(text,''), ' '),
+                                  '{_SEARCH_TERMS[0]}')
+               THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(string_split(COALESCE(text,''), ' '),
+                                  '{_SEARCH_TERMS[1]}')
+               THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(string_split(COALESCE(text,''), ' '),
+                                  '{_SEARCH_TERMS[2]}')
+               THEN 1 ELSE 0 END)::BIGINT AS score
+  FROM documents
+) WHERE score > 0
+ORDER BY score DESC, doc_id
+LIMIT 15
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF retrieval over the corpus, two passes:
+#   pass 1 (corpus stats): per-batch partials for N (doc count) and
+#     df_t (docs containing each query term) — doc_ids are globally
+#     unique, so per-batch membership counts sum exactly; the driver
+#     folds |terms|+1 integers.
+#   pass 2 (score + top-k): tf_t per doc via one explode/groupby,
+#     score = sum_t tf_t * (N / df_t) folded in FIXED term order so the
+#     float result is bit-identical to the SQL expression (IEEE ops in
+#     a fixed order); per-batch partial top-k, driver merges.
+# The linear idf (N/df, no log) keeps the oracle transcendental-free —
+# libm log() is not guaranteed bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+def tfidf_search(sf_dir: str, terms: tuple = _SEARCH_TERMS, k: int = 15):
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text"]).materialize()
+    tset = list(terms)
+
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.split(" ")
+        ex = (pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
+                            "tok": toks}).explode("tok"))
+        ex = ex[ex["tok"].isin(tset)].drop_duplicates()
+        cnt = ex.groupby("tok").size()
+        return pd.DataFrame({
+            "n": [len(b)],
+            **{f"df{i}": [int(cnt.get(t, 0))]
+               for i, t in enumerate(tset)}})
+
+    stats = (ds.map_batches(df_partial, batch_format="pandas")
+             .to_pandas().sum())
+    n_docs = int(stats["n"])
+    dfs = [int(stats[f"df{i}"]) for i in range(len(tset))]
+
+    def score_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.split(" ")
+        ex = (pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
+                            "tok": toks}).explode("tok"))
+        ex = ex[ex["tok"].isin(tset)]
+        tf = (ex.groupby(["doc_id", "tok"]).size().unstack(fill_value=0)
+              .reindex(columns=tset, fill_value=0))
+        score = np.zeros(len(tf), dtype="float64")
+        for i, t in enumerate(tset):  # fixed fold order == SQL order
+            if dfs[i] > 0:
+                score = score + tf[t].to_numpy() * (n_docs / dfs[i])
+        out = pd.DataFrame({"doc_id": tf.index.to_numpy(),
+                            "score": score})
+        out = out[out["score"] > 0.0]
+        return (out.sort_values(["score", "doc_id"],
+                                ascending=[False, True]).head(k))
+
+    parts = ds.map_batches(score_partial,
+                           batch_format="pandas").to_pandas()
+    return (parts.sort_values(["score", "doc_id"],
+                              ascending=[False, True])
+            .head(k).reset_index(drop=True))
+
+
+_TFIDF_TF = ("len(list_filter(string_split(COALESCE(text,''), ' '), "
+             "x -> x = '{t}'))")
+_TFIDF_DF = ("(SELECT COUNT(*) FROM documents WHERE "
+             "list_contains(string_split(COALESCE(text,''), ' '), '{t}'))")
+
+TFIDF_SEARCH_SQL = f"""
+SELECT doc_id, score FROM (
+  SELECT doc_id,
+         (CASE WHEN {_TFIDF_DF.format(t=_SEARCH_TERMS[0])} = 0 THEN 0.0
+               ELSE {_TFIDF_TF.format(t=_SEARCH_TERMS[0])}
+                    * ((SELECT COUNT(*) FROM documents)
+                       / {_TFIDF_DF.format(t=_SEARCH_TERMS[0])}) END
+        + CASE WHEN {_TFIDF_DF.format(t=_SEARCH_TERMS[1])} = 0 THEN 0.0
+               ELSE {_TFIDF_TF.format(t=_SEARCH_TERMS[1])}
+                    * ((SELECT COUNT(*) FROM documents)
+                       / {_TFIDF_DF.format(t=_SEARCH_TERMS[1])}) END
+        + CASE WHEN {_TFIDF_DF.format(t=_SEARCH_TERMS[2])} = 0 THEN 0.0
+               ELSE {_TFIDF_TF.format(t=_SEARCH_TERMS[2])}
+                    * ((SELECT COUNT(*) FROM documents)
+                       / {_TFIDF_DF.format(t=_SEARCH_TERMS[2])}) END)
+           AS score
+  FROM documents
+) WHERE score > 0.0
+ORDER BY score DESC, doc_id
+LIMIT 15
+"""

@@ -1346,3 +1346,77 @@ def test_kmeans_assign_handles_empty_block(ray_session):
     assert set(out.columns) >= {"cluster", "sim"}
     assert (out["sim"] > 0.99).all()  # each unit vector has a centroid
     assert sorted(out["cluster"]) == [0, 1, 2, 3]
+
+
+def test_promo_revenue_matches_oracle(ray_session):
+    """TPC-H Q14 shape: big-big partkey bucket join, conditional
+    aggregate folded to two int64 cents sums."""
+    from rdf_n3_ray.pipelines.relational import (PROMO_REVENUE_SQL,
+                                                 promo_revenue)
+
+    out = promo_revenue("/root/testdata/sf0.01")
+    assert len(out) == 1
+    assert 0.0 < out["promo_revenue_pct"].iloc[0] < 100.0
+    _assert_oracle_equal(out, _duckdb_oracle(PROMO_REVENUE_SQL))
+
+
+def test_promo_revenue_empty_window(ray_session):
+    """No lineitem in the window: NaN percentage, one row (SQL parity:
+    SUM over empty is NULL)."""
+    from rdf_n3_ray.pipelines.relational import promo_revenue
+
+    out = promo_revenue("/root/testdata/sf0.001",
+                        date_from="2050-01-01", date_to="2050-02-01")
+    assert len(out) == 1 and np.isnan(out["promo_revenue_pct"].iloc[0])
+
+
+def test_above_avg_low_activity_matches_oracle(ray_session):
+    """TPC-H Q22 shape: global scalar (exact cents avg) + bucketed
+    count-join; nothing fact-sized leaves its bucket."""
+    from rdf_n3_ray.pipelines.relational import (
+        ABOVE_AVG_LOW_ACTIVITY_SQL, above_avg_low_activity)
+
+    out = above_avg_low_activity("/root/testdata/sf0.01")
+    assert (out["n_customers"] > 0).all()
+    _assert_oracle_equal(out, _duckdb_oracle(ABOVE_AVG_LOW_ACTIVITY_SQL))
+
+
+def test_doc_repetition_matches_oracle(ray_session):
+    """Type-token ratio with DuckDB string_split semantics pinned."""
+    from rdf_n3_ray.pipelines.relational import (DOC_REPETITION_SQL,
+                                                 doc_repetition)
+
+    out = doc_repetition("/root/testdata/sf0.01").to_pandas()
+    assert len(out) == 500
+    assert ((out["repetition"] >= 0.0) & (out["repetition"] < 1.0)).all()
+    assert (out["n_distinct"] <= out["n_tokens"]).all()
+    _assert_oracle_equal(out, _duckdb_oracle(DOC_REPETITION_SQL))
+
+
+def test_keyword_and_tfidf_search_match_oracle(ray_session):
+    """Token-membership search and linear-idf TF-IDF: per-batch partial
+    top-k under (score DESC, doc_id) merges to the exact SQL LIMIT."""
+    from rdf_n3_ray.pipelines.relational import (
+        KEYWORD_SEARCH_SQL, TFIDF_SEARCH_SQL, keyword_search,
+        tfidf_search)
+
+    kw = keyword_search("/root/testdata/sf0.01")
+    assert len(kw) == 15 and (kw["score"] >= 1).all()
+    _assert_oracle_equal(kw, _duckdb_oracle(KEYWORD_SEARCH_SQL))
+
+    tf = tfidf_search("/root/testdata/sf0.01")
+    assert len(tf) == 15 and (tf["score"] > 0).all()
+    # tf-idf ranks repeat-mentions above mere membership: top tf-idf
+    # score must be >= top keyword score scaled by the smallest idf
+    _assert_oracle_equal(tf, _duckdb_oracle(TFIDF_SEARCH_SQL))
+
+
+def test_tfidf_search_zero_df_term(ray_session):
+    """A query term absent from the corpus contributes 0 (not NaN from
+    0 * inf) and never poisons the scores of the other terms."""
+    from rdf_n3_ray.pipelines.relational import tfidf_search
+
+    out = tfidf_search("/root/testdata/sf0.01",
+                       terms=("spark", "zzz_not_a_token", "merge"))
+    assert len(out) == 15
+    assert np.isfinite(out["score"]).all() and (out["score"] > 0).all()
