@@ -137,6 +137,10 @@ def run_bench() -> dict:
           lambda: R.customer_order_distribution(sf_dir)),
          ("stratified_sample",
           lambda: R.stratified_sample(sf_dir).count())],
+        [("promo_revenue", lambda: R.promo_revenue(sf_dir)),
+         ("above_avg_low_activity",
+          lambda: R.above_avg_low_activity(sf_dir)),
+         ("tfidf_search", lambda: R.tfidf_search(sf_dir))],
     ]
 
     def fresh_session():

@@ -195,10 +195,13 @@ def tokenize(text: str, recover: bool = False) -> tuple[list[Token], list[str]]:
                     continue
                 tokens.append(Token(name, value, pos))
             else:
-                if unesc and name != "IRIREF":
-                    value = unescape_string(value)
-                elif name == "IRIREF":
-                    value = _unescape_iri(value)
+                try:
+                    if unesc and name != "IRIREF":
+                        value = unescape_string(value, strict=not recover)
+                    elif name == "IRIREF":
+                        value = _unescape_iri(value, strict=not recover)
+                except ValueError as e:  # non-scalar \u/\U codepoint
+                    raise LexerError(f"{e} at {pos}", pos) from None
                 tokens.append(Token(name, value, pos))
             pos = m.end()
             matched = True
@@ -216,8 +219,10 @@ def tokenize(text: str, recover: bool = False) -> tuple[list[Token], list[str]]:
 _UCHAR_RE = re.compile(UCHAR)
 
 
-def _unescape_iri(value: str) -> str:
+def _unescape_iri(value: str, strict: bool = False) -> str:
     """IRIREF unescape: only \\uXXXX / \\UXXXXXXXX forms."""
+    from ..terms import _uchar
+
     if "\\" not in value:
         return value
-    return _UCHAR_RE.sub(lambda m: chr(int(m.group(0)[2:], 16)), value)
+    return _UCHAR_RE.sub(lambda m: _uchar(m.group(0)[2:], strict), value)

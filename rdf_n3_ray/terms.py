@@ -92,7 +92,23 @@ def escape_string(value: str) -> str:
     return "".join(out)
 
 
-def unescape_string(value: str) -> str:
+def _uchar(hexdigits: str, strict: bool) -> str:
+    """UCHAR codepoint -> character.  Codepoints past U+10FFFF and the
+    surrogate block are not Unicode scalar values (they cannot be
+    UTF-8-encoded, so they would poison every downstream Arrow string
+    column); strict mode raises (the reference's Ruby `hex.chr(UTF_8)`
+    raises RangeError the same way), recover mode substitutes U+FFFD
+    so batch parsing stays total."""
+    cp = int(hexdigits, 16)
+    if cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
+        if strict:
+            raise ValueError(
+                f"\\u escape U+{cp:X} is not a Unicode scalar value")
+        return "�"
+    return chr(cp)
+
+
+def unescape_string(value: str, strict: bool = False) -> str:
     """Undo N-Triples string escapes (ECHAR + UCHAR)."""
     if "\\" not in value:
         return value
@@ -103,11 +119,11 @@ def unescape_string(value: str) -> str:
         if ch == "\\" and i + 1 < n:
             nxt = value[i + 1]
             if nxt == "u" and i + 6 <= n:
-                out.append(chr(int(value[i + 2:i + 6], 16)))
+                out.append(_uchar(value[i + 2:i + 6], strict))
                 i += 6
                 continue
             if nxt == "U" and i + 10 <= n:
-                out.append(chr(int(value[i + 2:i + 10], 16)))
+                out.append(_uchar(value[i + 2:i + 10], strict))
                 i += 10
                 continue
             if nxt in _UNESCAPES:

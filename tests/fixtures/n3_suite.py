@@ -1067,4 +1067,108 @@ CASES += [
      '{ ("hi" "en-gb") log:langlit ?l } => { :r :val ?l } .',
      f'<{X}r> <{X}val> "hi"@en-gb .',
      {"think": True, "conclusions": True}),
+    # --- r3d batch: UCHAR scalar-value enforcement, long-single-quote
+    # strings, extended lang tags, formulae inside collections, and the
+    # builtin registry tail (floor/ceiling/rounded, format,
+    # containsIgnoringCase, iterate, second/dayOfWeek, md5, notEqualTo,
+    # integer exponentiation) -----------------------------------------
+    ("r3d_neg_surrogate_uchar", "NegativeSyntax",
+     '@prefix : <http://ex/>. :a :b "\\uD800" .', None, {}),
+    ("r3d_neg_uchar_past_max", "NegativeSyntax",
+     '@prefix : <http://ex/>. :a :b "\\UFFFFFFFF" .', None, {}),
+    ("r3d_neg_iri_surrogate_uchar", "NegativeSyntax",
+     '<http://ex/a> <http://ex/\\uDC00> <http://ex/c> .', None, {}),
+    ("r3d_neg_a_as_object", "NegativeSyntax",
+     "@prefix : <http://ex/>. :x :p a .", None, {}),
+    ("r3d_eval_uchar_max_scalar", "Eval",
+     '@prefix : <http://ex/>. :a :b "\\U0010FFFF" .',
+     f'<{X}a> <{X}b> "\U0010FFFF" .', {}),
+    ("r3d_eval_leading_dot_exponent", "Eval",
+     "@prefix : <http://ex/>. :a :b .5e2 .",
+     f'<{X}a> <{X}b> ".5e2"^^<{XSD}double> .', {}),
+    ("r3d_eval_echar_backspace_formfeed", "Eval",
+     '@prefix : <http://ex/>. :a :b "x\\by\\fz" .',
+     # engine encoding keeps the control chars ECHAR-escaped
+     f'<{X}a> <{X}b> "x\\by\\fz" .', {}),
+    ("r3d_eval_long_single_quote_pairs", "Eval",
+     "@prefix : <http://ex/>. :a :b " + "'" * 3 + "it''s here"
+     + "'" * 3 + " .",
+     f'<{X}a> <{X}b> "it\'\'s here" .', {}),
+    ("r3d_eval_langtag_extension_subtags", "Eval",
+     '@prefix : <http://ex/>. :a :b "x"@en-US-x-2 .',
+     f'<{X}a> <{X}b> "x"@en-us-x-2 .', {}),
+    ("r3d_formula_in_collection", "PositiveSyntax",
+     "@prefix : <http://ex/>. :l :is ( { :a :b :c } ) .", None, {}),
+    ("r3d_eval_comment_inside_collection", "Eval",
+     "@prefix : <http://ex/>. :l :is ( :a # c\n :b ) .",
+     f"<{X}l> <{X}is> _:b0 .\n"
+     f"_:b0 <{RDFNS}first> <{X}a> .\n"
+     f"_:b0 <{RDFNS}rest> _:b1 .\n"
+     f"_:b1 <{RDFNS}first> <{X}b> .\n"
+     f"_:b1 <{RDFNS}rest> <{RDFNS}nil> .", {}),
+    ("r3d_eval_datatype_relative_iri", "Eval",
+     '@base <http://ex/>. <s> <p> "v"^^<dt> .',
+     f'<{X}s> <{X}p> "v"^^<{X}dt> .', {}),
+    ("r3d_reason_math_floor", "Reason",
+     f"@prefix : <http://ex/>. @prefix math: <{MATHNS}>. "
+     "{ 2.6 math:floor ?v } => { :r :val ?v } .",
+     f'<{X}r> <{X}val> "2"^^<{XSD}integer> .',
+     {"think": True, "conclusions": True}),
+    ("r3d_reason_math_ceiling_negative", "Reason",
+     f"@prefix : <http://ex/>. @prefix math: <{MATHNS}>. "
+     '{ "-2.4"^^<' + XSD + 'decimal> math:ceiling ?v } '
+     "=> { :r :val ?v } .",
+     f'<{X}r> <{X}val> "-2"^^<{XSD}integer> .',
+     {"think": True, "conclusions": True}),
+    ("r3d_reason_math_rounded_half_up", "Reason",
+     f"@prefix : <http://ex/>. @prefix math: <{MATHNS}>. "
+     "{ 2.5 math:rounded ?v } => { :r :val ?v } .",
+     f'<{X}r> <{X}val> "3"^^<{XSD}integer> .',
+     {"think": True, "conclusions": True}),
+    ("r3d_reason_string_format", "Reason",
+     f"@prefix : <http://ex/>. @prefix string: <{STRNS}>. "
+     '{ ("x=%s y=%s" "a" "b") string:format ?v } => { :r :val ?v } .',
+     f'<{X}r> <{X}val> "x=a y=b" .',
+     {"think": True, "conclusions": True}),
+    ("r3d_reason_string_contains_ignoring_case", "Reason",
+     f"@prefix : <http://ex/>. @prefix string: <{STRNS}>. "
+     '{ "HeLLo" string:containsIgnoringCase "hello" } '
+     "=> { :r :ok true } .",
+     f'<{X}r> <{X}ok> "true"^^<{XSD}boolean> .',
+     {"think": True, "conclusions": True}),
+    ("r3d_reason_list_iterate", "Reason",
+     "@prefix : <http://ex/>. "
+     "@prefix list: <http://www.w3.org/2000/10/swap/list#>. "
+     "{ (:a :b) list:iterate (?i ?x) } => { ?x :at ?i } .",
+     f'<{X}a> <{X}at> "0"^^<{XSD}integer> .\n'
+     f'<{X}b> <{X}at> "1"^^<{XSD}integer> .',
+     {"think": True, "conclusions": True}),
+    ("r3d_reason_time_second", "Reason",
+     f"@prefix : <http://ex/>. @prefix time: <{TIMENS}>. "
+     '{ "2001-02-03T04:05:06Z"^^<' + XSD + 'dateTime> time:second ?v } '
+     "=> { :r :val ?v } .",
+     f'<{X}r> <{X}val> "6"^^<{XSD}integer> .',
+     {"think": True, "conclusions": True}),
+    ("r3d_reason_time_day_of_week", "Reason",
+     f"@prefix : <http://ex/>. @prefix time: <{TIMENS}>. "
+     '{ "2001-02-03T04:05:06Z"^^<' + XSD + 'dateTime> time:dayOfWeek ?v } '
+     "=> { :r :val ?v } .",
+     f'<{X}r> <{X}val> "6"^^<{XSD}integer> .',
+     {"think": True, "conclusions": True}),
+    ("r3d_reason_crypto_md5", "Reason",
+     "@prefix : <http://ex/>. "
+     "@prefix crypto: <http://www.w3.org/2000/10/swap/crypto#>. "
+     '{ "abc" crypto:md5 ?h } => { :r :digest ?h } .',
+     f'<{X}r> <{X}digest> "900150983cd24fb0d6963f7d28e17f72" .',
+     {"think": True, "conclusions": True}),
+    ("r3d_reason_log_not_equal_to", "Reason",
+     f"@prefix : <http://ex/>. @prefix log: <{LOG}>. "
+     "{ :a log:notEqualTo :b } => { :r :ok true } .",
+     f'<{X}r> <{X}ok> "true"^^<{XSD}boolean> .',
+     {"think": True, "conclusions": True}),
+    ("r3d_reason_math_exponentiation_int", "Reason",
+     f"@prefix : <{X}>. @prefix math: <{MATHNS}>. "
+     "{ (2 10) math:exponentiation ?v } => { :r :val ?v } .",
+     f'<{X}r> <{X}val> "1024"^^<{XSD}integer> .',
+     {"think": True, "conclusions": True}),
 ]
