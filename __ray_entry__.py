@@ -177,6 +177,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": R.doc_repetition,
         "keyword_search": R.keyword_search,
         "tfidf_search": R.tfidf_search,
+        "revenue_forecast": R.revenue_forecast,
+        "returned_top_customers": R.returned_top_customers,
+        "large_orders": R.large_orders,
         # iterative distributed algorithm (non-SQL: rows-only check;
         # pytest pins blob recovery + monotone objective)
         "embed_kmeans": _q_embed_kmeans,
@@ -232,4 +235,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": R.DOC_REPETITION_SQL,
         "keyword_search": R.KEYWORD_SEARCH_SQL,
         "tfidf_search": R.TFIDF_SEARCH_SQL,
+        "revenue_forecast": R.REVENUE_FORECAST_SQL,
+        "returned_top_customers": R.RETURNED_TOP_CUSTOMERS_SQL,
+        "large_orders": R.LARGE_ORDERS_SQL,
     }

@@ -3022,3 +3022,279 @@ SELECT doc_id, score FROM (
 ORDER BY score DESC, doc_id
 LIMIT 15
 """
+
+
+# ---------------------------------------------------------------------------
+# Q6-style forecast revenue: pure filter + global sum.  The cheapest
+# possible distributed shape — predicate pushed into the batch kernel,
+# one partial row per batch crosses to the driver (no shuffle at all).
+# ---------------------------------------------------------------------------
+
+def revenue_forecast(sf_dir: str, date_from: str = "1996-01-01",
+                     date_to: str = "1997-01-01",
+                     disc_lo: float = 0.05, disc_hi: float = 0.07,
+                     qty_max: float = 24.0):
+    """TPC-H Q6 shape: SUM(extendedprice * discount) under a
+    conjunctive filter.  Exact-cent arithmetic (floor(x*100+0.5)) so
+    the float sum is order-independent and hash-stable vs the oracle."""
+    lo, hi = pd.Timestamp(date_from), pd.Timestamp(date_to)
+    li = _read(sf_dir, "lineitem",
+               columns=["l_shipdate", "l_discount", "l_quantity",
+                        "l_extendedprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = ((b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)
+             & (b["l_discount"] >= disc_lo) & (b["l_discount"] <= disc_hi)
+             & (b["l_quantity"] < qty_max))
+        sel = b[m]
+        rev_c = np.floor(
+            sel["l_extendedprice"] * sel["l_discount"] * 100.0 + 0.5
+        ).astype("int64")
+        return pd.DataFrame({"rev_c": [int(rev_c.sum())],
+                             "n_items": [int(m.sum())]})
+
+    parts = li.map_batches(partial, batch_format="pandas",
+                           batch_size=131072).to_pandas()  # 1 row/batch
+    return pd.DataFrame({
+        "revenue": [parts["rev_c"].sum() / 100.0],
+        "n_items": [int(parts["n_items"].sum())]})
+
+
+REVENUE_FORECAST_SQL = """
+SELECT SUM(CAST(FLOOR(l_extendedprice * l_discount * 100.0 + 0.5)
+                AS BIGINT))::BIGINT / 100.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q10-style returned-item report: two chained big-big bucket joins
+# (lineitem⋈orders on orderkey, then ⋈customer on custkey), nation
+# broadcast, per-bucket partial top-k — no fact-sized broadcast and
+# the driver only ever sees <= num_partitions * k candidate rows.
+# ---------------------------------------------------------------------------
+
+def returned_top_customers(sf_dir: str, date_from: str = "1996-10-01",
+                           date_to: str = "1997-01-01", k: int = 20,
+                           num_partitions: int = 64):
+    import ray
+
+    lo, hi = pd.Timestamp(date_from), pd.Timestamp(date_to)
+
+    nation = _read(sf_dir, "nation",
+                   columns=["n_nationkey", "n_name"]).to_pandas()
+    nation_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+
+    # -- join 1: returned lineitems ⋈ date-filtered orders, on orderkey
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                        "l_discount"])
+
+    def li_pre(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_returnflag"] == "R"]
+        b = b.assign(rev_c=np.floor(
+            b["l_extendedprice"] * (1 - b["l_discount"]) * 100.0 + 0.5
+        ).astype("int64"))
+        g = b.groupby("l_orderkey", as_index=False).agg(rev_c=("rev_c", "sum"))
+        g["jb"] = (g["l_orderkey"] % num_partitions).astype("int32")
+        g["side"] = 0
+        return g
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ord_pre(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["o_orderdate"] >= lo) & (b["o_orderdate"] < hi)]
+        b = b[["o_orderkey", "o_custkey"]].copy()
+        b["jb"] = (b["o_orderkey"] % num_partitions).astype("int32")
+        b["side"] = 1
+        return b
+
+    both = (li.map_batches(li_pre, batch_format="pandas", batch_size=65536)
+            .union(orders.map_batches(ord_pre, batch_format="pandas",
+                                      batch_size=65536)))
+
+    def join1(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group["side"] == 0]
+        r = group[group["side"] == 1][["o_orderkey", "o_custkey"]]
+        empty = pd.DataFrame({"o_custkey": pd.Series(dtype="int64"),
+                              "rev_c": pd.Series(dtype="int64")})
+        if l.empty or r.empty:
+            return empty
+        per_order = (l.groupby("l_orderkey", as_index=False)
+                     .agg(rev_c=("rev_c", "sum")))
+        m = per_order.merge(r, left_on="l_orderkey", right_on="o_orderkey")
+        if m.empty:
+            return empty
+        # partial per custkey: one row per (orderkey-bucket, custkey).
+        # Explicit int64 casts: the union pads the absent side's columns
+        # with NaN, silently floating the dtypes per group, and Ray would
+        # then see conflicting block schemas across buckets.
+        g = (m.groupby("o_custkey", as_index=False)
+             .agg(rev_c=("rev_c", "sum")))
+        return g.astype({"o_custkey": "int64", "rev_c": "int64"})
+
+    partials = both.groupby("jb").map_groups(join1, batch_format="pandas")
+
+    # -- join 2: custkey partials ⋈ customer, on custkey; top-k/bucket
+    def part_tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["cb"] = (b["o_custkey"] % num_partitions).astype("int32")
+        b["side"] = 0
+        return b
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+
+    class CustTag:
+        def __init__(self, nation_ref):
+            self.nmap = ray.get(nation_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            b = b.assign(n_name=b["c_nationkey"].map(self.nmap),
+                         cb=(b["c_custkey"] % num_partitions).astype("int32"),
+                         side=1)
+            return b[["c_custkey", "c_name", "c_acctbal", "n_name",
+                      "cb", "side"]]
+
+    both2 = (partials.map_batches(part_tag, batch_format="pandas")
+             .union(cust.map_batches(CustTag, batch_format="pandas",
+                                     concurrency=(1, 8),
+                                     fn_constructor_args=(nation_ref,))))
+
+    def join2(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group["side"] == 0]
+        r = group[group["side"] == 1]
+        empty = pd.DataFrame({
+            "c_custkey": pd.Series(dtype="int64"),
+            "c_name": pd.Series(dtype="object"),
+            "revenue": pd.Series(dtype="float64"),
+            "c_acctbal": pd.Series(dtype="float64"),
+            "n_name": pd.Series(dtype="object")})
+        if l.empty or r.empty:
+            return empty
+        per_cust = (l.groupby("o_custkey", as_index=False)
+                    .agg(rev_c=("rev_c", "sum")))  # custkey co-located: final
+        r = r[["c_custkey", "c_name", "c_acctbal", "n_name"]].astype(
+            {"c_custkey": "int64"})  # de-float the union's NaN padding
+        m = per_cust.merge(r, left_on="o_custkey", right_on="c_custkey")
+        if m.empty:
+            return empty
+        m["revenue"] = m["rev_c"] / 100.0
+        m = m.sort_values(["revenue", "c_custkey"], ascending=[False, True])
+        return m.head(k)[["c_custkey", "c_name", "revenue", "c_acctbal",
+                          "n_name"]]
+
+    cand = (both2.groupby("cb").map_groups(join2, batch_format="pandas")
+            .to_pandas())  # <= num_partitions * k rows
+    return (cand.sort_values(["revenue", "c_custkey"],
+                             ascending=[False, True])
+            .head(k).reset_index(drop=True))
+
+
+RETURNED_TOP_CUSTOMERS_SQL = """
+SELECT c.c_custkey, c.c_name,
+       SUM(li.rev_c)::BIGINT / 100.0 AS revenue,
+       c.c_acctbal, n.n_name
+FROM (
+  SELECT l_orderkey,
+         SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+                  AS BIGINT)) AS rev_c
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey
+) li
+JOIN orders o ON li.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= DATE '1996-10-01'
+  AND o.o_orderdate < DATE '1997-01-01'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q18-style large orders: HAVING-filtered per-order aggregate, then the
+# tiny winner set drives broadcast semi-joins against orders/customer.
+# The winner set is small BY CONSTRUCTION (the HAVING threshold), so
+# the driver-side merge is bounded regardless of input scale.
+# ---------------------------------------------------------------------------
+
+def large_orders(sf_dir: str, min_qty: float = 300.0,
+                 num_partitions: int = 64):
+    import ray
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b.groupby("l_orderkey", as_index=False)
+             .agg(qty=("l_quantity", "sum")))
+        g["jb"] = (g["l_orderkey"] % num_partitions).astype("int32")
+        return g
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.groupby("l_orderkey", as_index=False)
+             .agg(total_qty=("qty", "sum")))
+        return g[g["total_qty"] > min_qty]
+
+    winners = (li.map_batches(pre, batch_format="pandas", batch_size=131072)
+               .groupby("jb").map_groups(per_bucket, batch_format="pandas")
+               .to_pandas())  # small: HAVING-filtered
+    if winners.empty:
+        return pd.DataFrame({
+            "c_custkey": pd.Series(dtype="int64"),
+            "c_name": pd.Series(dtype="object"),
+            "o_orderkey": pd.Series(dtype="int64"),
+            "o_orderdate": pd.Series(dtype="datetime64[us]"),
+            "o_totalprice": pd.Series(dtype="float64"),
+            "total_qty": pd.Series(dtype="float64")})
+
+    okeys_ref = ray.put(frozenset(winners["l_orderkey"].tolist()))
+
+    class SemiFilter:
+        """Broadcast semi-join: keep rows whose key is in the winner set."""
+
+        def __init__(self, keys_ref, col):
+            self.keys = ray.get(keys_ref)
+            self.col = col
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            return b[b[self.col].isin(self.keys)]
+
+    orders = (_read(sf_dir, "orders",
+                    columns=["o_orderkey", "o_custkey", "o_orderdate",
+                             "o_totalprice"])
+              .map_batches(SemiFilter, batch_format="pandas",
+                           concurrency=(1, 8),
+                           fn_constructor_args=(okeys_ref, "o_orderkey"))
+              .to_pandas())  # |winners| rows
+
+    ckeys_ref = ray.put(frozenset(orders["o_custkey"].tolist()))
+    cust = (_read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+            .map_batches(SemiFilter, batch_format="pandas",
+                         concurrency=(1, 8),
+                         fn_constructor_args=(ckeys_ref, "c_custkey"))
+            .to_pandas())  # <= |winners| rows
+
+    m = (winners.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+         .merge(cust, left_on="o_custkey", right_on="c_custkey"))
+    m = m.sort_values(["o_totalprice", "o_orderkey"],
+                      ascending=[False, True])
+    return m[["c_custkey", "c_name", "o_orderkey", "o_orderdate",
+              "o_totalprice", "total_qty"]].reset_index(drop=True)
+
+
+LARGE_ORDERS_SQL = """
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+       o.o_totalprice, li.total_qty
+FROM (
+  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300.0
+) li
+JOIN orders o ON li.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+"""

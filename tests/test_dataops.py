@@ -1420,3 +1420,49 @@ def test_tfidf_search_zero_df_term(ray_session):
                        terms=("spark", "zzz_not_a_token", "merge"))
     assert len(out) == 15
     assert np.isfinite(out["score"]).all() and (out["score"] > 0).all()
+
+
+def test_revenue_forecast_matches_oracle(ray_session):
+    """TPC-H Q6 shape: predicate in the batch kernel, one partial row
+    per batch, no shuffle."""
+    from rdf_n3_ray.pipelines.relational import (
+        REVENUE_FORECAST_SQL, revenue_forecast)
+
+    out = revenue_forecast("/root/testdata/sf0.01")
+    assert len(out) == 1 and out["n_items"].iloc[0] > 0
+    _assert_oracle_equal(out, _duckdb_oracle(REVENUE_FORECAST_SQL))
+
+
+def test_returned_top_customers_matches_oracle(ray_session):
+    """TPC-H Q10 shape: chained orderkey->custkey bucket joins, nation
+    broadcast, per-bucket partial top-k (driver sees <= B*k rows)."""
+    from rdf_n3_ray.pipelines.relational import (
+        RETURNED_TOP_CUSTOMERS_SQL, returned_top_customers)
+
+    out = returned_top_customers("/root/testdata/sf0.01")
+    assert len(out) == 20
+    assert out["revenue"].is_monotonic_decreasing or len(
+        out["revenue"].unique()) < 20  # ties broken by custkey
+    _assert_oracle_equal(out, _duckdb_oracle(RETURNED_TOP_CUSTOMERS_SQL))
+
+
+def test_large_orders_matches_oracle(ray_session):
+    """TPC-H Q18 shape: HAVING-filtered winners drive broadcast
+    semi-joins; only winner-sized frames ever reach the driver."""
+    from rdf_n3_ray.pipelines.relational import (
+        LARGE_ORDERS_SQL, large_orders)
+
+    out = large_orders("/root/testdata/sf0.01")
+    assert (out["total_qty"] > 300.0).all()
+    _assert_oracle_equal(out, _duckdb_oracle(LARGE_ORDERS_SQL))
+
+
+def test_large_orders_empty_windo(ray_session):
+    """Threshold above the max per-order quantity -> typed empty frame,
+    not a crash."""
+    from rdf_n3_ray.pipelines.relational import large_orders
+
+    out = large_orders("/root/testdata/sf0.001", min_qty=1e9)
+    assert len(out) == 0
+    assert list(out.columns) == ["c_custkey", "c_name", "o_orderkey",
+                                 "o_orderdate", "o_totalprice", "total_qty"]
