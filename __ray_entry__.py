@@ -180,6 +180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_forecast": R.revenue_forecast,
         "returned_top_customers": R.returned_top_customers,
         "large_orders": R.large_orders,
+        "nation_trade_volume": R.nation_trade_volume,
+        "brand_disjunct_revenue": R.brand_disjunct_revenue,
         # iterative distributed algorithm (non-SQL: rows-only check;
         # pytest pins blob recovery + monotone objective)
         "embed_kmeans": _q_embed_kmeans,
@@ -238,4 +240,6 @@ def oracle_sql() -> dict[str, str]:
         "revenue_forecast": R.REVENUE_FORECAST_SQL,
         "returned_top_customers": R.RETURNED_TOP_CUSTOMERS_SQL,
         "large_orders": R.LARGE_ORDERS_SQL,
+        "nation_trade_volume": R.NATION_TRADE_VOLUME_SQL,
+        "brand_disjunct_revenue": R.BRAND_DISJUNCT_REVENUE_SQL,
     }

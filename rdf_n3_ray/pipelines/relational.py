@@ -3298,3 +3298,387 @@ JOIN orders o ON li.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
 ORDER BY o.o_totalprice DESC, o.o_orderkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Q7-style nation trade volume: revenue shipped between two nations per
+# year.  Supplier side is nation-filtered and size-gated (broadcast
+# sorted arrays when small, suppkey bucket join otherwise); then the
+# same orderkey -> custkey bucket-join chain as returned_top_customers.
+# ---------------------------------------------------------------------------
+
+def nation_trade_volume(sf_dir: str, nation_a: str = "NATION_1",
+                        nation_b: str = "NATION_2",
+                        date_from: str = "1996-01-01",
+                        date_to: str = "1998-01-01",
+                        num_partitions: int = 64,
+                        supp_broadcast_limit: int = 2_000_000):
+    import ray
+
+    lo, hi = pd.Timestamp(date_from), pd.Timestamp(date_to)
+    nation = _read(sf_dir, "nation",
+                   columns=["n_nationkey", "n_name"]).to_pandas()
+    pair = nation[nation["n_name"].isin([nation_a, nation_b])]
+    names = dict(zip(pair["n_nationkey"].astype("int64"), pair["n_name"]))
+    nat_ref = ray.put(names)
+
+    def _empty():
+        return pd.DataFrame({"key": pd.Series(dtype="int64"),
+                             "supp_nk": pd.Series(dtype="int64"),
+                             "year": pd.Series(dtype="int32"),
+                             "rev_c": pd.Series(dtype="int64"),
+                             "jb": pd.Series(dtype="int32"),
+                             "side": pd.Series(dtype="int8")})
+
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+
+    def supp_filter(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["s_nationkey"].isin(ray.get(nat_ref))]
+        return pd.DataFrame({
+            "s_suppkey": b["s_suppkey"].to_numpy().astype("int64"),
+            "s_nationkey": b["s_nationkey"].to_numpy().astype("int64")})
+
+    # materialize: 2/25-nation slice of a table ~100x smaller than the
+    # fact; the gate needs its count before the lineitem plan is built
+    supp_f = supp.map_batches(supp_filter,
+                              batch_format="pandas").materialize()
+
+    _empty_out = pd.DataFrame({"supp_nation": pd.Series(dtype="object"),
+                               "cust_nation": pd.Series(dtype="object"),
+                               "l_year": pd.Series(dtype="int32"),
+                               "revenue": pd.Series(dtype="float64")})
+    if supp_f.count() == 0:
+        # no suppliers in either nation — and an all-empty to_pandas()
+        # would drop the schema, so exit before building the plan
+        return _empty_out
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                        "l_extendedprice", "l_discount"])
+
+    def _li_rev(b: pd.DataFrame):
+        m = (b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)
+        b = b[m]
+        rev = np.floor(b["l_extendedprice"].to_numpy()
+                       * (1.0 - b["l_discount"].to_numpy()) * 100.0
+                       + 0.5).astype("int64")
+        return b, rev
+
+    if supp_f.count() <= supp_broadcast_limit:
+        sdf = supp_f.to_pandas().sort_values("s_suppkey")
+        sup_ref = ray.put((sdf["s_suppkey"].to_numpy(),
+                           sdf["s_nationkey"].to_numpy()))
+
+        def li_pre(b: pd.DataFrame) -> pd.DataFrame:
+            keys, nks = ray.get(sup_ref)
+            if len(keys) == 0:
+                return _empty()
+            b, rev = _li_rev(b)
+            sk = b["l_suppkey"].to_numpy().astype("int64")
+            pos = np.searchsorted(keys, sk).clip(0, len(keys) - 1)
+            hit = keys[pos] == sk
+            g = (pd.DataFrame({
+                    "key": b["l_orderkey"].to_numpy()[hit].astype("int64"),
+                    "supp_nk": nks[pos[hit]],
+                    "year": b["l_shipdate"].dt.year.to_numpy()[hit]
+                            .astype("int32"),
+                    "rev_c": rev[hit]})
+                 .groupby(["key", "supp_nk", "year"], as_index=False)
+                 .agg(rev_c=("rev_c", "sum")))
+            g["jb"] = (g["key"] % num_partitions).astype("int32")
+            g["side"] = np.int8(0)
+            return g
+
+        li_supp = li.map_batches(li_pre, batch_format="pandas",
+                                 batch_size=65536)
+    else:
+        # distributed fallback: suppkey bucket join, nothing broadcast.
+        # Both union sides carry IDENTICAL columns (repo idiom — Ray's
+        # sort shuffle may hand map_groups a block that saw only one
+        # side, so differing schemas can KeyError in the group fn):
+        # (sk, key, year, rev_c, nk, jb, side)
+        def li_partial(b: pd.DataFrame) -> pd.DataFrame:
+            b, rev = _li_rev(b)
+            g = (pd.DataFrame({
+                    "sk": b["l_suppkey"].to_numpy().astype("int64"),
+                    "key": b["l_orderkey"].to_numpy().astype("int64"),
+                    "year": b["l_shipdate"].dt.year.to_numpy()
+                            .astype("int32"),
+                    "rev_c": rev})
+                 .groupby(["sk", "key", "year"], as_index=False)
+                 .agg(rev_c=("rev_c", "sum")))
+            g["nk"] = np.int64(0)
+            g["jb"] = (g["sk"] % num_partitions).astype("int32")
+            g["side"] = np.int8(0)
+            return g[["sk", "key", "year", "rev_c", "nk", "jb", "side"]]
+
+        def supp_side(b: pd.DataFrame) -> pd.DataFrame:
+            sk = b["s_suppkey"].to_numpy().astype("int64")
+            n = len(b)
+            return pd.DataFrame({
+                "sk": sk,
+                "key": np.zeros(n, dtype="int64"),
+                "year": np.zeros(n, dtype="int32"),
+                "rev_c": np.zeros(n, dtype="int64"),
+                "nk": b["s_nationkey"].to_numpy().astype("int64"),
+                "jb": (sk % num_partitions).astype("int32"),
+                "side": np.full(n, 1, dtype="int8")})
+
+        def join_supp(group: pd.DataFrame) -> pd.DataFrame:
+            s = group[group["side"] == 1][["sk", "nk"]]
+            l = group[group["side"] == 0][["sk", "key", "year", "rev_c"]]
+            if s.empty or l.empty:
+                return _empty()
+            m = l.merge(s, on="sk")
+            g = (m.rename(columns={"nk": "supp_nk"})
+                 .groupby(["key", "supp_nk", "year"], as_index=False)
+                 .agg(rev_c=("rev_c", "sum")))
+            g = g.astype({"key": "int64", "supp_nk": "int64",
+                          "year": "int32", "rev_c": "int64"})
+            g["jb"] = (g["key"] % num_partitions).astype("int32")
+            g["side"] = np.int8(0)
+            return g
+
+        li_supp = (li.map_batches(li_partial, batch_format="pandas",
+                                  batch_size=65536)
+                   .union(supp_f.map_batches(supp_side,
+                                             batch_format="pandas"))
+                   .groupby("jb").map_groups(join_supp,
+                                             batch_format="pandas"))
+
+    # join 1: orderkey — attach o_custkey, re-key partials on custkey
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def ord_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["jb"] = (b["o_orderkey"] % num_partitions).astype("int32")
+        b["side"] = np.int8(1)
+        return b
+
+    def join_ord(group: pd.DataFrame) -> pd.DataFrame:
+        o = group[group["side"] == 1][["o_orderkey", "o_custkey"]]
+        l = group[group["side"] == 0][["key", "supp_nk", "year", "rev_c"]]
+        if o.empty or l.empty:
+            return _empty()
+        m = l.merge(o.astype({"o_orderkey": "int64",
+                              "o_custkey": "int64"}),
+                    left_on="key", right_on="o_orderkey")
+        g = (m.groupby(["o_custkey", "supp_nk", "year"], as_index=False)
+             .agg(rev_c=("rev_c", "sum"))
+             .rename(columns={"o_custkey": "key"}))
+        g = g.astype({"key": "int64", "supp_nk": "int64",
+                      "year": "int32", "rev_c": "int64"})
+        g["jb"] = (g["key"] % num_partitions).astype("int32")
+        g["side"] = np.int8(0)
+        return g
+
+    by_cust = (li_supp.union(orders.map_batches(ord_side,
+                                                batch_format="pandas"))
+               .groupby("jb").map_groups(join_ord, batch_format="pandas"))
+
+    # join 2: custkey — customer nation, cross-nation filter, final agg
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def cust_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["c_nationkey"].isin(ray.get(nat_ref))]
+        out = pd.DataFrame({
+            "c_custkey": b["c_custkey"].to_numpy().astype("int64"),
+            "cust_nk": b["c_nationkey"].to_numpy().astype("int64")})
+        out["jb"] = (out["c_custkey"] % num_partitions).astype("int32")
+        out["side"] = np.int8(1)
+        return out
+
+    def join_cust(group: pd.DataFrame) -> pd.DataFrame:
+        c = group[group["side"] == 1][["c_custkey", "cust_nk"]]
+        l = group[group["side"] == 0][["key", "supp_nk", "year", "rev_c"]]
+        empty = pd.DataFrame({"supp_nk": pd.Series(dtype="int64"),
+                              "cust_nk": pd.Series(dtype="int64"),
+                              "year": pd.Series(dtype="int32"),
+                              "rev_c": pd.Series(dtype="int64")})
+        if c.empty or l.empty:
+            return empty
+        m = l.merge(c.astype({"c_custkey": "int64", "cust_nk": "int64"}),
+                    left_on="key", right_on="c_custkey")
+        m = m[m["supp_nk"] != m["cust_nk"]]
+        if m.empty:
+            return empty
+        g = (m.groupby(["supp_nk", "cust_nk", "year"], as_index=False)
+             .agg(rev_c=("rev_c", "sum")))
+        return g.astype({"supp_nk": "int64", "cust_nk": "int64",
+                         "year": "int32", "rev_c": "int64"})
+
+    out = (by_cust.union(cust.map_batches(cust_side, batch_format="pandas"))
+           .groupby("jb").map_groups(join_cust, batch_format="pandas")
+           .to_pandas())  # ≤ num_partitions × 2 nations × years rows
+    if out.empty:
+        return _empty_out
+    g = (out.groupby(["supp_nk", "cust_nk", "year"], as_index=False)
+         .agg(rev_c=("rev_c", "sum")))
+    g["supp_nation"] = g["supp_nk"].map(names)
+    g["cust_nation"] = g["cust_nk"].map(names)
+    g["l_year"] = g["year"].astype("int32")
+    g["revenue"] = g["rev_c"].astype("int64") / 100.0
+    return (g.sort_values(["supp_nation", "cust_nation", "l_year"])
+            [["supp_nation", "cust_nation", "l_year", "revenue"]]
+            .reset_index(drop=True))
+
+
+NATION_TRADE_VOLUME_SQL = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(YEAR(l.l_shipdate) AS INTEGER) AS l_year,
+       SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100.0 + 0.5)
+                AS BIGINT))::BIGINT / 100.0 AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+WHERE ns.n_name IN ('NATION_1', 'NATION_2')
+  AND nc.n_name IN ('NATION_1', 'NATION_2')
+  AND ns.n_name <> nc.n_name
+  AND l.l_shipdate >= DATE '1996-01-01'
+  AND l.l_shipdate <  DATE '1998-01-01'
+GROUP BY ns.n_name, nc.n_name, YEAR(l.l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q19-style disjunctive brand/size/quantity revenue: the filtered part
+# slice is size-gated (broadcast sorted arrays when small); the
+# fallback ships (partkey, quantity) -> (count, price_c) partials into
+# a partkey bucket join — l_quantity is low-cardinality (1..50), so
+# the shuffle is bounded by 50 rows per part per batch, never raw rows.
+# ---------------------------------------------------------------------------
+
+_Q19_CLAUSES = (
+    # (brand, size_max, qty_lo, qty_hi)
+    ("Brand#12", 5, 1.0, 11.0),
+    ("Brand#23", 10, 10.0, 20.0),
+    ("Brand#34", 15, 20.0, 30.0),
+)
+
+
+def brand_disjunct_revenue(sf_dir: str, clauses=_Q19_CLAUSES,
+                           num_partitions: int = 64,
+                           part_broadcast_limit: int = 2_000_000):
+    import ray
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+    brands = {b: i for i, (b, _, _, _) in enumerate(clauses)}
+
+    def part_filter(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(clause=b["p_brand"].map(brands))
+        b = b[b["clause"].notna()]
+        sz_max = np.array([c[1] for c in clauses])[
+            b["clause"].astype("int64")]
+        b = b[(b["p_size"] >= 1) & (b["p_size"].to_numpy() <= sz_max)]
+        return pd.DataFrame({
+            "p_partkey": b["p_partkey"].to_numpy().astype("int64"),
+            "clause": b["clause"].to_numpy().astype("int64")})
+
+    part_f = part.map_batches(part_filter,
+                              batch_format="pandas").materialize()
+
+    if part_f.count() == 0:
+        # no part matches any clause; SQL SUM over zero rows is NULL
+        return pd.DataFrame({"revenue": [np.nan], "n_items": [0]})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice",
+                        "l_discount"])
+    qty_lo = np.array([c[2] for c in clauses])
+    qty_hi = np.array([c[3] for c in clauses])
+
+    if part_f.count() <= part_broadcast_limit:
+        pdf = part_f.to_pandas().sort_values("p_partkey")
+        part_ref = ray.put((pdf["p_partkey"].to_numpy(),
+                            pdf["clause"].to_numpy()))
+
+        def li_sum(b: pd.DataFrame) -> pd.DataFrame:
+            keys, cls = ray.get(part_ref)
+            empty = pd.DataFrame({"rev_c": [np.int64(0)],
+                                  "n_items": [np.int64(0)]})
+            if len(keys) == 0:
+                return empty
+            pk = b["l_partkey"].to_numpy().astype("int64")
+            pos = np.searchsorted(keys, pk).clip(0, len(keys) - 1)
+            hit = keys[pos] == pk
+            qty = b["l_quantity"].to_numpy()[hit]
+            cl = cls[pos[hit]]
+            ok = (qty >= qty_lo[cl]) & (qty <= qty_hi[cl])
+            sel = b[hit][ok]
+            rev = np.floor(sel["l_extendedprice"].to_numpy()
+                           * (1.0 - sel["l_discount"].to_numpy()) * 100.0
+                           + 0.5).astype("int64")
+            return pd.DataFrame({"rev_c": [np.int64(rev.sum())],
+                                 "n_items": [np.int64(len(sel))]})
+
+        parts_out = li.map_batches(li_sum, batch_format="pandas",
+                                   batch_size=131072).to_pandas()
+    else:
+        # distributed fallback: (partkey, quantity) partials, bucketed
+        def li_partial(b: pd.DataFrame) -> pd.DataFrame:
+            rev = np.floor(b["l_extendedprice"].to_numpy()
+                           * (1.0 - b["l_discount"].to_numpy()) * 100.0
+                           + 0.5).astype("int64")
+            g = (pd.DataFrame({"p_partkey": b["l_partkey"].to_numpy()
+                               .astype("int64"),
+                               "qty": b["l_quantity"].to_numpy(),
+                               "rev_c": rev})
+                 .groupby(["p_partkey", "qty"], as_index=False)
+                 .agg(rev_c=("rev_c", "sum"), n=("rev_c", "size")))
+            g["clause"] = np.int64(-1)
+            g["jb"] = (g["p_partkey"] % num_partitions).astype("int32")
+            return g
+
+        def part_side(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["qty"] = np.float64(0)
+            b["rev_c"] = np.int64(0)
+            b["n"] = np.int64(0)
+            b["jb"] = (b["p_partkey"] % num_partitions).astype("int32")
+            return b[["p_partkey", "qty", "rev_c", "n", "clause", "jb"]]
+
+        def join_part(group: pd.DataFrame) -> pd.DataFrame:
+            p = group[group["clause"] >= 0][["p_partkey", "clause"]]
+            l = group[group["clause"] < 0]
+            empty = pd.DataFrame({"rev_c": [np.int64(0)],
+                                  "n_items": [np.int64(0)]})
+            if p.empty or l.empty:
+                return empty
+            m = l.merge(p.astype({"p_partkey": "int64"}), on="p_partkey")
+            cl = m["clause_y"].to_numpy().astype("int64")
+            qty = m["qty"].to_numpy()
+            ok = (qty >= qty_lo[cl]) & (qty <= qty_hi[cl])
+            return pd.DataFrame({
+                "rev_c": [np.int64(m["rev_c"].to_numpy()[ok].sum())],
+                "n_items": [np.int64(m["n"].to_numpy()[ok].sum())]})
+
+        parts_out = (li.map_batches(li_partial, batch_format="pandas",
+                                    batch_size=131072)
+                     .union(part_f.map_batches(part_side,
+                                               batch_format="pandas"))
+                     .groupby("jb").map_groups(join_part,
+                                               batch_format="pandas")
+                     .to_pandas())
+
+    n_items = int(parts_out["n_items"].sum())
+    return pd.DataFrame({
+        "revenue": [parts_out["rev_c"].sum() / 100.0 if n_items else np.nan],
+        "n_items": [n_items]})
+
+
+BRAND_DISJUNCT_REVENUE_SQL = """
+SELECT SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100.0 + 0.5)
+                AS BIGINT))::BIGINT / 100.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""

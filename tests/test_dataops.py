@@ -1466,3 +1466,70 @@ def test_large_orders_empty_windo(ray_session):
     assert len(out) == 0
     assert list(out.columns) == ["c_custkey", "c_name", "o_orderkey",
                                  "o_orderdate", "o_totalprice", "total_qty"]
+
+
+def test_nation_trade_volume_matches_oracle(ray_session):
+    """TPC-H Q7 shape: size-gated supplier broadcast + orderkey->custkey
+    bucket-join chain, cross-nation filter in the custkey bucket."""
+    from rdf_n3_ray.pipelines.relational import (
+        NATION_TRADE_VOLUME_SQL, nation_trade_volume)
+
+    out = nation_trade_volume("/root/testdata/sf0.01")
+    assert set(out["supp_nation"]) == {"NATION_1", "NATION_2"}
+    _assert_oracle_equal(out, _duckdb_oracle(NATION_TRADE_VOLUME_SQL))
+
+
+def test_nation_trade_volume_distributed_path(ray_session):
+    """Force the suppkey bucket-join fallback (broadcast gate = 0):
+    identical result, nothing supplier-sized broadcast."""
+    from rdf_n3_ray.pipelines.relational import (
+        NATION_TRADE_VOLUME_SQL, nation_trade_volume)
+
+    out = nation_trade_volume("/root/testdata/sf0.01",
+                              supp_broadcast_limit=0)
+    _assert_oracle_equal(out, _duckdb_oracle(NATION_TRADE_VOLUME_SQL))
+
+
+def test_nation_trade_volume_empty_slice(ray_session):
+    """sf0.001 has no NATION_1/NATION_2 suppliers: typed empty frame,
+    matching the oracle's zero rows (no schema-dropping to_pandas)."""
+    from rdf_n3_ray.pipelines.relational import (
+        NATION_TRADE_VOLUME_SQL, nation_trade_volume)
+
+    out = nation_trade_volume("/root/testdata/sf0.001")
+    assert len(out) == 0
+    assert len(_duckdb_oracle(NATION_TRADE_VOLUME_SQL,
+                              sf_dir="/root/testdata/sf0.001")) == 0
+
+
+def test_brand_disjunct_revenue_matches_oracle(ray_session):
+    """TPC-H Q19 shape: disjunctive brand/size/qty clauses via a
+    broadcast clause-tagged part slice; single-pass map sum."""
+    from rdf_n3_ray.pipelines.relational import (
+        BRAND_DISJUNCT_REVENUE_SQL, brand_disjunct_revenue)
+
+    out = brand_disjunct_revenue("/root/testdata/sf0.01")
+    assert out["n_items"].iloc[0] > 0
+    _assert_oracle_equal(out, _duckdb_oracle(BRAND_DISJUNCT_REVENUE_SQL))
+
+
+def test_brand_disjunct_revenue_distributed_path(ray_session):
+    """Force the (partkey, quantity)-partial bucket-join fallback:
+    identical result to the broadcast fast path."""
+    from rdf_n3_ray.pipelines.relational import (
+        BRAND_DISJUNCT_REVENUE_SQL, brand_disjunct_revenue)
+
+    out = brand_disjunct_revenue("/root/testdata/sf0.01",
+                                 part_broadcast_limit=0)
+    _assert_oracle_equal(out, _duckdb_oracle(BRAND_DISJUNCT_REVENUE_SQL))
+
+
+def test_brand_disjunct_revenue_empty_slice(ray_session):
+    """sf0.001 has no part matching any clause: NULL revenue / 0 items,
+    exactly the SQL aggregate-over-zero-rows result."""
+    from rdf_n3_ray.pipelines.relational import (
+        BRAND_DISJUNCT_REVENUE_SQL, brand_disjunct_revenue)
+
+    out = brand_disjunct_revenue("/root/testdata/sf0.001")
+    _assert_oracle_equal(out, _duckdb_oracle(
+        BRAND_DISJUNCT_REVENUE_SQL, sf_dir="/root/testdata/sf0.001"))
