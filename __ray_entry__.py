@@ -182,6 +182,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_orders": R.large_orders,
         "nation_trade_volume": R.nation_trade_volume,
         "brand_disjunct_revenue": R.brand_disjunct_revenue,
+        "doc_rarity": R.doc_rarity,
+        "event_zscore": R.event_zscore,
         # iterative distributed algorithm (non-SQL: rows-only check;
         # pytest pins blob recovery + monotone objective)
         "embed_kmeans": _q_embed_kmeans,
@@ -242,4 +244,6 @@ def oracle_sql() -> dict[str, str]:
         "large_orders": R.LARGE_ORDERS_SQL,
         "nation_trade_volume": R.NATION_TRADE_VOLUME_SQL,
         "brand_disjunct_revenue": R.BRAND_DISJUNCT_REVENUE_SQL,
+        "doc_rarity": R.DOC_RARITY_SQL,
+        "event_zscore": R.EVENT_ZSCORE_SQL,
     }

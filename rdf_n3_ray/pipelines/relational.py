@@ -3682,3 +3682,236 @@ WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
    OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
        AND l.l_quantity BETWEEN 20 AND 30)
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus-rarity document score: mean global token probability per doc.
+# Two passes: (1) global token frequencies via the top_tokens partial-
+# count + token-hash-bucket pattern (full vocab this time, no top-k);
+# (2) per-doc scoring.  The vocab is size-gated — broadcast sorted
+# arrays when small, token-hash bucket join + doc regroup otherwise.
+# All per-token probabilities are quantized to integer ppb
+# (floor(c/T*1e9)) so sums are order-independent and hash-stable; the
+# only float ops (divide, multiply, floor) are IEEE exactly-rounded and
+# mirror the oracle SQL op-for-op.
+# ---------------------------------------------------------------------------
+
+def doc_rarity(sf_dir: str, num_buckets: int = 32,
+               vocab_broadcast_limit: int = 4_000_000):
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def vocab_partial(b: pd.DataFrame) -> pd.DataFrame:
+        counts = (b["text"].fillna("").str.lower().str.split()
+                  .explode().dropna().value_counts())
+        out = counts.rename_axis("token").reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        out["tb"] = (pd.util.hash_pandas_object(out["token"], index=False)
+                     % num_buckets).astype("int32")
+        return out
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("token", as_index=False)["n"].sum()
+        m["n"] = m["n"].astype("int64")
+        return m
+
+    vocab = (ds.map_batches(vocab_partial, batch_format="pandas")
+             .groupby("tb").map_groups(merge_bucket, batch_format="pandas")
+             .materialize())  # consumed twice: total count + join side
+    from ray.data.aggregate import Sum
+
+    total = vocab.aggregate(Sum("n", alias_name="t"))["t"]
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "sum_ppb": pd.Series(dtype="int64"),
+                          "n_tokens": pd.Series(dtype="int64"),
+                          "mean_prob_ppb": pd.Series(dtype="float64")})
+    if total is None or total == 0:
+        return empty
+    t_d = float(total)
+
+    if vocab.count() <= vocab_broadcast_limit:
+        vdf = vocab.to_pandas().sort_values("token")
+        ppb = np.floor(vdf["n"].to_numpy().astype("float64") / t_d
+                       * 1000000000.0).astype("int64")
+        vref = ray.put((vdf["token"].to_numpy(), ppb))
+
+        def score(b: pd.DataFrame) -> pd.DataFrame:
+            toks, ppbs = ray.get(vref)
+            ex = (b.assign(tok=b["text"].fillna("").str.lower().str.split())
+                  [["doc_id", "tok"]].explode("tok").dropna(subset=["tok"]))
+            if ex.empty:
+                return empty[["doc_id", "sum_ppb", "n_tokens",
+                              "mean_prob_ppb"]]
+            pos = np.searchsorted(toks, ex["tok"].to_numpy())
+            # every doc token IS in the corpus vocab by construction
+            g = (pd.DataFrame({"doc_id": ex["doc_id"].to_numpy(),
+                               "ppb": ppbs[pos]})
+                 .groupby("doc_id", as_index=False)
+                 .agg(sum_ppb=("ppb", "sum"), n_tokens=("ppb", "size")))
+            g["sum_ppb"] = g["sum_ppb"].astype("int64")
+            g["n_tokens"] = g["n_tokens"].astype("int64")
+            g["mean_prob_ppb"] = (g["sum_ppb"].astype("float64")
+                                  / g["n_tokens"].astype("float64"))
+            return g
+
+        # doc_id never spans batches (documents is one row per doc), so
+        # per-batch grouping is final — no shuffle at all on this path
+        return ds.map_batches(score, batch_format="pandas")
+
+    # distributed path: explode (doc_id, token), token-hash bucket join
+    # against the vocab, then a doc_id groupby folds bucket partials.
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        ex = (b.assign(tok=b["text"].fillna("").str.lower().str.split())
+              [["doc_id", "tok"]].explode("tok").dropna(subset=["tok"]))
+        g = (ex.groupby(["doc_id", "tok"], as_index=False).size()
+             .rename(columns={"tok": "token", "size": "n"}))
+        g["n"] = g["n"].astype("int64")
+        g["doc_id"] = g["doc_id"].astype("int64")
+        g["tb"] = (pd.util.hash_pandas_object(g["token"], index=False)
+                   % num_buckets).astype("int32")
+        return g[["doc_id", "token", "n", "tb"]]
+
+    def vocab_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["doc_id"] = np.int64(-1)  # marks the vocab side
+        b["tb"] = (pd.util.hash_pandas_object(b["token"], index=False)
+                   % num_buckets).astype("int32")
+        return b[["doc_id", "token", "n", "tb"]]
+
+    def join_tokens(group: pd.DataFrame) -> pd.DataFrame:
+        v = group[group["doc_id"] < 0][["token", "n"]]
+        d = group[group["doc_id"] >= 0]
+        out_empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                  "sum_ppb": pd.Series(dtype="int64"),
+                                  "n_tokens": pd.Series(dtype="int64")})
+        if v.empty or d.empty:
+            return out_empty
+        ppb = np.floor(v["n"].to_numpy().astype("float64") / t_d
+                       * 1000000000.0).astype("int64")
+        v = pd.DataFrame({"token": v["token"].to_numpy(), "ppb": ppb})
+        m = d.merge(v, on="token")
+        m["sum_ppb"] = m["ppb"] * m["n"]
+        g = (m.groupby("doc_id", as_index=False)
+             .agg(sum_ppb=("sum_ppb", "sum"), n_tokens=("n", "sum")))
+        return g.astype({"doc_id": "int64", "sum_ppb": "int64",
+                         "n_tokens": "int64"})
+
+    partials = (ds.map_batches(explode, batch_format="pandas")
+                .union(vocab.map_batches(vocab_side, batch_format="pandas"))
+                .groupby("tb").map_groups(join_tokens,
+                                          batch_format="pandas"))
+    per_doc = partials.groupby("doc_id").aggregate(
+        Sum("sum_ppb", alias_name="sum_ppb"),
+        Sum("n_tokens", alias_name="n_tokens"))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.astype({"sum_ppb": "int64", "n_tokens": "int64"})
+        b["mean_prob_ppb"] = (b["sum_ppb"].astype("float64")
+                              / b["n_tokens"].astype("float64"))
+        return b[["doc_id", "sum_ppb", "n_tokens", "mean_prob_ppb"]]
+
+    return per_doc.map_batches(finish, batch_format="pandas")
+
+
+DOC_RARITY_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+           x -> x <> '')) AS token
+  FROM documents
+),
+freq AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+tot AS (SELECT COUNT(*) AS t FROM tok)
+SELECT tok.doc_id,
+       SUM(CAST(FLOOR(CAST(freq.c AS DOUBLE) / CAST(tot.t AS DOUBLE)
+                      * 1000000000.0) AS BIGINT))::BIGINT AS sum_ppb,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CAST(FLOOR(CAST(freq.c AS DOUBLE) / CAST(tot.t AS DOUBLE)
+                           * 1000000000.0) AS BIGINT)) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS mean_prob_ppb
+FROM tok JOIN freq USING (token) CROSS JOIN tot
+GROUP BY tok.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-type z-score outlier detection: two passes.  Pass 1 ships exact
+# integer-cent moment partials (n, Σx, Σx²) per (batch, type) — a few
+# rows per batch — folded into arbitrary-precision Python ints on the
+# driver (int64 would overflow Σx² at 10^12 rows).  Pass 2 broadcasts
+# the tiny per-type (mean, std) and flags |z| > 3 map-side.  Every
+# float op mirrors the oracle SQL op-for-op (IEEE exactly-rounded
+# divide/multiply/sqrt), so the boundary comparison is bit-identical.
+# ---------------------------------------------------------------------------
+
+def event_zscore(sf_dir: str, z_threshold: float = 3.0):
+    import ray
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "value"])
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["value"].notna()]
+        xc = np.floor(b["value"].to_numpy() * 100.0 + 0.5)
+        g = (pd.DataFrame({"event_type": b["event_type"].to_numpy(),
+                           "xc": xc.astype("int64")})
+             .groupby("event_type", as_index=False)
+             .agg(n=("xc", "size"), sc=("xc", "sum")))
+        ss = (pd.DataFrame({"event_type": b["event_type"].to_numpy(),
+                            "x2": (xc * xc).astype("int64")})
+              .groupby("event_type", as_index=False).agg(ssq=("x2", "sum")))
+        return g.merge(ss, on="event_type")
+
+    parts = ds.map_batches(moments, batch_format="pandas",
+                           batch_size=131072).to_pandas()
+    stats = {}
+    for et, grp in parts.groupby("event_type"):
+        n = int(grp["n"].sum())
+        sc = sum(int(v) for v in grp["sc"])    # exact big-int fold
+        ssq = sum(int(v) for v in grp["ssq"])
+        mean_c = float(sc) / float(n)
+        var_c = float(n * ssq - sc * sc) / (float(n) * float(n))
+        stats[et] = (mean_c, float(np.sqrt(var_c)))
+    stats_ref = ray.put(stats)
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(stats_ref)
+        b = b[b["value"].notna()]
+        xc = np.floor(b["value"].to_numpy() * 100.0 + 0.5)
+        mean = b["event_type"].map({k: v[0] for k, v in st.items()})
+        std = b["event_type"].map({k: v[1] for k, v in st.items()})
+        z = (xc - mean.to_numpy()) / std.to_numpy()
+        keep = np.abs(z) > z_threshold
+        out = b[keep][["event_id", "event_type", "value"]].copy()
+        out["z_milli"] = np.floor(z[keep] * 1000.0 + 0.5).astype("int64")
+        return out
+
+    return ds.map_batches(flag, batch_format="pandas", batch_size=131072)
+
+
+EVENT_ZSCORE_SQL = """
+WITH x AS (
+  SELECT event_id, event_type, value,
+         FLOOR(value * 100.0 + 0.5) AS xc
+  FROM events WHERE value IS NOT NULL
+),
+s AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(xc AS HUGEINT)) AS sc,
+         SUM(CAST(xc AS HUGEINT) * CAST(xc AS HUGEINT)) AS ssq
+  FROM x GROUP BY event_type
+),
+st AS (
+  SELECT event_type,
+         CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+         SQRT(CAST(n * ssq - sc * sc AS DOUBLE)
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS std_c
+  FROM s
+)
+SELECT x.event_id, x.event_type, x.value,
+       CAST(FLOOR((x.xc - st.mean_c) / st.std_c * 1000.0 + 0.5)
+            AS BIGINT) AS z_milli
+FROM x JOIN st USING (event_type)
+WHERE ABS((x.xc - st.mean_c) / st.std_c) > 3.0
+"""

@@ -1533,3 +1533,35 @@ def test_brand_disjunct_revenue_empty_slice(ray_session):
     out = brand_disjunct_revenue("/root/testdata/sf0.001")
     _assert_oracle_equal(out, _duckdb_oracle(
         BRAND_DISJUNCT_REVENUE_SQL, sf_dir="/root/testdata/sf0.001"))
+
+
+def test_doc_rarity_matches_oracle(ray_session):
+    """Mean global-token-probability per doc, integer-ppb quantized so
+    sums are order-independent; broadcast-vocab fast path."""
+    from rdf_n3_ray.pipelines.relational import DOC_RARITY_SQL, doc_rarity
+
+    out = doc_rarity("/root/testdata/sf0.01").to_pandas()
+    assert (out["n_tokens"] > 0).all()
+    _assert_oracle_equal(out, _duckdb_oracle(DOC_RARITY_SQL))
+
+
+def test_doc_rarity_distributed_path(ray_session):
+    """Force the token-hash bucket join + doc_id regroup (vocab gate 0):
+    identical result to the broadcast path."""
+    from rdf_n3_ray.pipelines.relational import DOC_RARITY_SQL, doc_rarity
+
+    out = doc_rarity("/root/testdata/sf0.001",
+                     vocab_broadcast_limit=0).to_pandas()
+    _assert_oracle_equal(out, _duckdb_oracle(
+        DOC_RARITY_SQL, sf_dir="/root/testdata/sf0.001"))
+
+
+def test_event_zscore_matches_oracle(ray_session):
+    """Per-type moment partials -> broadcast (mean, std) -> map-side
+    |z|>3 flags; exact integer-cent moments, op-for-op float parity."""
+    from rdf_n3_ray.pipelines.relational import (
+        EVENT_ZSCORE_SQL, event_zscore)
+
+    out = event_zscore("/root/testdata/sf0.01").to_pandas()
+    assert (out["z_milli"].abs() >= 3000).all()
+    _assert_oracle_equal(out, _duckdb_oracle(EVENT_ZSCORE_SQL))
