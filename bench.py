@@ -141,6 +141,15 @@ def run_bench() -> dict:
          ("above_avg_low_activity",
           lambda: R.above_avg_low_activity(sf_dir)),
          ("tfidf_search", lambda: R.tfidf_search(sf_dir))],
+        [("revenue_forecast", lambda: R.revenue_forecast(sf_dir)),
+         ("event_zscore", lambda: R.event_zscore(sf_dir).count()),
+         ("large_orders", lambda: R.large_orders(sf_dir)),
+         ("brand_disjunct_revenue",
+          lambda: R.brand_disjunct_revenue(sf_dir))],
+        [("doc_rarity", lambda: R.doc_rarity(sf_dir).count()),
+         ("returned_top_customers",
+          lambda: R.returned_top_customers(sf_dir)),
+         ("nation_trade_volume", lambda: R.nation_trade_volume(sf_dir))],
     ]
 
     def fresh_session():

@@ -3149,21 +3149,18 @@ def returned_top_customers(sf_dir: str, date_from: str = "1996-10-01",
     cust = _read(sf_dir, "customer",
                  columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
 
-    class CustTag:
-        def __init__(self, nation_ref):
-            self.nmap = ray.get(nation_ref)
-
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            b = b.assign(n_name=b["c_nationkey"].map(self.nmap),
-                         cb=(b["c_custkey"] % num_partitions).astype("int32"),
-                         side=1)
-            return b[["c_custkey", "c_name", "c_acctbal", "n_name",
-                      "cb", "side"]]
+    def cust_tag(b: pd.DataFrame) -> pd.DataFrame:
+        # plain task (not an actor pool): the broadcast nation map is
+        # dimension-sized, so per-task ray.get is cheap and we skip the
+        # ~1s actor-pool startup a trivial-state stage doesn't earn
+        b = b.assign(n_name=b["c_nationkey"].map(ray.get(nation_ref)),
+                     cb=(b["c_custkey"] % num_partitions).astype("int32"),
+                     side=1)
+        return b[["c_custkey", "c_name", "c_acctbal", "n_name",
+                  "cb", "side"]]
 
     both2 = (partials.map_batches(part_tag, batch_format="pandas")
-             .union(cust.map_batches(CustTag, batch_format="pandas",
-                                     concurrency=(1, 8),
-                                     fn_constructor_args=(nation_ref,))))
+             .union(cust.map_batches(cust_tag, batch_format="pandas")))
 
     def join2(group: pd.DataFrame) -> pd.DataFrame:
         l = group[group["side"] == 0]
@@ -3252,31 +3249,32 @@ def large_orders(sf_dir: str, min_qty: float = 300.0,
             "o_totalprice": pd.Series(dtype="float64"),
             "total_qty": pd.Series(dtype="float64")})
 
-    okeys_ref = ray.put(frozenset(winners["l_orderkey"].tolist()))
+    def _semi_filter(keys: np.ndarray, col: str):
+        """Broadcast semi-join via sorted-array searchsorted (zero-copy
+        numpy through the object store; plain tasks — trivial state
+        doesn't earn an actor pool's startup cost)."""
+        keys_ref = ray.put(np.sort(keys.astype("int64")))
 
-    class SemiFilter:
-        """Broadcast semi-join: keep rows whose key is in the winner set."""
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            ks = ray.get(keys_ref)
+            v = b[col].to_numpy().astype("int64")
+            pos = np.searchsorted(ks, v).clip(0, len(ks) - 1)
+            return b[ks[pos] == v]
 
-        def __init__(self, keys_ref, col):
-            self.keys = ray.get(keys_ref)
-            self.col = col
-
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            return b[b[self.col].isin(self.keys)]
+        return fn
 
     orders = (_read(sf_dir, "orders",
                     columns=["o_orderkey", "o_custkey", "o_orderdate",
                              "o_totalprice"])
-              .map_batches(SemiFilter, batch_format="pandas",
-                           concurrency=(1, 8),
-                           fn_constructor_args=(okeys_ref, "o_orderkey"))
+              .map_batches(_semi_filter(winners["l_orderkey"].to_numpy(),
+                                        "o_orderkey"),
+                           batch_format="pandas")
               .to_pandas())  # |winners| rows
 
-    ckeys_ref = ray.put(frozenset(orders["o_custkey"].tolist()))
     cust = (_read(sf_dir, "customer", columns=["c_custkey", "c_name"])
-            .map_batches(SemiFilter, batch_format="pandas",
-                         concurrency=(1, 8),
-                         fn_constructor_args=(ckeys_ref, "c_custkey"))
+            .map_batches(_semi_filter(orders["o_custkey"].to_numpy(),
+                                      "c_custkey"),
+                         batch_format="pandas")
             .to_pandas())  # <= |winners| rows
 
     m = (winners.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
@@ -3718,20 +3716,20 @@ def doc_rarity(sf_dir: str, num_buckets: int = 32,
 
     vocab = (ds.map_batches(vocab_partial, batch_format="pandas")
              .groupby("tb").map_groups(merge_bucket, batch_format="pandas")
-             .materialize())  # consumed twice: total count + join side
+             .materialize())  # consumed twice: gate count + join side
     from ray.data.aggregate import Sum
 
-    total = vocab.aggregate(Sum("n", alias_name="t"))["t"]
     empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                           "sum_ppb": pd.Series(dtype="int64"),
                           "n_tokens": pd.Series(dtype="int64"),
                           "mean_prob_ppb": pd.Series(dtype="float64")})
-    if total is None or total == 0:
+    vocab_n = vocab.count()  # metadata read on a materialized dataset
+    if vocab_n == 0:
         return empty
-    t_d = float(total)
 
-    if vocab.count() <= vocab_broadcast_limit:
+    if vocab_n <= vocab_broadcast_limit:
         vdf = vocab.to_pandas().sort_values("token")
+        t_d = float(int(vdf["n"].sum()))  # total from the collected vocab
         ppb = np.floor(vdf["n"].to_numpy().astype("float64") / t_d
                        * 1000000000.0).astype("int64")
         vref = ray.put((vdf["token"].to_numpy(), ppb))
@@ -3761,6 +3759,9 @@ def doc_rarity(sf_dir: str, num_buckets: int = 32,
 
     # distributed path: explode (doc_id, token), token-hash bucket join
     # against the vocab, then a doc_id groupby folds bucket partials.
+    total = vocab.aggregate(Sum("n", alias_name="t"))["t"]
+    t_d = float(int(total))
+
     def explode(b: pd.DataFrame) -> pd.DataFrame:
         ex = (b.assign(tok=b["text"].fillna("").str.lower().str.split())
               [["doc_id", "tok"]].explode("tok").dropna(subset=["tok"]))

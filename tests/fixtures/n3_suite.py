@@ -1171,4 +1171,69 @@ CASES += [
      "{ (2 10) math:exponentiation ?v } => { :r :val ?v } .",
      f'<{X}r> <{X}val> "1024"^^<{XSD}integer> .',
      {"think": True, "conclusions": True}),
+    # --- iriPropertyList [ id <iri> ... ] (reader.rb:537-551;
+    # expectations transcribed from reader_spec.rb:986-1055) ----------
+    ("ipl_simple", "Eval",
+     "@prefix : <http://ex/>. [id :s :p :o] .",
+     f"<{X}s> <{X}p> <{X}o> .", {}),
+    ("ipl_whitespace", "Eval",
+     "@prefix : <http://ex/>. [ id :s :p :o] .",
+     f"<{X}s> <{X}p> <{X}o> .", {}),
+    ("ipl_linefeed", "Eval",
+     "@prefix : <http://ex/>. [\n id :s\n :p :o\n ] .",
+     f"<{X}s> <{X}p> <{X}o> .", {}),
+    ("ipl_as_object", "Eval",
+     '@prefix a: <http://foo/a#> . a:b a:oneRef [ id a:node0 a:pp "1" ; a:qq "2" ] .',
+     '<http://foo/a#node0> <http://foo/a#pp> "1" .\n'
+     '<http://foo/a#node0> <http://foo/a#qq> "2" .\n'
+     '<http://foo/a#b> <http://foo/a#oneRef> <http://foo/a#node0> .', {}),
+    ("ipl_nested", "Eval",
+     '@prefix a: <http://foo/a#> . a:a a:p [ id a:node1 a:p2 '
+     '[ id a:node0 a:p3 "v1" , "v2" ; a:p4 "v3" ] ; a:p5 "v4" ] .',
+     '<http://foo/a#node0> <http://foo/a#p3> "v1" .\n'
+     '<http://foo/a#node0> <http://foo/a#p3> "v2" .\n'
+     '<http://foo/a#node0> <http://foo/a#p4> "v3" .\n'
+     '<http://foo/a#node1> <http://foo/a#p2> <http://foo/a#node0> .\n'
+     '<http://foo/a#node1> <http://foo/a#p5> "v4" .\n'
+     '<http://foo/a#a> <http://foo/a#p> <http://foo/a#node1> .', {}),
+    ("ipl_neg_semicolon_after_id", "NegativeSyntax",
+     "@prefix : <http://ex/>. [ id :s ; :p :o] .", None, {}),
+    ("ipl_neg_subject_list", "NegativeSyntax",
+     "@prefix : <http://ex/>. [ id :s1, :s2 :p :o] .", None, {}),
+    ("ipl_neg_bnode_id", "NegativeSyntax",
+     "@prefix : <http://ex/>. [ id _:bn :p :o] .", None, {}),
+    # --- numeric-terminator / escape / relative-IRI tail -------------
+    # (terminals.rb:53-57 INTEGER/DECIMAL/DOUBLE longest-match vs the
+    # statement dot; reader.rb:476 `.E` -> `.0E`; PN_LOCAL_ESC
+    # reader.rb:825-833; RFC3986 query/fragment-only references)
+    ("eval_int_then_dot", "Eval",
+     "@prefix : <http://ex/>. :a :b 5.",
+     f'<{X}a> <{X}b> "5"^^<{XSD}integer> .', {}),
+    ("eval_decimal_then_dot", "Eval",
+     "@prefix : <http://ex/>. :a :b 5.5.",
+     f'<{X}a> <{X}b> "5.5"^^<{XSD}decimal> .', {}),
+    ("eval_double_dot_e_norm", "Eval",
+     "@prefix : <http://ex/>. :a :b 5.E0 .",
+     f'<{X}a> <{X}b> "5.0E0"^^<{XSD}double> .', {}),
+    ("eval_double_leading_dot", "Eval",
+     "@prefix : <http://ex/>. :a :b .5E0 .",
+     f'<{X}a> <{X}b> ".5E0"^^<{XSD}double> .', {}),
+    ("eval_echar_tab_bs_ff", "Eval",
+     '@prefix : <http://ex/>. :a :b "x\\ty\\bz\\f" .',
+     f'<{X}a> <{X}b> "x\\ty\\bz\\f" .', {}),
+    ("eval_pn_local_esc_dot", "Eval",
+     "@prefix : <http://ex/>. :a\\.b :p :o .",
+     f"<{X}a.b> <{X}p> <{X}o> .", {}),
+    ("eval_rel_iri_query_only", "Eval",
+     "@prefix : <http://ex/>. :a :b <?q=1> .",
+     f"<{X}a> <{X}b> <http://a/b?q=1> .",
+     {"base_uri": "http://a/b"}),
+    ("eval_rel_iri_frag_only", "Eval",
+     "@prefix : <http://ex/>. :a :b <#frag> .",
+     f"<{X}a> <{X}b> <http://a/b#frag> .",
+     {"base_uri": "http://a/b"}),
+    ("eval_boolean_objects", "Eval",
+     "@prefix : <http://ex/>. :a :b true, false .",
+     f'<{X}a> <{X}b> "true"^^<{XSD}boolean> .\n'
+     f'<{X}a> <{X}b> "false"^^<{XSD}boolean> .', {}),
 ]
