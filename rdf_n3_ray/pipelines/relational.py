@@ -34,6 +34,42 @@ def _user_bucket(user_id: "pd.Series", num_buckets: int) -> "pd.Series":
     return (user_id % num_buckets).astype("int32")
 
 
+def _semi_probe(keys_sorted: np.ndarray,
+                values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(hit_mask, positions) of `values` against a SORTED int64 key
+    array (searchsorted + equality probe).  One shared definition so
+    every broadcast-lookup call site gets the empty-keys guard
+    (clip(0, -1) on an empty array would index out of bounds)."""
+    if len(keys_sorted) == 0:
+        z = np.zeros(len(values), dtype=np.int64)
+        return np.zeros(len(values), dtype=bool), z
+    pos = np.searchsorted(keys_sorted, values).clip(0, len(keys_sorted) - 1)
+    return keys_sorted[pos] == values, pos
+
+
+def _semi_mask(keys_sorted: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Membership mask for a broadcast semi-join (see _semi_probe)."""
+    return _semi_probe(keys_sorted, values)[0]
+
+
+# DuckDB's RE2 '\s' is ASCII-only AND excludes \v ([ \t\n\f\r], the
+# classic Perl set — verified against DuckDB); Python str.split()
+# splits on ALL Unicode whitespace (\v, \x85, NBSP, \x1c...), a silent
+# oracle-parity divergence on exotic texts (same bug class 94bdf1e
+# fixed for the PII scrub).  Every tokenizing operator whose oracle
+# splits on '\s+' must use this instead of .str.split().
+_ASCII_WS = r"[ \t\n\f\r]+"
+
+
+def _ws_tokens(text: "pd.Series") -> "pd.Series":
+    """lower + split exactly like the oracle's
+    regexp_split_to_array(lower(...), '\\s+') + drop-empty filter;
+    returns an exploded Series of non-empty tokens."""
+    ex = (text.fillna("").str.lower()
+          .str.split(_ASCII_WS, regex=True).explode().dropna())
+    return ex[ex != ""]
+
+
 def _strip_meta(ds):
     """Drop parquet's b'pandas' schema metadata (it makes pa.Schema
     unhashable — "Failed to hash the schemas" — and defeats Ray's
@@ -385,8 +421,7 @@ def top_tokens(sf_dir: str, k: int = 50, num_buckets: int = 32):
     ds = _read(sf_dir, "documents", columns=["text"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        counts = (b["text"].fillna("").str.lower().str.split()
-                  .explode().dropna().value_counts())
+        counts = _ws_tokens(b["text"]).value_counts()
         out = counts.rename_axis("token").reset_index(name="n")
         out["n"] = out["n"].astype("int64")
         out["tb"] = (pd.util.hash_pandas_object(out["token"], index=False)
@@ -1923,8 +1958,7 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
             if len(keys) == 0:
                 return _empty()
             sk = b["l_suppkey"].to_numpy().astype("int64")
-            pos = np.searchsorted(keys, sk).clip(0, len(keys) - 1)
-            hit = keys[pos] == sk
+            hit, pos = _semi_probe(keys, sk)
             b = b[hit]
             rev = np.floor(b["l_extendedprice"].to_numpy()
                            * (1.0 - b["l_discount"].to_numpy()) * 100.0
@@ -3250,16 +3284,14 @@ def large_orders(sf_dir: str, min_qty: float = 300.0,
             "total_qty": pd.Series(dtype="float64")})
 
     def _semi_filter(keys: np.ndarray, col: str):
-        """Broadcast semi-join via sorted-array searchsorted (zero-copy
-        numpy through the object store; plain tasks — trivial state
-        doesn't earn an actor pool's startup cost)."""
+        """Broadcast semi-join via _semi_mask (zero-copy numpy through
+        the object store; plain tasks — trivial state doesn't earn an
+        actor pool's startup cost)."""
         keys_ref = ray.put(np.sort(keys.astype("int64")))
 
         def fn(b: pd.DataFrame) -> pd.DataFrame:
             ks = ray.get(keys_ref)
-            v = b[col].to_numpy().astype("int64")
-            pos = np.searchsorted(ks, v).clip(0, len(ks) - 1)
-            return b[ks[pos] == v]
+            return b[_semi_mask(ks, b[col].to_numpy().astype("int64"))]
 
         return fn
 
@@ -3373,8 +3405,7 @@ def nation_trade_volume(sf_dir: str, nation_a: str = "NATION_1",
                 return _empty()
             b, rev = _li_rev(b)
             sk = b["l_suppkey"].to_numpy().astype("int64")
-            pos = np.searchsorted(keys, sk).clip(0, len(keys) - 1)
-            hit = keys[pos] == sk
+            hit, pos = _semi_probe(keys, sk)
             g = (pd.DataFrame({
                     "key": b["l_orderkey"].to_numpy()[hit].astype("int64"),
                     "supp_nk": nks[pos[hit]],
@@ -3601,8 +3632,7 @@ def brand_disjunct_revenue(sf_dir: str, clauses=_Q19_CLAUSES,
             if len(keys) == 0:
                 return empty
             pk = b["l_partkey"].to_numpy().astype("int64")
-            pos = np.searchsorted(keys, pk).clip(0, len(keys) - 1)
-            hit = keys[pos] == pk
+            hit, pos = _semi_probe(keys, pk)
             qty = b["l_quantity"].to_numpy()[hit]
             cl = cls[pos[hit]]
             ok = (qty >= qty_lo[cl]) & (qty <= qty_hi[cl])
@@ -3701,8 +3731,7 @@ def doc_rarity(sf_dir: str, num_buckets: int = 32,
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def vocab_partial(b: pd.DataFrame) -> pd.DataFrame:
-        counts = (b["text"].fillna("").str.lower().str.split()
-                  .explode().dropna().value_counts())
+        counts = _ws_tokens(b["text"]).value_counts()
         out = counts.rename_axis("token").reset_index(name="n")
         out["n"] = out["n"].astype("int64")
         out["tb"] = (pd.util.hash_pandas_object(out["token"], index=False)
@@ -3736,8 +3765,9 @@ def doc_rarity(sf_dir: str, num_buckets: int = 32,
 
         def score(b: pd.DataFrame) -> pd.DataFrame:
             toks, ppbs = ray.get(vref)
-            ex = (b.assign(tok=b["text"].fillna("").str.lower().str.split())
-                  [["doc_id", "tok"]].explode("tok").dropna(subset=["tok"]))
+            toks_s = _ws_tokens(b["text"])
+            ex = pd.DataFrame({"doc_id": b["doc_id"].reindex(toks_s.index),
+                               "tok": toks_s})
             if ex.empty:
                 return empty[["doc_id", "sum_ppb", "n_tokens",
                               "mean_prob_ppb"]]
@@ -3763,8 +3793,9 @@ def doc_rarity(sf_dir: str, num_buckets: int = 32,
     t_d = float(int(total))
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
-        ex = (b.assign(tok=b["text"].fillna("").str.lower().str.split())
-              [["doc_id", "tok"]].explode("tok").dropna(subset=["tok"]))
+        toks_s = _ws_tokens(b["text"])
+        ex = pd.DataFrame({"doc_id": b["doc_id"].reindex(toks_s.index),
+                           "tok": toks_s})
         g = (ex.groupby(["doc_id", "tok"], as_index=False).size()
              .rename(columns={"tok": "token", "size": "n"}))
         g["n"] = g["n"].astype("int64")
@@ -3855,14 +3886,33 @@ def event_zscore(sf_dir: str, z_threshold: float = 3.0):
     def moments(b: pd.DataFrame) -> pd.DataFrame:
         b = b[b["value"].notna()]
         xc = np.floor(b["value"].to_numpy() * 100.0 + 0.5)
-        g = (pd.DataFrame({"event_type": b["event_type"].to_numpy(),
-                           "xc": xc.astype("int64")})
-             .groupby("event_type", as_index=False)
-             .agg(n=("xc", "size"), sc=("xc", "sum")))
-        ss = (pd.DataFrame({"event_type": b["event_type"].to_numpy(),
-                            "x2": (xc * xc).astype("int64")})
-              .groupby("event_type", as_index=False).agg(ssq=("x2", "sum")))
-        return g.merge(ss, on="event_type")
+        df = pd.DataFrame({"event_type": b["event_type"].to_numpy(),
+                           "xc": xc})
+        # sc/ssq travel as decimal STRINGS: the exact path's big ints
+        # exceed Arrow int64, and mixed block dtypes would conflict —
+        # the driver folds with int(v), which accepts both.
+        if len(xc) == 0 or np.abs(xc).max() <= float(1 << 22):
+            # fast path: |xc| <= 2^22 keeps xc^2 <= 2^44, so a 131072-row
+            # batch's int64 ssq sum stays < 2^61 — exact, vectorized
+            xi = xc.astype("int64")
+            df["xc"], df["x2"] = xi, xi * xi
+            out = (df.groupby("event_type", as_index=False)
+                   .agg(n=("xc", "size"), sc=("xc", "sum"),
+                        ssq=("x2", "sum")))
+        else:
+            # exact path mirroring the oracle's HUGEINT squares: Python
+            # big ints (xc is float64 on BOTH sides — DuckDB's FLOOR is
+            # a double too — so int(v) equals CAST(xc AS HUGEINT))
+            out = (df.groupby("event_type")["xc"]
+                   .apply(lambda s: pd.Series({
+                       "n": len(s),
+                       "sc": sum(int(v) for v in s),
+                       "ssq": sum(int(v) * int(v) for v in s)}))
+                   .unstack().reset_index())
+            out["n"] = out["n"].astype("int64")
+        out["sc"] = out["sc"].map(lambda v: str(int(v)))
+        out["ssq"] = out["ssq"].map(lambda v: str(int(v)))
+        return out[["event_type", "n", "sc", "ssq"]]
 
     parts = ds.map_batches(moments, batch_format="pandas",
                            batch_size=131072).to_pandas()

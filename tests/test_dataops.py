@@ -1457,7 +1457,7 @@ def test_large_orders_matches_oracle(ray_session):
     _assert_oracle_equal(out, _duckdb_oracle(LARGE_ORDERS_SQL))
 
 
-def test_large_orders_empty_windo(ray_session):
+def test_large_orders_empty_window(ray_session):
     """Threshold above the max per-order quantity -> typed empty frame,
     not a crash."""
     from rdf_n3_ray.pipelines.relational import large_orders
@@ -1565,3 +1565,53 @@ def test_event_zscore_matches_oracle(ray_session):
     out = event_zscore("/root/testdata/sf0.01").to_pandas()
     assert (out["z_milli"].abs() >= 3000).all()
     _assert_oracle_equal(out, _duckdb_oracle(EVENT_ZSCORE_SQL))
+
+
+def test_ws_tokens_ascii_regex_parity():
+    """Python str.split() splits Unicode whitespace (\\x85, NBSP, \\v);
+    the oracles' RE2 '\\s+' is ASCII-only.  _ws_tokens must match RE2."""
+    import duckdb
+
+    from rdf_n3_ray.pipelines.relational import _ws_tokens
+
+    texts = ["a\vb", "a\x85b", "a\xa0b", "a\x1cb", " x\t y\n", "", "  "]
+    con = duckdb.connect()
+    for t in texts:
+        want = con.execute(
+            r"SELECT list_filter(regexp_split_to_array(lower($1), '\s+'),"
+            r" x -> x <> '')", [t]).fetchone()[0]
+        got = _ws_tokens(pd.Series([t])).tolist()
+        assert got == want, (t.encode(), got, want)
+
+
+def test_event_zscore_bigvalue_exact_path(ray_session, tmp_path):
+    """Values >= 2^22 cents route through the big-int exact path; the
+    HUGEINT oracle must still hash-match (int64 squares would wrap)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rdf_n3_ray.pipelines.relational import EVENT_ZSCORE_SQL, event_zscore
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    vals = rng.normal(4e7, 1e6, size=n)  # xc ~ 4e9: int64^2 wraps
+    vals[:5] = 4e7 + np.array([8e6, -9e6, 1e7, -1.2e7, 2e7])  # outliers
+    tbl = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array([1_700_000_000_000_000 + i for i in range(n)],
+                       pa.timestamp("us")),
+        "user_id": pa.array([i % 97 for i in range(n)], pa.int64()),
+        "event_type": pa.array(["big" if i % 2 else "huge"
+                                for i in range(n)]),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.array(["{}"] * n),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    out = event_zscore(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    want = con.execute(EVENT_ZSCORE_SQL).fetchdf()
+    assert len(out) > 0
+    _assert_oracle_equal(out, want)
