@@ -184,6 +184,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_disjunct_revenue": R.brand_disjunct_revenue,
         "doc_rarity": R.doc_rarity,
         "event_zscore": R.event_zscore,
+        "top_bigrams": R.top_bigrams,
+        "bigram_pmi": R.bigram_pmi,
         # iterative distributed algorithm (non-SQL: rows-only check;
         # pytest pins blob recovery + monotone objective)
         "embed_kmeans": _q_embed_kmeans,
@@ -246,4 +248,6 @@ def oracle_sql() -> dict[str, str]:
         "brand_disjunct_revenue": R.BRAND_DISJUNCT_REVENUE_SQL,
         "doc_rarity": R.DOC_RARITY_SQL,
         "event_zscore": R.EVENT_ZSCORE_SQL,
+        "top_bigrams": R.TOP_BIGRAMS_SQL,
+        "bigram_pmi": R.BIGRAM_PMI_SQL,
     }

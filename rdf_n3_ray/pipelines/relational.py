@@ -3966,3 +3966,163 @@ SELECT x.event_id, x.event_type, x.value,
 FROM x JOIN st USING (event_type)
 WHERE ABS((x.xc - st.mean_c) / st.std_c) > 3.0
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus bigram statistics (training-data n-gram analysis)
+# ---------------------------------------------------------------------------
+def _bigram_partials(b: pd.DataFrame, num_buckets: int) -> pd.DataFrame:
+    """Per-batch partial bigram counts over whitespace tokens, keyed by
+    hash(first_token) % num_buckets.  Adjacent-pair formation is pure
+    numpy over the exploded token stream: a shifted compare keeps only
+    pairs whose two tokens came from the SAME document (doc boundaries
+    never produce a cross-doc bigram)."""
+    toks = _ws_tokens(b["text"])
+    if len(toks) < 2:
+        return pd.DataFrame({"first": pd.Series(dtype="object"),
+                             "second": pd.Series(dtype="object"),
+                             "n": pd.Series(dtype="int64"),
+                             "fb": pd.Series(dtype="int32")})
+    doc = toks.index.to_numpy()          # explode keeps the source row id
+    w = toks.to_numpy()
+    same = doc[:-1] == doc[1:]
+    g = (pd.DataFrame({"first": w[:-1][same], "second": w[1:][same]})
+         .groupby(["first", "second"], as_index=False).size()
+         .rename(columns={"size": "n"}))
+    g["n"] = g["n"].astype("int64")
+    g["fb"] = (pd.util.hash_pandas_object(g["first"], index=False)
+               % num_buckets).astype("int32")
+    return g
+
+
+def top_bigrams(sf_dir: str, k: int = 50, num_buckets: int = 32):
+    """Corpus-wide adjacent-bigram frequency top-k.  Same scale shape
+    as top_tokens: map-side partial counts, first-token-hash bucket
+    merge (a bigram's bucket is a function of its first token, so each
+    bucket owns its bigrams completely), per-bucket partial top-k,
+    tiny driver merge — the bigram vocabulary never assembles in one
+    place."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = (g.groupby(["first", "second"], as_index=False)["n"].sum())
+        m["n"] = m["n"].astype("int64")
+        m["bigram"] = m["first"] + " " + m["second"]
+        return (m.sort_values(["n", "bigram"], ascending=[False, True])
+                .head(k)[["bigram", "n"]])
+
+    partials = (ds.map_batches(lambda b: _bigram_partials(b, num_buckets),
+                               batch_format="pandas")
+                .groupby("fb").map_groups(merge_bucket,
+                                          batch_format="pandas"))
+    top = partials.to_pandas()  # <= num_buckets * k rows
+    return (top.sort_values(["n", "bigram"], ascending=[False, True])
+            .head(k).reset_index(drop=True))
+
+
+TOP_BIGRAMS_SQL = r"""
+WITH t AS (
+  SELECT list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                           '[ \t\n\f\r]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), pairs AS (
+  SELECT unnest(list_zip(toks[:-2], toks[2:])) AS p
+  FROM t WHERE len(toks) >= 2
+)
+SELECT p[1] || ' ' || p[2] AS bigram, count(*)::BIGINT AS n
+FROM pairs GROUP BY 1
+ORDER BY n DESC, bigram LIMIT 50
+"""
+
+
+def bigram_pmi(sf_dir: str, min_count: int = 5, k: int = 50,
+               num_buckets: int = 32):
+    """Pointwise mutual information of adjacent token pairs —
+    collocation mining over the corpus.  PMI margins are taken over
+    bigram positions: n_x = sum of counts of bigrams starting with x,
+    n_y = sum ending with y, N = total bigrams.
+
+    Distributed as two bucket shuffles over the BIGRAM-COUNT table
+    (vocab-squared bounded — far smaller than the corpus):
+      1. partials bucket on hash(first): per-bucket exact bigram
+         counts AND the complete first-margin n_x (every bigram with
+         first=x lands in x's bucket);
+      2. re-key on hash(second): per-bucket complete second-margin
+         n_y, PMI, min-count filter, partial top-k.
+    The grand total N folds from per-bucket sums (<= num_buckets rows
+    on the driver).  Nothing corpus-sized or vocab-sized ever
+    assembles on the driver."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def merge_first(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["first", "second"], as_index=False)["n"].sum()
+        m["n"] = m["n"].astype("int64")
+        mx = m.groupby("first")["n"].sum().rename("n_x")
+        m = m.join(mx, on="first")
+        m["n_x"] = m["n_x"].astype("int64")
+        m["sb"] = (pd.util.hash_pandas_object(m["second"], index=False)
+                   % num_buckets).astype("int32")
+        return m
+
+    by_first = (ds.map_batches(lambda b: _bigram_partials(b, num_buckets),
+                               batch_format="pandas")
+                .groupby("fb").map_groups(merge_first,
+                                          batch_format="pandas")
+                .materialize())  # consumed twice: total N + second pass
+    total = by_first.sum("n")
+    n_total = float(int(total if not isinstance(total, dict)
+                        else total["sum(n)"]))
+
+    def attach_second(g: pd.DataFrame) -> pd.DataFrame:
+        my = g.groupby("second")["n"].sum().rename("n_y")
+        g = g.join(my, on="second")
+        g = g[g["n"] >= min_count]
+        if g.empty:
+            return pd.DataFrame({"bigram": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64"),
+                                 "pmi_milli": pd.Series(dtype="int64")})
+        # double-cast numerator / double denominator, exactly the
+        # oracle's (n*N)::DOUBLE / (n_x*n_y) before ln()
+        num = (g["n"].to_numpy() * n_total)
+        den = (g["n_x"].to_numpy() * g["n_y"].to_numpy()).astype("float64")
+        g = g.assign(pmi_milli=np.floor(
+            1000.0 * np.log(num / den)).astype("int64"))
+        g["bigram"] = g["first"] + " " + g["second"]
+        return (g.sort_values(["pmi_milli", "bigram"],
+                              ascending=[False, True])
+                .head(k)[["bigram", "n", "pmi_milli"]])
+
+    partials = by_first.groupby("sb").map_groups(attach_second,
+                                                 batch_format="pandas")
+    top = partials.to_pandas()  # <= num_buckets * k rows
+    return (top.sort_values(["pmi_milli", "bigram"],
+                            ascending=[False, True])
+            .head(k).reset_index(drop=True))
+
+
+BIGRAM_PMI_SQL = r"""
+WITH t AS (
+  SELECT list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                           '[ \t\n\f\r]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), pairs AS (
+  SELECT unnest(list_zip(toks[:-2], toks[2:])) AS p
+  FROM t WHERE len(toks) >= 2
+), bg AS (
+  SELECT p[1] AS f, p[2] AS s, count(*)::BIGINT AS n
+  FROM pairs GROUP BY 1, 2
+), tot AS (SELECT sum(n)::BIGINT AS total FROM bg),
+mx AS (SELECT f, sum(n)::BIGINT AS n_x FROM bg GROUP BY 1),
+my AS (SELECT s, sum(n)::BIGINT AS n_y FROM bg GROUP BY 1)
+SELECT bg.f || ' ' || bg.s AS bigram, bg.n AS n,
+       CAST(FLOOR(1000.0 * ln((bg.n * tot.total)::DOUBLE
+                              / (mx.n_x * my.n_y))) AS BIGINT)
+         AS pmi_milli
+FROM bg CROSS JOIN tot
+JOIN mx ON bg.f = mx.f
+JOIN my ON bg.s = my.s
+WHERE bg.n >= 5
+ORDER BY pmi_milli DESC, bigram LIMIT 50
+"""

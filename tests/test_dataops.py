@@ -1615,3 +1615,45 @@ def test_event_zscore_bigvalue_exact_path(ray_session, tmp_path):
     want = con.execute(EVENT_ZSCORE_SQL).fetchdf()
     assert len(out) > 0
     _assert_oracle_equal(out, want)
+
+
+def test_top_bigrams_matches_oracle(ray_session):
+    from rdf_n3_ray.pipelines.relational import TOP_BIGRAMS_SQL, top_bigrams
+
+    out = top_bigrams("/root/testdata/sf0.01")
+    assert len(out) == 50
+    # no cross-document bigram: every bigram's parts are real tokens
+    assert out["bigram"].str.split(" ").str.len().eq(2).all()
+    _assert_oracle_equal(out, _duckdb_oracle(TOP_BIGRAMS_SQL))
+
+
+def test_top_bigrams_no_cross_doc_pairs(ray_session, tmp_path):
+    """Two single-token docs must produce zero bigrams (the adjacency
+    shift must respect document boundaries), and a doc with exotic
+    whitespace tokenizes like the oracle's RE2."""
+    import pyarrow.parquet as pq
+
+    from rdf_n3_ray.pipelines.relational import top_bigrams
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["alpha", "beta", "x\vy gamma"]),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["s"] * 3),
+        "n_chars": pa.array([5, 4, 10], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = top_bigrams(str(tmp_path))
+    # 'alpha beta' must NOT appear; doc 3 has tokens ['x\vy', 'gamma']
+    # (\v is NOT an RE2 \s separator) -> exactly one bigram
+    assert out["bigram"].tolist() == ["x\vy gamma"]
+    assert out["n"].tolist() == [1]
+
+
+def test_bigram_pmi_matches_oracle(ray_session):
+    from rdf_n3_ray.pipelines.relational import BIGRAM_PMI_SQL, bigram_pmi
+
+    out = bigram_pmi("/root/testdata/sf0.01")
+    assert len(out) == 50
+    assert (out["n"] >= 5).all()
+    _assert_oracle_equal(out, _duckdb_oracle(BIGRAM_PMI_SQL))
