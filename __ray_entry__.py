@@ -186,6 +186,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_zscore": R.event_zscore,
         "top_bigrams": R.top_bigrams,
         "bigram_pmi": R.bigram_pmi,
+        "user_retention": R.user_retention,
+        "event_funnel": R.event_funnel,
         # iterative distributed algorithm (non-SQL: rows-only check;
         # pytest pins blob recovery + monotone objective)
         "embed_kmeans": _q_embed_kmeans,
@@ -250,4 +252,6 @@ def oracle_sql() -> dict[str, str]:
         "event_zscore": R.EVENT_ZSCORE_SQL,
         "top_bigrams": R.TOP_BIGRAMS_SQL,
         "bigram_pmi": R.BIGRAM_PMI_SQL,
+        "user_retention": R.USER_RETENTION_SQL,
+        "event_funnel": R.EVENT_FUNNEL_SQL,
     }

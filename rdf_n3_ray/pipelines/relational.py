@@ -4126,3 +4126,137 @@ JOIN my ON bg.s = my.s
 WHERE bg.n >= 5
 ORDER BY pmi_milli DESC, bigram LIMIT 50
 """
+
+
+# ---------------------------------------------------------------------------
+# Product-analytics shapes: day-over-day retention, ordered funnel
+# ---------------------------------------------------------------------------
+def user_retention(sf_dir: str, num_buckets: int = 64):
+    """Day-over-day user retention: for each day, how many users were
+    active, and how many of those were also active the NEXT day.
+
+    Map-side (user, day) pair dedup -> user-hash bucket shuffle (each
+    user's full day set lands in one bucket) -> in-bucket vectorized
+    next-day probe (sort by user+day, shifted compare) -> per-bucket
+    per-day partials -> tiny driver fold.  Raw events never shuffle;
+    the driver sees <= num_buckets x n_days rows (days are bounded by
+    the time range, not the data size)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        b = pd.DataFrame({"user_id": b["user_id"],
+                          "day": b["ts"].dt.floor("D")}).drop_duplicates()
+        return b.assign(ub=_user_bucket(b["user_id"], num_buckets))
+
+    def bucket_retention(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop_duplicates(subset=["user_id", "day"])
+             .sort_values(["user_id", "day"]))
+        u = g["user_id"].to_numpy()
+        d = g["day"].to_numpy()
+        nxt = np.zeros(len(g), dtype=bool)
+        if len(g) > 1:
+            nxt[:-1] = (u[:-1] == u[1:]) & (
+                (d[1:] - d[:-1]) == np.timedelta64(1, "D"))
+        out = (pd.DataFrame({"day": g["day"].to_numpy(),
+                             "retained": nxt.astype("int64")})
+               .groupby("day", as_index=False)
+               .agg(active=("retained", "size"),
+                    retained=("retained", "sum")))
+        out["active"] = out["active"].astype("int64")
+        out["retained"] = out["retained"].astype("int64")
+        return out
+
+    parts = (ds.map_batches(pairs, batch_format="pandas",
+                            batch_size=131072)
+             .groupby("ub").map_groups(bucket_retention,
+                                       batch_format="pandas"))
+    out = (parts.to_pandas()
+           .groupby("day", as_index=False)
+           .agg(active=("active", "sum"), retained=("retained", "sum")))
+    out["active"] = out["active"].astype("int64")
+    out["retained"] = out["retained"].astype("int64")
+    return out.sort_values("day").reset_index(drop=True)
+
+
+USER_RETENTION_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+)
+SELECT a.day AS day, count(*)::BIGINT AS active,
+       count(b.user_id)::BIGINT AS retained
+FROM ud a LEFT JOIN ud b
+  ON b.user_id = a.user_id AND b.day = a.day + INTERVAL 1 DAY
+GROUP BY a.day
+ORDER BY a.day
+"""
+
+
+def event_funnel(sf_dir: str,
+                 steps: tuple = ("view", "click", "purchase"),
+                 num_buckets: int = 64):
+    """Ordered conversion funnel: users whose first `steps[0]` is
+    followed (strictly later) by a `steps[1]`, then a `steps[2]`, ...
+
+    One user-hash bucket shuffle of the step-filtered events (each
+    user's history lands whole in one bucket), then a vectorized
+    in-bucket chase: t_i = per-user min ts of step i events occurring
+    AFTER t_{i-1} (merge + mask + groupby-min — no per-user Python
+    loop).  Each bucket emits one partial row of per-stage user
+    counts; the driver folds <= num_buckets rows."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    step_list = list(steps)
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_type"].isin(step_list)]
+        return b.assign(ub=_user_bucket(b["user_id"], num_buckets))
+
+    def bucket_funnel(g: pd.DataFrame) -> pd.DataFrame:
+        cur = (g[g["event_type"] == step_list[0]]
+               .groupby("user_id")["ts"].min().rename("t_prev")
+               .reset_index())
+        counts = [len(cur)]
+        for step in step_list[1:]:
+            nxt = g[g["event_type"] == step][["user_id", "ts"]].merge(
+                cur, on="user_id")
+            nxt = nxt[nxt["ts"] > nxt["t_prev"]]
+            cur = (nxt.groupby("user_id")["ts"].min().rename("t_prev")
+                   .reset_index())
+            counts.append(len(cur))
+        return pd.DataFrame({
+            "stage_idx": np.arange(1, len(step_list) + 1, dtype=np.int64),
+            "stage": step_list,
+            "users": np.asarray(counts, dtype=np.int64)})
+
+    parts = (ds.map_batches(keep, batch_format="pandas",
+                            batch_size=131072)
+             .groupby("ub").map_groups(bucket_funnel,
+                                       batch_format="pandas"))
+    out = (parts.to_pandas()
+           .groupby(["stage_idx", "stage"], as_index=False)["users"].sum())
+    out["users"] = out["users"].astype("int64")
+    return out.sort_values("stage_idx").reset_index(drop=True)
+
+
+EVENT_FUNNEL_SQL = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS ts1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, min(e.ts) AS ts2 FROM events e
+  JOIN t1 ON t1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.ts1 GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, min(e.ts) AS ts3 FROM events e
+  JOIN t2 ON t2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.ts2 GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT 1::BIGINT AS stage_idx, 'view' AS stage,
+         (SELECT count(*) FROM t1)::BIGINT AS users
+  UNION ALL
+  SELECT 2, 'click', (SELECT count(*) FROM t2)::BIGINT
+  UNION ALL
+  SELECT 3, 'purchase', (SELECT count(*) FROM t3)::BIGINT
+)
+ORDER BY stage_idx
+"""

@@ -1657,3 +1657,74 @@ def test_bigram_pmi_matches_oracle(ray_session):
     assert len(out) == 50
     assert (out["n"] >= 5).all()
     _assert_oracle_equal(out, _duckdb_oracle(BIGRAM_PMI_SQL))
+
+
+def test_user_retention_matches_oracle(ray_session):
+    from rdf_n3_ray.pipelines.relational import (USER_RETENTION_SQL,
+                                                 user_retention)
+
+    out = user_retention("/root/testdata/sf0.01")
+    assert (out["retained"] <= out["active"]).all()
+    _assert_oracle_equal(out, _duckdb_oracle(USER_RETENTION_SQL))
+
+
+def test_user_retention_bucket_boundary(ray_session, tmp_path):
+    """A user straddling a month boundary still counts as retained
+    (calendar next-day, not same-month), and duplicate events on one
+    day dedupe to a single active count."""
+    import pyarrow.parquet as pq
+
+    from rdf_n3_ray.pipelines.relational import user_retention
+
+    ts = pd.to_datetime(["2024-01-31 10:00", "2024-01-31 23:00",
+                         "2024-02-01 01:00",   # next day across month
+                         "2024-01-31 09:00",   # user 2: one day only
+                         "2024-02-02 00:00"])  # user 2: gap, no retain
+    tbl = pa.table({
+        "event_id": pa.array(range(5), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "event_type": pa.array(["view"] * 5),
+        "value": pa.array([1.0] * 5),
+        "props": pa.array(["{}"] * 5),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = user_retention(str(tmp_path))
+    got = {str(d)[:10]: (a, r) for d, a, r in
+           zip(out["day"], out["active"], out["retained"])}
+    assert got == {"2024-01-31": (2, 1),   # u1 retained, u2 not
+                   "2024-02-01": (1, 0),
+                   "2024-02-02": (1, 0)}
+
+
+def test_event_funnel_matches_oracle(ray_session):
+    from rdf_n3_ray.pipelines.relational import (EVENT_FUNNEL_SQL,
+                                                 event_funnel)
+
+    out = event_funnel("/root/testdata/sf0.01")
+    # funnel is monotone non-increasing
+    assert list(out["users"]) == sorted(out["users"], reverse=True)
+    _assert_oracle_equal(out, _duckdb_oracle(EVENT_FUNNEL_SQL))
+
+
+def test_event_funnel_strict_ordering(ray_session, tmp_path):
+    """A click BEFORE the first view must not convert; one strictly
+    after must."""
+    import pyarrow.parquet as pq
+
+    from rdf_n3_ray.pipelines.relational import event_funnel
+
+    ts = pd.to_datetime(["2024-01-02", "2024-01-01",   # u1 click < view
+                         "2024-01-01", "2024-01-02", "2024-01-03"])
+    tbl = pa.table({
+        "event_id": pa.array(range(5), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 2, 2, 2], pa.int64()),
+        "event_type": pa.array(["view", "click",
+                                "view", "click", "purchase"]),
+        "value": pa.array([1.0] * 5),
+        "props": pa.array(["{}"] * 5),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = event_funnel(str(tmp_path))
+    assert out["users"].tolist() == [2, 1, 1]
