@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_pmi": R.bigram_pmi,
         "user_retention": R.user_retention,
         "event_funnel": R.event_funnel,
+        "sole_late_supplier": R.sole_late_supplier,
         # iterative distributed algorithm (non-SQL: rows-only check;
         # pytest pins blob recovery + monotone objective)
         "embed_kmeans": _q_embed_kmeans,
@@ -254,4 +255,5 @@ def oracle_sql() -> dict[str, str]:
         "bigram_pmi": R.BIGRAM_PMI_SQL,
         "user_retention": R.USER_RETENTION_SQL,
         "event_funnel": R.EVENT_FUNNEL_SQL,
+        "sole_late_supplier": R.SOLE_LATE_SUPPLIER_SQL,
     }

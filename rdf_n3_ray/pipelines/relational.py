@@ -4260,3 +4260,132 @@ SELECT * FROM (
 )
 ORDER BY stage_idx
 """
+
+
+def sole_late_supplier(sf_dir: str, late_days: int = 60, k: int = 20,
+                       num_partitions: int = 64):
+    """Q21-shape per-order multi-supplier analysis (adapted to this
+    schema's columns: late := supplier's last line shipped more than
+    `late_days` after the order date): among multi-supplier orders
+    where EXACTLY ONE supplier was late, count blame per supplier.
+
+    lineitem and orders are both fact-sized, so the join is a
+    bucket-paired orderkey shuffle (no broadcast): lineitem
+    pre-aggregates map-side to one (order, supplier, max_ship) row per
+    batch, both sides union with identical columns, and each bucket
+    group resolves its own orders completely (an order's every line
+    lands in its bucket).  Buckets emit per-supplier partial counts;
+    the driver folds <= num_partitions x |suppliers-seen| rows and
+    fetches the final k names with a broadcast semi-join read."""
+    import ray
+
+    cols = ["key", "skey", "d", "side"]
+
+    def li_pre(b: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.DataFrame({
+                "key": b["l_orderkey"].to_numpy().astype("int64"),
+                "skey": b["l_suppkey"].to_numpy().astype("int64"),
+                "d": b["l_shipdate"]})
+             .groupby(["key", "skey"], as_index=False)["d"].max())
+        g["side"] = np.int8(0)
+        return g[cols]
+
+    def ord_pre(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": b["o_orderkey"].to_numpy().astype("int64"),
+            "skey": np.zeros(len(b), dtype="int64"),
+            "d": b["o_orderdate"],
+            "side": np.full(len(b), 1, dtype="int8")})[cols]
+
+    li = (_read(sf_dir, "lineitem",
+                columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+          .map_batches(li_pre, batch_format="pandas", batch_size=131072))
+    orders = (_read(sf_dir, "orders",
+                    columns=["o_orderkey", "o_orderdate"])
+              .map_batches(ord_pre, batch_format="pandas",
+                           batch_size=131072))
+
+    both = li.union(orders)
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(jb=(b["key"] % num_partitions).astype("int32"))
+
+    late_off = pd.Timedelta(days=late_days)
+
+    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"skey": pd.Series(dtype="int64"),
+                              "numwait": pd.Series(dtype="int64")})
+        l = group[group["side"] == 0]
+        o = group[group["side"] == 1][["key", "d"]].rename(
+            columns={"d": "odate"})
+        if l.empty or o.empty:
+            return empty
+        # re-fold cross-batch partials to one max_ship per (order, supp)
+        ls = (l.groupby(["key", "skey"], as_index=False)["d"].max()
+              .merge(o, on="key"))
+        ls["late"] = ls["d"] > (ls["odate"] + late_off)
+        per_order = (ls.assign(
+            late_skey=np.where(ls["late"], ls["skey"], np.int64(-1)))
+            .groupby("key", as_index=False)
+            .agg(n_supp=("skey", "size"), n_late=("late", "sum"),
+                 late_skey=("late_skey", "max")))
+        hit = per_order[(per_order["n_supp"] >= 2)
+                        & (per_order["n_late"] == 1)]
+        if hit.empty:
+            return empty
+        out = (hit.groupby("late_skey", as_index=False).size()
+               .rename(columns={"late_skey": "skey", "size": "numwait"}))
+        out["numwait"] = out["numwait"].astype("int64")
+        return out
+
+    parts = (both.map_batches(add_bucket, batch_format="pandas")
+             .groupby("jb").map_groups(join_bucket,
+                                       batch_format="pandas"))
+    agg = (parts.to_pandas()
+           .groupby("skey", as_index=False)["numwait"].sum())
+    agg["numwait"] = agg["numwait"].astype("int64")
+    top = (agg.sort_values(["numwait", "skey"], ascending=[False, True])
+           .head(k))
+    if top.empty:
+        return pd.DataFrame({"s_suppkey": pd.Series(dtype="int64"),
+                             "s_name": pd.Series(dtype="object"),
+                             "numwait": pd.Series(dtype="int64")})
+
+    keys_ref = ray.put(np.sort(top["skey"].to_numpy().astype("int64")))
+
+    def name_filter(b: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(keys_ref)
+        m = _semi_mask(ks, b["s_suppkey"].to_numpy().astype("int64"))
+        return b[m][["s_suppkey", "s_name"]]
+
+    names = (_read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+             .map_batches(name_filter, batch_format="pandas")
+             .to_pandas())  # <= k rows
+    out = top.merge(names, left_on="skey", right_on="s_suppkey")
+    return (out.sort_values(["numwait", "skey"],
+                            ascending=[False, True])
+            [["s_suppkey", "s_name", "numwait"]].reset_index(drop=True))
+
+
+SOLE_LATE_SUPPLIER_SQL = """
+WITH os AS (
+  SELECT l.l_orderkey AS okey, l.l_suppkey AS skey,
+         max(l.l_shipdate) AS max_ship, any_value(o.o_orderdate) AS odate
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+), per_order AS (
+  SELECT okey, count(*) AS n_supp,
+         sum(CASE WHEN max_ship > odate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS n_late,
+         max(CASE WHEN max_ship > odate + INTERVAL 60 DAY
+                  THEN skey END) AS late_skey
+  FROM os GROUP BY okey
+), blame AS (
+  SELECT late_skey AS s_suppkey, count(*)::BIGINT AS numwait
+  FROM per_order WHERE n_supp >= 2 AND n_late = 1
+  GROUP BY late_skey
+)
+SELECT b.s_suppkey, s.s_name, b.numwait
+FROM blame b JOIN supplier s ON s.s_suppkey = b.s_suppkey
+ORDER BY b.numwait DESC, b.s_suppkey LIMIT 20
+"""

@@ -1728,3 +1728,60 @@ def test_event_funnel_strict_ordering(ray_session, tmp_path):
     pq.write_table(tbl, str(tmp_path / "events.parquet"))
     out = event_funnel(str(tmp_path))
     assert out["users"].tolist() == [2, 1, 1]
+
+
+def test_sole_late_supplier_matches_oracle(ray_session):
+    from rdf_n3_ray.pipelines.relational import (SOLE_LATE_SUPPLIER_SQL,
+                                                 sole_late_supplier)
+
+    out = sole_late_supplier("/root/testdata/sf0.01")
+    assert len(out) == 20
+    _assert_oracle_equal(out, _duckdb_oracle(SOLE_LATE_SUPPLIER_SQL))
+
+
+def test_sole_late_supplier_semantics(ray_session, tmp_path):
+    """Single-supplier orders and two-late-supplier orders must not
+    count; a multi-supplier order with exactly one late supplier blames
+    that supplier."""
+    import pyarrow.parquet as pq
+
+    from rdf_n3_ray.pipelines.relational import sole_late_supplier
+
+    od = pd.Timestamp("2024-01-01")
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([1, 1, 1], pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 3),
+        "o_totalprice": pa.array([1.0] * 3),
+        "o_orderdate": pa.array([od] * 3, pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 3),
+    })
+    late, ontime = od + pd.Timedelta(days=90), od + pd.Timedelta(days=5)
+    li = pa.table({
+        # order 1: supp 10 late, supp 11 on time -> blame 10
+        # order 2: supp 10 and 11 BOTH late -> no blame
+        # order 3: single supplier late -> no blame (needs >= 2 supp)
+        "l_orderkey": pa.array([1, 1, 2, 2, 3], pa.int64()),
+        "l_partkey": pa.array([1] * 5, pa.int64()),
+        "l_suppkey": pa.array([10, 11, 10, 11, 10], pa.int64()),
+        "l_linenumber": pa.array([1, 2, 1, 2, 1], pa.int32()),
+        "l_quantity": pa.array([1.0] * 5),
+        "l_extendedprice": pa.array([1.0] * 5),
+        "l_discount": pa.array([0.0] * 5),
+        "l_tax": pa.array([0.0] * 5),
+        "l_returnflag": pa.array(["N"] * 5),
+        "l_linestatus": pa.array(["O"] * 5),
+        "l_shipdate": pa.array([late, ontime, late, late, late],
+                               pa.timestamp("us")),
+    })
+    supp = pa.table({
+        "s_suppkey": pa.array([10, 11], pa.int64()),
+        "s_name": pa.array(["SUPP_10", "SUPP_11"]),
+        "s_nationkey": pa.array([0, 0], pa.int32()),
+    })
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+    pq.write_table(supp, str(tmp_path / "supplier.parquet"))
+    out = sole_late_supplier(str(tmp_path))
+    assert out[["s_suppkey", "numwait"]].values.tolist() == [[10, 1]]
+    assert out["s_name"].tolist() == ["SUPP_10"]
