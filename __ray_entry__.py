@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_retention": R.user_retention,
         "event_funnel": R.event_funnel,
         "sole_late_supplier": R.sole_late_supplier,
+        "market_share": R.market_share,
         # iterative distributed algorithm (non-SQL: rows-only check;
         # pytest pins blob recovery + monotone objective)
         "embed_kmeans": _q_embed_kmeans,
@@ -256,4 +257,5 @@ def oracle_sql() -> dict[str, str]:
         "user_retention": R.USER_RETENTION_SQL,
         "event_funnel": R.EVENT_FUNNEL_SQL,
         "sole_late_supplier": R.SOLE_LATE_SUPPLIER_SQL,
+        "market_share": R.MARKET_SHARE_SQL,
     }

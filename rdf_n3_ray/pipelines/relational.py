@@ -4389,3 +4389,287 @@ SELECT b.s_suppkey, s.s_name, b.numwait
 FROM blame b JOIN supplier s ON s.s_suppkey = b.s_suppkey
 ORDER BY b.numwait DESC, b.s_suppkey LIMIT 20
 """
+
+
+def market_share(sf_dir: str, nation: str = "NATION_2",
+                 region: str = "ASIA", num_partitions: int = 64,
+                 supp_broadcast_limit: int = 2_000_000):
+    """Q8-shape national market share: among orders placed by customers
+    in `region`, the yearly fraction of lineitem revenue supplied by
+    `nation`.
+
+    Three-stage distributed plan, one partitioning key per stage:
+      1. orders |X| customer on custkey — both fact-sized, so a
+         bucket-paired custkey shuffle (customer pre-filtered to the
+         region's nationkeys via the broadcast 25-row nation dim);
+         emits qualifying (orderkey, year).
+      2. lineitem tags each line is-target-nation via a size-gated
+         broadcast of (suppkey -> nationkey) with a suppkey bucket-join
+         fallback past `supp_broadcast_limit` (supplier scales with the
+         fact table), then pre-aggregates map-side to one
+         (orderkey, rev, target_rev) partial per batch.
+      3. stage-1 and stage-2 outputs bucket-pair on orderkey; buckets
+         emit per-year partials; the driver folds <= buckets x years
+         rows.  Revenue travels as int64 cents throughout."""
+    import ray
+
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name", "n_regionkey"]
+                ).to_pandas()
+    reg = _read(sf_dir, "region",
+                columns=["r_regionkey", "r_name"]).to_pandas()
+    rk = reg.loc[reg["r_name"] == region, "r_regionkey"]
+    region_nks = set(nat.loc[nat["n_regionkey"].isin(rk),
+                             "n_nationkey"].astype("int64"))
+    target_nks = set(nat.loc[nat["n_name"] == nation,
+                             "n_nationkey"].astype("int64"))
+    region_ref = ray.put(region_nks)
+
+    empty_out = pd.DataFrame({"o_year": pd.Series(dtype="int32"),
+                              "target_rev": pd.Series(dtype="float64"),
+                              "total_rev": pd.Series(dtype="float64"),
+                              "share_ppm": pd.Series(dtype="int64")})
+    if not region_nks or not target_nks:
+        return empty_out
+
+    # ---- stage 1: qualifying orders (custkey semi-join) ----
+    def cust_filter(b: pd.DataFrame) -> pd.DataFrame:
+        nks = ray.get(region_ref)
+        b = b[b["c_nationkey"].astype("int64").isin(nks)]
+        return pd.DataFrame(
+            {"key": b["c_custkey"].to_numpy().astype("int64")})
+
+    # materialize: the region slice is 1/|regions| of a table ~10x
+    # smaller than orders, and the broadcast-vs-bucket gate needs its
+    # count before the orders plan builds
+    cust_f = (_read(sf_dir, "customer",
+                    columns=["c_custkey", "c_nationkey"])
+              .map_batches(cust_filter, batch_format="pandas",
+                           batch_size=131072).materialize())
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    if cust_f.count() <= supp_broadcast_limit:
+        ck_ref = ray.put(np.sort(
+            cust_f.to_pandas()["key"].to_numpy().astype("int64")))
+
+        def ord_semi(b: pd.DataFrame) -> pd.DataFrame:
+            ks = ray.get(ck_ref)
+            m = _semi_mask(ks, b["o_custkey"].to_numpy().astype("int64"))
+            b = b[m]
+            return pd.DataFrame({
+                "okey": b["o_orderkey"].to_numpy().astype("int64"),
+                "year": b["o_orderdate"].dt.year.to_numpy()
+                        .astype("int32")})
+
+        qual = orders.map_batches(ord_semi, batch_format="pandas",
+                                  batch_size=131072)
+    else:
+        # distributed fallback: custkey bucket-paired join,
+        # identical-columns union idiom
+        cols1 = ["key", "year", "okey", "jb", "side"]
+
+        def cust_side(b: pd.DataFrame) -> pd.DataFrame:
+            ck = b["key"].to_numpy().astype("int64")
+            n = len(b)
+            return pd.DataFrame({
+                "key": ck, "year": np.zeros(n, dtype="int32"),
+                "okey": np.zeros(n, dtype="int64"),
+                "jb": (ck % num_partitions).astype("int32"),
+                "side": np.full(n, 1, dtype="int8")})[cols1]
+
+        def ord_side(b: pd.DataFrame) -> pd.DataFrame:
+            ck = b["o_custkey"].to_numpy().astype("int64")
+            return pd.DataFrame({
+                "key": ck,
+                "year": b["o_orderdate"].dt.year.to_numpy()
+                        .astype("int32"),
+                "okey": b["o_orderkey"].to_numpy().astype("int64"),
+                "jb": (ck % num_partitions).astype("int32"),
+                "side": np.zeros(len(b), dtype="int8")})[cols1]
+
+        def join_cust(group: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"okey": pd.Series(dtype="int64"),
+                                  "year": pd.Series(dtype="int32")})
+            o = group[group["side"] == 0]
+            c = group[group["side"] == 1][["key"]].drop_duplicates()
+            if o.empty or c.empty:
+                return empty
+            m = o.merge(c, on="key")
+            return pd.DataFrame({"okey": m["okey"].to_numpy(),
+                                 "year": m["year"].to_numpy()})
+
+        qual = (orders.map_batches(ord_side, batch_format="pandas",
+                                   batch_size=131072)
+                .union(cust_f.map_batches(cust_side,
+                                          batch_format="pandas"))
+                .groupby("jb").map_groups(join_cust,
+                                          batch_format="pandas"))
+
+    # ---- stage 2: lineitem revenue tagged by supplier nation ----
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    # materialize: supplier is ~100x smaller than lineitem and the
+    # broadcast-vs-bucket gate needs its count before the plan builds
+    supp_m = supp.materialize()
+    n_supp = supp_m.count()
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey",
+                        "l_extendedprice", "l_discount"])
+
+    def _rev_c(b: pd.DataFrame) -> np.ndarray:
+        return np.floor(b["l_extendedprice"].to_numpy()
+                        * (1.0 - b["l_discount"].to_numpy()) * 100.0
+                        + 0.5).astype("int64")
+
+    li_cols = ["okey", "rev_c", "target_c"]
+
+    if n_supp <= supp_broadcast_limit:
+        sdf = supp_m.to_pandas().sort_values("s_suppkey")
+        sup_ref = ray.put((sdf["s_suppkey"].to_numpy().astype("int64"),
+                           sdf["s_nationkey"].to_numpy().astype("int64")))
+        tnk = next(iter(target_nks))
+
+        def li_tag(b: pd.DataFrame) -> pd.DataFrame:
+            keys, nks = ray.get(sup_ref)
+            sk = b["l_suppkey"].to_numpy().astype("int64")
+            hit, pos = _semi_probe(keys, sk)
+            b, rev = b[hit], _rev_c(b)[hit]
+            tgt = np.where(nks[pos[hit]] == tnk, rev, np.int64(0))
+            g = (pd.DataFrame({
+                    "okey": b["l_orderkey"].to_numpy().astype("int64"),
+                    "rev_c": rev, "target_c": tgt})
+                 .groupby("okey", as_index=False).sum())
+            return g[li_cols]
+
+        li_rev = li.map_batches(li_tag, batch_format="pandas",
+                                batch_size=131072)
+    else:
+        # distributed fallback: suppkey bucket join, identical-columns
+        # union idiom (see nation_trade_volume)
+        fcols = ["sk", "okey", "rev_c", "nk", "jb", "side"]
+        tnk = next(iter(target_nks))
+
+        def li_part(b: pd.DataFrame) -> pd.DataFrame:
+            sk = b["l_suppkey"].to_numpy().astype("int64")
+            g = (pd.DataFrame({
+                    "sk": sk,
+                    "okey": b["l_orderkey"].to_numpy().astype("int64"),
+                    "rev_c": _rev_c(b)})
+                 .groupby(["sk", "okey"], as_index=False).sum())
+            g["nk"] = np.int64(-1)
+            g["jb"] = (g["sk"] % num_partitions).astype("int32")
+            g["side"] = np.int8(0)
+            return g[fcols]
+
+        def supp_side(b: pd.DataFrame) -> pd.DataFrame:
+            sk = b["s_suppkey"].to_numpy().astype("int64")
+            n = len(b)
+            return pd.DataFrame({
+                "sk": sk, "okey": np.zeros(n, dtype="int64"),
+                "rev_c": np.zeros(n, dtype="int64"),
+                "nk": b["s_nationkey"].to_numpy().astype("int64"),
+                "jb": (sk % num_partitions).astype("int32"),
+                "side": np.full(n, 1, dtype="int8")})[fcols]
+
+        def join_supp(group: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {c: pd.Series(dtype="int64") for c in li_cols})
+            l = group[group["side"] == 0][["sk", "okey", "rev_c"]]
+            s = group[group["side"] == 1][["sk", "nk"]]
+            if l.empty or s.empty:
+                return empty
+            m = l.merge(s, on="sk")
+            m["target_c"] = np.where(m["nk"] == tnk,
+                                     m["rev_c"], np.int64(0))
+            return (m.groupby("okey", as_index=False)
+                    [["rev_c", "target_c"]].sum())[li_cols]
+
+        li_rev = (li.map_batches(li_part, batch_format="pandas",
+                                 batch_size=131072)
+                  .union(supp_m.map_batches(supp_side,
+                                            batch_format="pandas"))
+                  .groupby("jb").map_groups(join_supp,
+                                            batch_format="pandas"))
+
+    # ---- stage 3: orderkey bucket-paired join, per-year partials ----
+    cols3 = ["okey", "year", "rev_c", "target_c", "jb", "side"]
+
+    def qual_tag(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        return pd.DataFrame({
+            "okey": b["okey"].to_numpy(), "year": b["year"].to_numpy(),
+            "rev_c": np.zeros(n, dtype="int64"),
+            "target_c": np.zeros(n, dtype="int64"),
+            "jb": (b["okey"].to_numpy() % num_partitions).astype("int32"),
+            "side": np.full(n, 1, dtype="int8")})[cols3]
+
+    def li_tag3(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        return pd.DataFrame({
+            "okey": b["okey"].to_numpy(),
+            "year": np.zeros(n, dtype="int32"),
+            "rev_c": b["rev_c"].to_numpy(),
+            "target_c": b["target_c"].to_numpy(),
+            "jb": (b["okey"].to_numpy() % num_partitions).astype("int32"),
+            "side": np.zeros(n, dtype="int8")})[cols3]
+
+    def join_year(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"year": pd.Series(dtype="int32"),
+                              "rev_c": pd.Series(dtype="int64"),
+                              "target_c": pd.Series(dtype="int64")})
+        l = group[group["side"] == 0]
+        q = group[group["side"] == 1][["okey", "year"]]
+        if l.empty or q.empty:
+            return empty
+        per_okey = (l.groupby("okey", as_index=False)
+                    [["rev_c", "target_c"]].sum())
+        m = per_okey.merge(q, on="okey")
+        return (m.groupby("year", as_index=False)
+                [["rev_c", "target_c"]].sum())
+
+    parts = (li_rev.map_batches(li_tag3, batch_format="pandas")
+             .union(qual.map_batches(qual_tag, batch_format="pandas"))
+             .groupby("jb").map_groups(join_year, batch_format="pandas"))
+    agg = (parts.to_pandas()
+           .groupby("year", as_index=False)[["rev_c", "target_c"]].sum())
+    if agg.empty:
+        return empty_out
+    out = pd.DataFrame({
+        "o_year": agg["year"].astype("int32"),
+        "target_rev": agg["target_c"].astype("int64") / 100.0,
+        "total_rev": agg["rev_c"].astype("int64") / 100.0,
+        "share_ppm": np.floor(
+            1e6 * agg["target_c"].to_numpy().astype("float64")
+            / agg["rev_c"].to_numpy().astype("float64")).astype("int64")})
+    return out.sort_values("o_year").reset_index(drop=True)
+
+
+MARKET_SHARE_SQL = """
+WITH region_cust AS (
+  SELECT c.c_custkey FROM customer c
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'ASIA'
+), qual AS (
+  SELECT o.o_orderkey, EXTRACT(year FROM o.o_orderdate)::INT AS o_year
+  FROM orders o JOIN region_cust rc ON rc.c_custkey = o.o_custkey
+), li AS (
+  SELECT l.l_orderkey,
+         CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 100.0
+                    + 0.5) AS BIGINT) AS rev_c,
+         CASE WHEN n.n_name = 'NATION_2' THEN 1 ELSE 0 END AS is_target
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+)
+SELECT q.o_year,
+       SUM(li.rev_c * li.is_target) / 100.0 AS target_rev,
+       SUM(li.rev_c) / 100.0 AS total_rev,
+       CAST(FLOOR(1e6 * SUM(li.rev_c * li.is_target)::DOUBLE
+                  / SUM(li.rev_c)) AS BIGINT) AS share_ppm
+FROM qual q JOIN li ON li.l_orderkey = q.o_orderkey
+GROUP BY q.o_year
+ORDER BY q.o_year
+"""

@@ -1785,3 +1785,22 @@ def test_sole_late_supplier_semantics(ray_session, tmp_path):
     out = sole_late_supplier(str(tmp_path))
     assert out[["s_suppkey", "numwait"]].values.tolist() == [[10, 1]]
     assert out["s_name"].tolist() == ["SUPP_10"]
+
+
+def test_market_share_matches_oracle(ray_session):
+    from rdf_n3_ray.pipelines.relational import (MARKET_SHARE_SQL,
+                                                 market_share)
+
+    out = market_share("/root/testdata/sf0.01")
+    assert (out["target_rev"] <= out["total_rev"]).all()
+    _assert_oracle_equal(out, _duckdb_oracle(MARKET_SHARE_SQL))
+
+
+def test_market_share_distributed_fallback(ray_session):
+    """Force both bucket-join fallbacks (customer AND supplier sides)
+    and require bit-identical output to the broadcast fast path."""
+    from rdf_n3_ray.pipelines.relational import market_share
+
+    fast = market_share("/root/testdata/sf0.01")
+    dist = market_share("/root/testdata/sf0.01", supp_broadcast_limit=0)
+    pd.testing.assert_frame_equal(fast, dist)
