@@ -150,6 +150,12 @@ def run_bench() -> dict:
          ("returned_top_customers",
           lambda: R.returned_top_customers(sf_dir)),
          ("nation_trade_volume", lambda: R.nation_trade_volume(sf_dir))],
+        [("top_bigrams", lambda: R.top_bigrams(sf_dir)),
+         ("bigram_pmi", lambda: R.bigram_pmi(sf_dir)),
+         ("user_retention", lambda: R.user_retention(sf_dir)),
+         ("event_funnel", lambda: R.event_funnel(sf_dir))],
+        [("sole_late_supplier", lambda: R.sole_late_supplier(sf_dir)),
+         ("market_share", lambda: R.market_share(sf_dir))],
     ]
 
     def fresh_session():
