@@ -81,6 +81,18 @@ def _strip_meta(ds):
                           batch_format="pyarrow")
 
 
+def _fold_pd(ds, empty: "pd.DataFrame") -> "pd.DataFrame":
+    """Collect a small partials Dataset for the driver-side fold.
+    A Ray Dataset whose every block is empty can DROP the schema in
+    to_pandas() (zero columns — the nation_trade_volume failure mode),
+    so a column-less result falls back to the caller's typed empty
+    frame instead of KeyError-ing in the fold."""
+    df = ds.to_pandas()
+    if len(df.columns) == 0:
+        return empty.copy()
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Q1-style aggregate: partial agg inside map_batches, then small groupby
 # ---------------------------------------------------------------------------
@@ -4015,7 +4027,9 @@ def top_bigrams(sf_dir: str, k: int = 50, num_buckets: int = 32):
                                batch_format="pandas")
                 .groupby("fb").map_groups(merge_bucket,
                                           batch_format="pandas"))
-    top = partials.to_pandas()  # <= num_buckets * k rows
+    top = _fold_pd(partials, pd.DataFrame({  # <= num_buckets * k rows
+        "bigram": pd.Series(dtype="object"),
+        "n": pd.Series(dtype="int64")}))
     return (top.sort_values(["n", "bigram"], ascending=[False, True])
             .head(k).reset_index(drop=True))
 
@@ -4070,7 +4084,12 @@ def bigram_pmi(sf_dir: str, min_count: int = 5, k: int = 50,
                 .groupby("fb").map_groups(merge_first,
                                           batch_format="pandas")
                 .materialize())  # consumed twice: total N + second pass
+    empty_out = pd.DataFrame({"bigram": pd.Series(dtype="object"),
+                              "n": pd.Series(dtype="int64"),
+                              "pmi_milli": pd.Series(dtype="int64")})
     total = by_first.sum("n")
+    if total is None:  # Ray sum() over an all-empty dataset
+        return empty_out  # bigram-free corpus: oracle returns 0 rows
     n_total = float(int(total if not isinstance(total, dict)
                         else total["sum(n)"]))
 
@@ -4095,7 +4114,7 @@ def bigram_pmi(sf_dir: str, min_count: int = 5, k: int = 50,
 
     partials = by_first.groupby("sb").map_groups(attach_second,
                                                  batch_format="pandas")
-    top = partials.to_pandas()  # <= num_buckets * k rows
+    top = _fold_pd(partials, empty_out)  # <= num_buckets * k rows
     return (top.sort_values(["pmi_milli", "bigram"],
                             ascending=[False, True])
             .head(k).reset_index(drop=True))
@@ -4170,7 +4189,10 @@ def user_retention(sf_dir: str, num_buckets: int = 64):
                             batch_size=131072)
              .groupby("ub").map_groups(bucket_retention,
                                        batch_format="pandas"))
-    out = (parts.to_pandas()
+    out = (_fold_pd(parts, pd.DataFrame({
+               "day": pd.Series(dtype="datetime64[us]"),
+               "active": pd.Series(dtype="int64"),
+               "retained": pd.Series(dtype="int64")}))
            .groupby("day", as_index=False)
            .agg(active=("active", "sum"), retained=("retained", "sum")))
     out["active"] = out["active"].astype("int64")
@@ -4231,7 +4253,13 @@ def event_funnel(sf_dir: str,
                             batch_size=131072)
              .groupby("ub").map_groups(bucket_funnel,
                                        batch_format="pandas"))
-    out = (parts.to_pandas()
+    # a step-event-free table produces NO groups at all; the oracle
+    # still returns one zero row per stage
+    zero = pd.DataFrame({
+        "stage_idx": np.arange(1, len(step_list) + 1, dtype=np.int64),
+        "stage": step_list,
+        "users": np.zeros(len(step_list), dtype=np.int64)})
+    out = (pd.concat([_fold_pd(parts, zero), zero])
            .groupby(["stage_idx", "stage"], as_index=False)["users"].sum())
     out["users"] = out["users"].astype("int64")
     return out.sort_values("stage_idx").reset_index(drop=True)
@@ -4279,7 +4307,7 @@ def sole_late_supplier(sf_dir: str, late_days: int = 60, k: int = 20,
     fetches the final k names with a broadcast semi-join read."""
     import ray
 
-    cols = ["key", "skey", "d", "side"]
+    cols = ["key", "skey", "d", "jb", "side"]
 
     def li_pre(b: pd.DataFrame) -> pd.DataFrame:
         g = (pd.DataFrame({
@@ -4287,14 +4315,17 @@ def sole_late_supplier(sf_dir: str, late_days: int = 60, k: int = 20,
                 "skey": b["l_suppkey"].to_numpy().astype("int64"),
                 "d": b["l_shipdate"]})
              .groupby(["key", "skey"], as_index=False)["d"].max())
+        g["jb"] = (g["key"] % num_partitions).astype("int32")
         g["side"] = np.int8(0)
         return g[cols]
 
     def ord_pre(b: pd.DataFrame) -> pd.DataFrame:
+        ok = b["o_orderkey"].to_numpy().astype("int64")
         return pd.DataFrame({
-            "key": b["o_orderkey"].to_numpy().astype("int64"),
+            "key": ok,
             "skey": np.zeros(len(b), dtype="int64"),
             "d": b["o_orderdate"],
+            "jb": (ok % num_partitions).astype("int32"),
             "side": np.full(len(b), 1, dtype="int8")})[cols]
 
     li = (_read(sf_dir, "lineitem",
@@ -4306,9 +4337,6 @@ def sole_late_supplier(sf_dir: str, late_days: int = 60, k: int = 20,
                            batch_size=131072))
 
     both = li.union(orders)
-
-    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
-        return b.assign(jb=(b["key"] % num_partitions).astype("int32"))
 
     late_off = pd.Timedelta(days=late_days)
 
@@ -4338,10 +4366,11 @@ def sole_late_supplier(sf_dir: str, late_days: int = 60, k: int = 20,
         out["numwait"] = out["numwait"].astype("int64")
         return out
 
-    parts = (both.map_batches(add_bucket, batch_format="pandas")
-             .groupby("jb").map_groups(join_bucket,
-                                       batch_format="pandas"))
-    agg = (parts.to_pandas()
+    parts = both.groupby("jb").map_groups(join_bucket,
+                                          batch_format="pandas")
+    agg = (_fold_pd(parts, pd.DataFrame({
+               "skey": pd.Series(dtype="int64"),
+               "numwait": pd.Series(dtype="int64")}))
            .groupby("skey", as_index=False)["numwait"].sum())
     agg["numwait"] = agg["numwait"].astype("int64")
     top = (agg.sort_values(["numwait", "skey"], ascending=[False, True])
@@ -4358,10 +4387,16 @@ def sole_late_supplier(sf_dir: str, late_days: int = 60, k: int = 20,
         m = _semi_mask(ks, b["s_suppkey"].to_numpy().astype("int64"))
         return b[m][["s_suppkey", "s_name"]]
 
-    names = (_read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
-             .map_batches(name_filter, batch_format="pandas")
-             .to_pandas())  # <= k rows
-    out = top.merge(names, left_on="skey", right_on="s_suppkey")
+    names = _fold_pd(
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+        .map_batches(name_filter, batch_format="pandas"),
+        pd.DataFrame({"s_suppkey": pd.Series(dtype="int64"),
+                      "s_name": pd.Series(dtype="object")}))  # <= k rows
+    # LEFT merge: limit-before-join on both sides, so a blamed suppkey
+    # missing from supplier keeps its row (NULL name) like the oracle
+    out = top.merge(names, left_on="skey", right_on="s_suppkey",
+                    how="left")
+    out["s_suppkey"] = out["skey"]
     return (out.sort_values(["numwait", "skey"],
                             ascending=[False, True])
             [["s_suppkey", "s_name", "numwait"]].reset_index(drop=True))
@@ -4384,16 +4419,17 @@ WITH os AS (
   SELECT late_skey AS s_suppkey, count(*)::BIGINT AS numwait
   FROM per_order WHERE n_supp >= 2 AND n_late = 1
   GROUP BY late_skey
+  ORDER BY numwait DESC, late_skey LIMIT 20
 )
 SELECT b.s_suppkey, s.s_name, b.numwait
-FROM blame b JOIN supplier s ON s.s_suppkey = b.s_suppkey
-ORDER BY b.numwait DESC, b.s_suppkey LIMIT 20
+FROM blame b LEFT JOIN supplier s ON s.s_suppkey = b.s_suppkey
+ORDER BY b.numwait DESC, b.s_suppkey
 """
 
 
 def market_share(sf_dir: str, nation: str = "NATION_2",
                  region: str = "ASIA", num_partitions: int = 64,
-                 supp_broadcast_limit: int = 2_000_000):
+                 broadcast_limit: int = 2_000_000):
     """Q8-shape national market share: among orders placed by customers
     in `region`, the yearly fraction of lineitem revenue supplied by
     `nation`.
@@ -4405,7 +4441,7 @@ def market_share(sf_dir: str, nation: str = "NATION_2",
          emits qualifying (orderkey, year).
       2. lineitem tags each line is-target-nation via a size-gated
          broadcast of (suppkey -> nationkey) with a suppkey bucket-join
-         fallback past `supp_broadcast_limit` (supplier scales with the
+         fallback past `broadcast_limit` (supplier scales with the
          fact table), then pre-aggregates map-side to one
          (orderkey, rev, target_rev) partial per batch.
       3. stage-1 and stage-2 outputs bucket-pair on orderkey; buckets
@@ -4429,8 +4465,13 @@ def market_share(sf_dir: str, nation: str = "NATION_2",
                               "target_rev": pd.Series(dtype="float64"),
                               "total_rev": pd.Series(dtype="float64"),
                               "share_ppm": pd.Series(dtype="int64")})
-    if not region_nks or not target_nks:
+    if not region_nks:
+        # no such region -> no qualifying orders -> oracle returns 0
+        # rows (inner join on qual); an absent NATION name, by
+        # contrast, must still yield per-year rows with zero share
         return empty_out
+    tks = np.sort(np.fromiter(target_nks, dtype="int64",
+                              count=len(target_nks)))
 
     # ---- stage 1: qualifying orders (custkey semi-join) ----
     def cust_filter(b: pd.DataFrame) -> pd.DataFrame:
@@ -4450,7 +4491,7 @@ def market_share(sf_dir: str, nation: str = "NATION_2",
     orders = _read(sf_dir, "orders",
                    columns=["o_orderkey", "o_custkey", "o_orderdate"])
 
-    if cust_f.count() <= supp_broadcast_limit:
+    if cust_f.count() <= broadcast_limit:
         ck_ref = ray.put(np.sort(
             cust_f.to_pandas()["key"].to_numpy().astype("int64")))
 
@@ -4525,18 +4566,17 @@ def market_share(sf_dir: str, nation: str = "NATION_2",
 
     li_cols = ["okey", "rev_c", "target_c"]
 
-    if n_supp <= supp_broadcast_limit:
+    if n_supp <= broadcast_limit:
         sdf = supp_m.to_pandas().sort_values("s_suppkey")
         sup_ref = ray.put((sdf["s_suppkey"].to_numpy().astype("int64"),
                            sdf["s_nationkey"].to_numpy().astype("int64")))
-        tnk = next(iter(target_nks))
-
         def li_tag(b: pd.DataFrame) -> pd.DataFrame:
             keys, nks = ray.get(sup_ref)
             sk = b["l_suppkey"].to_numpy().astype("int64")
             hit, pos = _semi_probe(keys, sk)
             b, rev = b[hit], _rev_c(b)[hit]
-            tgt = np.where(nks[pos[hit]] == tnk, rev, np.int64(0))
+            tgt = np.where(np.isin(nks[pos[hit]], tks),
+                           rev, np.int64(0))
             g = (pd.DataFrame({
                     "okey": b["l_orderkey"].to_numpy().astype("int64"),
                     "rev_c": rev, "target_c": tgt})
@@ -4549,7 +4589,6 @@ def market_share(sf_dir: str, nation: str = "NATION_2",
         # distributed fallback: suppkey bucket join, identical-columns
         # union idiom (see nation_trade_volume)
         fcols = ["sk", "okey", "rev_c", "nk", "jb", "side"]
-        tnk = next(iter(target_nks))
 
         def li_part(b: pd.DataFrame) -> pd.DataFrame:
             sk = b["l_suppkey"].to_numpy().astype("int64")
@@ -4581,7 +4620,7 @@ def market_share(sf_dir: str, nation: str = "NATION_2",
             if l.empty or s.empty:
                 return empty
             m = l.merge(s, on="sk")
-            m["target_c"] = np.where(m["nk"] == tnk,
+            m["target_c"] = np.where(m["nk"].isin(tks),
                                      m["rev_c"], np.int64(0))
             return (m.groupby("okey", as_index=False)
                     [["rev_c", "target_c"]].sum())[li_cols]
@@ -4632,7 +4671,10 @@ def market_share(sf_dir: str, nation: str = "NATION_2",
     parts = (li_rev.map_batches(li_tag3, batch_format="pandas")
              .union(qual.map_batches(qual_tag, batch_format="pandas"))
              .groupby("jb").map_groups(join_year, batch_format="pandas"))
-    agg = (parts.to_pandas()
+    agg = (_fold_pd(parts, pd.DataFrame({
+               "year": pd.Series(dtype="int32"),
+               "rev_c": pd.Series(dtype="int64"),
+               "target_c": pd.Series(dtype="int64")}))
            .groupby("year", as_index=False)[["rev_c", "target_c"]].sum())
     if agg.empty:
         return empty_out

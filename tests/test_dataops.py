@@ -1802,5 +1802,61 @@ def test_market_share_distributed_fallback(ray_session):
     from rdf_n3_ray.pipelines.relational import market_share
 
     fast = market_share("/root/testdata/sf0.01")
-    dist = market_share("/root/testdata/sf0.01", supp_broadcast_limit=0)
+    dist = market_share("/root/testdata/sf0.01", broadcast_limit=0)
     pd.testing.assert_frame_equal(fast, dist)
+
+
+def test_market_share_absent_nation(ray_session):
+    """A nation name matching no row still yields per-year rows with
+    zero target share (oracle parity: CASE WHEN matches nothing)."""
+    from rdf_n3_ray.pipelines.relational import market_share
+
+    out = market_share("/root/testdata/sf0.01", nation="NO_SUCH")
+    assert len(out) > 0
+    assert (out["target_rev"] == 0.0).all()
+    assert (out["share_ppm"] == 0).all()
+    assert (out["total_rev"] > 0).all()
+
+
+def test_event_funnel_no_step_events(ray_session, tmp_path):
+    """A table with none of the funnel's event types returns one zero
+    row per stage (the oracle's shape), not an empty frame."""
+    import pyarrow.parquet as pq
+
+    from rdf_n3_ray.pipelines.relational import event_funnel
+
+    tbl = pa.table({
+        "event_id": pa.array([1], pa.int64()),
+        "ts": pa.array(pd.to_datetime(["2024-01-01"]), pa.timestamp("us")),
+        "user_id": pa.array([1], pa.int64()),
+        "event_type": pa.array(["scroll"]),
+        "value": pa.array([1.0]),
+        "props": pa.array(["{}"]),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = event_funnel(str(tmp_path))
+    assert out["users"].tolist() == [0, 0, 0]
+    assert out["stage"].tolist() == ["view", "click", "purchase"]
+
+
+def test_bigram_pmi_bigram_free_corpus(ray_session, tmp_path):
+    """Single-token documents produce no bigrams; the fold must return
+    a typed empty frame, not crash on Ray's sum() -> None."""
+    import pyarrow.parquet as pq
+
+    from rdf_n3_ray.pipelines.relational import bigram_pmi, top_bigrams
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["alpha", "beta"]),
+        "lang": pa.array(["en"] * 2),
+        "source": pa.array(["s"] * 2),
+        "n_chars": pa.array([5, 4], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = bigram_pmi(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["bigram", "n", "pmi_milli"]
+    out2 = top_bigrams(str(tmp_path))
+    assert len(out2) == 0
+    assert list(out2.columns) == ["bigram", "n"]
