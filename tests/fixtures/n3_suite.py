@@ -1236,4 +1236,52 @@ CASES += [
      "@prefix : <http://ex/>. :a :b true, false .",
      f'<{X}a> <{X}b> "true"^^<{XSD}boolean> .\n'
      f'<{X}a> <{X}b> "false"^^<{XSD}boolean> .', {}),
+    # --- round-3 batch: qname dots, langtag case, IRI escapes, ------
+    # prefix redefinition, relative-IRI corners, legacy-N3 negatives
+    ("syntax_dot_dash_local", "Eval",
+     "@prefix : <http://ex/>. :a.b :c.d :e.",
+     f"<{X}a.b> <{X}c.d> <{X}e> .", {}),
+    ("eval_langtag_lowercased", "Eval",
+     '@prefix : <http://ex/>. :s :p "x"@EN-US, "y"@fr .',
+     f'<{X}s> <{X}p> "x"@en-us .\n<{X}s> <{X}p> "y"@fr .', {}),
+    ("eval_uchar_in_iri", "Eval",
+     "<http://ex/\\u0061bc> <http://ex/p> <http://ex/\\U00000062> .",
+     f"<{X}abc> <{X}p> <{X}b> .", {}),
+    ("eval_prefix_redefine", "Eval",
+     "@prefix p: <http://a/>. p:x p:y p:z . "
+     "@prefix p: <http://b/>. p:x p:y p:z .",
+     "<http://a/x> <http://a/y> <http://a/z> .\n"
+     "<http://b/x> <http://b/y> <http://b/z> .", {}),
+    ("eval_base_relative_corners", "Eval",
+     "@base <http://b/dir/page>. <x> <#f> <../y> .",
+     "<http://b/dir/x> <http://b/dir/page#f> <http://b/y> .", {}),
+    ("eval_nested_blank_propertylist", "Eval",
+     "@prefix : <http://ex/>. [ :p [ :q :r ] ] :s :t .",
+     f"_:B1 <{X}q> <{X}r> .\n_:B0 <{X}p> _:B1 .\n"
+     f"_:B0 <{X}s> <{X}t> .", {}),
+    ("eval_anon_subject_and_object", "Eval",
+     "@prefix : <http://ex/>. [] :p [] .",
+     f"_:A <{X}p> _:B .", {}),
+    ("eval_echar_unescapes", "Eval",
+     '@prefix : <http://ex/>. :s :p "a\\tb\\nc\\"d\\\\e" .',
+     f'<{X}s> <{X}p> "a\\tb\\nc\\"d\\\\e" .', {}),
+    ("eval_supplementary_uchar_string", "Eval",
+     '@prefix : <http://ex/>. :s :p "\\U0001F600" .',
+     f'<{X}s> <{X}p> "\U0001F600" .', {}),
+    ("eval_lone_colon_pname", "Eval",
+     "@prefix : <http://ex/>. : :p : .",
+     f"<{X}> <{X}p> <{X}> .", {}),
+    ("eval_numeric_dotted_local", "Eval",
+     "@prefix : <http://ex/>. :3.14 :p :o .",
+     f"<{X}3.14> <{X}p> <{X}o> .", {}),
+    # legacy-N3 keywords are NOT in the reference grammar (reader.rb has
+    # no @forAll/@forSome/@keywords productions) -> validate-mode errors
+    ("neg_legacy_forall", "NegativeSyntax",
+     "@prefix : <http://ex/>. @forAll :x . :x :p :o .", None, {}),
+    ("neg_legacy_keywords", "NegativeSyntax",
+     "@keywords a . x y z .", None, {}),
+    ("neg_dot_leading_local", "NegativeSyntax",
+     "@prefix : <http://ex/>. :s :p :.x .", None, {}),
+    ("neg_numeric_langtag", "NegativeSyntax",
+     '@prefix : <http://ex/>. :s :p "x"@123 .', None, {}),
 ]
