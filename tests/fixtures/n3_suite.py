@@ -1284,4 +1284,51 @@ CASES += [
      "@prefix : <http://ex/>. :s :p :.x .", None, {}),
     ("neg_numeric_langtag", "NegativeSyntax",
      '@prefix : <http://ex/>. :s :p "x"@123 .', None, {}),
+    # --- round-3 Reason batch: list fan-out, guards, backward rules --
+    ("reason_list_member_fanout", "Reason",
+     "@prefix : <http://ex/>. @prefix list: <http://www.w3.org/2000/10/swap/list#>. "
+     ":l :is (1 2 3) . { :l :is ?L . ?L list:member ?m } => { :r :has ?m } .",
+     f'<{X}l> <{X}is> ("1"^^<{XSD}integer> "2"^^<{XSD}integer> "3"^^<{XSD}integer>) .\n'
+     f'<{X}r> <{X}has> "1"^^<{XSD}integer> .\n'
+     f'<{X}r> <{X}has> "2"^^<{XSD}integer> .\n'
+     f'<{X}r> <{X}has> "3"^^<{XSD}integer> .',
+     {"think": True, "data": True}),
+    ("reason_list_append", "Reason",
+     "@prefix : <http://ex/>. @prefix list: <http://www.w3.org/2000/10/swap/list#>. "
+     "{ ((1 2) (3)) list:append ?x } => { :r :all ?x } .",
+     f'<{X}r> <{X}all> ("1"^^<{XSD}integer> "2"^^<{XSD}integer> "3"^^<{XSD}integer>) .',
+     {"think": True, "conclusions": True}),
+    ("reason_list_length", "Reason",
+     "@prefix : <http://ex/>. @prefix list: <http://www.w3.org/2000/10/swap/list#>. "
+     "{ (1 2 3) list:length ?n } => { :r :n ?n } .",
+     f'<{X}r> <{X}n> "3"^^<{XSD}integer> .',
+     {"think": True, "conclusions": True}),
+    ("reason_includes_guard", "Reason",
+     "@prefix : <http://ex/>. @prefix log: <http://www.w3.org/2000/10/swap/log#>. "
+     ":g :says { :a :b :c . :d :e :f } . "
+     "{ :g :says ?F . ?F log:includes { :a :b :c } } => { :r :ok true } .",
+     f'<{X}r> <{X}ok> "true"^^<{XSD}boolean> .',
+     {"think": True, "data": True}),
+    ("reason_notincludes_guard", "Reason",
+     "@prefix : <http://ex/>. @prefix log: <http://www.w3.org/2000/10/swap/log#>. "
+     ":g :says { :a :b :c } . "
+     "{ :g :says ?F . ?F log:notIncludes { :x :y :z } } => { :r :ok true } .",
+     f'<{X}r> <{X}ok> "true"^^<{XSD}boolean> .',
+     {"think": True, "data": True}),
+    ("reason_string_replace", "Reason",
+     "@prefix : <http://ex/>. @prefix string: <http://www.w3.org/2000/10/swap/string#>. "
+     '{ ("ababab" "b" "c") string:replace ?x } => { :r :v ?x } .',
+     f'<{X}r> <{X}v> "acacac" .',
+     {"think": True, "conclusions": True}),
+    ("reason_backward_rule", "Reason",
+     "@prefix : <http://ex/>. { ?x :p ?y } <= { ?x :q ?y } . :a :q :b .",
+     f"<{X}a> <{X}q> <{X}b> .\n<{X}a> <{X}p> <{X}b> .",
+     {"think": True, "data": True}),
+    ("reason_transitive_closure", "Reason",
+     "@prefix : <http://ex/>. :a :sub :b . :b :sub :c . :c :sub :d . "
+     "{ ?x :sub ?y . ?y :sub ?z } => { ?x :sub ?z } .",
+     f"<{X}a> <{X}sub> <{X}b> .\n<{X}b> <{X}sub> <{X}c> .\n"
+     f"<{X}c> <{X}sub> <{X}d> .\n<{X}a> <{X}sub> <{X}c> .\n"
+     f"<{X}b> <{X}sub> <{X}d> .\n<{X}a> <{X}sub> <{X}d> .",
+     {"think": True, "data": True}),
 ]
