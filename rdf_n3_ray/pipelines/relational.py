@@ -193,15 +193,23 @@ def orders_by_nation(sf_dir: str, num_partitions: int = 64):
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
+    # both union sides carry IDENTICAL columns (repo idiom): mismatched
+    # schemas make Ray's shuffle warn per block and pandas-coerce the
+    # int64 partials to float64 when frames merge
+    _cols = ["ckey", "order_count", "total_price", "n_name", "jb", "side"]
+
     def pre_orders(b: pd.DataFrame) -> pd.DataFrame:
         b = b.assign(price_c=np.floor(
             b["o_totalprice"] * 100.0 + 0.5).astype("int64"))
         g = (b.groupby("o_custkey", as_index=False)
              .agg(order_count=("price_c", "size"),
                   total_price=("price_c", "sum")))
-        g["jb"] = (g["o_custkey"] % num_partitions).astype("int32")
-        g["side"] = 0
-        return g
+        g = g.rename(columns={"o_custkey": "ckey"})
+        g["order_count"] = g["order_count"].astype("int64")
+        g["n_name"] = ""
+        g["jb"] = (g["ckey"] % num_partitions).astype("int32")
+        g["side"] = np.int8(0)
+        return g[_cols]
 
     left = orders.map_batches(pre_orders, batch_format="pandas",
                               batch_size=65536)
@@ -210,25 +218,30 @@ def orders_by_nation(sf_dir: str, num_partitions: int = 64):
 
     def tag_cust(b: pd.DataFrame) -> pd.DataFrame:
         m = ray.get(nation_ref)
-        b = b.assign(n_name=b["c_nationkey"].map(m),
-                     jb=(b["c_custkey"] % num_partitions).astype("int32"))
-        b["side"] = 1
-        return b[["c_custkey", "n_name", "jb", "side"]]
+        n = len(b)
+        return pd.DataFrame({
+            "ckey": b["c_custkey"].to_numpy().astype("int64"),
+            "order_count": np.zeros(n, dtype="int64"),
+            "total_price": np.zeros(n, dtype="int64"),
+            "n_name": b["c_nationkey"].map(m),
+            "jb": (b["c_custkey"].to_numpy() % num_partitions)
+                  .astype("int32"),
+            "side": np.full(n, 1, dtype="int8")})[_cols]
 
     both = left.union(cust.map_batches(tag_cust, batch_format="pandas"))
 
     def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
         l = group[group["side"] == 0]
-        r = group[group["side"] == 1][["c_custkey", "n_name"]]
+        r = group[group["side"] == 1][["ckey", "n_name"]]
         if l.empty or r.empty:
             return pd.DataFrame({
                 "n_name": pd.Series(dtype="object"),
                 "order_count": pd.Series(dtype="int64"),
                 "total_price": pd.Series(dtype="int64")})
-        per_cust = (l.groupby("o_custkey", as_index=False)
+        per_cust = (l.groupby("ckey", as_index=False)
                     .agg(order_count=("order_count", "sum"),
                          total_price=("total_price", "sum")))
-        m = per_cust.merge(r, left_on="o_custkey", right_on="c_custkey")
+        m = per_cust.merge(r, on="ckey")
         return (m.groupby("n_name", as_index=False)
                 .agg(order_count=("order_count", "sum"),
                      total_price=("total_price", "sum")))
