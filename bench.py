@@ -22,6 +22,15 @@ import sys
 import time
 
 
+def _burn_once(_=None) -> int:
+    """~50ms of pure-Python CPU for the contention probe (module-level
+    so multiprocessing can pickle it)."""
+    s = 0
+    for i in range(800_000):
+        s += i * i
+    return s
+
+
 def run_bench() -> dict:
     import ray
 
@@ -54,6 +63,30 @@ def run_bench() -> dict:
     # first-use-in-session shuffle/actor warm-up, reporting steady-state
     # per-query throughput — what a long-running 100 TB job sees.
     reps = max(1, int(os.environ.get("GRAFT_BENCH_REPS", "2")))
+
+    # contention pre-flight: a 10-way pure-CPU fork-burn vs one burn.
+    # On this shared VM a co-tenant can cut effective cores to ~15/32
+    # for minutes at a time (BASELINE.md host-degradation episode);
+    # when the probe sees wide-work efficiency < 0.75, raise best-of-N
+    # by one so each query gets an extra chance to land between spikes.
+    def _wide_efficiency() -> float:
+        import multiprocessing as mp
+
+        n = min(10, os.cpu_count() or 1)
+        t0 = time.time()
+        _burn_once()
+        single = time.time() - t0
+        with mp.Pool(n) as pool:
+            t0 = time.time()
+            pool.map(_burn_once, [None] * n)
+            wide = time.time() - t0
+        return single / wide if wide > 0 else 1.0
+
+    eff = _wide_efficiency()
+    if eff < 0.75:
+        reps += 1
+        print(f"# contention probe: efficiency {eff:.2f} < 0.75, "
+              f"best-of-{reps}", file=sys.stderr)
 
     # warm the page cache so we measure compute+shuffle, not first read
     R._read(sf_dir, "lineitem").count()
