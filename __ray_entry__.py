@@ -190,6 +190,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_funnel": R.event_funnel,
         "sole_late_supplier": R.sole_late_supplier,
         "market_share": R.market_share,
+        "type_cooccurrence": R.type_cooccurrence,
+        "search_index": R.search_index,
         # iterative distributed algorithm (non-SQL: rows-only check;
         # pytest pins blob recovery + monotone objective)
         "embed_kmeans": _q_embed_kmeans,
@@ -258,4 +260,6 @@ def oracle_sql() -> dict[str, str]:
         "event_funnel": R.EVENT_FUNNEL_SQL,
         "sole_late_supplier": R.SOLE_LATE_SUPPLIER_SQL,
         "market_share": R.MARKET_SHARE_SQL,
+        "type_cooccurrence": R.TYPE_COOCCURRENCE_SQL,
+        "search_index": R.SEARCH_INDEX_SQL,
     }

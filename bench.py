@@ -188,7 +188,9 @@ def run_bench() -> dict:
          ("user_retention", lambda: R.user_retention(sf_dir)),
          ("event_funnel", lambda: R.event_funnel(sf_dir))],
         [("sole_late_supplier", lambda: R.sole_late_supplier(sf_dir)),
-         ("market_share", lambda: R.market_share(sf_dir))],
+         ("market_share", lambda: R.market_share(sf_dir)),
+         ("type_cooccurrence", lambda: R.type_cooccurrence(sf_dir)),
+         ("search_index", lambda: len(R.search_index(sf_dir)))],
     ]
 
     def fresh_session():

@@ -4728,3 +4728,165 @@ FROM qual q JOIN li ON li.l_orderkey = q.o_orderkey
 GROUP BY q.o_year
 ORDER BY q.o_year
 """
+
+
+def type_cooccurrence(sf_dir: str, num_buckets: int = 64):
+    """Market-basket pair affinity over event types: for each unordered
+    type pair, how many users did both, plus the lift
+    P(ab) / (P(a) P(b)) in ppm.
+
+    One user-hash bucket shuffle of map-side-deduped (user, type)
+    pairs; each bucket owns its users completely, so it emits exact
+    per-pair counts, per-type user counts, and its distinct-user count
+    (pair vocabulary is |types|^2 — tiny next to the events it
+    summarizes).  Partial kinds ride one frame tagged by `kind`
+    (0 = pair, 1 = single type, 2 = user-count sentinel); buckets
+    partition users, so the driver folds by summing <= num_buckets x
+    (|types|^2 + |types| + 1) rows and computes lift from integers."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def dedup(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.drop_duplicates()
+        return b.assign(ub=_user_bucket(b["user_id"], num_buckets))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["user_id", "event_type"])
+        m = g.merge(g, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        pairs = (m.groupby(["event_type_x", "event_type_y"],
+                           as_index=False).size()
+                 .rename(columns={"event_type_x": "type_a",
+                                  "event_type_y": "type_b",
+                                  "size": "n"}))
+        pairs["kind"] = np.int8(0)
+        singles = (g.groupby("event_type", as_index=False)
+                   .agg(n=("user_id", "size"))
+                   .rename(columns={"event_type": "type_a"}))
+        singles["type_b"] = ""
+        singles["kind"] = np.int8(1)
+        sentinel = pd.DataFrame({
+            "type_a": [""], "type_b": [""],
+            "n": [np.int64(g["user_id"].nunique())],
+            "kind": [np.int8(2)]})
+        out = pd.concat([pairs, singles, sentinel], ignore_index=True)
+        out["n"] = out["n"].astype("int64")
+        return out[["type_a", "type_b", "n", "kind"]]
+
+    parts = (ds.map_batches(dedup, batch_format="pandas",
+                            batch_size=131072)
+             .groupby("ub").map_groups(bucket_pairs,
+                                       batch_format="pandas"))
+    empty = pd.DataFrame({"type_a": pd.Series(dtype="object"),
+                          "type_b": pd.Series(dtype="object"),
+                          "n_both": pd.Series(dtype="int64"),
+                          "lift_ppm": pd.Series(dtype="int64")})
+    df = _fold_pd(parts, pd.DataFrame({
+        "type_a": pd.Series(dtype="object"),
+        "type_b": pd.Series(dtype="object"),
+        "n": pd.Series(dtype="int64"),
+        "kind": pd.Series(dtype="int8")}))
+    if df.empty:
+        return empty
+    fold = df.groupby(["kind", "type_a", "type_b"],
+                      as_index=False)["n"].sum()
+    total = int(fold.loc[fold["kind"] == 2, "n"].sum())
+    n_t = dict(zip(fold.loc[fold["kind"] == 1, "type_a"],
+                   fold.loc[fold["kind"] == 1, "n"]))
+    pairs = fold[fold["kind"] == 0].copy()
+    if pairs.empty or total == 0:
+        return empty
+    na = pairs["type_a"].map(n_t).to_numpy().astype("int64")
+    nb = pairs["type_b"].map(n_t).to_numpy().astype("int64")
+    nb_both = pairs["n"].to_numpy().astype("int64")
+    out = pd.DataFrame({
+        "type_a": pairs["type_a"].to_numpy(),
+        "type_b": pairs["type_b"].to_numpy(),
+        "n_both": nb_both,
+        "lift_ppm": np.floor(
+            1e6 * (nb_both * total).astype("float64")
+            / (na * nb)).astype("int64")})
+    return (out.sort_values(["type_a", "type_b"])
+            .reset_index(drop=True))
+
+
+TYPE_COOCCURRENCE_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+tot AS (SELECT count(DISTINCT user_id) AS n FROM events),
+tc AS (SELECT event_type, count(*)::BIGINT AS n_t FROM ut GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*)::BIGINT AS n_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_both,
+       CAST(FLOOR(1e6 * (p.n_both * tot.n)::DOUBLE
+                  / (ta.n_t * tb.n_t)) AS BIGINT) AS lift_ppm
+FROM pairs p CROSS JOIN tot
+JOIN tc ta ON ta.event_type = p.type_a
+JOIN tc tb ON tb.event_type = p.type_b
+ORDER BY p.type_a, p.type_b
+"""
+
+
+def search_index(sf_dir: str, max_postings: int = 20,
+                 num_buckets: int = 32):
+    """Inverted-index construction: token -> document frequency +
+    the first `max_postings` doc ids (sorted).  The postings CAP is
+    part of the contract (a web-scale index materializes per-token
+    posting FILES, not unbounded rows) — df still counts every doc.
+
+    Map-side (doc, token) dedup, token-hash bucket shuffle (each
+    bucket owns its tokens completely), per-bucket exact df + sorted
+    capped postings; the vocabulary never assembles on one node —
+    the driver only concatenates per-bucket results for the return."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        toks = _ws_tokens(b["text"])
+        if toks.empty:
+            return pd.DataFrame({"token": pd.Series(dtype="object"),
+                                 "doc_id": pd.Series(dtype="int64"),
+                                 "tb": pd.Series(dtype="int32")})
+        ex = pd.DataFrame({
+            "token": toks.to_numpy(),
+            "doc_id": b["doc_id"].reindex(toks.index).to_numpy()
+                      .astype("int64")}).drop_duplicates()
+        ex["tb"] = (pd.util.hash_pandas_object(ex["token"], index=False)
+                    % num_buckets).astype("int32")
+        return ex
+
+    def bucket_index(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["token", "doc_id"])
+        g = g.sort_values(["token", "doc_id"])
+        agg = g.groupby("token", as_index=False).agg(
+            df=("doc_id", "size"),
+            postings=("doc_id", lambda s: ",".join(
+                map(str, s.iloc[:max_postings]))))
+        agg["df"] = agg["df"].astype("int64")
+        return agg
+
+    parts = (ds.map_batches(pairs, batch_format="pandas")
+             .groupby("tb").map_groups(bucket_index,
+                                       batch_format="pandas"))
+    out = _fold_pd(parts, pd.DataFrame({
+        "token": pd.Series(dtype="object"),
+        "df": pd.Series(dtype="int64"),
+        "postings": pd.Series(dtype="object")}))
+    return out.sort_values("token").reset_index(drop=True)
+
+
+SEARCH_INDEX_SQL = r"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(list_filter(
+    regexp_split_to_array(lower(coalesce(text, '')), '[ \t\n\f\r]+'),
+    x -> x <> '')) AS token
+  FROM documents
+)
+SELECT token, count(*)::BIGINT AS df,
+       array_to_string(list_slice(list_sort(list(doc_id)), 1, 20),
+                       ',') AS postings
+FROM toks GROUP BY token
+ORDER BY token
+"""

@@ -1860,3 +1860,54 @@ def test_bigram_pmi_bigram_free_corpus(ray_session, tmp_path):
     out2 = top_bigrams(str(tmp_path))
     assert len(out2) == 0
     assert list(out2.columns) == ["bigram", "n"]
+
+
+def test_type_cooccurrence_matches_oracle(ray_session):
+    from rdf_n3_ray.pipelines.relational import (TYPE_COOCCURRENCE_SQL,
+                                                 type_cooccurrence)
+
+    out = type_cooccurrence("/root/testdata/sf0.01")
+    assert (out["type_a"] < out["type_b"]).all()
+    _assert_oracle_equal(out, _duckdb_oracle(TYPE_COOCCURRENCE_SQL))
+
+
+def test_type_cooccurrence_lift_variance(ray_session, tmp_path):
+    """Non-degenerate fixture: lift > 1 for correlated pair, < 1 for
+    anti-correlated pair; bucket user-partition sum must equal the
+    global distinct-user count."""
+    import pyarrow.parquet as pq
+
+    from rdf_n3_ray.pipelines.relational import type_cooccurrence
+
+    # users 1-4: A+B always together; C only for user 9 (never with A)
+    rows = [(1, "A"), (1, "B"), (2, "A"), (2, "B"),
+            (3, "A"), (3, "B"), (4, "A"), (4, "B"), (9, "C"), (9, "B")]
+    tbl = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array(pd.to_datetime(["2024-01-01"] * len(rows)),
+                       pa.timestamp("us")),
+        "user_id": pa.array([u for u, _ in rows], pa.int64()),
+        "event_type": pa.array([t for _, t in rows]),
+        "value": pa.array([1.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = type_cooccurrence(str(tmp_path))
+    got = {(a, b): (n, l) for a, b, n, l in
+           zip(out["type_a"], out["type_b"], out["n_both"],
+               out["lift_ppm"])}
+    # P(AB)=4/5, P(A)=4/5, P(B)=5/5 -> lift 1.0
+    assert got[("A", "B")] == (4, 1_000_000)
+    # P(BC)=1/5, P(B)=1, P(C)=1/5 -> lift 1.0; A,C never co-occur
+    assert got[("B", "C")] == (1, 1_000_000)
+    assert ("A", "C") not in got
+
+
+def test_search_index_matches_oracle(ray_session):
+    from rdf_n3_ray.pipelines.relational import (SEARCH_INDEX_SQL,
+                                                 search_index)
+
+    out = search_index("/root/testdata/sf0.01")
+    # postings are sorted and capped at 20
+    assert out["postings"].str.split(",").str.len().le(20).all()
+    _assert_oracle_equal(out, _duckdb_oracle(SEARCH_INDEX_SQL))
