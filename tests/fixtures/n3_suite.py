@@ -1331,4 +1331,65 @@ CASES += [
      f"<{X}c> <{X}sub> <{X}d> .\n<{X}a> <{X}sub> <{X}c> .\n"
      f"<{X}b> <{X}sub> <{X}d> .\n<{X}a> <{X}sub> <{X}d> .",
      {"think": True, "data": True}),
+    # --- round-3 Reason batch 2: math/time/log literal builtins ------
+    ("reason_math_difference", "Reason",
+     "@prefix : <http://ex/>. @prefix math: <http://www.w3.org/2000/10/swap/math#>. "
+     "{ (10 3) math:difference ?d } => { :r :v ?d } .",
+     f'<{X}r> <{X}v> "7"^^<{XSD}integer> .',
+     {"think": True, "conclusions": True}),
+    ("reason_math_quotient_decimal", "Reason",
+     "@prefix : <http://ex/>. @prefix math: <http://www.w3.org/2000/10/swap/math#>. "
+     "{ (7 2) math:quotient ?q } => { :r :v ?q } .",
+     f'<{X}r> <{X}v> "3.5"^^<{XSD}decimal> .',
+     {"think": True, "conclusions": True}),
+    ("reason_math_remainder_exp", "Reason",
+     "@prefix : <http://ex/>. @prefix math: <http://www.w3.org/2000/10/swap/math#>. "
+     "{ (7 2) math:remainder ?m . (2 10) math:exponentiation ?e } "
+     "=> { :r :m ?m ; :e ?e } .",
+     f'<{X}r> <{X}m> "1"^^<{XSD}integer> .\n'
+     f'<{X}r> <{X}e> "1024"^^<{XSD}integer> .',
+     {"think": True, "conclusions": True}),
+    ("reason_math_unary", "Reason",
+     "@prefix : <http://ex/>. @prefix math: <http://www.w3.org/2000/10/swap/math#>. "
+     "{ 5 math:negation ?n . -3 math:absoluteValue ?a . "
+     "2.5 math:rounded ?x } => { :r :n ?n ; :a ?a ; :x ?x } .",
+     f'<{X}r> <{X}n> "-5"^^<{XSD}integer> .\n'
+     f'<{X}r> <{X}a> "3"^^<{XSD}integer> .\n'
+     f'<{X}r> <{X}x> "3"^^<{XSD}integer> .',
+     {"think": True, "conclusions": True}),
+    ("reason_math_notlessthan_guard", "Reason",
+     "@prefix : <http://ex/>. @prefix math: <http://www.w3.org/2000/10/swap/math#>. "
+     "{ 5 math:notLessThan 5 } => { :r :ok true } .",
+     f'<{X}r> <{X}ok> "true"^^<{XSD}boolean> .',
+     {"think": True, "conclusions": True}),
+    ("reason_time_fields", "Reason",
+     "@prefix : <http://ex/>. @prefix time: <http://www.w3.org/2000/10/swap/time#>. "
+     '{ "2024-03-05T10:20:30Z"^^<http://www.w3.org/2001/XMLSchema#dateTime> '
+     "time:year ?y . "
+     '"2024-03-05T10:20:30Z"^^<http://www.w3.org/2001/XMLSchema#dateTime> '
+     "time:month ?m } => { :r :y ?y ; :m ?m } .",
+     f'<{X}r> <{X}y> "2024"^^<{XSD}integer> .\n'
+     f'<{X}r> <{X}m> "3"^^<{XSD}integer> .',
+     {"think": True, "conclusions": True}),
+    ("reason_log_dtlit", "Reason",
+     "@prefix : <http://ex/>. @prefix log: <http://www.w3.org/2000/10/swap/log#>. "
+     "@prefix xsd: <http://www.w3.org/2001/XMLSchema#>. "
+     '{ ("5" xsd:integer) log:dtlit ?x } => { :r :v ?x } .',
+     f'<{X}r> <{X}v> "5"^^<{XSD}integer> .',
+     {"think": True, "conclusions": True}),
+    ("reason_log_langlit", "Reason",
+     "@prefix : <http://ex/>. @prefix log: <http://www.w3.org/2000/10/swap/log#>. "
+     '{ ("hi" "en") log:langlit ?x } => { :r :v ?x } .',
+     f'<{X}r> <{X}v> "hi"@en .',
+     {"think": True, "conclusions": True}),
+    ("reason_log_equalTo_pair", "Reason",
+     "@prefix : <http://ex/>. @prefix log: <http://www.w3.org/2000/10/swap/log#>. "
+     "{ :a log:equalTo :a . :a log:notEqualTo :b } => { :r :ok true } .",
+     f'<{X}r> <{X}ok> "true"^^<{XSD}boolean> .',
+     {"think": True, "conclusions": True}),
+    ("reason_guard_blocks_fire", "Reason",
+     "@prefix : <http://ex/>. @prefix math: <http://www.w3.org/2000/10/swap/math#>. "
+     ":a :v 2 . { ?x :v ?n . ?n math:greaterThan 3 } => { ?x a :Big } .",
+     f'<{X}a> <{X}v> "2"^^<{XSD}integer> .',
+     {"think": True, "data": True}),
 ]
