@@ -1392,4 +1392,43 @@ CASES += [
      ":a :v 2 . { ?x :v ?n . ?n math:greaterThan 3 } => { ?x a :Big } .",
      f'<{X}a> <{X}v> "2"^^<{XSD}integer> .',
      {"think": True, "data": True}),
+    # --- round-3 Reason batch 3: string/crypto/list tail -------------
+    ("reason_string_guards", "Reason",
+     "@prefix : <http://ex/>. @prefix string: <http://www.w3.org/2000/10/swap/string#>. "
+     '{ "hello" string:contains "ell" . '
+     '"HeLLo" string:containsIgnoringCase "ell" . '
+     '"hello" string:startsWith "he" . "b" string:greaterThan "a" . '
+     '"hello" string:notMatches "^x" } => { :r :ok true } .',
+     f'<{X}r> <{X}ok> "true"^^<{XSD}boolean> .',
+     {"think": True, "conclusions": True}),
+    ("reason_string_format", "Reason",
+     "@prefix : <http://ex/>. @prefix string: <http://www.w3.org/2000/10/swap/string#>. "
+     '{ ("%s-%s" "a" "b") string:format ?x } => { :r :v ?x } .',
+     f'<{X}r> <{X}v> "a-b" .',
+     {"think": True, "conclusions": True}),
+    ("reason_string_scrape", "Reason",
+     "@prefix : <http://ex/>. @prefix string: <http://www.w3.org/2000/10/swap/string#>. "
+     '{ ("v=42;" "v=([0-9]+)") string:scrape ?x } => { :r :v ?x } .',
+     f'<{X}r> <{X}v> "42" .',
+     {"think": True, "conclusions": True}),
+    ("reason_crypto_hashes", "Reason",
+     "@prefix : <http://ex/>. @prefix crypto: <http://www.w3.org/2000/10/swap/crypto#>. "
+     '{ "abc" crypto:md5 ?m . "abc" crypto:sha1 ?s } '
+     "=> { :r :md5 ?m ; :sha1 ?s } .",
+     f'<{X}r> <{X}md5> "900150983cd24fb0d6963f7d28e17f72" .\n'
+     f'<{X}r> <{X}sha1> "a9993e364706816aba3e25717850c26c9cd0d89d" .',
+     {"think": True, "conclusions": True}),
+    ("reason_list_first_in", "Reason",
+     "@prefix : <http://ex/>. @prefix list: <http://www.w3.org/2000/10/swap/list#>. "
+     "{ (7 8 9) list:first ?f . 8 list:in (7 8 9) } => { :r :v ?f } .",
+     f'<{X}r> <{X}v> "7"^^<{XSD}integer> .',
+     {"think": True, "conclusions": True}),
+    ("reason_list_iterate_fanout", "Reason",
+     "@prefix : <http://ex/>. @prefix list: <http://www.w3.org/2000/10/swap/list#>. "
+     "{ (7 8) list:iterate (?i ?m) } => { :r :at ?i ; :val ?m } .",
+     f'<{X}r> <{X}at> "0"^^<{XSD}integer> .\n'
+     f'<{X}r> <{X}val> "7"^^<{XSD}integer> .\n'
+     f'<{X}r> <{X}at> "1"^^<{XSD}integer> .\n'
+     f'<{X}r> <{X}val> "8"^^<{XSD}integer> .',
+     {"think": True, "conclusions": True}),
 ]
