@@ -54,12 +54,21 @@ CRYPTO = T.CRYPTO_NS
 @dataclass
 class EvalContext:
     """Per-evaluation context: list expansion against the knowledge
-    base, formula contents, output-string accumulator, fixed clock."""
+    base, formula contents, output-string accumulator, fixed clock,
+    and an optional resource fetcher for log:content/log:semantics.
+
+    `fetcher(iri) -> str | None` dereferences ANY scheme the caller
+    supports — the seam that restores the reference's web dereference
+    (log/content.rb:20-33 uses RDF::Util::File) in deployments that
+    have network access; this sandboxed engine ships no http client,
+    so without a fetcher only file:// IRIs resolve (deliberate
+    hardening, see engine._resource_to_path)."""
 
     expand_list: Callable[[str], list | None] = lambda t: None
     formula_quads: Callable[[str], list | None] = lambda g: None
     strings: dict = field(default_factory=dict)
     now: datetime = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    fetcher: Callable[[str], str | None] | None = None
 
 
 def is_var(t) -> bool:

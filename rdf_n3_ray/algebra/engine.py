@@ -621,18 +621,39 @@ def _resource_to_path(term) -> str | None:
     return None
 
 
-def _content(engine: Engine, s, o, sol):
-    """log:content — resource's contents as a string literal
-    (log/content.rb:20-33; local files only)."""
-    s_v = sol.get(s, s) if is_var(s) else s
+def _fetch_text(engine: Engine, s_v) -> tuple[str, str] | None:
+    """Dereference an IRI term to (text, base_uri) for
+    log:content/log:semantics.  An injected ctx.fetcher (EvalContext)
+    takes precedence and may support any scheme — the seam that
+    restores the reference's web dereference (log/content.rb:20-33)
+    in networked deployments; otherwise only file:// resolves."""
+    fetcher = getattr(engine.ctx, "fetcher", None)
+    if fetcher is not None and isinstance(s_v, str) and T.is_iri(s_v):
+        iri = T.iri_value(s_v)
+        try:
+            text = fetcher(iri)
+        except Exception:
+            return None
+        if text is not None:
+            return text, iri
     path = _resource_to_path(s_v)
     if path is None:
         return None
     try:
         with open(path, encoding="utf-8") as f:
-            lit = T.literal(f.read())
+            return f.read(), T.iri_value(s_v)
     except OSError:
         return None
+
+
+def _content(engine: Engine, s, o, sol):
+    """log:content — resource's contents as a string literal
+    (log/content.rb:20-33; file:// or injected fetcher)."""
+    s_v = sol.get(s, s) if is_var(s) else s
+    fetched = _fetch_text(engine, s_v)
+    if fetched is None:
+        return None
+    lit = T.literal(fetched[0])
     if is_var(o):
         return [{**sol, o: lit}]
     return [sol] if lit == o else []
@@ -640,20 +661,14 @@ def _content(engine: Engine, s, o, sol):
 
 def _semantics(engine: Engine, s, o, sol):
     """log:semantics — parse the resource into a formula
-    (log/semantics.rb:21-40; local files only)."""
+    (log/semantics.rb:21-40; file:// or injected fetcher)."""
     from ..parser.n3_parser import parse_n3
 
     s_v = sol.get(s, s) if is_var(s) else s
-    path = _resource_to_path(s_v)
-    if path is None:
+    fetched = _fetch_text(engine, s_v)
+    if fetched is None:
         return None
-    try:
-        with open(path, encoding="utf-8") as f:
-            text = f.read()
-    except OSError:
-        return None
-    # path non-None implies s_v is a file:// IRI (_resource_to_path)
-    base_uri = T.iri_value(s_v)
+    text, base_uri = fetched
     result = parse_n3(text, base_uri=base_uri, list_terms=True)
     if result.errors:
         return None

@@ -663,3 +663,47 @@ def test_n3string_includes_nested_formulae():
     assert "example.com/x" in text and "example.com/z" in text, text
     assert "example.com/p" in text and "example.com/r" in text, text
     assert "=>" in text and "{}" not in text, text
+
+
+def test_content_semantics_injected_fetcher():
+    """EvalContext.fetcher restores the reference's web dereference
+    (log/content.rb:20-33) without a real network: any scheme the
+    fetcher answers resolves; unanswered IRIs stay unbound."""
+    from rdf_n3_ray.algebra.builtins import EvalContext
+    from rdf_n3_ray.algebra.engine import reason
+    from rdf_n3_ray.parser.n3_parser import parse_n3
+
+    remote = {
+        "http://remote.example/doc.n3":
+            "@prefix : <http://ex/> . :a :b :c .",
+        "http://remote.example/note.txt": "hello web",
+    }
+    ctx = EvalContext(fetcher=remote.get)
+    pre = ("@prefix : <http://ex/>. "
+           "@prefix log: <http://www.w3.org/2000/10/swap/log#>. ")
+
+    # log:content binds the fetched text
+    p = parse_n3(pre + "{ <http://remote.example/note.txt> log:content ?c }"
+                 " => { :r :got ?c } .", list_terms=True)
+    out = reason(p.quads, think=True, ctx=ctx).conclusions()
+    assert ('<http://ex/r>', '<http://ex/got>', '"hello web"',
+            None) in out
+
+    # log:semantics parses the fetched N3; log:includes sees its quads
+    p = parse_n3(pre + "{ <http://remote.example/doc.n3> log:semantics ?f ."
+                 " ?f log:includes { :a :b :c } } => { :r :ok true } .",
+                 list_terms=True)
+    out = reason(p.quads, think=True, ctx=ctx).conclusions()
+    assert any(q[0] == "<http://ex/r>" for q in out), out
+
+    # an IRI the fetcher does not answer stays unbound (no crash)
+    p = parse_n3(pre + "{ <http://other.example/x> log:content ?c }"
+                 " => { :r :got ?c } .", list_terms=True)
+    out = reason(p.quads, think=True, ctx=ctx).conclusions()
+    assert out == []
+
+    # without a fetcher, http IRIs never resolve (hardened default)
+    p = parse_n3(pre + "{ <http://remote.example/note.txt> log:content ?c }"
+                 " => { :r :got ?c } .", list_terms=True)
+    out = reason(p.quads, think=True).conclusions()
+    assert out == []
