@@ -151,6 +151,15 @@ def run_kg_job(
             if f.endswith(".parquet")
         )
         fmanifest.commit("all", ffp, nrows, metrics={"elapsed": time.time() - t0})
+    side = os.path.join(final_dir, "hashes")
+    if not (os.path.isdir(side) and any(f.endswith(".parquet")
+                                        for f in os.listdir(side))):
+        # 16-byte/row hash sidecar: future append_kg_job anti-joins
+        # read this instead of the full triple strings
+        _write_hash_sidecar(final_dir, [
+            os.path.join(fmanifest.shard_dir("all"), f)
+            for f in sorted(os.listdir(fmanifest.shard_dir("all")))
+            if f.endswith(".parquet")])
     return {
         "elapsed_sec": time.time() - t0,
         "shards": len(shard_rows),
@@ -176,3 +185,230 @@ def _transcripts_conv_range(lo: int, hi: int, n_convs: int, turns_per_conv: int,
         return gen_rows(idx, offsets, seed)
 
     return rd.range(stop - start).map_batches(gen, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------------
+# Incremental append path
+# ----------------------------------------------------------------------
+
+def _stage_parquet_files(out_dir: str) -> list[str]:
+    """All committed triple parquet files: the base final stage plus
+    every prior append stage."""
+    files: list[str] = []
+    for name in sorted(os.listdir(out_dir)) if os.path.isdir(out_dir) else []:
+        if name == "stage=final" or name.startswith("stage=append-"):
+            m = LineageManifest(os.path.join(out_dir, name))
+            for sid in m.entries:
+                d = m.shard_dir(sid)
+                files.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                             if f.endswith(".parquet"))
+    return files
+
+
+def _write_hash_sidecar(stage_dir: str, triple_files: list[str]) -> str:
+    """Persist the 128-bit quad hashes of a committed stage so future
+    appends anti-join by reading 16 bytes/row instead of full triples."""
+    import ray.data as rd
+
+    from ..stages.dedup import _quad_key128
+
+    def project(b):
+        h1, h2 = _quad_key128(b)
+        import pandas as pd
+        return pd.DataFrame({"h1": h1, "h2": h2})
+
+    side = os.path.join(stage_dir, "hashes")
+    os.makedirs(side, exist_ok=True)
+    (rd.read_parquet(triple_files,
+                     columns=["subj", "pred", "obj", "graph"])
+     .map_batches(project, batch_format="pandas")
+     .write_parquet(side))
+    return side
+
+
+def _existing_hashes_ds(out_dir: str):
+    """Dataset of (h1, h2) over every committed stage — from sidecars
+    where present (16-byte rows), recomputed from triples otherwise."""
+    import ray.data as rd
+
+    from ..stages.dedup import _quad_key128
+
+    side_files: list[str] = []
+    full_files: list[str] = []
+    for name in sorted(os.listdir(out_dir)) if os.path.isdir(out_dir) else []:
+        if name == "stage=final" or name.startswith("stage=append-"):
+            stage = os.path.join(out_dir, name)
+            m = LineageManifest(stage)
+            if not m.entries:
+                continue
+            side = os.path.join(stage, "hashes")
+            if os.path.isdir(side) and any(
+                    f.endswith(".parquet") for f in os.listdir(side)):
+                side_files.extend(
+                    os.path.join(side, f) for f in sorted(os.listdir(side))
+                    if f.endswith(".parquet"))
+            else:
+                for sid in m.entries:
+                    d = m.shard_dir(sid)
+                    full_files.extend(
+                        os.path.join(d, f) for f in sorted(os.listdir(d))
+                        if f.endswith(".parquet"))
+    parts = []
+    if side_files:
+        parts.append(rd.read_parquet(side_files))
+    if full_files:
+        def project(b):
+            import pandas as pd
+            h1, h2 = _quad_key128(b)
+            return pd.DataFrame({"h1": h1, "h2": h2})
+
+        parts.append(rd.read_parquet(
+            full_files, columns=["subj", "pred", "obj", "graph"])
+            .map_batches(project, batch_format="pandas"))
+    if not parts:
+        return None
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds
+
+
+def append_kg_job(
+    out_dir: str,
+    n_convs: int,
+    lo: int,
+    hi: int,
+    turns_per_conv: int = 20,
+    seed: int = 42,
+    parse_concurrency=None,
+    hash_broadcast_limit: int = 20_000_000,
+    num_buckets: int = 64,
+) -> dict:
+    """Incrementally ingest conversations [lo, hi) of an
+    `n_convs`-sized transcript universe into an existing KG output
+    directory (base `run_kg_job` output and/or prior appends).
+
+    New triples self-dedup with the narrow shuffle, then anti-join the
+    EXISTING corpus by 128-bit quad hash: committed stages persist a
+    16-byte/row hash sidecar, so an append over a 10^12-triple KB reads
+    hashes, never historical triple strings.  Existing-hash probe is a
+    size-gated broadcast (sorted h1 + aligned h2, searchsorted span
+    check) with an h1-bucket-paired anti-join fallback past
+    `hash_broadcast_limit`.  Output is a new `stage=append-{lo}-{hi}`
+    directory with its own lineage manifest + hash sidecar: appends are
+    idempotent and individually resumable, and the base stages are
+    never rewritten."""
+    import numpy as np
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from ..stages.dedup import _quad_key128
+
+    t0 = time.time()
+    stage = os.path.join(out_dir, f"stage=append-{lo}-{hi}")
+    manifest = LineageManifest(stage)
+    fp = _fingerprint("append", seed, n_convs, turns_per_conv, lo, hi)
+    if manifest.is_done("all", fp):
+        return {"elapsed_sec": 0.0, "rows": manifest.entries["all"]["rows"],
+                "out_dir": stage, "resumed": True}
+
+    existing = _existing_hashes_ds(out_dir)
+
+    ts = _transcripts_conv_range(lo, hi, n_convs, turns_per_conv, seed)
+    new_triples = build_kg_dataset(
+        ts, parse_concurrency=parse_concurrency, dedup=True, sort=False)
+
+    if existing is not None:
+        # materialize: tiny 16-byte rows; consumed for count + content
+        existing = existing.materialize()
+        n_exist = existing.count()
+        if n_exist <= hash_broadcast_limit:
+            hdf = existing.to_pandas().sort_values(
+                ["h1", "h2"], kind="stable")
+            href = ray.put((hdf["h1"].to_numpy(), hdf["h2"].to_numpy()))
+
+            def anti(b: pd.DataFrame) -> pd.DataFrame:
+                eh1, eh2 = ray.get(href)
+                if len(eh1) == 0:
+                    return b
+                h1, h2 = _quad_key128(b)
+                h1v, h2v = h1.to_numpy(), h2.to_numpy()
+                left = np.searchsorted(eh1, h1v, side="left")
+                right = np.searchsorted(eh1, h1v, side="right")
+                dup = np.zeros(len(b), dtype=bool)
+                # equal-h1 spans are ~1 long (64-bit hash), so this
+                # loop touches only rows whose h1 matched at all
+                hit = np.nonzero(right > left)[0]
+                for i in hit:
+                    dup[i] = h2v[i] in eh2[left[i]:right[i]]
+                return b[~dup]
+
+            new_triples = new_triples.map_batches(
+                anti, batch_format="pandas", batch_size=65536)
+        else:
+            # distributed fallback: h1-bucket anti-join, identical
+            # columns AND dtypes on both union sides (repo idiom —
+            # None-filled object columns would coerce the int/string
+            # triple columns and drift the written parquet schema)
+            sch = new_triples.schema()
+            tcols = list(sch.names)
+            ttypes = [str(t) for t in sch.types]
+
+            def _sentinels(n: int) -> dict:
+                out = {}
+                for c, t in zip(tcols, ttypes):
+                    if t.startswith("int"):
+                        out[c] = np.full(n, -1, dtype=t)
+                    elif t in ("float", "double") or t.startswith("float"):
+                        out[c] = np.full(n, np.nan)
+                    else:
+                        out[c] = np.full(n, "", dtype=object)
+                return out
+
+            def tag_new(b: pd.DataFrame) -> pd.DataFrame:
+                h1, h2 = _quad_key128(b)
+                b = b.assign(h1=h1, h2=h2,
+                             hb=(h1 % num_buckets).astype("int32"))
+                b["side"] = np.int8(0)
+                return b[[*tcols, "h1", "h2", "hb", "side"]]
+
+            def tag_old(b: pd.DataFrame) -> pd.DataFrame:
+                out = pd.DataFrame(_sentinels(len(b)))
+                out["h1"] = b["h1"].to_numpy()
+                out["h2"] = b["h2"].to_numpy()
+                out["hb"] = (b["h1"].to_numpy() % num_buckets).astype(
+                    "int32")
+                out["side"] = np.int8(1)
+                return out[[*tcols, "h1", "h2", "hb", "side"]]
+
+            def anti_bucket(g: pd.DataFrame) -> pd.DataFrame:
+                new = g[g["side"] == 0]
+                old = g[g["side"] == 1][["h1", "h2"]]
+                if new.empty:
+                    return new[tcols]
+                if old.empty:
+                    return new[tcols]
+                m = new.merge(old.drop_duplicates(), on=["h1", "h2"],
+                              how="left", indicator=True)
+                return m[m["_merge"] == "left_only"][tcols]
+
+            new_triples = (new_triples
+                           .map_batches(tag_new, batch_format="pandas")
+                           .union(existing.map_batches(
+                               tag_old, batch_format="pandas"))
+                           .groupby("hb")
+                           .map_groups(anti_bucket, batch_format="pandas"))
+
+    tmp = manifest.begin("all", fp)
+    new_triples.sort(["conv_id", "turn_idx"]).write_parquet(tmp)
+    rows = sum(pq.read_metadata(os.path.join(tmp, f)).num_rows
+               for f in os.listdir(tmp) if f.endswith(".parquet"))
+    manifest.commit("all", fp, rows,
+                    metrics={"elapsed": time.time() - t0})
+    _write_hash_sidecar(stage, [
+        os.path.join(manifest.shard_dir("all"), f)
+        for f in sorted(os.listdir(manifest.shard_dir("all")))
+        if f.endswith(".parquet")])
+    return {"elapsed_sec": time.time() - t0, "rows": rows,
+            "out_dir": stage, "resumed": False}

@@ -187,3 +187,62 @@ def test_per_turn_semantics_preserved_end_to_end(ray_session):
             row.conv_id, row.turn_idx, text, row.n3)
         checked += 1
     assert checked > 50
+
+
+def test_append_kg_job_incremental(ray_session, tmp_path):
+    """append_kg_job over conv ranges reproduces the one-shot full job
+    exactly: base stage [0,20) + append stage [20,30) of a 30-conv
+    universe == run_kg_job over the same 30 convs (row-set identity),
+    and a re-run of the append is a resumed no-op."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rdf_n3_ray.pipelines.kg import (_stage_parquet_files,
+                                         append_kg_job, run_kg_job)
+
+    inc = str(tmp_path / "inc")
+    base = append_kg_job(inc, n_convs=30, lo=0, hi=20, turns_per_conv=5)
+    assert base["rows"] > 0 and not base["resumed"]
+    app = append_kg_job(inc, n_convs=30, lo=20, hi=30, turns_per_conv=5)
+    assert app["rows"] > 0 and not app["resumed"]
+
+    full_dir = str(tmp_path / "full")
+    run_kg_job(full_dir, n_convs=30, turns_per_conv=5, n_shards=3)
+
+    cols = ["conv_id", "turn_idx", "subj", "pred", "obj", "graph"]
+
+    def rows(files):
+        df = rd.read_parquet(files).to_pandas()[cols]
+        return set(map(tuple, df.fillna("\x00").values.tolist()))
+
+    got = rows(_stage_parquet_files(inc))
+    want = rows(_stage_parquet_files(full_dir))
+    assert got == want
+    # triples present in base convs never reappear in the append stage
+    assert base["rows"] + app["rows"] == len(got)
+
+    again = append_kg_job(inc, n_convs=30, lo=20, hi=30, turns_per_conv=5)
+    assert again["resumed"] and again["rows"] == app["rows"]
+
+
+def test_append_kg_job_bucket_fallback(ray_session, tmp_path):
+    """hash_broadcast_limit=0 forces the h1-bucket anti-join; output
+    must equal the broadcast path row-for-row with identical dtypes."""
+    import ray.data as rd
+
+    from rdf_n3_ray.pipelines.kg import _stage_parquet_files, append_kg_job
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    for out, limit in ((a, 20_000_000), (b, 0)):
+        append_kg_job(out, n_convs=20, lo=0, hi=12, turns_per_conv=4,
+                      hash_broadcast_limit=limit)
+        append_kg_job(out, n_convs=20, lo=12, hi=20, turns_per_conv=4,
+                      hash_broadcast_limit=limit)
+    da = rd.read_parquet(_stage_parquet_files(a)).to_pandas()
+    db = rd.read_parquet(_stage_parquet_files(b)).to_pandas()
+    cols = sorted(da.columns)
+    assert cols == sorted(db.columns)
+    da = da[cols].sort_values(cols).reset_index(drop=True)
+    db = db[cols].sort_values(cols).reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(da, db)
