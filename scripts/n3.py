@@ -72,6 +72,21 @@ def cmd_pipeline(args) -> int:
     return 0
 
 
+def cmd_append(args) -> int:
+    import ray
+
+    ray.init(address="local", num_cpus=args.num_cpus,
+             include_dashboard=False, ignore_reinit_error=True,
+             logging_level="ERROR")
+    from rdf_n3_ray.pipelines.kg import append_kg_job
+
+    metrics = append_kg_job(args.out, n_convs=args.convs, lo=args.lo,
+                            hi=args.hi, turns_per_conv=args.turns)
+    print(metrics)
+    ray.shutdown()
+    return 0
+
+
 def main() -> int:
     p = argparse.ArgumentParser(prog="n3")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -97,6 +112,19 @@ def main() -> int:
     pl.add_argument("--shards", type=int, default=8)
     pl.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     pl.set_defaults(fn=cmd_pipeline)
+
+    pa_ = sub.add_parser(
+        "append", help="incrementally ingest conv range [lo, hi) into "
+        "an existing pipeline output (hash-sidecar anti-join)")
+    pa_.add_argument("--out", required=True)
+    pa_.add_argument("--convs", type=int, required=True,
+                     help="transcript-universe size")
+    pa_.add_argument("--lo", type=int, required=True)
+    pa_.add_argument("--hi", type=int, required=True)
+    pa_.add_argument("--turns", type=int, default=20)
+    pa_.add_argument("--num-cpus", type=int,
+                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    pa_.set_defaults(fn=cmd_append)
 
     args = p.parse_args()
     return args.fn(args)
