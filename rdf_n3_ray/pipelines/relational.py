@@ -4890,3 +4890,96 @@ SELECT token, count(*)::BIGINT AS df,
 FROM toks GROUP BY token
 ORDER BY token
 """
+
+
+def search_index_write(sf_dir: str, out_dir: str, num_buckets: int = 32):
+    """Persist the inverted index as token-bucket-partitioned Parquet:
+    `out_dir/tb=K/*.parquet`, one row per token with its full sorted
+    posting list (`list<int64>`).  This is the 100 TB layout — a query
+    reads ONLY its terms' bucket partitions from storage (partition
+    pruning at the read, no vocabulary scan).  At web scale a hot
+    token's postings would additionally chunk into fixed-size segments
+    per row; df counts every doc either way."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        toks = _ws_tokens(b["text"])
+        if toks.empty:
+            return pd.DataFrame({"token": pd.Series(dtype="object"),
+                                 "doc_id": pd.Series(dtype="int64"),
+                                 "tb": pd.Series(dtype="int64")})
+        ex = pd.DataFrame({
+            "token": toks.to_numpy(),
+            "doc_id": b["doc_id"].reindex(toks.index).to_numpy()
+                      .astype("int64")}).drop_duplicates()
+        ex["tb"] = (pd.util.hash_pandas_object(ex["token"], index=False)
+                    % num_buckets).astype("int64")
+        return ex
+
+    def bucket_rows(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop_duplicates(subset=["token", "doc_id"])
+             .sort_values(["token", "doc_id"]))
+        agg = g.groupby("token", as_index=False).agg(
+            df=("doc_id", "size"), postings=("doc_id", list))
+        agg["df"] = agg["df"].astype("int64")
+        agg["tb"] = np.int64(g["tb"].iloc[0])
+        return agg
+
+    (ds.map_batches(pairs, batch_format="pandas")
+        .groupby("tb").map_groups(bucket_rows, batch_format="pandas")
+        .write_parquet(out_dir, partition_cols=["tb"]))
+    return out_dir
+
+
+def token_bucket(tokens, num_buckets: int = 32) -> list[int]:
+    """The index's token -> partition map (must match
+    search_index_write's hashing)."""
+    return (pd.util.hash_pandas_object(
+        pd.Series(list(tokens)), index=False) % num_buckets).astype(
+        "int64").tolist()
+
+
+def keyword_query(index_dir: str, terms: list[str], k: int = 10,
+                  num_buckets: int = 32) -> pd.DataFrame:
+    """Query the persisted inverted index: read ONLY the partitions of
+    the query terms' buckets, union the terms' posting lists, rank
+    docs by matched-term count (ties: doc_id).  Returns (doc_id,
+    n_matched) top-k."""
+    import glob as _glob
+
+    import ray.data as rd
+
+    terms = [t.lower() for t in terms]
+    want = sorted(set(token_bucket(terms, num_buckets)))
+    paths = [p for b in want
+             for p in sorted(_glob.glob(
+                 os.path.join(index_dir, f"tb={b}", "*.parquet")))]
+    if not paths:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "n_matched": pd.Series(dtype="int64")})
+    term_set = set(terms)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        hit = b[b["token"].isin(term_set)]
+        if hit.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "n_matched": pd.Series(dtype="int64")})
+        ex = hit[["token", "postings"]].explode("postings")
+        out = (ex.groupby("postings", as_index=False)
+               .agg(n_matched=("token", "nunique"))
+               .rename(columns={"postings": "doc_id"}))
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["n_matched"] = out["n_matched"].astype("int64")
+        return out
+
+    parts = (rd.read_parquet(paths)
+             .map_batches(score, batch_format="pandas").to_pandas())
+    if parts.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "n_matched": pd.Series(dtype="int64")})
+    # per-bucket partials: a doc can match terms from several buckets
+    out = parts.groupby("doc_id", as_index=False)["n_matched"].sum()
+    out["n_matched"] = out["n_matched"].astype("int64")
+    return (out.sort_values(["n_matched", "doc_id"],
+                            ascending=[False, True])
+            .head(k).reset_index(drop=True))

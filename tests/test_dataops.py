@@ -1911,3 +1911,40 @@ def test_search_index_matches_oracle(ray_session):
     # postings are sorted and capped at 20
     assert out["postings"].str.split(",").str.len().le(20).all()
     _assert_oracle_equal(out, _duckdb_oracle(SEARCH_INDEX_SQL))
+
+
+def test_search_index_persisted_roundtrip(ray_session, tmp_path):
+    """search_index_write -> keyword_query: partition-pruned reads
+    must agree with a direct DuckDB computation of matched-term
+    counts."""
+    import duckdb
+
+    from rdf_n3_ray.pipelines.relational import (keyword_query,
+                                                 search_index_write)
+
+    idx = str(tmp_path / "tidx")
+    search_index_write("/root/testdata/sf0.01", idx)
+    terms = ["spark", "window", "nosuchtoken"]
+    out = keyword_query(idx, terms, k=15)
+    assert len(out) == 15
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')")
+    want = con.execute(r"""
+        WITH toks AS (
+          SELECT DISTINCT doc_id, unnest(list_filter(
+            regexp_split_to_array(lower(coalesce(text,'')),
+                                  '[ \t\n\f\r]+'), x -> x <> '')) AS token
+          FROM documents
+        )
+        SELECT doc_id, count(*)::BIGINT AS n_matched FROM toks
+        WHERE token IN ('spark', 'window', 'nosuchtoken')
+        GROUP BY doc_id ORDER BY n_matched DESC, doc_id LIMIT 15
+    """).fetchdf()
+    _assert_oracle_equal(out, want)
+
+    # pruning: a query for one term reads only that term's bucket
+    out1 = keyword_query(idx, ["spark"], k=5)
+    assert (out1["n_matched"] == 1).all() and len(out1) == 5
