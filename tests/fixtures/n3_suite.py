@@ -1431,4 +1431,35 @@ CASES += [
      f'<{X}r> <{X}at> "1"^^<{XSD}integer> .\n'
      f'<{X}r> <{X}val> "8"^^<{XSD}integer> .',
      {"think": True, "conclusions": True}),
+    # --- round-3 Eval batch: formula terms + list-ladder corners ------
+    ("eval_formula_as_subject", "Eval",
+     "@prefix : <http://ex/>. { :a :b :c } :says :d .",
+     f"<{X}a> <{X}b> <{X}c> _:F0 .\n_:F0 <{X}says> <{X}d> .", {}),
+    ("eval_two_triple_formula_object", "Eval",
+     "@prefix : <http://ex/>. :g :says { :a :b :c . :d :e :f } .",
+     f"<{X}a> <{X}b> <{X}c> _:F0 .\n<{X}d> <{X}e> <{X}f> _:F0 .\n"
+     f"<{X}g> <{X}says> _:F0 .", {}),
+    ("eval_empty_formulae_both_sides", "Eval",
+     "@prefix : <http://ex/>. {} :implies {} .",
+     f"_:F0 <{X}implies> _:F1 .", {}),
+    ("eval_nested_list_ladder_in_formula", "Eval",
+     "@prefix : <http://ex/>. { :s :p (1 (2) ) } :q :r .",
+     f'_:I <{RDFNS}first> "2"^^<{XSD}integer> _:F0 .\n'
+     f"_:I <{RDFNS}rest> <{RDFNS}nil> _:F0 .\n"
+     f'_:A <{RDFNS}first> "1"^^<{XSD}integer> _:F0 .\n'
+     f"_:A <{RDFNS}rest> _:B _:F0 .\n"
+     f"_:B <{RDFNS}first> _:I _:F0 .\n"
+     f"_:B <{RDFNS}rest> <{RDFNS}nil> _:F0 .\n"
+     f"<{X}s> <{X}p> _:A _:F0 .\n"
+     f"_:F0 <{X}q> <{X}r> .", {}),
+    ("eval_bnode_propertylist_in_list", "Eval",
+     "@prefix : <http://ex/>. :s :p ( [ :a :b ] ) .",
+     f"_:N <{X}a> <{X}b> .\n_:L <{RDFNS}first> _:N .\n"
+     f"_:L <{RDFNS}rest> <{RDFNS}nil> .\n<{X}s> <{X}p> _:L .", {}),
+    ("eval_tagged_literals_in_list", "Eval",
+     '@prefix : <http://ex/>. :s :p ( "x"@en '
+     '"5"^^<http://www.w3.org/2001/XMLSchema#int> ) .',
+     f'_:A <{RDFNS}first> "x"@en .\n_:A <{RDFNS}rest> _:B .\n'
+     f'_:B <{RDFNS}first> "5"^^<{XSD}int> .\n'
+     f"_:B <{RDFNS}rest> <{RDFNS}nil> .\n<{X}s> <{X}p> _:A .", {}),
 ]
