@@ -217,6 +217,19 @@ def run_bench() -> dict:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # cross-round comparability: `value` sums ALL queries and the
+        # suite has grown every round (18 in r02 -> 46+ now), so a
+        # totals-only comparison reads coverage growth as regression.
+        # This field sums exactly the 18 queries BENCH_r02 timed.
+        "value_r02_subset": round(sum(
+            timings[q] for q in (
+                "kg_build", "lineitem_agg", "events_hourly",
+                "orders_by_nation", "top_events", "doc_token_stats",
+                "minhash_pairs", "ann_topk", "sessionize", "asof_join",
+                "revenue_by_priority", "embed_cosine_dups",
+                "decontaminate", "top_tokens", "events_sliding",
+                "event_percentiles", "distinct_users_by_type",
+                "percentiles_by_type") if q in timings), 3),
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "kg_turns": int(kg_turns),
