@@ -31,11 +31,29 @@ def _burn_once(_=None) -> int:
     return s
 
 
+def _wide_efficiency() -> float:
+    """Contention probe: 10-way pure-CPU fork-burn vs one burn.  MUST
+    run before ray.init() — forking a live multi-threaded Ray/gRPC
+    driver can wedge the pool children mid-lock."""
+    import multiprocessing as mp
+
+    n = min(10, os.cpu_count() or 1)
+    t0 = time.time()
+    _burn_once()
+    single = time.time() - t0
+    with mp.Pool(n) as pool:
+        t0 = time.time()
+        pool.map(_burn_once, [None] * n)
+        wide = time.time() - t0
+    return single / wide if wide > 0 else 1.0
+
+
 def run_bench() -> dict:
     import ray
 
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    eff = _wide_efficiency()  # probe BEFORE the Ray session forks
     ray.init(
         address="local",
         num_cpus=num_cpus,
@@ -64,25 +82,11 @@ def run_bench() -> dict:
     # per-query throughput — what a long-running 100 TB job sees.
     reps = max(1, int(os.environ.get("GRAFT_BENCH_REPS", "2")))
 
-    # contention pre-flight: a 10-way pure-CPU fork-burn vs one burn.
-    # On this shared VM a co-tenant can cut effective cores to ~15/32
-    # for minutes at a time (BASELINE.md host-degradation episode);
-    # when the probe sees wide-work efficiency < 0.75, raise best-of-N
-    # by one so each query gets an extra chance to land between spikes.
-    def _wide_efficiency() -> float:
-        import multiprocessing as mp
-
-        n = min(10, os.cpu_count() or 1)
-        t0 = time.time()
-        _burn_once()
-        single = time.time() - t0
-        with mp.Pool(n) as pool:
-            t0 = time.time()
-            pool.map(_burn_once, [None] * n)
-            wide = time.time() - t0
-        return single / wide if wide > 0 else 1.0
-
-    eff = _wide_efficiency()
+    # contention pre-flight (probed above, before ray.init): on this
+    # shared VM a co-tenant can cut effective cores to ~15/32 for
+    # minutes at a time (BASELINE.md host-degradation episode); below
+    # 0.75 wide-work efficiency, raise best-of-N by one so each query
+    # gets an extra chance to land between spikes.
     if eff < 0.75:
         reps += 1
         print(f"# contention probe: efficiency {eff:.2f} < 0.75, "

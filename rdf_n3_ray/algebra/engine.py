@@ -633,7 +633,10 @@ def _fetch_text(engine: Engine, s_v) -> tuple[str, str] | None:
         try:
             text = fetcher(iri)
         except Exception:
-            return None
+            # a web fetcher naturally raises on schemes it does not
+            # speak (file://) or transient errors — fall THROUGH to the
+            # local file path rather than disabling it
+            text = None
         if text is not None:
             return text, iri
     path = _resource_to_path(s_v)

@@ -150,16 +150,14 @@ def run_kg_job(
             for f in os.listdir(tmp)
             if f.endswith(".parquet")
         )
-        fmanifest.commit("all", ffp, nrows, metrics={"elapsed": time.time() - t0})
-    side = os.path.join(final_dir, "hashes")
-    if not (os.path.isdir(side) and any(f.endswith(".parquet")
-                                        for f in os.listdir(side))):
-        # 16-byte/row hash sidecar: future append_kg_job anti-joins
-        # read this instead of the full triple strings
-        _write_hash_sidecar(final_dir, [
-            os.path.join(fmanifest.shard_dir("all"), f)
-            for f in sorted(os.listdir(fmanifest.shard_dir("all")))
+        # 16-byte/row hash sidecar (future append_kg_job anti-joins read
+        # it instead of the full triple strings), written INSIDE the tmp
+        # dir so the commit's atomic rename covers it: no partial or
+        # stale sidecar can ever coexist with committed triples
+        _write_hash_sidecar(tmp, [
+            os.path.join(tmp, f) for f in sorted(os.listdir(tmp))
             if f.endswith(".parquet")])
+        fmanifest.commit("all", ffp, nrows, metrics={"elapsed": time.time() - t0})
     return {
         "elapsed_sec": time.time() - t0,
         "shards": len(shard_rows),
@@ -205,24 +203,32 @@ def _stage_parquet_files(out_dir: str) -> list[str]:
     return files
 
 
-def _write_hash_sidecar(stage_dir: str, triple_files: list[str]) -> str:
-    """Persist the 128-bit quad hashes of a committed stage so future
-    appends anti-join by reading 16 bytes/row instead of full triples."""
-    import ray.data as rd
+def _hash_project(b):
+    """(subj, pred, obj, graph) batch -> 16-byte (h1, h2) rows."""
+    import pandas as pd
 
     from ..stages.dedup import _quad_key128
 
-    def project(b):
-        h1, h2 = _quad_key128(b)
-        import pandas as pd
-        return pd.DataFrame({"h1": h1, "h2": h2})
+    h1, h2 = _quad_key128(b)
+    return pd.DataFrame({"h1": h1, "h2": h2})
 
-    side = os.path.join(stage_dir, "hashes")
+
+def _write_hash_sidecar(shard_tmp_dir: str, triple_files: list[str]) -> str:
+    """Persist the 128-bit quad hashes of a shard so future appends
+    anti-join by reading 16 bytes/row instead of full triples.  Written
+    into `<shard tmp>/_hashes` BEFORE the manifest commit: the commit's
+    atomic tmp->final rename makes triples and sidecar appear together,
+    so no crash can leave a partial or stale sidecar next to committed
+    data."""
+    import ray.data as rd
+
+    side = os.path.join(shard_tmp_dir, "_hashes")
     os.makedirs(side, exist_ok=True)
-    (rd.read_parquet(triple_files,
-                     columns=["subj", "pred", "obj", "graph"])
-     .map_batches(project, batch_format="pandas")
-     .write_parquet(side))
+    if triple_files:  # a fully-deduped append commits zero files
+        (rd.read_parquet(triple_files,
+                         columns=["subj", "pred", "obj", "graph"])
+         .map_batches(_hash_project, batch_format="pandas")
+         .write_parquet(side))
     return side
 
 
@@ -237,19 +243,18 @@ def _existing_hashes_ds(out_dir: str):
     full_files: list[str] = []
     for name in sorted(os.listdir(out_dir)) if os.path.isdir(out_dir) else []:
         if name == "stage=final" or name.startswith("stage=append-"):
-            stage = os.path.join(out_dir, name)
-            m = LineageManifest(stage)
-            if not m.entries:
-                continue
-            side = os.path.join(stage, "hashes")
-            if os.path.isdir(side) and any(
-                    f.endswith(".parquet") for f in os.listdir(side)):
-                side_files.extend(
-                    os.path.join(side, f) for f in sorted(os.listdir(side))
-                    if f.endswith(".parquet"))
-            else:
-                for sid in m.entries:
-                    d = m.shard_dir(sid)
+            m = LineageManifest(os.path.join(out_dir, name))
+            for sid in m.entries:
+                d = m.shard_dir(sid)
+                side = os.path.join(d, "_hashes")
+                if os.path.isdir(side) and any(
+                        f.endswith(".parquet") for f in os.listdir(side)):
+                    side_files.extend(
+                        os.path.join(side, f)
+                        for f in sorted(os.listdir(side))
+                        if f.endswith(".parquet"))
+                else:
+                    # pre-sidecar shard: recompute from the triples
                     full_files.extend(
                         os.path.join(d, f) for f in sorted(os.listdir(d))
                         if f.endswith(".parquet"))
@@ -257,14 +262,9 @@ def _existing_hashes_ds(out_dir: str):
     if side_files:
         parts.append(rd.read_parquet(side_files))
     if full_files:
-        def project(b):
-            import pandas as pd
-            h1, h2 = _quad_key128(b)
-            return pd.DataFrame({"h1": h1, "h2": h2})
-
         parts.append(rd.read_parquet(
             full_files, columns=["subj", "pred", "obj", "graph"])
-            .map_batches(project, batch_format="pandas"))
+            .map_batches(_hash_project, batch_format="pandas"))
     if not parts:
         return None
     ds = parts[0]
@@ -351,7 +351,10 @@ def append_kg_job(
             # columns AND dtypes on both union sides (repo idiom —
             # None-filled object columns would coerce the int/string
             # triple columns and drift the written parquet schema)
-            sch = new_triples.schema()
+            # schema from a committed stage's parquet footer: calling
+            # new_triples.schema() would execute the parse pipeline
+            # early just to enumerate constant columns
+            sch = pq.read_schema(_stage_parquet_files(out_dir)[0])
             tcols = list(sch.names)
             ttypes = [str(t) for t in sch.types]
 
@@ -404,11 +407,10 @@ def append_kg_job(
     new_triples.sort(["conv_id", "turn_idx"]).write_parquet(tmp)
     rows = sum(pq.read_metadata(os.path.join(tmp, f)).num_rows
                for f in os.listdir(tmp) if f.endswith(".parquet"))
+    _write_hash_sidecar(tmp, [
+        os.path.join(tmp, f) for f in sorted(os.listdir(tmp))
+        if f.endswith(".parquet")])
     manifest.commit("all", fp, rows,
                     metrics={"elapsed": time.time() - t0})
-    _write_hash_sidecar(stage, [
-        os.path.join(manifest.shard_dir("all"), f)
-        for f in sorted(os.listdir(manifest.shard_dir("all")))
-        if f.endswith(".parquet")])
     return {"elapsed_sec": time.time() - t0, "rows": rows,
             "out_dir": stage, "resumed": False}

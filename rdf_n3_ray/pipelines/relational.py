@@ -4830,6 +4830,25 @@ ORDER BY p.type_a, p.type_b
 """
 
 
+def _token_doc_pairs(b: "pd.DataFrame", num_buckets: int) -> "pd.DataFrame":
+    """Distinct (token, doc_id) pairs of a batch, keyed by the index's
+    token-hash bucket — the ONE definition shared by search_index,
+    search_index_write and token_bucket (their hashing must agree or
+    query-time partition pruning misses postings)."""
+    toks = _ws_tokens(b["text"])
+    if toks.empty:
+        return pd.DataFrame({"token": pd.Series(dtype="object"),
+                             "doc_id": pd.Series(dtype="int64"),
+                             "tb": pd.Series(dtype="int32")})
+    ex = pd.DataFrame({
+        "token": toks.to_numpy(),
+        "doc_id": b["doc_id"].reindex(toks.index).to_numpy()
+                  .astype("int64")}).drop_duplicates()
+    ex["tb"] = (pd.util.hash_pandas_object(ex["token"], index=False)
+                % num_buckets).astype("int32")
+    return ex
+
+
 def search_index(sf_dir: str, max_postings: int = 20,
                  num_buckets: int = 32):
     """Inverted-index construction: token -> document frequency +
@@ -4843,20 +4862,6 @@ def search_index(sf_dir: str, max_postings: int = 20,
     the driver only concatenates per-bucket results for the return."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def pairs(b: pd.DataFrame) -> pd.DataFrame:
-        toks = _ws_tokens(b["text"])
-        if toks.empty:
-            return pd.DataFrame({"token": pd.Series(dtype="object"),
-                                 "doc_id": pd.Series(dtype="int64"),
-                                 "tb": pd.Series(dtype="int32")})
-        ex = pd.DataFrame({
-            "token": toks.to_numpy(),
-            "doc_id": b["doc_id"].reindex(toks.index).to_numpy()
-                      .astype("int64")}).drop_duplicates()
-        ex["tb"] = (pd.util.hash_pandas_object(ex["token"], index=False)
-                    % num_buckets).astype("int32")
-        return ex
-
     def bucket_index(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(subset=["token", "doc_id"])
         g = g.sort_values(["token", "doc_id"])
@@ -4867,7 +4872,9 @@ def search_index(sf_dir: str, max_postings: int = 20,
         agg["df"] = agg["df"].astype("int64")
         return agg
 
-    parts = (ds.map_batches(pairs, batch_format="pandas")
+    parts = (ds.map_batches(
+                 lambda b: _token_doc_pairs(b, num_buckets),
+                 batch_format="pandas")
              .groupby("tb").map_groups(bucket_index,
                                        batch_format="pandas"))
     out = _fold_pd(parts, pd.DataFrame({
@@ -4902,20 +4909,6 @@ def search_index_write(sf_dir: str, out_dir: str, num_buckets: int = 32):
     per row; df counts every doc either way."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def pairs(b: pd.DataFrame) -> pd.DataFrame:
-        toks = _ws_tokens(b["text"])
-        if toks.empty:
-            return pd.DataFrame({"token": pd.Series(dtype="object"),
-                                 "doc_id": pd.Series(dtype="int64"),
-                                 "tb": pd.Series(dtype="int64")})
-        ex = pd.DataFrame({
-            "token": toks.to_numpy(),
-            "doc_id": b["doc_id"].reindex(toks.index).to_numpy()
-                      .astype("int64")}).drop_duplicates()
-        ex["tb"] = (pd.util.hash_pandas_object(ex["token"], index=False)
-                    % num_buckets).astype("int64")
-        return ex
-
     def bucket_rows(g: pd.DataFrame) -> pd.DataFrame:
         g = (g.drop_duplicates(subset=["token", "doc_id"])
              .sort_values(["token", "doc_id"]))
@@ -4925,7 +4918,8 @@ def search_index_write(sf_dir: str, out_dir: str, num_buckets: int = 32):
         agg["tb"] = np.int64(g["tb"].iloc[0])
         return agg
 
-    (ds.map_batches(pairs, batch_format="pandas")
+    (ds.map_batches(lambda b: _token_doc_pairs(b, num_buckets),
+                    batch_format="pandas")
         .groupby("tb").map_groups(bucket_rows, batch_format="pandas")
         .write_parquet(out_dir, partition_cols=["tb"]))
     return out_dir

@@ -246,3 +246,25 @@ def test_append_kg_job_bucket_fallback(ray_session, tmp_path):
     db = db[cols].sort_values(cols).reset_index(drop=True)
     import pandas as pd
     pd.testing.assert_frame_equal(da, db)
+
+
+def test_rebuild_refreshes_hash_sidecar(ray_session, tmp_path):
+    """Re-running run_kg_job with changed params rebuilds stage=final
+    AND its hash sidecar atomically (a stale sidecar would silently
+    corrupt every future append's anti-join)."""
+    import ray.data as rd
+
+    from rdf_n3_ray.pipelines.kg import append_kg_job, run_kg_job
+
+    out = str(tmp_path / "kb")
+    run_kg_job(out, n_convs=10, turns_per_conv=4, n_shards=2)
+    m2 = run_kg_job(out, n_convs=16, turns_per_conv=4, n_shards=2)
+
+    side = str(tmp_path / "kb" / "stage=final" / "shard=all" / "_hashes")
+    n_hashes = rd.read_parquet(side).count()
+    assert n_hashes == m2["final_rows"]
+
+    # an append after the rebuild dedups against the REBUILT corpus:
+    # re-appending an already-ingested range drops every triple
+    app = append_kg_job(out, n_convs=16, lo=0, hi=16, turns_per_conv=4)
+    assert app["rows"] == 0
