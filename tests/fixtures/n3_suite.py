@@ -1462,4 +1462,32 @@ CASES += [
      f'_:A <{RDFNS}first> "x"@en .\n_:A <{RDFNS}rest> _:B .\n'
      f'_:B <{RDFNS}first> "5"^^<{XSD}int> .\n'
      f"_:B <{RDFNS}rest> <{RDFNS}nil> .\n<{X}s> <{X}p> _:A .", {}),
+    # --- round-3 batch: manifest-typed syntax cases (types verified
+    # against etc/manifests.ttl entries of the same names) ------------
+    ("syntax_space_in_uri_neg", "NegativeSyntax",
+     "<http://ex/a b> <http://ex/p> <http://ex/o> .", None, {}),
+    ("syntax_newline_in_uri_neg", "NegativeSyntax",
+     "<http://ex/a\nb> <http://ex/p> <http://ex/o> .", None, {}),
+    ("syntax_zero_objects_neg", "NegativeSyntax",
+     "@prefix : <http://ex/>. :s :p .", None, {}),
+    ("syntax_thisadoc_neg", "NegativeSyntax",
+     "@prefix : <http://ex/>. this a :doc .", None, {}),
+    ("syntax_zero_predicates_pos", "PositiveSyntax",
+     "@prefix : <http://ex/>. :s .", None, {}),
+    ("syntax_single_quote_pos", "Eval",
+     "@prefix : <http://ex/>. :s :p 'hi' .",
+     f'<{X}s> <{X}p> "hi" .', {}),
+    # the modern N3 grammar ACCEPTS literal subjects/predicates
+    # (manifest types cwm_syntax_bad-preds-literal / neg-literal-
+    # predicate as PositiveSyntax despite their legacy names)
+    ("syntax_literal_predicate_pos", "Eval",
+     "@prefix : <http://ex/>. :s 42 :o .",
+     f'<{X}s> "42"^^<{XSD}integer> <{X}o> .', {}),
+    ("syntax_literal_subject_pos", "Eval",
+     '@prefix : <http://ex/>. "lit" :p :o .',
+     f'"lit" <{X}p> <{X}o> .', {}),
+    ("syntax_double_dot_neg", "NegativeSyntax",
+     "@prefix : <http://ex/>. :s :p :o . .", None, {}),
+    ("syntax_unclosed_iriref_neg", "NegativeSyntax",
+     "<http://ex/a <http://ex/p> <http://ex/o> .", None, {}),
 ]
