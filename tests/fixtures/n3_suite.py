@@ -1490,4 +1490,41 @@ CASES += [
      "@prefix : <http://ex/>. :s :p :o . .", None, {}),
     ("syntax_unclosed_iriref_neg", "NegativeSyntax",
      "<http://ex/a <http://ex/p> <http://ex/o> .", None, {}),
+    # --- round-3 Reason batch 4: unification semantics ---------------
+    ("reason_reflexive_unify", "Reason",
+     "@prefix : <http://ex/>. :a :r :a . "
+     "{ ?x :r ?y . ?y :r ?x } => { :ok :sym true } .",
+     f"<{X}a> <{X}r> <{X}a> .\n"
+     f'<{X}ok> <{X}sym> "true"^^<{XSD}boolean> .',
+     {"think": True, "data": True}),
+    ("reason_bnode_data_unifies_var", "Reason",
+     "@prefix : <http://ex/>. [ :p :v ] . "
+     "{ ?x :p :v } => { ?x a :Found } .",
+     f"_:N <{X}p> <{X}v> .\n_:N <{RDFNS}type> <{X}Found> .",
+     {"think": True, "data": True}),
+    ("reason_list_valued_binding", "Reason",
+     "@prefix : <http://ex/>. :s :p (1 2) . "
+     "{ :s :p ?L } => { :r :got ?L } .",
+     f'<{X}s> <{X}p> ("1"^^<{XSD}integer> "2"^^<{XSD}integer>) .\n'
+     f'<{X}r> <{X}got> ("1"^^<{XSD}integer> "2"^^<{XSD}integer>) .',
+     {"think": True, "data": True}),
+    # conclusion bnodes bind per VARIABLE NAME, not per solution
+    # (formula.rb:243 `solution[var.name] ||= RDF::Node.intern(...)`) —
+    # both firings share ONE node, which accumulates both :n values;
+    # a cwm-style fresh-node-per-firing would diverge here
+    ("reason_conclusion_bnode_shared_by_name", "Reason",
+     "@prefix : <http://ex/>. :a :t 1 . :b :t 2 . "
+     "{ ?x :t ?n } => { ?x :w [ :n ?n ] } .",
+     f'<{X}a> <{X}t> "1"^^<{XSD}integer> .\n'
+     f'<{X}b> <{X}t> "2"^^<{XSD}integer> .\n'
+     f'_:W <{X}n> "1"^^<{XSD}integer> .\n'
+     f'_:W <{X}n> "2"^^<{XSD}integer> .\n'
+     f"<{X}a> <{X}w> _:W .\n<{X}b> <{X}w> _:W .",
+     {"think": True, "data": True}),
+    ("reason_rule_chain_two_hops", "Reason",
+     "@prefix : <http://ex/>. :a :p :b . "
+     "{ ?x :p ?y } => { ?x :q ?y } . { ?x :q ?y } => { ?x :r ?y } .",
+     f"<{X}a> <{X}p> <{X}b> .\n<{X}a> <{X}q> <{X}b> .\n"
+     f"<{X}a> <{X}r> <{X}b> .",
+     {"think": True, "data": True}),
 ]
