@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "market_share": R.market_share,
         "type_cooccurrence": R.type_cooccurrence,
         "search_index": R.search_index,
+        "top_supplier_revenue": R.top_supplier_revenue,
         # iterative distributed algorithm (non-SQL: rows-only check;
         # pytest pins blob recovery + monotone objective)
         "embed_kmeans": _q_embed_kmeans,
@@ -262,4 +263,5 @@ def oracle_sql() -> dict[str, str]:
         "market_share": R.MARKET_SHARE_SQL,
         "type_cooccurrence": R.TYPE_COOCCURRENCE_SQL,
         "search_index": R.SEARCH_INDEX_SQL,
+        "top_supplier_revenue": R.TOP_SUPPLIER_REVENUE_SQL,
     }

@@ -194,7 +194,9 @@ def run_bench() -> dict:
         [("sole_late_supplier", lambda: R.sole_late_supplier(sf_dir)),
          ("market_share", lambda: R.market_share(sf_dir)),
          ("type_cooccurrence", lambda: R.type_cooccurrence(sf_dir)),
-         ("search_index", lambda: len(R.search_index(sf_dir)))],
+         ("search_index", lambda: len(R.search_index(sf_dir))),
+         ("top_supplier_revenue",
+          lambda: R.top_supplier_revenue(sf_dir))],
     ]
 
     def fresh_session():

@@ -4977,3 +4977,89 @@ def keyword_query(index_dir: str, terms: list[str], k: int = 10,
     return (out.sort_values(["n_matched", "doc_id"],
                             ascending=[False, True])
             .head(k).reset_index(drop=True))
+
+
+def top_supplier_revenue(sf_dir: str, date_from: str = "1996-01-01",
+                         date_to: str = "1996-04-01",
+                         num_buckets: int = 64):
+    """Q15-shape maximum aggregate with ties kept: the supplier(s)
+    whose quarterly lineitem revenue equals the global maximum.
+
+    Map-side per-supplier partial sums, suppkey-hash bucket merge
+    (each bucket owns its suppliers completely), per-bucket max
+    candidate(s) only to the driver (<= a few rows per bucket — the
+    supplier revenue table itself, which scales with the fact table,
+    never leaves the cluster), global max + tie filter on the driver,
+    names via a broadcast semi-join read.  Revenue in int64 cents."""
+    import ray
+
+    lo, hi = pd.Timestamp(date_from), pd.Timestamp(date_to)
+    li = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_shipdate",
+                        "l_extendedprice", "l_discount"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)]
+        rev = np.floor(b["l_extendedprice"].to_numpy()
+                       * (1.0 - b["l_discount"].to_numpy()) * 100.0
+                       + 0.5).astype("int64")
+        g = (pd.DataFrame({"skey": b["l_suppkey"].to_numpy()
+                           .astype("int64"), "total_c": rev})
+             .groupby("skey", as_index=False)["total_c"].sum())
+        g["sb"] = (g["skey"] % num_buckets).astype("int32")
+        return g
+
+    def bucket_max(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("skey", as_index=False)["total_c"].sum()
+        m["total_c"] = m["total_c"].astype("int64")
+        # only this bucket's max (with ties) can be the global max
+        return m[m["total_c"] == m["total_c"].max()]
+
+    cand = _fold_pd(
+        (li.map_batches(partial, batch_format="pandas",
+                        batch_size=131072)
+         .groupby("sb").map_groups(bucket_max, batch_format="pandas")),
+        pd.DataFrame({"skey": pd.Series(dtype="int64"),
+                      "total_c": pd.Series(dtype="int64")}))
+    empty = pd.DataFrame({"s_suppkey": pd.Series(dtype="int64"),
+                          "s_name": pd.Series(dtype="object"),
+                          "total_revenue": pd.Series(dtype="float64")})
+    if cand.empty:
+        return empty
+    best = int(cand["total_c"].max())
+    top = cand[cand["total_c"] == best]
+
+    keys_ref = ray.put(np.sort(top["skey"].to_numpy().astype("int64")))
+
+    def name_filter(b: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(keys_ref)
+        m = _semi_mask(ks, b["s_suppkey"].to_numpy().astype("int64"))
+        return b[m][["s_suppkey", "s_name"]]
+
+    names = _fold_pd(
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+        .map_batches(name_filter, batch_format="pandas"),
+        pd.DataFrame({"s_suppkey": pd.Series(dtype="int64"),
+                      "s_name": pd.Series(dtype="object")}))
+    out = top.merge(names, left_on="skey", right_on="s_suppkey")
+    out["total_revenue"] = out["total_c"].astype("int64") / 100.0
+    return (out.sort_values("s_suppkey")
+            [["s_suppkey", "s_name", "total_revenue"]]
+            .reset_index(drop=True))
+
+
+TOP_SUPPLIER_REVENUE_SQL = """
+WITH rev AS (
+  SELECT l_suppkey AS skey,
+         SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0
+                        + 0.5) AS BIGINT)) AS total_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, rev.total_c / 100.0 AS total_revenue
+FROM rev JOIN supplier s ON s.s_suppkey = rev.skey
+WHERE rev.total_c = (SELECT max(total_c) FROM rev)
+ORDER BY s.s_suppkey
+"""

@@ -1948,3 +1948,44 @@ def test_search_index_persisted_roundtrip(ray_session, tmp_path):
     # pruning: a query for one term reads only that term's bucket
     out1 = keyword_query(idx, ["spark"], k=5)
     assert (out1["n_matched"] == 1).all() and len(out1) == 5
+
+
+def test_top_supplier_revenue_matches_oracle(ray_session):
+    from rdf_n3_ray.pipelines.relational import (TOP_SUPPLIER_REVENUE_SQL,
+                                                 top_supplier_revenue)
+
+    out = top_supplier_revenue("/root/testdata/sf0.01")
+    assert len(out) >= 1
+    _assert_oracle_equal(out, _duckdb_oracle(TOP_SUPPLIER_REVENUE_SQL))
+
+
+def test_top_supplier_revenue_keeps_ties(ray_session, tmp_path):
+    """Two suppliers with identical max revenue both appear."""
+    import pyarrow.parquet as pq
+
+    from rdf_n3_ray.pipelines.relational import top_supplier_revenue
+
+    d = pd.Timestamp("1996-02-01")
+    li = pa.table({
+        "l_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "l_partkey": pa.array([1] * 3, pa.int64()),
+        "l_suppkey": pa.array([10, 11, 12], pa.int64()),
+        "l_linenumber": pa.array([1] * 3, pa.int32()),
+        "l_quantity": pa.array([1.0] * 3),
+        "l_extendedprice": pa.array([100.0, 100.0, 50.0]),
+        "l_discount": pa.array([0.0] * 3),
+        "l_tax": pa.array([0.0] * 3),
+        "l_returnflag": pa.array(["N"] * 3),
+        "l_linestatus": pa.array(["O"] * 3),
+        "l_shipdate": pa.array([d] * 3, pa.timestamp("us")),
+    })
+    supp = pa.table({
+        "s_suppkey": pa.array([10, 11, 12], pa.int64()),
+        "s_name": pa.array(["S10", "S11", "S12"]),
+        "s_nationkey": pa.array([0, 0, 0], pa.int32()),
+    })
+    pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+    pq.write_table(supp, str(tmp_path / "supplier.parquet"))
+    out = top_supplier_revenue(str(tmp_path))
+    assert out["s_suppkey"].tolist() == [10, 11]
+    assert (out["total_revenue"] == 100.0).all()
