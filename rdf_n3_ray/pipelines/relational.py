@@ -3503,20 +3503,29 @@ def nation_trade_volume(sf_dir: str, nation_a: str = "NATION_1",
     # join 1: orderkey — attach o_custkey, re-key partials on custkey
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
 
+    # identical-columns union (repo idiom — Ray's sort shuffle can hand
+    # map_groups a block that saw only one side, so differing schemas
+    # KeyError intermittently): the orders side rides o_custkey in the
+    # shared `supp_nk` slot
     def ord_side(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["jb"] = (b["o_orderkey"] % num_partitions).astype("int32")
-        b["side"] = np.int8(1)
-        return b
+        ok = b["o_orderkey"].to_numpy().astype("int64")
+        n = len(b)
+        return pd.DataFrame({
+            "key": ok,
+            "supp_nk": b["o_custkey"].to_numpy().astype("int64"),
+            "year": np.zeros(n, dtype="int32"),
+            "rev_c": np.zeros(n, dtype="int64"),
+            "jb": (ok % num_partitions).astype("int32"),
+            "side": np.full(n, 1, dtype="int8")})
 
     def join_ord(group: pd.DataFrame) -> pd.DataFrame:
-        o = group[group["side"] == 1][["o_orderkey", "o_custkey"]]
+        o = (group[group["side"] == 1][["key", "supp_nk"]]
+             .rename(columns={"key": "o_orderkey",
+                              "supp_nk": "o_custkey"}))
         l = group[group["side"] == 0][["key", "supp_nk", "year", "rev_c"]]
         if o.empty or l.empty:
             return _empty()
-        m = l.merge(o.astype({"o_orderkey": "int64",
-                              "o_custkey": "int64"}),
-                    left_on="key", right_on="o_orderkey")
+        m = l.merge(o, left_on="key", right_on="o_orderkey")
         g = (m.groupby(["o_custkey", "supp_nk", "year"], as_index=False)
              .agg(rev_c=("rev_c", "sum"))
              .rename(columns={"o_custkey": "key"}))
@@ -3533,17 +3542,24 @@ def nation_trade_volume(sf_dir: str, nation_a: str = "NATION_1",
     # join 2: custkey — customer nation, cross-nation filter, final agg
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
 
+    # identical-columns union again: the customer side rides its
+    # nationkey in the shared `supp_nk` slot
     def cust_side(b: pd.DataFrame) -> pd.DataFrame:
         b = b[b["c_nationkey"].isin(ray.get(nat_ref))]
-        out = pd.DataFrame({
-            "c_custkey": b["c_custkey"].to_numpy().astype("int64"),
-            "cust_nk": b["c_nationkey"].to_numpy().astype("int64")})
-        out["jb"] = (out["c_custkey"] % num_partitions).astype("int32")
-        out["side"] = np.int8(1)
-        return out
+        ck = b["c_custkey"].to_numpy().astype("int64")
+        n = len(b)
+        return pd.DataFrame({
+            "key": ck,
+            "supp_nk": b["c_nationkey"].to_numpy().astype("int64"),
+            "year": np.zeros(n, dtype="int32"),
+            "rev_c": np.zeros(n, dtype="int64"),
+            "jb": (ck % num_partitions).astype("int32"),
+            "side": np.full(n, 1, dtype="int8")})
 
     def join_cust(group: pd.DataFrame) -> pd.DataFrame:
-        c = group[group["side"] == 1][["c_custkey", "cust_nk"]]
+        c = (group[group["side"] == 1][["key", "supp_nk"]]
+             .rename(columns={"key": "c_custkey",
+                              "supp_nk": "cust_nk"}))
         l = group[group["side"] == 0][["key", "supp_nk", "year", "rev_c"]]
         empty = pd.DataFrame({"supp_nk": pd.Series(dtype="int64"),
                               "cust_nk": pd.Series(dtype="int64"),
