@@ -1437,10 +1437,15 @@ def asof_join_orders(sf_dir: str, num_buckets: int = 32):
                    columns=["o_orderkey", "o_custkey", "o_orderdate",
                             "o_totalprice"])
 
+    # identical-columns union (repo idiom — differing schemas can
+    # KeyError in the group fn when a sort-shuffle block saw one side)
     def tag_ev(b: pd.DataFrame) -> pd.DataFrame:
         b = b.assign(jb=_user_bucket(b["user_id"], num_buckets))
         b["side"] = 0
-        return b[["jb", "side", "event_id", "ts", "user_id"]]
+        b["o_orderkey"] = np.int64(-1)
+        b["o_totalprice"] = 0.0
+        return b[["jb", "side", "event_id", "ts", "user_id",
+                  "o_orderkey", "o_totalprice"]]
 
     def tag_ord(b: pd.DataFrame) -> pd.DataFrame:
         b = b.rename(columns={"o_custkey": "user_id", "o_orderdate": "ts"})
@@ -1511,24 +1516,36 @@ def revenue_by_priority(sf_dir: str, num_partitions: int = 64):
         ).astype("int64"))
         g = (b.groupby("l_orderkey", as_index=False)
              .agg(rev_c=("rev_c", "sum"), n_items=("rev_c", "size")))
+        g["n_items"] = g["n_items"].astype("int64")
+        # identical-columns union (repo idiom): priority slot empty here
+        g["o_orderpriority"] = ""
         g["jb"] = (g["l_orderkey"] % num_partitions).astype("int32")
         g["side"] = 0
-        return g
+        return g[["l_orderkey", "rev_c", "n_items", "o_orderpriority",
+                  "jb", "side"]]
 
     left = li.map_batches(pre, batch_format="pandas", batch_size=65536)
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
 
     def tag_right(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.assign(jb=(b["o_orderkey"] % num_partitions).astype("int32"))
-        b["side"] = 1
-        return b
+        ok = b["o_orderkey"].to_numpy().astype("int64")
+        n = len(b)
+        return pd.DataFrame({
+            "l_orderkey": ok,
+            "rev_c": np.zeros(n, dtype="int64"),
+            "n_items": np.zeros(n, dtype="int64"),
+            "o_orderpriority": b["o_orderpriority"].to_numpy(),
+            "jb": (ok % num_partitions).astype("int32"),
+            "side": np.full(n, 1, dtype="int64")})
 
     both = left.union(orders.map_batches(tag_right, batch_format="pandas"))
 
     def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
         l = group[group["side"] == 0]
-        r = group[group["side"] == 1][["o_orderkey", "o_orderpriority"]]
+        r = (group[group["side"] == 1]
+             [["l_orderkey", "o_orderpriority"]]
+             .rename(columns={"l_orderkey": "o_orderkey"}))
         if l.empty or r.empty:
             return pd.DataFrame({
                 "o_orderpriority": pd.Series(dtype="object"),
@@ -3158,19 +3175,25 @@ def returned_top_customers(sf_dir: str, date_from: str = "1996-10-01",
             b["l_extendedprice"] * (1 - b["l_discount"]) * 100.0 + 0.5
         ).astype("int64"))
         g = b.groupby("l_orderkey", as_index=False).agg(rev_c=("rev_c", "sum"))
+        # identical-columns union (repo idiom): custkey slot empty here
+        g["o_custkey"] = np.int64(-1)
         g["jb"] = (g["l_orderkey"] % num_partitions).astype("int32")
         g["side"] = 0
-        return g
+        return g[["l_orderkey", "rev_c", "o_custkey", "jb", "side"]]
 
     orders = _read(sf_dir, "orders",
                    columns=["o_orderkey", "o_custkey", "o_orderdate"])
 
     def ord_pre(b: pd.DataFrame) -> pd.DataFrame:
         b = b[(b["o_orderdate"] >= lo) & (b["o_orderdate"] < hi)]
-        b = b[["o_orderkey", "o_custkey"]].copy()
-        b["jb"] = (b["o_orderkey"] % num_partitions).astype("int32")
-        b["side"] = 1
-        return b
+        ok = b["o_orderkey"].to_numpy().astype("int64")
+        n = len(b)
+        return pd.DataFrame({
+            "l_orderkey": ok,
+            "rev_c": np.zeros(n, dtype="int64"),
+            "o_custkey": b["o_custkey"].to_numpy().astype("int64"),
+            "jb": (ok % num_partitions).astype("int32"),
+            "side": np.full(n, 1, dtype="int64")})
 
     both = (li.map_batches(li_pre, batch_format="pandas", batch_size=65536)
             .union(orders.map_batches(ord_pre, batch_format="pandas",
@@ -3178,7 +3201,8 @@ def returned_top_customers(sf_dir: str, date_from: str = "1996-10-01",
 
     def join1(group: pd.DataFrame) -> pd.DataFrame:
         l = group[group["side"] == 0]
-        r = group[group["side"] == 1][["o_orderkey", "o_custkey"]]
+        r = (group[group["side"] == 1][["l_orderkey", "o_custkey"]]
+             .rename(columns={"l_orderkey": "o_orderkey"}))
         empty = pd.DataFrame({"o_custkey": pd.Series(dtype="int64"),
                               "rev_c": pd.Series(dtype="int64")})
         if l.empty or r.empty:
@@ -3199,11 +3223,18 @@ def returned_top_customers(sf_dir: str, date_from: str = "1996-10-01",
     partials = both.groupby("jb").map_groups(join1, batch_format="pandas")
 
     # -- join 2: custkey partials ⋈ customer, on custkey; top-k/bucket
+    _j2cols = ["o_custkey", "rev_c", "c_name", "c_acctbal", "n_name",
+               "cb", "side"]
+
     def part_tag(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
+        # identical-columns union: customer payload slots empty here
+        b["c_name"] = ""
+        b["c_acctbal"] = 0.0
+        b["n_name"] = ""
         b["cb"] = (b["o_custkey"] % num_partitions).astype("int32")
         b["side"] = 0
-        return b
+        return b[_j2cols]
 
     cust = _read(sf_dir, "customer",
                  columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
@@ -3215,8 +3246,9 @@ def returned_top_customers(sf_dir: str, date_from: str = "1996-10-01",
         b = b.assign(n_name=b["c_nationkey"].map(ray.get(nation_ref)),
                      cb=(b["c_custkey"] % num_partitions).astype("int32"),
                      side=1)
-        return b[["c_custkey", "c_name", "c_acctbal", "n_name",
-                  "cb", "side"]]
+        out = b.rename(columns={"c_custkey": "o_custkey"})
+        out["rev_c"] = np.int64(0)
+        return out[_j2cols]
 
     both2 = (partials.map_batches(part_tag, batch_format="pandas")
              .union(cust.map_batches(cust_tag, batch_format="pandas")))
@@ -3234,8 +3266,8 @@ def returned_top_customers(sf_dir: str, date_from: str = "1996-10-01",
             return empty
         per_cust = (l.groupby("o_custkey", as_index=False)
                     .agg(rev_c=("rev_c", "sum")))  # custkey co-located: final
-        r = r[["c_custkey", "c_name", "c_acctbal", "n_name"]].astype(
-            {"c_custkey": "int64"})  # de-float the union's NaN padding
+        r = (r[["o_custkey", "c_name", "c_acctbal", "n_name"]]
+             .rename(columns={"o_custkey": "c_custkey"}))
         m = per_cust.merge(r, left_on="o_custkey", right_on="c_custkey")
         if m.empty:
             return empty
