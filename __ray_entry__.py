@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_cooccurrence": R.type_cooccurrence,
         "search_index": R.search_index,
         "top_supplier_revenue": R.top_supplier_revenue,
+        "late_shipment_priority": R.late_shipment_priority,
         # iterative distributed algorithm (non-SQL: rows-only check;
         # pytest pins blob recovery + monotone objective)
         "embed_kmeans": _q_embed_kmeans,
@@ -264,4 +265,5 @@ def oracle_sql() -> dict[str, str]:
         "type_cooccurrence": R.TYPE_COOCCURRENCE_SQL,
         "search_index": R.SEARCH_INDEX_SQL,
         "top_supplier_revenue": R.TOP_SUPPLIER_REVENUE_SQL,
+        "late_shipment_priority": R.LATE_SHIPMENT_PRIORITY_SQL,
     }

@@ -196,7 +196,9 @@ def run_bench() -> dict:
          ("type_cooccurrence", lambda: R.type_cooccurrence(sf_dir)),
          ("search_index", lambda: len(R.search_index(sf_dir))),
          ("top_supplier_revenue",
-          lambda: R.top_supplier_revenue(sf_dir))],
+          lambda: R.top_supplier_revenue(sf_dir)),
+         ("late_shipment_priority",
+          lambda: R.late_shipment_priority(sf_dir))],
     ]
 
     def fresh_session():

@@ -5111,3 +5111,92 @@ FROM rev JOIN supplier s ON s.s_suppkey = rev.skey
 WHERE rev.total_c = (SELECT max(total_c) FROM rev)
 ORDER BY s.s_suppkey
 """
+
+
+def late_shipment_priority(sf_dir: str, late_days: int = 60,
+                           num_partitions: int = 64):
+    """Q12-shape conditional aggregation over a big-big join: count
+    high- vs low-priority lines by late/on-time ship status (late :=
+    shipped more than `late_days` after the order date — this schema
+    has no commit/receipt dates).
+
+    lineitem pre-aggregates map-side to per-(order, shipdate-late-side)
+    counts?  No — lateness needs o_orderdate, so lineitem ships one
+    (orderkey, shipdate) row per LINE into the orderkey bucket join
+    (identical-columns union); each bucket classifies its own lines and
+    emits a 2x2 partial, so the driver folds <= num_partitions x 2
+    rows.  One shuffle total."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate",
+                            "o_orderpriority"])
+    cols = ["key", "d", "prio", "jb", "side"]
+
+    def li_side(b: pd.DataFrame) -> pd.DataFrame:
+        ok = b["l_orderkey"].to_numpy().astype("int64")
+        return pd.DataFrame({
+            "key": ok, "d": b["l_shipdate"],
+            "prio": np.full(len(b), "", dtype=object),
+            "jb": (ok % num_partitions).astype("int32"),
+            "side": np.zeros(len(b), dtype="int8")})[cols]
+
+    def ord_side(b: pd.DataFrame) -> pd.DataFrame:
+        ok = b["o_orderkey"].to_numpy().astype("int64")
+        return pd.DataFrame({
+            "key": ok, "d": b["o_orderdate"],
+            "prio": b["o_orderpriority"].to_numpy(),
+            "jb": (ok % num_partitions).astype("int32"),
+            "side": np.ones(len(b), dtype="int8")})[cols]
+
+    off = pd.Timedelta(days=late_days)
+    high = ("1-URGENT", "2-HIGH")
+
+    def bucket(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group["side"] == 0][["key", "d"]]
+        o = (group[group["side"] == 1][["key", "d", "prio"]]
+             .rename(columns={"d": "odate"}))
+        empty = pd.DataFrame({
+            "ship_status": pd.Series(dtype="object"),
+            "high_line_count": pd.Series(dtype="int64"),
+            "low_line_count": pd.Series(dtype="int64")})
+        if l.empty or o.empty:
+            return empty
+        m = l.merge(o, on="key")
+        if m.empty:
+            return empty
+        late = m["d"] > (m["odate"] + off)
+        is_high = m["prio"].isin(high).to_numpy()
+        g = pd.DataFrame({
+            "ship_status": np.where(late, "late", "ontime"),
+            "high_line_count": is_high.astype("int64"),
+            "low_line_count": (~is_high).astype("int64")})
+        return (g.groupby("ship_status", as_index=False)
+                [["high_line_count", "low_line_count"]].sum())
+
+    parts = (li.map_batches(li_side, batch_format="pandas",
+                            batch_size=131072)
+             .union(orders.map_batches(ord_side, batch_format="pandas",
+                                       batch_size=131072))
+             .groupby("jb").map_groups(bucket, batch_format="pandas"))
+    out = (_fold_pd(parts, pd.DataFrame({
+               "ship_status": pd.Series(dtype="object"),
+               "high_line_count": pd.Series(dtype="int64"),
+               "low_line_count": pd.Series(dtype="int64")}))
+           .groupby("ship_status", as_index=False)
+           [["high_line_count", "low_line_count"]].sum())
+    out["high_line_count"] = out["high_line_count"].astype("int64")
+    out["low_line_count"] = out["low_line_count"].astype("int64")
+    return out.sort_values("ship_status").reset_index(drop=True)
+
+
+LATE_SHIPMENT_PRIORITY_SQL = """
+SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+            THEN 'late' ELSE 'ontime' END AS ship_status,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1
+ORDER BY 1
+"""

@@ -1989,3 +1989,12 @@ def test_top_supplier_revenue_keeps_ties(ray_session, tmp_path):
     out = top_supplier_revenue(str(tmp_path))
     assert out["s_suppkey"].tolist() == [10, 11]
     assert (out["total_revenue"] == 100.0).all()
+
+
+def test_late_shipment_priority_matches_oracle(ray_session):
+    from rdf_n3_ray.pipelines.relational import (
+        LATE_SHIPMENT_PRIORITY_SQL, late_shipment_priority)
+
+    out = late_shipment_priority("/root/testdata/sf0.01")
+    assert set(out["ship_status"]) == {"late", "ontime"}
+    _assert_oracle_equal(out, _duckdb_oracle(LATE_SHIPMENT_PRIORITY_SQL))
