@@ -131,10 +131,16 @@ class N3Writer:
         self.graphs: dict[str | None, list[Quad]] = defaultdict(list)
         for q in self.quads:
             self.graphs[q[3]].append(q)
-        # reference counts per graph (writer.rb:673-684)
+        # reference counts per graph (writer.rb:673-684).  Predicate
+        # occurrences count too: a bnode used as a predicate (path
+        # sugar `:a!:b` mints those) must keep its LABEL everywhere —
+        # inlining its object occurrence as [ ... ] would sever the
+        # identity between the two positions on reparse
         self.ref_count: dict[tuple[str | None, str], int] = defaultdict(int)
         for s, p, o, g in self.quads:
             self.ref_count[(g, o)] += 1
+            if T.is_bnode(p):
+                self.ref_count[(g, p)] += 1
         self.serialized: set[tuple] = set()
 
     def _is_formula_label(self, t: str) -> bool:
@@ -391,6 +397,12 @@ class N3Writer:
                 pred = "=>"
             elif p == T.RDF_NIL:
                 pred = p  # "()" is not legal in predicate position
+            elif T.is_bnode(p) and not (p in self.graphs
+                                        or self._is_formula_label(p)):
+                # plain bnode predicate: always the label — "[...]"
+                # sugar in predicate position mints a FRESH node on
+                # reparse, breaking identity with other occurrences
+                pred = p
             else:
                 pred = self._term(p, graph)
             objs = ", ".join(self._term(o, graph, depth) for o in by_pred[p])

@@ -314,3 +314,32 @@ def test_parse_result_formula_labels_round_trip():
     out = serialize_n3(r.quads, formula_labels=r.formula_labels)
     assert "{}" in out            # empty formula survives
     assert "{ <http://ex/a> <http://ex/b> <http://ex/c> . }" in out
+
+
+def test_round_trip_full_conformance_suite():
+    """Every PositiveSyntax/Eval input of the vendored 395-case suite
+    must survive parse -> serialize -> reparse isomorphically (pins the
+    writer against the complete grammar surface the parser accepts,
+    including formula terms, list ladders, langtags, and escapes)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from fixtures.n3_suite import CASES
+
+    checked = 0
+    for cid, ctype, text, _exp, opts in CASES:
+        if ctype not in ("PositiveSyntax", "Eval"):
+            continue
+        orig = parse_n3(text, **opts)
+        if orig.errors:
+            continue  # lenient-mode recoveries are out of scope here
+        out = serialize_n3(orig.quads,
+                           formula_labels=getattr(orig, "formula_labels",
+                                                  None))
+        back = parse_n3(out, list_terms=opts.get("list_terms", False))
+        assert not back.errors, (cid, out, back.errors)
+        assert isomorphic(orig.quads, back.quads), (
+            f"{cid}\nIN:\n{text}\nOUT:\n{out}\n"
+            f"GOT:{back.quads}\nWANT:{orig.quads}")
+        checked += 1
+    assert checked >= 200, checked
