@@ -45,8 +45,11 @@ _literal = st.builds(
 
 _subject = st.one_of(_iri, _bnode)
 _object = st.one_of(_iri, _bnode, _literal)
+# predicates: mostly IRIs, occasionally a bnode (legal N3 — path sugar
+# mints them; the writer must keep label identity across positions)
+_predicate = st.one_of(_iri, _iri, _iri, _bnode)
 
-_quad = st.tuples(_subject, _iri, _object, st.none())
+_quad = st.tuples(_subject, _predicate, _object, st.none())
 _graph = st.lists(_quad, min_size=1, max_size=12, unique=True)
 
 
