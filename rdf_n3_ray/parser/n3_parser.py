@@ -724,3 +724,92 @@ def parse_n3(
         r = ParseResult()
         r.errors.append(str(e))
         return r
+
+
+def parse_ntriples(text: str, validate: bool = True) -> ParseResult:
+    """Line-oriented N-Triples / N-Quads fast path, symmetric with
+    serializer.to_ntriples (which emits a 4th graph term for quads in
+    formulae).  The full N3 grammar cannot accept 4-term statements —
+    this reader exists so an engine-written dump (KB reload, shard
+    exchange) round-trips losslessly without the recursive-descent
+    machinery.  Terms use the same lexer terminals; statements are
+    `s p o [g] .` only."""
+    from .lexer import LexerError, tokenize
+
+    result = ParseResult()
+    try:
+        tokens, lex_errors = tokenize(text, recover=not validate)
+    except LexerError as e:
+        result.errors.append(str(e))
+        return result
+    result.errors.extend(lex_errors)
+
+    def term_at(i):
+        """(encoded term, next index) or (None, i) on malformed input."""
+        if i >= len(tokens):
+            return None, i
+        t = tokens[i]
+        if t.type == "IRIREF":
+            return t.value, i + 1
+        if t.type == "BLANK_NODE_LABEL":
+            return t.value, i + 1
+        if t.type == "QUICK_VAR_NAME":
+            # not N-Triples proper, but engine dumps of RULE quads
+            # contain ?vars and must reload losslessly
+            return t.value, i + 1
+        if t.type in ("STRING_LITERAL_QUOTE",
+                      "STRING_LITERAL_SINGLE_QUOTE",
+                      "STRING_LITERAL_LONG_QUOTE",
+                      "STRING_LITERAL_LONG_SINGLE_QUOTE"):
+            value = t.value[3:-3] if t.value[:3] in ('"""', "'''") \
+                else t.value[1:-1]
+            j = i + 1
+            if j < len(tokens) and tokens[j].type == "LANGTAG":
+                return T.literal(value, lang=tokens[j].value[1:].lower()), \
+                    j + 1
+            if (j + 1 < len(tokens) and tokens[j].type is None
+                    and tokens[j].value == "^^"
+                    and tokens[j + 1].type == "IRIREF"):
+                return T.literal(value,
+                                 datatype=T.iri_value(tokens[j + 1].value)
+                                 ), j + 2
+            return T.literal(value), j
+        if t.type == "INTEGER":
+            return T.literal(t.value, datatype=T.XSD_INTEGER), i + 1
+        if t.type == "DECIMAL":
+            return T.literal(t.value, datatype=T.XSD_DECIMAL), i + 1
+        if t.type == "DOUBLE":
+            return T.literal(t.value, datatype=T.XSD_DOUBLE), i + 1
+        if t.type is None and t.value in ("true", "false"):
+            return T.literal(t.value, datatype=T.XSD_BOOLEAN), i + 1
+        return None, i
+
+    i, n = 0, len(tokens)
+    while i < n:
+        terms = []
+        start = i
+        while len(terms) < 4:
+            term, j = term_at(i)
+            if term is None:
+                break
+            terms.append(term)
+            i = j
+        if (len(terms) in (3, 4) and i < n and tokens[i].type is None
+                and tokens[i].value == "."):
+            i += 1
+            g = terms[3] if len(terms) == 4 else None
+            result.quads.append((terms[0], terms[1], terms[2], g))
+            if g is not None:
+                result.formula_labels.add(g)
+            continue
+        msg = (f"malformed N-Triples statement at token {start}: "
+               f"{tokens[start].value!r}")
+        result.errors.append(msg)
+        if validate:
+            break
+        # recover: skip to just past the next '.'
+        while i < n and not (tokens[i].type is None
+                             and tokens[i].value == "."):
+            i += 1
+        i += 1
+    return result

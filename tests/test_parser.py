@@ -443,3 +443,50 @@ def test_isomorphism_bnode_predicates_and_automorphic_cycles():
     cyc_b = [("_:x", "<p>", "_:z", None), ("_:z", "<p>", "_:y", None),
              ("_:y", "<p>", "_:x", None)]
     assert precision_recall(cyc_a, cyc_b) == (1.0, 1.0)
+
+
+def test_parse_ntriples_round_trips_suite():
+    """to_ntriples <-> parse_ntriples is a lossless pair over every
+    ladder-mode suite input (incl. formula quads as N-Quads lines and
+    ?vars from rule dumps) — the engine's KB dump/reload contract."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from fixtures.n3_suite import CASES
+
+    from rdf_n3_ray.isomorphism import isomorphic
+    from rdf_n3_ray.parser.n3_parser import parse_ntriples
+    from rdf_n3_ray.serializer.n3_writer import to_ntriples
+
+    checked = 0
+    for cid, ctype, text, _exp, opts in CASES:
+        if ctype not in ("PositiveSyntax", "Eval"):
+            continue
+        orig = parse_n3(text, **opts)
+        if orig.errors or opts.get("list_terms"):
+            continue
+        back = parse_ntriples(to_ntriples(orig.quads))
+        assert not back.errors, (cid, back.errors)
+        assert isomorphic(orig.quads, back.quads), cid
+        checked += 1
+    assert checked >= 200, checked
+
+
+def test_parse_ntriples_malformed():
+    from rdf_n3_ray.parser.n3_parser import parse_ntriples
+
+    assert parse_ntriples("<http://a> <http://b> .").errors
+    assert parse_ntriples(
+        "<http://a> <http://b> <http://c> <http://g> <http://x> .").errors
+    # recover mode skips the bad statement and keeps the good one
+    r = parse_ntriples(
+        "<http://a> <http://b> .\n<http://a> <http://b> <http://c> .",
+        validate=False)
+    assert len(r.quads) == 1 and r.errors
+    # typed + lang literals and booleans
+    r = parse_ntriples(
+        '<http://a> <http://b> "x"@EN .\n'
+        '<http://a> <http://b> "5"^^<http://www.w3.org/2001/XMLSchema#byte> .\n'
+        "<http://a> <http://b> true .")
+    assert not r.errors and len(r.quads) == 3
+    assert r.quads[0][2] == '"x"@en'
