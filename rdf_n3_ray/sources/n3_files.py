@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from ..parser.n3_parser import parse_n3
+from ..parser.n3_parser import parse_n3, parse_ntriples
 from ..terms import kind_of
 
 
@@ -30,7 +30,12 @@ def _parse_files(batch: pa.Table, base_from_path: bool,
     for path, blob in zip(paths, blobs):
         text = blob.decode("utf-8", "replace")
         base = f"file://{path}" if base_from_path else None
-        result = parse_n3(text, base_uri=base, list_terms=list_terms)
+        if path.endswith((".nt", ".nq")):
+            # engine dump reload: the line-oriented fast path also
+            # accepts the 4th graph term full N3 cannot
+            result = parse_ntriples(text)
+        else:
+            result = parse_n3(text, base_uri=base, list_terms=list_terms)
         emit = 0
         n_err = len(result.errors)
         for s, p, o, g in result.quads:

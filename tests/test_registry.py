@@ -20,3 +20,24 @@ def test_detect():
     assert detect("<a> <b> <c> .") == "ntriples"
     assert detect("@prefix : <x> .\n:a :b { :c :d :e } .") == "n3"
     assert detect(":a :b :c . { :x :y :z } => { :q :r :s } .") == "n3"
+
+
+def test_read_nt_files_nquads_reload(ray_session, tmp_path):
+    """A .nq engine dump (4-term formula lines) reloads through
+    read_n3_files via the fast-path reader."""
+    from rdf_n3_ray.isomorphism import isomorphic
+    from rdf_n3_ray.parser.n3_parser import parse_n3
+    from rdf_n3_ray.serializer.n3_writer import to_ntriples
+    from rdf_n3_ray.sources.n3_files import read_n3_files
+
+    orig = parse_n3(
+        "@prefix : <http://ex/>. :g :says { :a :b :c } . :x :y 5 .")
+    assert not orig.errors
+    p = tmp_path / "dump.nq"
+    p.write_text(to_ntriples(orig.quads))
+    ds = read_n3_files([str(p)])
+    df = ds.to_pandas()
+    got = [(r.subj, r.pred, r.obj,
+            r.graph if isinstance(r.graph, str) and r.graph else None)
+           for r in df.itertuples()]
+    assert isomorphic(got, orig.quads)
