@@ -726,14 +726,17 @@ def parse_n3(
         return r
 
 
-def parse_ntriples(text: str, validate: bool = True) -> ParseResult:
+def parse_ntriples(text: str, validate: bool = True,
+                   base_uri: str | None = None) -> ParseResult:
     """Line-oriented N-Triples / N-Quads fast path, symmetric with
     serializer.to_ntriples (which emits a 4th graph term for quads in
     formulae).  The full N3 grammar cannot accept 4-term statements —
     this reader exists so an engine-written dump (KB reload, shard
     exchange) round-trips losslessly without the recursive-descent
     machinery.  Terms use the same lexer terminals; statements are
-    `s p o [g] .` only."""
+    `s p o [g] .` only.  `base_uri` resolves relative IRIs exactly
+    like the N3 reader (spec-valid N-Triples is absolute-only, but
+    lenient inputs exist)."""
     from .lexer import LexerError, tokenize
 
     result = ParseResult()
@@ -750,6 +753,8 @@ def parse_ntriples(text: str, validate: bool = True) -> ParseResult:
             return None, i
         t = tokens[i]
         if t.type == "IRIREF":
+            if base_uri is not None:
+                return f"<{resolve_iri(base_uri, t.value[1:-1])}>", i + 1
             return t.value, i + 1
         if t.type == "BLANK_NODE_LABEL":
             return t.value, i + 1
@@ -779,7 +784,10 @@ def parse_ntriples(text: str, validate: bool = True) -> ParseResult:
         if t.type == "DECIMAL":
             return T.literal(t.value, datatype=T.XSD_DECIMAL), i + 1
         if t.type == "DOUBLE":
-            return T.literal(t.value, datatype=T.XSD_DOUBLE), i + 1
+            # same ".E" -> ".0E" lexical fix-up as the N3 reader
+            # (reader.rb:476) so both paths mint the identical term
+            return T.literal(re.sub(r"\.([eE])", r".0\1", t.value),
+                             datatype=T.XSD_DOUBLE), i + 1
         if t.type is None and t.value in ("true", "false"):
             return T.literal(t.value, datatype=T.XSD_BOOLEAN), i + 1
         return None, i
@@ -799,7 +807,11 @@ def parse_ntriples(text: str, validate: bool = True) -> ParseResult:
             i += 1
             g = terms[3] if len(terms) == 4 else None
             result.quads.append((terms[0], terms[1], terms[2], g))
-            if g is not None:
+            if g is not None and T.is_bnode(g):
+                # only bnode graph terms are engine-dump formula labels;
+                # an IRI named graph is NOT a formula (marking it would
+                # make the writer treat the graph as an unreferenced
+                # formula and drop it)
                 result.formula_labels.add(g)
             continue
         msg = (f"malformed N-Triples statement at token {start}: "

@@ -5130,13 +5130,18 @@ def late_shipment_priority(sf_dir: str, late_days: int = 60,
     orders = _read(sf_dir, "orders",
                    columns=["o_orderkey", "o_orderdate",
                             "o_orderpriority"])
-    cols = ["key", "d", "prio", "jb", "side"]
+    # the lineitem (dominant) side must not ship a per-line Python
+    # object column just to satisfy the identical-columns union: the
+    # priority-class test collapses to an int8 computed on the (much
+    # smaller) orders side
+    cols = ["key", "d", "is_high", "jb", "side"]
+    high = ("1-URGENT", "2-HIGH")
 
     def li_side(b: pd.DataFrame) -> pd.DataFrame:
         ok = b["l_orderkey"].to_numpy().astype("int64")
         return pd.DataFrame({
             "key": ok, "d": b["l_shipdate"],
-            "prio": np.full(len(b), "", dtype=object),
+            "is_high": np.zeros(len(b), dtype="int8"),
             "jb": (ok % num_partitions).astype("int32"),
             "side": np.zeros(len(b), dtype="int8")})[cols]
 
@@ -5144,16 +5149,16 @@ def late_shipment_priority(sf_dir: str, late_days: int = 60,
         ok = b["o_orderkey"].to_numpy().astype("int64")
         return pd.DataFrame({
             "key": ok, "d": b["o_orderdate"],
-            "prio": b["o_orderpriority"].to_numpy(),
+            "is_high": b["o_orderpriority"].isin(high).to_numpy()
+                       .astype("int8"),
             "jb": (ok % num_partitions).astype("int32"),
             "side": np.ones(len(b), dtype="int8")})[cols]
 
     off = pd.Timedelta(days=late_days)
-    high = ("1-URGENT", "2-HIGH")
 
     def bucket(group: pd.DataFrame) -> pd.DataFrame:
         l = group[group["side"] == 0][["key", "d"]]
-        o = (group[group["side"] == 1][["key", "d", "prio"]]
+        o = (group[group["side"] == 1][["key", "d", "is_high"]]
              .rename(columns={"d": "odate"}))
         empty = pd.DataFrame({
             "ship_status": pd.Series(dtype="object"),
@@ -5165,7 +5170,7 @@ def late_shipment_priority(sf_dir: str, late_days: int = 60,
         if m.empty:
             return empty
         late = m["d"] > (m["odate"] + off)
-        is_high = m["prio"].isin(high).to_numpy()
+        is_high = m["is_high"].to_numpy().astype(bool)
         g = pd.DataFrame({
             "ship_status": np.where(late, "late", "ontime"),
             "high_line_count": is_high.astype("int64"),

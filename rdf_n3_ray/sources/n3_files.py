@@ -32,8 +32,12 @@ def _parse_files(batch: pa.Table, base_from_path: bool,
         base = f"file://{path}" if base_from_path else None
         if path.endswith((".nt", ".nq")):
             # engine dump reload: the line-oriented fast path also
-            # accepts the 4th graph term full N3 cannot
-            result = parse_ntriples(text)
+            # accepts the 4th graph term full N3 cannot.  Lenient like
+            # the N3 path (recover past bad statements, never drop the
+            # file), and the same base resolution for relative IRIs;
+            # list_terms is moot — NT has no collection syntax, ladders
+            # stay ladders in both modes
+            result = parse_ntriples(text, validate=False, base_uri=base)
         else:
             result = parse_n3(text, base_uri=base, list_terms=list_terms)
         emit = 0

@@ -449,9 +449,6 @@ def test_parse_ntriples_round_trips_suite():
     """to_ntriples <-> parse_ntriples is a lossless pair over every
     ladder-mode suite input (incl. formula quads as N-Quads lines and
     ?vars from rule dumps) — the engine's KB dump/reload contract."""
-    import sys
-
-    sys.path.insert(0, "tests")
     from fixtures.n3_suite import CASES
 
     from rdf_n3_ray.isomorphism import isomorphic

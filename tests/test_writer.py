@@ -321,9 +321,6 @@ def test_round_trip_full_conformance_suite():
     must survive parse -> serialize -> reparse isomorphically (pins the
     writer against the complete grammar surface the parser accepts,
     including formula terms, list ladders, langtags, and escapes)."""
-    import sys
-
-    sys.path.insert(0, "tests")
     from fixtures.n3_suite import CASES
 
     checked = 0
