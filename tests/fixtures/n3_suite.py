@@ -1527,4 +1527,26 @@ CASES += [
      f"<{X}a> <{X}p> <{X}b> .\n<{X}a> <{X}q> <{X}b> .\n"
      f"<{X}a> <{X}r> <{X}b> .",
      {"think": True, "data": True}),
+    # --- round-3 Reason batch 5: conjunction, meta-rules, data lists --
+    ("reason_conjunction_includes_both", "Reason",
+     "@prefix : <http://ex/>. @prefix log: <http://www.w3.org/2000/10/swap/log#>. "
+     ":g1 :is { :a :b :c } . :g2 :is { :d :e :f } . "
+     "{ :g1 :is ?F . :g2 :is ?G . (?F ?G) log:conjunction ?H . "
+     "?H log:includes { :a :b :c } . ?H log:includes { :d :e :f } } "
+     "=> { :r :ok true } .",
+     f'<{X}r> <{X}ok> "true"^^<{XSD}boolean> .',
+     {"think": True, "data": True}),
+    ("reason_rule_emits_rule", "Reason",
+     "@prefix : <http://ex/>. "
+     ":seed :v 1 . { :seed :v 1 } => { { ?x :t ?y } => { ?x :t2 ?y } } . "
+     ":a :t :b .",
+     f'<{X}seed> <{X}v> "1"^^<{XSD}integer> .\n'
+     f"<{X}a> <{X}t> <{X}b> .\n<{X}a> <{X}t2> <{X}b> .",
+     {"think": True, "data": True}),
+    ("reason_sum_over_data_list", "Reason",
+     "@prefix : <http://ex/>. @prefix math: <http://www.w3.org/2000/10/swap/math#>. "
+     ":l :nums (1 2 3 4) . { :l :nums ?L . ?L math:sum ?s } "
+     "=> { :r :sum ?s } .",
+     f'<{X}r> <{X}sum> "10"^^<{XSD}integer> .',
+     {"think": True, "conclusions": True}),
 ]
