@@ -85,3 +85,43 @@ def test_parser_total_on_adversarial_syntax_soup(text):
     """Dense N3 punctuation soup — the recovery hot path."""
     r = parse_n3(text, base_uri="http://ex.org/")
     assert isinstance(r.quads, list)
+
+
+# --- formula-graph round-trip: quads carry formula nodes as graphs ---
+_fnode = st.integers(0, 2).map(lambda i: f"_:_form_{i}")
+_fquad = st.tuples(_subject, _predicate, _object,
+                   st.one_of(st.none(), _fnode))
+
+
+def _anchor_formulae(quads):
+    """Make the generated quad set N3-representable: (a) bnodes are
+    formula-SCOPED in N3 (reader.rb:743-758 interning), so a bnode
+    shared across graph scopes cannot survive any serialization —
+    rename bnodes graph-locally; (b) formulae unreachable from the
+    default graph are (correctly) not rendered — anchor each with a
+    default-graph statement."""
+    def scoped(t, g):
+        if isinstance(t, str) and t.startswith("_:") \
+                and not t.startswith("_:_form_"):
+            return f"{t}_{(g or 'def').replace(':', '')}"
+        return t
+
+    out = [(scoped(s, g), scoped(p, g), scoped(o, g), g)
+           for s, p, o, g in quads]
+    for g in {q[3] for q in quads if q[3]}:
+        out.append((g, "<http://ex.org/anchored>",
+                    "<http://ex.org/true>", None))
+    # graph-scoped renames can collide previously-unique rows
+    return list(dict.fromkeys(out))
+
+
+@settings(max_examples=150, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_fquad, min_size=1, max_size=10, unique=True))
+def test_formula_quads_round_trip(quads):
+    quads = _anchor_formulae(quads)
+    labels = {q[3] for q in quads if q[3]}
+    out = serialize_n3(quads, formula_labels=labels)
+    back = parse_n3(out, base_uri="http://ex.org/")
+    assert not back.errors, (out, back.errors)
+    assert isomorphic(quads, back.quads), (quads, out, back.quads)
