@@ -414,3 +414,54 @@ def append_kg_job(
                     metrics={"elapsed": time.time() - t0})
     return {"elapsed_sec": time.time() - t0, "rows": rows,
             "out_dir": stage, "resumed": False}
+
+
+def compact_kg_job(out_dir: str) -> dict:
+    """Merge every committed stage (base final + appends) into a single
+    `stage=final` generation.  A long-lived KB accumulates many small
+    append stages; reads then pay per-stage file listing and tiny-file
+    overhead.  Compaction rewrites the union (appends are disjoint by
+    construction — the append anti-join guarantees it, so NO dedup
+    shuffle is needed, only the stable global sort) and retires the
+    consumed stages.
+
+    Crash-safe ordering: the new generation commits (atomic tmp->rename
+    with its hash sidecar) under a name `_stage_parquet_files` does NOT
+    scan, so readers never see old and new rows together; old stages
+    are removed only after the commit, and a crash between the two just
+    leaves the (invisible) committed generation for the re-run to
+    finish promoting."""
+    import shutil
+
+    import ray.data as rd
+
+    files = _stage_parquet_files(out_dir)
+    if not files:
+        return {"rows": 0, "compacted_stages": 0, "out_dir": out_dir}
+    stages = sorted(
+        name for name in os.listdir(out_dir)
+        if name == "stage=final" or name.startswith("stage=append-"))
+    if len(stages) <= 1:
+        return {"rows": None, "compacted_stages": 0, "out_dir": out_dir,
+                "skipped": "nothing to compact"}
+
+    t0 = time.time()
+    gen_dir = os.path.join(out_dir, "stage=final.compact")
+    manifest = LineageManifest(gen_dir)
+    fp = _fingerprint("compact", *files)
+    tmp = manifest.begin("all", fp)
+    (rd.read_parquet(files).sort(["conv_id", "turn_idx"])
+     .write_parquet(tmp))
+    rows = sum(pq.read_metadata(os.path.join(tmp, f)).num_rows
+               for f in os.listdir(tmp) if f.endswith(".parquet"))
+    _write_hash_sidecar(tmp, [
+        os.path.join(tmp, f) for f in sorted(os.listdir(tmp))
+        if f.endswith(".parquet")])
+    manifest.commit("all", fp, rows, metrics={"elapsed": time.time() - t0})
+
+    # retire consumed stages, then promote the new generation
+    for name in stages:
+        shutil.rmtree(os.path.join(out_dir, name))
+    os.rename(gen_dir, os.path.join(out_dir, "stage=final"))
+    return {"rows": rows, "compacted_stages": len(stages),
+            "elapsed_sec": time.time() - t0, "out_dir": out_dir}

@@ -268,3 +268,39 @@ def test_rebuild_refreshes_hash_sidecar(ray_session, tmp_path):
     # re-appending an already-ingested range drops every triple
     app = append_kg_job(out, n_convs=16, lo=0, hi=16, turns_per_conv=4)
     assert app["rows"] == 0
+
+
+def test_compact_kg_job(ray_session, tmp_path):
+    """Base + appends compact into one stage=final generation with a
+    fresh sidecar; row set unchanged; later appends still dedup against
+    the compacted corpus."""
+    import ray.data as rd
+
+    from rdf_n3_ray.pipelines.kg import (_stage_parquet_files,
+                                         append_kg_job, compact_kg_job)
+
+    out = str(tmp_path / "kb")
+    append_kg_job(out, n_convs=30, lo=0, hi=15, turns_per_conv=4)
+    append_kg_job(out, n_convs=30, lo=15, hi=25, turns_per_conv=4)
+
+    cols = ["conv_id", "turn_idx", "subj", "pred", "obj", "graph"]
+
+    def rows():
+        df = rd.read_parquet(_stage_parquet_files(out)).to_pandas()[cols]
+        return set(map(tuple, df.fillna("\x00").values.tolist()))
+
+    before = rows()
+    m = compact_kg_job(out)
+    assert m["compacted_stages"] == 2
+    assert rows() == before
+    assert sorted(n for n in __import__("os").listdir(out)
+                  if n.startswith("stage=")) == ["stage=final"]
+    # sidecar refreshed: hash count == row count
+    side = f"{out}/stage=final/shard=all/_hashes"
+    assert rd.read_parquet(side).count() == len(before)
+    # re-appending an ingested range is a no-op against the compacted KB
+    again = append_kg_job(out, n_convs=30, lo=0, hi=15, turns_per_conv=4)
+    assert again["rows"] == 0
+    # appending genuinely new conversations still lands
+    new = append_kg_job(out, n_convs=30, lo=25, hi=30, turns_per_conv=4)
+    assert new["rows"] > 0
