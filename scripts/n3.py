@@ -87,6 +87,19 @@ def cmd_append(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    import ray
+
+    ray.init(address="local", num_cpus=args.num_cpus,
+             include_dashboard=False, ignore_reinit_error=True,
+             logging_level="ERROR")
+    from rdf_n3_ray.pipelines.kg import compact_kg_job
+
+    print(compact_kg_job(args.out))
+    ray.shutdown()
+    return 0
+
+
 def main() -> int:
     p = argparse.ArgumentParser(prog="n3")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -125,6 +138,14 @@ def main() -> int:
     pa_.add_argument("--num-cpus", type=int,
                      default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     pa_.set_defaults(fn=cmd_append)
+
+    pc = sub.add_parser(
+        "compact", help="merge committed stages (final + appends) into "
+        "one generation")
+    pc.add_argument("--out", required=True)
+    pc.add_argument("--num-cpus", type=int,
+                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    pc.set_defaults(fn=cmd_compact)
 
     args = p.parse_args()
     return args.fn(args)
