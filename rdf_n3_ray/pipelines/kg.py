@@ -416,6 +416,42 @@ def append_kg_job(
             "out_dir": stage, "resumed": False}
 
 
+def _finish_pending_compact(out_dir: str) -> dict | None:
+    """Promote a COMMITTED `stage=final.compact` generation: remove the
+    consumed stages it recorded at commit time, then rename it to
+    `stage=final`.  This is the ONLY promotion path — `compact_kg_job`
+    calls it for the happy case too, so every crash point between
+    commit and promotion is recovered by simply re-running: the
+    consumed-stage list comes from the committed manifest, never from a
+    re-scan of whatever stages happen to survive the crash (a re-scan
+    after a partial retire would compute a wrong fingerprint and could
+    discard the committed generation — the exact hazard this replaces).
+    Returns the promotion metrics, or None when no committed compact
+    generation is pending."""
+    import shutil
+
+    gen_dir = os.path.join(out_dir, "stage=final.compact")
+    if not os.path.isdir(gen_dir):
+        return None
+    entry = LineageManifest(gen_dir).entries.get("all")
+    if not entry or not entry.get("complete"):
+        # crashed before commit: stale tmp, cleaned by the next begin()
+        return None
+    consumed = entry.get("metrics", {}).get("consumed_stages", [])
+    for name in consumed:
+        p = os.path.join(out_dir, name)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+    final = os.path.join(out_dir, "stage=final")
+    if os.path.isdir(final):  # not in `consumed` => manifest corruption
+        raise RuntimeError(
+            f"stage=final exists but is not in the committed compact's "
+            f"consumed_stages {consumed!r}; refusing to overwrite")
+    os.rename(gen_dir, final)
+    return {"rows": entry["rows"], "compacted_stages": len(consumed),
+            "out_dir": out_dir}
+
+
 def compact_kg_job(out_dir: str) -> dict:
     """Merge every committed stage (base final + appends) into a single
     `stage=final` generation.  A long-lived KB accumulates many small
@@ -425,15 +461,21 @@ def compact_kg_job(out_dir: str) -> dict:
     shuffle is needed, only the stable global sort) and retires the
     consumed stages.
 
-    Crash-safe ordering: the new generation commits (atomic tmp->rename
-    with its hash sidecar) under a name `_stage_parquet_files` does NOT
-    scan, so readers never see old and new rows together; old stages
-    are removed only after the commit, and a crash between the two just
-    leaves the (invisible) committed generation for the re-run to
-    finish promoting."""
-    import shutil
-
+    Crash-safe: the new generation commits (atomic tmp->rename with its
+    hash sidecar) under a name `_stage_parquet_files` does NOT scan, so
+    readers never see old and new rows together, and the commit records
+    the exact stage names it consumed.  Promotion (retire consumed
+    stages, rename to `stage=final`) runs via `_finish_pending_compact`
+    — on entry first, so a crash anywhere during a previous promotion
+    (mid-retire, or after retiring everything but before the rename) is
+    finished from the committed manifest before any re-scan of the
+    stage list; no row committed to the compact generation can be
+    lost."""
     import ray.data as rd
+
+    recovered = _finish_pending_compact(out_dir)
+    if recovered is not None:
+        return {**recovered, "recovered": True}
 
     files = _stage_parquet_files(out_dir)
     if not files:
@@ -457,11 +499,9 @@ def compact_kg_job(out_dir: str) -> dict:
     _write_hash_sidecar(tmp, [
         os.path.join(tmp, f) for f in sorted(os.listdir(tmp))
         if f.endswith(".parquet")])
-    manifest.commit("all", fp, rows, metrics={"elapsed": time.time() - t0})
+    manifest.commit("all", fp, rows, metrics={
+        "elapsed": time.time() - t0, "consumed_stages": stages})
 
-    # retire consumed stages, then promote the new generation
-    for name in stages:
-        shutil.rmtree(os.path.join(out_dir, name))
-    os.rename(gen_dir, os.path.join(out_dir, "stage=final"))
-    return {"rows": rows, "compacted_stages": len(stages),
-            "elapsed_sec": time.time() - t0, "out_dir": out_dir}
+    promoted = _finish_pending_compact(out_dir)
+    assert promoted is not None and promoted["rows"] == rows
+    return {**promoted, "elapsed_sec": time.time() - t0}

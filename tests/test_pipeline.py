@@ -304,3 +304,88 @@ def test_compact_kg_job(ray_session, tmp_path):
     # appending genuinely new conversations still lands
     new = append_kg_job(out, n_convs=30, lo=25, hi=30, turns_per_conv=4)
     assert new["rows"] > 0
+
+
+def _kb_rowset(out):
+    import ray.data as rd
+
+    from rdf_n3_ray.pipelines.kg import _stage_parquet_files
+
+    cols = ["conv_id", "turn_idx", "subj", "pred", "obj", "graph"]
+    df = rd.read_parquet(_stage_parquet_files(out)).to_pandas()[cols]
+    return set(map(tuple, df.fillna("\x00").values.tolist()))
+
+
+def test_compact_kg_job_crash_mid_retire(ray_session, tmp_path, monkeypatch):
+    """Crash while retiring consumed stages (after the compact
+    generation committed): the re-run finishes the promotion from the
+    committed manifest — no recompute, no lost rows, appends still
+    dedup against the full corpus."""
+    import shutil
+
+    from rdf_n3_ray.pipelines.kg import append_kg_job, compact_kg_job
+
+    out = str(tmp_path / "kb")
+    append_kg_job(out, n_convs=30, lo=0, hi=15, turns_per_conv=4)
+    append_kg_job(out, n_convs=30, lo=15, hi=25, turns_per_conv=4)
+    before = _kb_rowset(out)
+
+    real_rmtree = shutil.rmtree
+    calls = {"n": 0}
+
+    def crashing_rmtree(path, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # first stage retired, crash on the second
+            raise RuntimeError("injected crash mid-retire")
+        return real_rmtree(path, *a, **kw)
+
+    monkeypatch.setattr(shutil, "rmtree", crashing_rmtree)
+    with pytest.raises(RuntimeError, match="mid-retire"):
+        compact_kg_job(out)
+    monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+
+    m = compact_kg_job(out)
+    assert m.get("recovered") and m["compacted_stages"] == 2
+    assert _kb_rowset(out) == before
+    assert sorted(n for n in os.listdir(out)
+                  if n.startswith("stage=")) == ["stage=final"]
+    again = append_kg_job(out, n_convs=30, lo=0, hi=15, turns_per_conv=4)
+    assert again["rows"] == 0
+    new = append_kg_job(out, n_convs=30, lo=25, hi=30, turns_per_conv=4)
+    assert new["rows"] > 0
+
+
+def test_compact_kg_job_crash_before_promote(ray_session, tmp_path,
+                                             monkeypatch):
+    """Crash after every consumed stage is retired but BEFORE the
+    committed generation is renamed to stage=final — the worst window
+    (zero visible stages).  The re-run must promote the committed
+    generation instead of treating the KB as empty."""
+    from rdf_n3_ray.pipelines import kg as KG
+    from rdf_n3_ray.pipelines.kg import (_stage_parquet_files,
+                                         append_kg_job, compact_kg_job)
+
+    out = str(tmp_path / "kb")
+    append_kg_job(out, n_convs=30, lo=0, hi=15, turns_per_conv=4)
+    append_kg_job(out, n_convs=30, lo=15, hi=25, turns_per_conv=4)
+    before = _kb_rowset(out)
+
+    real_rename = os.rename
+
+    def crashing_rename(src, dst, *a, **kw):
+        if dst.endswith(os.sep + "stage=final"):
+            raise RuntimeError("injected crash before promote")
+        return real_rename(src, dst, *a, **kw)
+
+    monkeypatch.setattr(os, "rename", crashing_rename)
+    with pytest.raises(RuntimeError, match="before promote"):
+        compact_kg_job(out)
+    monkeypatch.setattr(os, "rename", real_rename)
+
+    # every consumed stage is gone; the naive stage scan sees nothing
+    assert _stage_parquet_files(out) == []
+    m = compact_kg_job(out)
+    assert m.get("recovered") and m["compacted_stages"] == 2
+    assert _kb_rowset(out) == before
+    again = append_kg_job(out, n_convs=30, lo=0, hi=15, turns_per_conv=4)
+    assert again["rows"] == 0
