@@ -320,88 +320,34 @@ def append_kg_job(
         ts, parse_concurrency=parse_concurrency, dedup=True, sort=False)
 
     if existing is not None:
-        # materialize: tiny 16-byte rows; consumed for count + content
-        existing = existing.materialize()
-        n_exist = existing.count()
-        if n_exist <= hash_broadcast_limit:
-            hdf = existing.to_pandas().sort_values(
-                ["h1", "h2"], kind="stable")
-            href = ray.put((hdf["h1"].to_numpy(), hdf["h2"].to_numpy()))
+        from ..stages.antijoin import hash_anti_join
 
-            def anti(b: pd.DataFrame) -> pd.DataFrame:
-                eh1, eh2 = ray.get(href)
-                if len(eh1) == 0:
-                    return b
-                h1, h2 = _quad_key128(b)
-                h1v, h2v = h1.to_numpy(), h2.to_numpy()
-                left = np.searchsorted(eh1, h1v, side="left")
-                right = np.searchsorted(eh1, h1v, side="right")
-                dup = np.zeros(len(b), dtype=bool)
-                # equal-h1 spans are ~1 long (64-bit hash), so this
-                # loop touches only rows whose h1 matched at all
-                hit = np.nonzero(right > left)[0]
-                for i in hit:
-                    dup[i] = h2v[i] in eh2[left[i]:right[i]]
-                return b[~dup]
+        # schema from a committed stage's parquet footer: calling
+        # new_triples.schema() would execute the parse pipeline early
+        # just to enumerate constant columns.  The bucket fallback's
+        # union needs identical columns AND dtypes on both sides (repo
+        # idiom — None-filled object columns would coerce the
+        # int/string triple columns and drift the written parquet
+        # schema), hence the typed sentinel fillers.
+        sch = pq.read_schema(_stage_parquet_files(out_dir)[0])
+        tcols = list(sch.names)
+        ttypes = [str(t) for t in sch.types]
 
-            new_triples = new_triples.map_batches(
-                anti, batch_format="pandas", batch_size=65536)
-        else:
-            # distributed fallback: h1-bucket anti-join, identical
-            # columns AND dtypes on both union sides (repo idiom —
-            # None-filled object columns would coerce the int/string
-            # triple columns and drift the written parquet schema)
-            # schema from a committed stage's parquet footer: calling
-            # new_triples.schema() would execute the parse pipeline
-            # early just to enumerate constant columns
-            sch = pq.read_schema(_stage_parquet_files(out_dir)[0])
-            tcols = list(sch.names)
-            ttypes = [str(t) for t in sch.types]
+        def _sentinels(n: int) -> dict:
+            out = {}
+            for c, t in zip(tcols, ttypes):
+                if t.startswith("int"):
+                    out[c] = np.full(n, -1, dtype=t)
+                elif t in ("float", "double") or t.startswith("float"):
+                    out[c] = np.full(n, np.nan)
+                else:
+                    out[c] = np.full(n, "", dtype=object)
+            return out
 
-            def _sentinels(n: int) -> dict:
-                out = {}
-                for c, t in zip(tcols, ttypes):
-                    if t.startswith("int"):
-                        out[c] = np.full(n, -1, dtype=t)
-                    elif t in ("float", "double") or t.startswith("float"):
-                        out[c] = np.full(n, np.nan)
-                    else:
-                        out[c] = np.full(n, "", dtype=object)
-                return out
-
-            def tag_new(b: pd.DataFrame) -> pd.DataFrame:
-                h1, h2 = _quad_key128(b)
-                b = b.assign(h1=h1, h2=h2,
-                             hb=(h1 % num_buckets).astype("int32"))
-                b["side"] = np.int8(0)
-                return b[[*tcols, "h1", "h2", "hb", "side"]]
-
-            def tag_old(b: pd.DataFrame) -> pd.DataFrame:
-                out = pd.DataFrame(_sentinels(len(b)))
-                out["h1"] = b["h1"].to_numpy()
-                out["h2"] = b["h2"].to_numpy()
-                out["hb"] = (b["h1"].to_numpy() % num_buckets).astype(
-                    "int32")
-                out["side"] = np.int8(1)
-                return out[[*tcols, "h1", "h2", "hb", "side"]]
-
-            def anti_bucket(g: pd.DataFrame) -> pd.DataFrame:
-                new = g[g["side"] == 0]
-                old = g[g["side"] == 1][["h1", "h2"]]
-                if new.empty:
-                    return new[tcols]
-                if old.empty:
-                    return new[tcols]
-                m = new.merge(old.drop_duplicates(), on=["h1", "h2"],
-                              how="left", indicator=True)
-                return m[m["_merge"] == "left_only"][tcols]
-
-            new_triples = (new_triples
-                           .map_batches(tag_new, batch_format="pandas")
-                           .union(existing.map_batches(
-                               tag_old, batch_format="pandas"))
-                           .groupby("hb")
-                           .map_groups(anti_bucket, batch_format="pandas"))
+        new_triples = hash_anti_join(
+            new_triples, existing, hash_fn=_quad_key128, cols=tcols,
+            sentinel_fn=_sentinels, broadcast_limit=hash_broadcast_limit,
+            num_buckets=num_buckets)
 
     tmp = manifest.begin("all", fp)
     new_triples.sort(["conv_id", "turn_idx"]).write_parquet(tmp)

@@ -389,3 +389,36 @@ def test_compact_kg_job_crash_before_promote(ray_session, tmp_path,
     assert _kb_rowset(out) == before
     again = append_kg_job(out, n_convs=30, lo=0, hi=15, turns_per_conv=4)
     assert again["rows"] == 0
+
+
+def test_span_membership_vectorized_probe():
+    """Sorted-membership kernel behind the broadcast hash anti-join:
+    exact pair membership even with multi-row equal-h1 spans (forced
+    h1 collisions), no Python loop over hit rows."""
+    import numpy as np
+
+    from rdf_n3_ray.stages.antijoin import span_membership
+
+    # reference set with h1 collisions: h1=5 spans three h2 values
+    eh1 = np.array([1, 5, 5, 5, 9], dtype=np.int64)
+    eh2 = np.array([10, 3, 7, 11, 2], dtype=np.int64)
+    h1v = np.array([5, 5, 1, 9, 4, 5], dtype=np.int64)
+    h2v = np.array([7, 8, 10, 2, 3, 11], dtype=np.int64)
+    got = span_membership(eh1, eh2, h1v, h2v)
+    assert got.tolist() == [True, False, True, True, False, True]
+    # empty edges
+    assert span_membership(np.array([], np.int64), np.array([], np.int64),
+                           h1v, h2v).tolist() == [False] * 6
+    e = np.array([], np.int64)
+    assert span_membership(eh1, eh2, e, e).tolist() == []
+    # brute-force equivalence on random pairs with engineered collisions
+    rng = np.random.default_rng(7)
+    r1 = rng.integers(0, 40, 3000).astype(np.int64)
+    r2 = rng.integers(0, 40, 3000).astype(np.int64)
+    order = np.lexsort((r2, r1))
+    s1, s2 = r1[order], r2[order]
+    p1 = rng.integers(0, 40, 2000).astype(np.int64)
+    p2 = rng.integers(0, 40, 2000).astype(np.int64)
+    ref = set(zip(s1.tolist(), s2.tolist()))
+    want = np.array([(a, b) in ref for a, b in zip(p1, p2)])
+    assert (span_membership(s1, s2, p1, p2) == want).all()
