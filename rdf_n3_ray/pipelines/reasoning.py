@@ -20,6 +20,7 @@ Two scales (SURVEY.md §3.3):
 """
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -181,13 +182,40 @@ def _shrink(x, limit: int):
     return x.to_pandas()
 
 
+def _key_concat(b: pd.DataFrame, cols) -> pd.Series:
+    """NUL-joined row key over string columns — vectorized string
+    concat, not a per-row ``.agg(join, axis=1)`` Python loop."""
+    key = b[cols[0]].astype(str)
+    for c in cols[1:]:
+        key = key + "\x00" + b[c].astype(str)
+    return key
+
+
+def _coalesce(ds, n_rows: int | None = None, target_rows: int = 500_000,
+              min_blocks: int = 8):
+    """Bound a materialized Dataset's block count.
+
+    Shuffle outputs inherit their input's block count, and unions of
+    such outputs compound fragmentation across fixpoint iterations
+    until per-block rows collapse and the next shuffle's map stage +
+    driver ref bookkeeping dominate (measured: the same 1.75M x 600k
+    bindings join runs 3.5x slower over 200-block inputs than over
+    compact ones).  Ref-level repartition — concat tasks, no sort."""
+    if n_rows is None:
+        n_rows = ds.count()
+    want = max(min_blocks, -(-n_rows // target_rows))
+    if ds.num_blocks() > want * 2:
+        return ds.repartition(want).materialize()
+    return ds
+
+
 def _dedup_bindings_ds(ds, cols):
     """Distributed exact dedup of a bindings Dataset (all-string
     columns): coarse hash bucket + vectorized in-bucket dedup."""
     cols = list(cols)
 
     def bucket(b: pd.DataFrame) -> pd.DataFrame:
-        key = b[cols].astype(str).agg("\x00".join, axis=1)
+        key = _key_concat(b, cols)
         return b.assign(__hb=(pd.util.hash_pandas_object(key, index=False)
                               % 64).astype("int32"))
 
@@ -214,13 +242,13 @@ def _bucket_merge(left, right, shared, num_buckets: int = 64):
     def tagger(cols, side):
         def tag(b: pd.DataFrame) -> pa.Table:
             n = len(b)
-            key = b[shared].astype(str).agg("\x00".join, axis=1)
+            key = _key_concat(b, shared)
             jb = (pd.util.hash_pandas_object(key, index=False)
                   % num_buckets).astype("int32")
             data = {"__jb": pa.array(jb.to_numpy(), pa.int32()),
-                    "__side": pa.array([side] * n, pa.int8())}
+                    "__side": pa.array(np.full(n, side, dtype=np.int8))}
             for c in all_cols:
-                data[c] = (pa.array(b[c].astype(str).tolist(), pa.string())
+                data[c] = (pa.array(b[c].astype(str), pa.string())
                            if c in cols else pa.nulls(n, pa.string()))
             return pa.table(data)
         return tag
@@ -237,19 +265,50 @@ def _bucket_merge(left, right, shared, num_buckets: int = 64):
         g1 = g[g["__side"] == 1][rcols]
         return g0.merge(g1, on=shared)
 
-    return (tagged.groupby("__jb")
-            .map_groups(join_bucket, batch_format="pandas").materialize())
+    out = (tagged.groupby("__jb")
+           .map_groups(join_bucket, batch_format="pandas").materialize())
+    return _coalesce(out)
+
+
+# Bindings sides at or below this row count are broadcast (ray.put
+# once, per-batch pd.merge inside map_batches over the big side)
+# instead of shuffling BOTH sides through a bucket exchange — the
+# standard small-side gate every join in the repo uses.  ~2M two-column
+# string rows is tens of MB in the object store; above it, the
+# bucket-paired merge is the fallback that never gathers either side.
+_JOIN_BROADCAST_LIMIT = 2_000_000
+
+
+def _broadcast_merge(big, small: pd.DataFrame, shared):
+    """Map-side equi-join: the small bindings frame rides the object
+    store once; each big-side batch merges against it vectorized."""
+    import ray
+
+    sref = ray.put(small)
+
+    def join_batch(b: pd.DataFrame) -> pd.DataFrame:
+        return b.merge(ray.get(sref), on=shared)
+
+    return big.map_batches(join_batch, batch_format="pandas").materialize()
 
 
 def _join2(out, pb):
     """One pairwise bindings join: driver pd.merge when both sides are
-    already-shrunk pandas frames, distributed bucket merge otherwise."""
+    already-shrunk pandas frames; broadcast map-side merge when one
+    side fits the broadcast gate; distributed bucket merge otherwise."""
     small_out = isinstance(out, pd.DataFrame)
     small_pb = isinstance(pb, pd.DataFrame)
     shared = [c for c in _colnames(out) if c in _colnames(pb)]
     if small_out and small_pb:
         return out.merge(pb, on=shared) if shared else out.merge(pb, how="cross")
     if shared:
+        n_out, n_pb = _nrows(out), _nrows(pb)
+        small, big, n_small = ((out, pb, n_out) if n_out <= n_pb
+                               else (pb, out, n_pb))
+        if n_small <= _JOIN_BROADCAST_LIMIT:
+            if not isinstance(small, pd.DataFrame):
+                small = small.to_pandas()
+            return _broadcast_merge(big, small, shared)
         return _bucket_merge(out, pb, shared)
     # cross join with a big side: broadcast the small side into a
     # per-batch cross merge over the big side (two big sides would be a
@@ -263,11 +322,20 @@ def _join2(out, pb):
                            batch_format="pandas").materialize()
 
 
-def _join_seq(frames, limit: int | None = None):
+def _join_seq(frames, limit: int | None = None,
+              assume_unique: bool = False):
     """Join a sequence of bindings tables on shared variable columns;
     None = some pattern had no matches.  Frames arrive as materialized
     Datasets; small ones drop to the driver fast path, large ones stay
-    distributed (bucket-paired merges)."""
+    distributed (bucket-paired merges).
+
+    `assume_unique=True` skips the per-frame dedup: single-pattern
+    bindings over a duplicate-free triple source are provably unique
+    (every variable projects a distinct position of a unique (s, p, o)
+    row, and equality-constrained repeats only shrink the match set),
+    and an equi-join of unique tables stays unique — so when the KB,
+    adds and delta are all exact sets, no dedup shuffle is needed
+    anywhere in the join."""
     if limit is None:
         limit = _DRIVER_JOIN_LIMIT  # read at call time (testable)
     out = None
@@ -277,10 +345,11 @@ def _join_seq(frames, limit: int | None = None):
         if "__match__" in _colnames(pb):
             continue
         pb = _shrink(pb, limit)
-        if isinstance(pb, pd.DataFrame):
-            pb = pb.drop_duplicates()
-        else:
-            pb = _dedup_bindings_ds(pb, _colnames(pb))
+        if not assume_unique:
+            if isinstance(pb, pd.DataFrame):
+                pb = pb.drop_duplicates()
+            else:
+                pb = _dedup_bindings_ds(pb, _colnames(pb))
         out = pb if out is None else _join2(out, pb)
         if out is not None and not isinstance(out, pd.DataFrame):
             out = _shrink(out, limit)
@@ -484,116 +553,195 @@ def _pruned_kb_read(kb_dir: str, pattern, num_buckets: int):
     return rd.read_parquet(kb_dir, columns=["subj", "pred", "obj"])
 
 
+def _triple_hash128(b: pd.DataFrame) -> tuple[pd.Series, pd.Series]:
+    """Two independent 64-bit hashes of (subj, pred, obj) -> 128-bit
+    key; collision probability over 10^12 triples ~2^-104 (same
+    argument as stages/dedup._quad_key128)."""
+    import numpy as np
+
+    key = (b["subj"].astype(str) + "\x00" + b["pred"].astype(str)
+           + "\x00" + b["obj"].astype(str))
+    h1 = pd.util.hash_pandas_object(key, index=False).astype(np.int64)
+    h2 = pd.util.hash_pandas_object(
+        "\x02" + key, index=False).astype(np.int64)
+    return h1, h2
+
+
+def _triple_hash_ds(triples_ds):
+    """Project a triple Dataset to its 16-byte/row (h1, h2) sidecar."""
+    def proj(b: pd.DataFrame) -> pd.DataFrame:
+        h1, h2 = _triple_hash128(b)
+        return pd.DataFrame({"h1": h1, "h2": h2})
+
+    return triples_ds.map_batches(proj, batch_format="pandas")
+
+
+_TCOLS = ["subj", "pred", "obj"]
+
+
 def reason_kb_path(kb_dir: str, rules, num_buckets: int = 64,
-                   max_iterations: int = 10):
+                   max_iterations: int = 10,
+                   hash_broadcast_limit: int = 20_000_000):
     """Fixed point over a predicate-partitioned Parquet KB.
 
-    Base facts stay on storage; only per-iteration deltas live in
-    memory.  Pattern scans with ground predicates are partition-pruned
-    reads.  Returns (new_triples_ds, n_inferred); the full closure is
-    the base KB union the returned additions.
+    Base facts stay on storage; pattern scans with ground predicates are
+    partition-pruned reads.  Deltas and the seen-set stay DISTRIBUTED:
+    each iteration's candidate consequents are exact-deduped by a
+    distributed shuffle, then anti-joined by 128-bit hash
+    (stages/antijoin.hash_anti_join — the KG append machinery) against
+    the union of (a) the base-KB hash sidecar, pruned to the rules'
+    consequent predicates, and (b) every previously inferred triple's
+    hashes.  Only per-iteration COUNTS cross the driver, so a productive
+    ruleset (transitive closure over a 10^6-edge relation) runs with
+    bounded driver memory; above `hash_broadcast_limit` seen-hashes the
+    anti-join switches from broadcast probe to h1-bucket co-group.
+
+    Returns (adds_ds, n_inferred): a Dataset (union of materialized
+    per-iteration parts) of the inferred triples (base re-derivations
+    are not inferences); the full closure is the base KB union the
+    returned additions.
+
+    Precondition: the KB at `kb_dir` is an exact set (repository set
+    semantics — the KG build/append pipelines land deduped triples).
+    That invariant makes every single-pattern bindings table unique,
+    so the joins run with `assume_unique=True` (no per-pattern dedup
+    shuffle) and the only per-iteration exchange beyond the bindings
+    join itself is ONE fused dedup+anti-join shuffle.  Base-pattern
+    bindings are scanned once and cached across iterations; each
+    iteration extends them with bindings over that iteration's delta
+    only (semi-naive all the way down to the scans).
     """
     import ray.data as rd
 
-    adds: pd.DataFrame = pd.DataFrame(
-        {"subj": pd.Series(dtype="object"),
-         "pred": pd.Series(dtype="object"),
-         "obj": pd.Series(dtype="object")})
-    seen: set[tuple] = set()
-    delta_df: pd.DataFrame | None = None
+    from ..stages.antijoin import hash_anti_join
+
+    adds_parts: list = []  # materialized per-iteration inferred triples
+    delta = None           # materialized Dataset: last iteration's additions
     inferred_total = 0
 
-    def bindings_for(pattern, use_delta: bool):
-        if use_delta:
-            if delta_df is None or delta_df.empty:
-                return pd.DataFrame()
-            src = rd.from_pandas(delta_df)
-        else:
-            src = _pruned_kb_read(kb_dir, pattern, num_buckets)
-            if src is None:
-                src = None if adds.empty else rd.from_pandas(adds)
-            elif not adds.empty:
-                src = src.union(rd.from_pandas(adds))
-            if src is None:
-                return pd.DataFrame()
-        return _pattern_bindings(src, pattern)
+    # Seed the seen-set with the base triples a firing could re-derive:
+    # an instantiated consequent's predicate is either the template's
+    # ground predicate or a variable binding (unbounded), so prune the
+    # base hash scan to the ground consequent predicates — or read the
+    # whole KB only when some consequent predicate is a variable.
+    cons_preds: set[str] = set()
+    full_scan = False
+    for _, cons in rules:
+        for _, p, _ in cons:
+            if is_var(p):
+                full_scan = True
+            else:
+                cons_preds.add(p)
+    base_parts = []
+    if full_scan:
+        src = _pruned_kb_read(kb_dir, ("?s", "?p", "?o"), num_buckets)
+        if src is not None:
+            base_parts.append(src)
+    else:
+        for p in sorted(cons_preds):
+            src = _pruned_kb_read(kb_dir, ("?s", p, "?o"), num_buckets)
+            if src is not None:
+                # the pb=K partition holds every predicate in the hash
+                # bucket — keep only this predicate's rows
+                base_parts.append(src.map_batches(
+                    lambda b, _p=p: b[b["pred"] == _p],
+                    batch_format="pandas"))
+    seen = None    # materialized (h1, h2) Dataset
+    if base_parts:
+        s = base_parts[0]
+        for extra in base_parts[1:]:
+            s = s.union(extra)
+        seen = _triple_hash_ds(s).materialize()
 
-    for it in range(max_iterations):
+    # Cross-iteration bindings caches.  base_bind[p] is the one-time
+    # materialized bindings scan of the base KB (partition-pruned);
+    # adds_bind[p] accumulates bindings over each inferred delta as it
+    # lands, so iteration k never rescans parquet or re-filters earlier
+    # deltas — the "full KB" side of a slot is a ref-moving union.
+    base_bind: dict = {}
+    adds_bind: dict = {}
+    folded: dict = {}  # pattern -> len(adds_parts) already folded in
+
+    def full_bindings(pattern):
+        if pattern not in base_bind:
+            src = _pruned_kb_read(kb_dir, pattern, num_buckets)
+            base_bind[pattern] = (
+                None if src is None else _pattern_bindings(src, pattern))
+        lst = adds_bind.setdefault(pattern, [])
+        for part in adds_parts[folded.get(pattern, 0):]:
+            pbind = _pattern_bindings(part, pattern)
+            if pbind.count():
+                lst.append(pbind)
+        folded[pattern] = len(adds_parts)
+        parts = [b for b in (base_bind[pattern], *lst) if b is not None]
+        if not parts:
+            return pd.DataFrame()
+        out = parts[0]
+        for extra in parts[1:]:
+            out = out.union(extra)
+        return out
+
+    for _ in range(max_iterations):
         new_rows = []
         cache: dict[tuple, pd.DataFrame] = {}
 
         def pb(pattern, use_delta):
             key = (pattern, use_delta)
             if key not in cache:
-                cache[key] = bindings_for(pattern, use_delta)
+                if use_delta:
+                    cache[key] = (pd.DataFrame() if delta is None
+                                  else _pattern_bindings(delta, pattern))
+                else:
+                    cache[key] = full_bindings(pattern)
             return cache[key]
 
         for ant, cons in rules:
-            if delta_df is None:
+            if delta is None:
                 slots = [[pb(p, False) for p in ant]]
             else:
                 slots = [[pb(p, j == i) for j, p in enumerate(ant)]
                          for i in range(len(ant))]
-            pieces = [b for b in (_join_seq(fr) for fr in slots)
+            pieces = [b for b in
+                      (_join_seq(fr, assume_unique=True) for fr in slots)
                       if b is not None]
             if not pieces:
                 continue
             inst = _instantiate_pieces(pieces, cons)
             if inst is None:
                 continue
-            if not isinstance(inst, pd.DataFrame):
-                # bindings joins stayed distributed; only the DEDUPED
-                # per-iteration delta lands on the driver (the seen-set
-                # / lineage bookkeeping assumes novel inferences per
-                # iteration are driver-sized, not the KB)
-                inst = _dedup_bindings_ds(
-                    inst, ["subj", "pred", "obj"]).to_pandas()
-            if len(inst):
+            if isinstance(inst, pd.DataFrame):
+                if len(inst):
+                    new_rows.append(rd.from_pandas(inst))
+            else:
                 new_rows.append(inst)
         if not new_rows:
             break
-        fresh_df = pd.concat(new_rows, ignore_index=True).drop_duplicates()
-        fresh_df = fresh_df[~fresh_df.apply(tuple, axis=1).isin(seen)]
-        if len(fresh_df):
-            # re-derivations of BASE facts are not inferences: anti-join
-            # against the (pruned) base partitions — only partitions of
-            # predicates actually derived are read, and only matching
-            # rows come back to the driver
-            fresh_df = _subtract_base(kb_dir, fresh_df, num_buckets)
-        if not len(fresh_df):
+        cand = new_rows[0]
+        for extra in new_rows[1:]:
+            cand = cand.union(extra)
+        # ONE fused shuffle: exact-dedup this iteration's candidates by
+        # 128-bit hash AND anti-join them against base + everything
+        # already inferred (slot overlap / multi-derivation dups die
+        # in the same exchange that drops re-derivations)
+        fresh = hash_anti_join(
+            cand, seen, hash_fn=_triple_hash128, cols=_TCOLS,
+            broadcast_limit=hash_broadcast_limit,
+            num_buckets=num_buckets, dedup_left=True).materialize()
+        n_new = fresh.count()
+        if n_new == 0:
             break
-        seen.update(map(tuple, fresh_df.values))
-        delta_df = fresh_df.reset_index(drop=True)
-        adds = pd.concat([adds, delta_df], ignore_index=True)
-        inferred_total += len(delta_df)
+        fresh = _coalesce(fresh, n_new)
+        inferred_total += n_new
+        fresh_h = _triple_hash_ds(fresh).materialize()
+        # unions of materialized datasets move block refs, not data —
+        # never re-materialize the cumulative adds/seen per iteration
+        seen = fresh_h if seen is None else seen.union(fresh_h)
+        delta = fresh
+        adds_parts.append(fresh)
+    if not adds_parts:
+        return rd.from_pandas(pd.DataFrame(
+            {c: pd.Series(dtype="object") for c in _TCOLS})), 0
+    adds = adds_parts[0]
+    for extra in adds_parts[1:]:
+        adds = adds.union(extra)
     return adds, inferred_total
-
-
-def _subtract_base(kb_dir: str, fresh: pd.DataFrame,
-                   num_buckets: int) -> pd.DataFrame:
-    """Remove rows of `fresh` that already exist in the base KB.
-    Reads only the pred-hash partitions of predicates present in
-    `fresh`, filters each batch to the broadcast fresh-set, and
-    subtracts the (small) matches."""
-    import ray
-    import ray.data as rd
-
-    keys = set(map(tuple, fresh.values))
-    existing: set[tuple] = set()
-    key_ref = ray.put(keys)
-
-    def matches(b: pd.DataFrame) -> pd.DataFrame:
-        ks = ray.get(key_ref)
-        tup = list(zip(b["subj"], b["pred"], b["obj"]))
-        mask = [t in ks for t in tup]
-        return b[mask][["subj", "pred", "obj"]]
-
-    for pred in fresh["pred"].unique():
-        src = _pruned_kb_read(kb_dir, ("?s", pred, "?o"), num_buckets)
-        if src is None:
-            continue
-        hit = src.map_batches(matches, batch_format="pandas").to_pandas()
-        existing.update(map(tuple, hit.values))
-    if not existing:
-        return fresh
-    return fresh[~fresh.apply(tuple, axis=1).isin(existing)]

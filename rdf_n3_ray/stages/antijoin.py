@@ -18,6 +18,14 @@ repo:
   (repo idiom — None-filled object columns would coerce typed columns
   and drift written parquet schemas), and anti-joined per bucket with
   a vectorized merge.  Only 16-byte keys move for the right side.
+
+With `dedup_left=True` the surviving left rows are ALSO exact-deduped
+by their 128-bit key (collision bound ~2^-104 over 10^12 rows, same
+argument as stages/dedup._quad_key128) inside the SAME shuffle — the
+reasoner's per-iteration "dedup candidates, subtract seen" step runs
+as one exchange instead of two.  On the broadcast path the membership
+probe filters per batch FIRST, so only the novel survivors enter the
+dedup shuffle.
 """
 from __future__ import annotations
 
@@ -56,7 +64,7 @@ def _default_sentinels(cols):
 
 def hash_anti_join(left_ds, right_hashes_ds, *, hash_fn, cols,
                    sentinel_fn=None, broadcast_limit: int = 20_000_000,
-                   num_buckets: int = 64):
+                   num_buckets: int = 64, dedup_left: bool = False):
     """Left rows whose 128-bit key is absent from the right key set.
 
     left_ds        : Dataset whose batches contain `cols`
@@ -68,33 +76,55 @@ def hash_anti_join(left_ds, right_hashes_ds, *, hash_fn, cols,
     sentinel_fn    : n -> {col: filler array} with dtypes matching the
                      left schema, for the bucket path's union (defaults
                      to all-string "" fillers)
+    dedup_left     : also exact-dedup the surviving left rows by their
+                     128-bit key, fused into the same shuffle
     """
     import ray
     import ray.data as rd
 
-    if right_hashes_ds is None:
-        return left_ds
     if isinstance(right_hashes_ds, pd.DataFrame):
         right_hashes_ds = rd.from_pandas(right_hashes_ds)
-    right_hashes_ds = right_hashes_ds.materialize()
-    n_right = right_hashes_ds.count()
-    if n_right == 0:
+    n_right = 0
+    if right_hashes_ds is not None:
+        right_hashes_ds = right_hashes_ds.materialize()
+        n_right = right_hashes_ds.count()
+    if n_right == 0 and not dedup_left:
         return left_ds
     cols = list(cols)
 
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["h1", "h2"])[cols]
+
     if n_right <= broadcast_limit:
-        hdf = right_hashes_ds.to_pandas().sort_values(
-            ["h1", "h2"], kind="stable")
-        href = ray.put((hdf["h1"].to_numpy(), hdf["h2"].to_numpy()))
+        if n_right:
+            hdf = right_hashes_ds.to_pandas().sort_values(
+                ["h1", "h2"], kind="stable")
+            href = ray.put((hdf["h1"].to_numpy(), hdf["h2"].to_numpy()))
+        else:
+            href = None
 
         def anti(b: pd.DataFrame) -> pd.DataFrame:
-            eh1, eh2 = ray.get(href)
             h1, h2 = hash_fn(b)
-            dup = span_membership(eh1, eh2, h1.to_numpy(), h2.to_numpy())
-            return b[~dup]
+            if href is not None:
+                eh1, eh2 = ray.get(href)
+                novel = ~span_membership(
+                    eh1, eh2, h1.to_numpy(), h2.to_numpy())
+            else:
+                novel = np.ones(len(b), dtype=bool)
+            if not dedup_left:
+                return b[novel]
+            out = b[novel].copy()
+            out["h1"] = h1[novel]
+            out["h2"] = h2[novel]
+            out["hb"] = (out["h1"] % num_buckets).astype("int32")
+            return out
 
-        return left_ds.map_batches(anti, batch_format="pandas",
-                                   batch_size=65536)
+        probed = left_ds.map_batches(anti, batch_format="pandas",
+                                     batch_size=65536)
+        if not dedup_left:
+            return probed
+        return (probed.groupby("hb")
+                .map_groups(dedup_bucket, batch_format="pandas"))
 
     sentinel_fn = sentinel_fn or _default_sentinels(cols)
 
@@ -115,6 +145,8 @@ def hash_anti_join(left_ds, right_hashes_ds, *, hash_fn, cols,
 
     def anti_bucket(g: pd.DataFrame) -> pd.DataFrame:
         new = g[g["side"] == 0]
+        if dedup_left:
+            new = new.drop_duplicates(subset=["h1", "h2"])
         old = g[g["side"] == 1][["h1", "h2"]]
         if new.empty or old.empty:
             return new[cols]

@@ -553,7 +553,7 @@ def test_reason_kb_path_partition_pruned(ray_session, tmp_path):
     closure_mem, inf_mem = reason_dataset(rd.from_pandas(kb), rules)
     mem_new = closure_mem.to_pandas()
     assert inf_mem == inferred
-    got = set(map(tuple, adds.values))
+    got = set(map(tuple, adds.to_pandas().values))
     want = set(map(tuple, mem_new[mem_new.pred == "<skip>"].values))
     assert got == want
 
@@ -595,9 +595,10 @@ def test_reason_kb_path_broad_antecedent_distributed(ray_session, tmp_path):
     finally:
         RZ._DRIVER_JOIN_LIMIT = orig
     assert inferred == n
-    assert len(adds) == n
-    assert (adds.pred == "<type>").all()
-    assert set(adds[adds.subj == "<s7>"].obj) == {"<d7>"}
+    adf = adds.to_pandas()
+    assert len(adf) == n
+    assert (adf.pred == "<type>").all()
+    assert set(adf[adf.subj == "<s7>"].obj) == {"<d7>"}
 
 
 def test_reason_kb_path_rederivation_not_counted(ray_session, tmp_path):
@@ -617,7 +618,67 @@ def test_reason_kb_path_rederivation_not_counted(ray_session, tmp_path):
     write_kb_partitioned(rd.from_pandas(base), out)
     rules = [([("?x", "<knows>", "?y")], [("?y", "<knows>", "?x")])]
     adds, inferred = reason_kb_path(out, rules)
-    assert inferred == 0 and len(adds) == 0
+    assert inferred == 0 and adds.count() == 0
+
+
+def test_reason_kb_path_million_edges_bounded_driver(ray_session, tmp_path):
+    """Productive ruleset at scale: transitive closure over a 10^6-edge
+    relation (250k chains of 5 nodes) completes with BOUNDED driver
+    memory — no corpus-sized pandas ever lands on the driver.  Enforced
+    by a to_pandas spy that fails the test if any Dataset above the
+    driver-join limit is pulled down; the seen-set anti-join AND the
+    bindings joins are forced onto their distributed bucket paths
+    (hash_broadcast_limit=0, _JOIN_BROADCAST_LIMIT=0) — the 100 TB
+    shape, with every size-gated broadcast fast path disabled."""
+    import ray.data as rd
+    from ray.data import Dataset
+
+    from rdf_n3_ray.pipelines import reasoning as RZ
+    from rdf_n3_ray.pipelines.reasoning import (
+        reason_kb_path,
+        write_kb_partitioned,
+    )
+
+    chains, span = 250_000, 5  # 4 edges/chain -> 1M edges
+    cid = np.repeat(np.arange(chains), span - 1)
+    pos = np.tile(np.arange(span - 1), chains)
+    base = pd.DataFrame({
+        "subj": pd.Series(cid.astype(str)) + "_" + pd.Series(pos.astype(str)),
+        "pred": "<r>",
+        "obj": pd.Series(cid.astype(str)) + "_"
+               + pd.Series((pos + 1).astype(str)),
+    })
+    out = str(tmp_path / "kb")
+    write_kb_partitioned(rd.from_pandas(base), out)
+
+    rules = [([("?x", "<r>", "?y"), ("?y", "<r>", "?z")],
+              [("?x", "<r>", "?z")])]
+    cap = RZ._DRIVER_JOIN_LIMIT + 1
+    orig_to_pandas = Dataset.to_pandas
+
+    def spy_to_pandas(self, *a, **kw):
+        assert self.count() <= cap, (
+            f"corpus-sized to_pandas on the driver: {self.count()} rows")
+        return orig_to_pandas(self, *a, **kw)
+
+    Dataset.to_pandas = spy_to_pandas
+    orig_bcast = RZ._JOIN_BROADCAST_LIMIT
+    RZ._JOIN_BROADCAST_LIMIT = 0
+    try:
+        adds, inferred = reason_kb_path(out, rules, hash_broadcast_limit=0)
+    finally:
+        Dataset.to_pandas = orig_to_pandas
+        RZ._JOIN_BROADCAST_LIMIT = orig_bcast
+    # per 5-node chain: pairs at distance 2..4 = 6 inferred triples
+    assert inferred == chains * 6
+    assert adds.count() == chains * 6
+    # spot-check one chain's closure without materializing the rest
+    got = adds.map_batches(
+        lambda b: b[b["subj"].str.startswith("17_")],
+        batch_format="pandas").to_pandas()
+    want = {("17_0", "17_2"), ("17_0", "17_3"), ("17_0", "17_4"),
+            ("17_1", "17_3"), ("17_1", "17_4"), ("17_2", "17_4")}
+    assert set(zip(got.subj, got.obj)) == want
 
 
 def test_explode_bands_validates_divisibility():
