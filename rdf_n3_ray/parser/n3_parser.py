@@ -775,9 +775,12 @@ def parse_ntriples(text: str, validate: bool = True,
             if (j + 1 < len(tokens) and tokens[j].type is None
                     and tokens[j].value == "^^"
                     and tokens[j + 1].type == "IRIREF"):
-                return T.literal(value,
-                                 datatype=T.iri_value(tokens[j + 1].value)
-                                 ), j + 2
+                # datatype IRIs resolve against base_uri exactly like
+                # the s/p/o positions (the full N3 path does)
+                dt = tokens[j + 1].value[1:-1]
+                if base_uri is not None:
+                    dt = resolve_iri(base_uri, dt)
+                return T.literal(value, datatype=dt), j + 2
             return T.literal(value), j
         if t.type == "INTEGER":
             return T.literal(t.value, datatype=T.XSD_INTEGER), i + 1

@@ -12,6 +12,7 @@ Patterns (ray_guide):
 """
 from __future__ import annotations
 
+import itertools
 import os
 
 import numpy as np
@@ -424,8 +425,14 @@ SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id
 def lang_distribution(sf_dir: str):
     from ..stages.text_stats import LangId
 
+    import ray
+
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    scored = ds.map_batches(LangId, batch_format="pandas", batch_size=4096, concurrency=(1, 2))
+    # elastic actor pool up to the cluster's CPU count — a fixed cap
+    # would starve the only expensive stage of this pipeline at scale
+    pool_max = max(2, int(ray.cluster_resources().get("CPU", 8)))
+    scored = ds.map_batches(LangId, batch_format="pandas", batch_size=4096,
+                            concurrency=(1, pool_max))
     from ray.data.aggregate import Count
 
     out = scored.groupby("lang_pred").aggregate(Count(alias_name="n_docs"))
@@ -1011,20 +1018,93 @@ def decontaminate(sf_dir: str, bench_mod: int = 37, n: int = 13):
 
     bench = set(ds.map_batches(bench_grams,
                                batch_format="pandas").to_pandas()["gram"])
-    bench_ref = ray.put(frozenset(bench))
+    # Broadcast 8-byte rolling gram hashes (sorted, for np.isin) plus
+    # the exact gram strings — the corpus side never builds per-row
+    # Python gram sets; it rolls uint64 token hashes over the batch's
+    # flattened token stream in a handful of vectorized passes, and
+    # only np.isin candidates are ever stringified.  EXACT: every
+    # candidate is string-verified against the benchmark set and
+    # deduped per (doc, gram string), so hash collisions cannot change
+    # a count in either direction.
+    bench_h = _gram_hash_index(bench, n)
+    bench_ref = ray.put((bench_h, frozenset(bench)))
 
     def hits(b: pd.DataFrame) -> pd.DataFrame:
-        bset = ray.get(bench_ref)
-        counts = np.empty(len(b), dtype=np.int64)
-        for i, t in enumerate(b["text"]):
-            w = t.lower().split() if isinstance(t, str) else []
-            grams = {" ".join(w[j:j + n])
-                     for j in range(max(0, len(w) - n + 1))}
-            counts[i] = len(grams & bset)
+        eh, bset = ray.get(bench_ref)
+        words = b["text"].fillna("").str.lower().str.split()
+        lens = words.str.len().to_numpy(np.int64)
+        counts = np.zeros(len(b), dtype=np.int64)
+        if int(lens.sum()) >= n:
+            flat = list(itertools.chain.from_iterable(words))
+            gh = _rolling_gram_hashes(flat, n)
+            # candidate gram start positions (np.isin against the
+            # sorted benchmark hashes); only candidates are ever
+            # stringified, verified, and deduped — exactly
+            cand_pos = np.nonzero(np.isin(gh, eh))[0]
+            if len(cand_pos):
+                off = np.zeros(len(b), dtype=np.int64)
+                np.cumsum(lens[:-1], out=off[1:])
+                doc_of = np.searchsorted(off, cand_pos, side="right") - 1
+                # grams never span documents
+                valid = cand_pos <= (off[doc_of] + lens[doc_of] - n)
+                seen: set = set()
+                for dd, s in zip(doc_of[valid], cand_pos[valid]):
+                    g = " ".join(flat[s:s + n])
+                    if g in bset and (dd, g) not in seen:
+                        seen.add((dd, g))
+                        counts[dd] += 1
         return pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
                              "n_hits": counts})
 
     return ds.map_batches(hits, batch_format="pandas").sort("doc_id")
+
+
+_GRAM_P = np.uint64(1099511628211)  # FNV-1a prime; 64-bit wraparound
+
+
+def _gram_pows(n: int) -> np.ndarray:
+    pows = np.ones(n, dtype=np.uint64)
+    with np.errstate(over="ignore"):  # wraparound mod 2^64 is the point
+        for i in range(1, n):
+            pows[i] = pows[i - 1] * _GRAM_P
+    return pows
+
+
+def _token_hashes(tokens) -> np.ndarray:
+    return pd.util.hash_pandas_object(
+        pd.Series(tokens, dtype=object), index=False).to_numpy(np.uint64)
+
+
+def _rolling_gram_hashes(flat_tokens: list, n: int) -> np.ndarray:
+    """Polynomial combine of n consecutive token hashes -> one uint64
+    per gram start position.  Tokens are Arrow-dictionary-encoded so
+    the per-string siphash runs once per DISTINCT token; the window
+    combine is n shifted vectorized multiply-adds over contiguous
+    uint64 (a strided sliding_window_view reduction measured 100x
+    slower).  Positions whose window spans a document boundary are
+    garbage the caller masks via per-doc valid-start indexing."""
+    if len(flat_tokens) < n:
+        return np.zeros(0, dtype=np.uint64)
+    enc = pc.dictionary_encode(pa.array(flat_tokens, pa.string()))
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    th = _token_hashes(enc.dictionary.to_pandas())[codes]
+    pows = _gram_pows(n)
+    m = len(th) - n + 1
+    gh = np.zeros(m, dtype=np.uint64)
+    for i in range(n):
+        gh += th[i:i + m] * pows[i]
+    return gh
+
+
+def _gram_hash_index(grams: set, n: int) -> np.ndarray:
+    """Sorted unique uint64 hashes of a benchmark gram set, using the
+    same rolling token-hash scheme as the corpus side."""
+    hs = np.zeros(len(grams), dtype=np.uint64)
+    pows = _gram_pows(n)
+    for i, gm in enumerate(sorted(grams)):
+        th = _token_hashes(gm.split())[:n]
+        hs[i] = (th * pows[:len(th)]).sum(dtype=np.uint64)
+    return np.unique(hs)
 
 
 DECONTAMINATE_SQL = r"""

@@ -121,27 +121,47 @@ def candidate_pairs(group: pd.DataFrame,
     import logging
 
     cap = MAX_LSH_BUCKET if max_bucket is None else max_bucket
-    out_a, out_b = [], []
-    dropped_docs = 0
-    capped_buckets = 0
-    for (_, _), g in group.groupby(["band", "band_hash"], sort=False):
-        if len(g) < 2:
-            continue
-        ids = sorted(set(g["doc_id"]))
-        if cap and len(ids) > cap:
-            dropped_docs += len(ids) - cap
-            capped_buckets += 1
-            ids = ids[:cap]
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-    if capped_buckets:
-        logging.getLogger(__name__).warning(
-            "candidate_pairs: capped %d hot LSH bucket(s) at %d members "
-            "(%d doc slots dropped; pairs for them still surface from "
-            "other bands)", capped_buckets, cap, dropped_docs)
-    return pd.DataFrame({"a": out_a, "b": out_b})
+    g = group[["band", "band_hash", "doc_id"]].drop_duplicates()
+    g = g.sort_values(["band", "band_hash", "doc_id"], kind="stable")
+    if len(g) < 2:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64")})
+    band = g["band"].to_numpy()
+    bh = g["band_hash"].to_numpy()
+    new_grp = np.ones(len(g), dtype=bool)
+    new_grp[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+    grp_id = np.cumsum(new_grp) - 1
+    rank = np.arange(len(g)) - np.nonzero(new_grp)[0][grp_id]
+    ids = g["doc_id"].to_numpy()
+    if cap:
+        sizes_all = np.bincount(grp_id)
+        capped_buckets = int(np.count_nonzero(sizes_all > cap))
+        if capped_buckets:
+            # sorted-by-doc_id order makes "the cap smallest doc_ids"
+            # a per-group prefix: rank < cap keeps groups contiguous
+            keep = rank < cap
+            dropped_docs = int(len(g) - keep.sum())
+            grp_id, rank, ids = grp_id[keep], rank[keep], ids[keep]
+            logging.getLogger(__name__).warning(
+                "candidate_pairs: capped %d hot LSH bucket(s) at %d "
+                "members (%d doc slots dropped; pairs for them still "
+                "surface from other bands)",
+                capped_buckets, cap, dropped_docs)
+    # all i<j pairs per group, emitted by array arithmetic: element at
+    # in-group rank r is the `a` of (size-1-r) pairs; its partners are
+    # the next 1..count elements of the (contiguous, doc_id-sorted)
+    # group — no Python loop over buckets or pairs
+    sizes = np.bincount(grp_id)
+    a_counts = sizes[grp_id] - 1 - rank
+    total = int(a_counts.sum())
+    if total == 0:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64")})
+    a_pos = np.repeat(np.arange(len(ids)), a_counts)
+    k = (np.arange(total, dtype=np.int64)
+         - np.repeat(np.cumsum(a_counts) - a_counts, a_counts))
+    b_pos = a_pos + 1 + k
+    return pd.DataFrame({"a": ids[a_pos], "b": ids[b_pos]})
 
 
 def jaccard(text_a: str, text_b: str, k: int = 5) -> float:

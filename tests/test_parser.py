@@ -487,3 +487,17 @@ def test_parse_ntriples_malformed():
         "<http://a> <http://b> true .")
     assert not r.errors and len(r.quads) == 3
     assert r.quads[0][2] == '"x"@en'
+
+
+def test_parse_ntriples_base_resolves_datatype_iri():
+    """A relative ^^ datatype IRI resolves against base_uri exactly
+    like the subject/predicate/object positions (parity with the full
+    N3 reader's base resolution)."""
+    from rdf_n3_ray.parser.n3_parser import parse_n3, parse_ntriples
+
+    nt = '<s> <p> "5"^^<dt> .'
+    r = parse_ntriples(nt, base_uri="http://ex/dir/")
+    assert not r.errors
+    full = parse_n3('@base <http://ex/dir/> . <s> <p> "5"^^<dt> .')
+    assert not full.errors
+    assert r.quads[0][2] == full.quads[0][2] == '"5"^^<http://ex/dir/dt>'
