@@ -2929,17 +2929,21 @@ def above_avg_low_activity(sf_dir: str, max_orders: int = 2,
         return pd.DataFrame({"c_mktsegment": pd.Series(dtype="object"),
                              "n_customers": pd.Series(dtype="int64"),
                              "total_acctbal": pd.Series(dtype="float64")})
-    # the SQL compares against AVG(c_acctbal) directly; dividing the
-    # exact cents sum by 100.0*n reproduces that float in both engines
-    avg_bal = (int(bp["s"].sum()) / n_pos) / 100.0
+    # "above average" is an exact RATIONAL comparison in integer
+    # cents on both engines: bal_c * n > sum_c (int64; cents ~1e6 x
+    # corpus-scale n ~1e9 stays < 2^63) — a float AVG() boundary can
+    # flip in the last ulp between engines on adversarial balances
+    sum_c = int(bp["s"].sum())
 
     def cust_side(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[b["c_acctbal"] > avg_bal]
+        bal_c = np.floor(b["c_acctbal"].to_numpy() * 100.0 + 0.5) \
+            .astype("int64")
+        keep = bal_c * n_pos > sum_c
+        b, bal_c = b[keep], bal_c[keep]
         return pd.DataFrame({
             "key": b["c_custkey"].to_numpy().astype("int64"),
             "seg": b["c_mktsegment"],
-            "bal_c": np.floor(b["c_acctbal"].to_numpy() * 100.0 + 0.5)
-                       .astype("int64"),
+            "bal_c": bal_c,
             "cnt": np.zeros(len(b), dtype="int64"),
             "side": np.full(len(b), 1, dtype="int8"),
             "jb": (b["c_custkey"].to_numpy().astype("int64")
@@ -2986,13 +2990,17 @@ def above_avg_low_activity(sf_dir: str, max_orders: int = 2,
 
 
 ABOVE_AVG_LOW_ACTIVITY_SQL = """
+WITH stats AS (
+  SELECT SUM(CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS s,
+         COUNT(*) AS n
+  FROM customer WHERE c_acctbal > 0.0
+)
 SELECT c_mktsegment,
        COUNT(*) AS n_customers,
        SUM(CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT)) / 100.0
            AS total_acctbal
-FROM customer c
-WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
-                   WHERE c_acctbal > 0.0)
+FROM customer c, stats
+WHERE CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT) * stats.n > stats.s
   AND (SELECT COUNT(*) FROM orders o
        WHERE o.o_custkey = c.c_custkey) <= 2
 GROUP BY c_mktsegment
@@ -4193,10 +4201,13 @@ ORDER BY n DESC, bigram LIMIT 50
 
 def bigram_pmi(sf_dir: str, min_count: int = 5, k: int = 50,
                num_buckets: int = 32):
-    """Pointwise mutual information of adjacent token pairs —
-    collocation mining over the corpus.  PMI margins are taken over
-    bigram positions: n_x = sum of counts of bigrams starting with x,
-    n_y = sum ending with y, N = total bigrams.
+    """PMI-ranked collocation mining of adjacent token pairs.  Margins
+    are taken over bigram positions: n_x = sum of counts of bigrams
+    starting with x, n_y = sum ending with y, N = total bigrams.  The
+    reported score is exact integer milli-LIFT, floor(1000*n*N/
+    (n_x*n_y)) — ln(lift) is PMI and ln is monotone, so the ranking is
+    PMI's, while the value stays transcendental-free (libm ln at an
+    integer-floor boundary is not bit-identical across engines).
 
     Distributed as two bucket shuffles over the BIGRAM-COUNT table
     (vocab-squared bounded — far smaller than the corpus):
@@ -4227,7 +4238,7 @@ def bigram_pmi(sf_dir: str, min_count: int = 5, k: int = 50,
                 .materialize())  # consumed twice: total N + second pass
     empty_out = pd.DataFrame({"bigram": pd.Series(dtype="object"),
                               "n": pd.Series(dtype="int64"),
-                              "pmi_milli": pd.Series(dtype="int64")})
+                              "lift_milli": pd.Series(dtype="int64")})
     total = by_first.sum("n")
     if total is None:  # Ray sum() over an all-empty dataset
         return empty_out  # bigram-free corpus: oracle returns 0 rows
@@ -4241,22 +4252,35 @@ def bigram_pmi(sf_dir: str, min_count: int = 5, k: int = 50,
         if g.empty:
             return pd.DataFrame({"bigram": pd.Series(dtype="object"),
                                  "n": pd.Series(dtype="int64"),
-                                 "pmi_milli": pd.Series(dtype="int64")})
-        # double-cast numerator / double denominator, exactly the
-        # oracle's (n*N)::DOUBLE / (n_x*n_y) before ln()
-        num = (g["n"].to_numpy() * n_total)
-        den = (g["n_x"].to_numpy() * g["n_y"].to_numpy()).astype("float64")
-        g = g.assign(pmi_milli=np.floor(
-            1000.0 * np.log(num / den)).astype("int64"))
+                                 "lift_milli": pd.Series(dtype="int64")})
+        # EXACT integer milli-lift: floor(1000 * n * N / (n_x * n_y)).
+        # lift = P(xy)/(P(x)P(y)) is PMI's argument; ln is monotone, so
+        # the collocation RANKING is identical, and the reported value
+        # is transcendental-free — a floor(1000*ln(x)) boundary can
+        # flip between numpy's and DuckDB's libm (repo policy, see
+        # tfidf_search).  int64 guard: fall back to exact Python ints
+        # if 1000*n*N could overflow (corpus-scale N).
+        n_arr = g["n"].to_numpy()
+        nx, ny = g["n_x"].to_numpy(), g["n_y"].to_numpy()
+        n_tot = int(n_total)
+        safe = (int(nx.max()) < 2**31 and int(ny.max()) < 2**31
+                and 1000 * int(n_arr.max()) * n_tot < 2**63)
+        if safe:
+            lift = (1000 * n_arr * n_tot) // (nx * ny)
+        else:
+            lift = np.array(
+                [(1000 * int(a) * n_tot) // (int(x) * int(y))
+                 for a, x, y in zip(n_arr, nx, ny)], dtype="int64")
+        g = g.assign(lift_milli=lift.astype("int64"))
         g["bigram"] = g["first"] + " " + g["second"]
-        return (g.sort_values(["pmi_milli", "bigram"],
+        return (g.sort_values(["lift_milli", "bigram"],
                               ascending=[False, True])
-                .head(k)[["bigram", "n", "pmi_milli"]])
+                .head(k)[["bigram", "n", "lift_milli"]])
 
     partials = by_first.groupby("sb").map_groups(attach_second,
                                                  batch_format="pandas")
     top = _fold_pd(partials, empty_out)  # <= num_buckets * k rows
-    return (top.sort_values(["pmi_milli", "bigram"],
+    return (top.sort_values(["lift_milli", "bigram"],
                             ascending=[False, True])
             .head(k).reset_index(drop=True))
 
@@ -4277,14 +4301,13 @@ WITH t AS (
 mx AS (SELECT f, sum(n)::BIGINT AS n_x FROM bg GROUP BY 1),
 my AS (SELECT s, sum(n)::BIGINT AS n_y FROM bg GROUP BY 1)
 SELECT bg.f || ' ' || bg.s AS bigram, bg.n AS n,
-       CAST(FLOOR(1000.0 * ln((bg.n * tot.total)::DOUBLE
-                              / (mx.n_x * my.n_y))) AS BIGINT)
-         AS pmi_milli
+       CAST((1000::HUGEINT * bg.n * tot.total)
+            // (mx.n_x::HUGEINT * my.n_y) AS BIGINT) AS lift_milli
 FROM bg CROSS JOIN tot
 JOIN mx ON bg.f = mx.f
 JOIN my ON bg.s = my.s
 WHERE bg.n >= 5
-ORDER BY pmi_milli DESC, bigram LIMIT 50
+ORDER BY lift_milli DESC, bigram LIMIT 50
 """
 
 

