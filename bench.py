@@ -31,21 +31,51 @@ def _burn_once(_=None) -> int:
     return s
 
 
-def _wide_efficiency() -> float:
-    """Contention probe: 10-way pure-CPU fork-burn vs one burn.  MUST
-    run before ray.init() — forking a live multi-threaded Ray/gRPC
-    driver can wedge the pool children mid-lock."""
+def _wide_efficiency(return_single: bool = False):
+    """Contention probe: 10-way pure-CPU burn vs one burn.  Children
+    come from a SPAWN context (fresh interpreters), so this is safe to
+    call mid-run with a live multi-threaded Ray driver — fork of a
+    gRPC-threaded process can wedge children mid-lock."""
     import multiprocessing as mp
 
+    ctx = mp.get_context("spawn")
     n = min(10, os.cpu_count() or 1)
     t0 = time.time()
     _burn_once()
     single = time.time() - t0
-    with mp.Pool(n) as pool:
+    with ctx.Pool(n) as pool:
+        pool.map(_burn_once, [None] * n)  # warm the spawned workers
         t0 = time.time()
         pool.map(_burn_once, [None] * n)
         wide = time.time() - t0
-    return single / wide if wide > 0 else 1.0
+    eff = single / wide if wide > 0 else 1.0
+    return (eff, single) if return_single else eff
+
+
+def _wait_for_quiet():
+    """Hold the bench launch until the host-contention probe reads at
+    or above the repo's trust bar (BASELINE.md: draws below ~0.85
+    wide-work efficiency are co-tenant-steal windows that inflate wide
+    queries up to 3x on identical code).  Bounded wait; every probe
+    draw is recorded so the emitted artifact is self-certifying.
+    Returns (efficiency_at_launch, single_core_control_s, history)."""
+    target = float(os.environ.get("GRAFT_QUIET_TARGET", "0.85"))
+    max_wait = float(os.environ.get("GRAFT_QUIET_MAX_WAIT", "900"))
+    interval = float(os.environ.get("GRAFT_QUIET_INTERVAL", "45"))
+    history = []
+    deadline = time.time() + max_wait
+    while True:
+        eff, single = _wide_efficiency(return_single=True)
+        history.append(round(eff, 3))
+        if eff >= target or time.time() >= deadline:
+            if eff < target:
+                print(f"# quiet-window wait expired after {max_wait}s; "
+                      f"proceeding at efficiency {eff:.2f}",
+                      file=sys.stderr)
+            return eff, single, history
+        print(f"# contention probe {eff:.2f} < {target}; waiting "
+              f"{interval:.0f}s for a quiet window", file=sys.stderr)
+        time.sleep(interval)
 
 
 def run_bench() -> dict:
@@ -53,7 +83,7 @@ def run_bench() -> dict:
 
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    eff = _wide_efficiency()  # probe BEFORE the Ray session forks
+    eff, single_ctl, probe_history = _wait_for_quiet()
     ray.init(
         address="local",
         num_cpus=num_cpus,
@@ -73,6 +103,7 @@ def run_bench() -> dict:
     from rdf_n3_ray.stages.neardup import minhash_lsh_dedup
 
     timings: dict[str, float] = {}
+    draws: dict[str, list] = {}  # every raw draw, for the artifact
     # Per-query best-of-N (default 2): this shared VM's host contention
     # penalizes individual draws by up to 2.3x on identical code
     # (BASELINE.md A/B evidence — BENCH_r02 regressed vs r01 while the
@@ -97,10 +128,12 @@ def run_bench() -> dict:
 
     def timed(name, fn, n=None):
         best, result = None, None
+        draws[name] = []
         for _ in range(n or reps):
             t0 = time.time()
             result = fn()
             dt = time.time() - t0
+            draws[name].append(round(dt, 3))
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 3)
         return result
@@ -214,10 +247,17 @@ def run_bench() -> dict:
 
         rd.range(20000, override_num_blocks=8).sort("id").materialize()
 
+    # mid-run self-certification: a spawn-safe probe before each group;
+    # a group launched into a contended window gets one extra draw per
+    # query so its best-of can land between steal spikes
+    group_probes = []
     for group in groups:
         fresh_session()
+        g_eff = _wide_efficiency()
+        group_probes.append(round(g_eff, 3))
+        extra = 1 if g_eff < 0.75 else 0
         for name, fn in group:
-            timed(name, fn)
+            timed(name, fn, n=reps + extra)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -238,11 +278,28 @@ def run_bench() -> dict:
                 "decontaminate", "top_tokens", "events_sliding",
                 "event_percentiles", "distinct_users_by_type",
                 "percentiles_by_type") if q in timings), 3),
+        # the 12 queries BENCH_r01 timed (its `value` = 34.582 summed
+        # exactly these) — the round-over-round speed comparator
+        "value_r01_shared12": round(sum(
+            timings[q] for q in (
+                "kg_build", "lineitem_agg", "events_hourly",
+                "orders_by_nation", "top_events", "doc_token_stats",
+                "minhash_pairs", "ann_topk", "sessionize", "asof_join",
+                "revenue_by_priority", "embed_cosine_dups")
+            if q in timings), 3),
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "kg_turns": int(kg_turns),
         "kg_triples": int(kg_rows),
         "kg_turns_per_sec": round(kg_turns / timings["kg_build"], 1),
+        # self-certification: the artifact carries its own contention
+        # evidence (BASELINE.md trust bar: probe >= 0.85 at launch)
+        "probe_efficiency_at_launch": round(eff, 3),
+        "probe_history": probe_history,
+        "probe_per_group": group_probes,
+        "single_core_control_s": round(single_ctl, 4),
+        "draws_per_query": draws,
+        "reps_base": reps,
     }
     ray.shutdown()
     return out
@@ -290,7 +347,10 @@ def run_scaling() -> dict:
         )
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
-    lo, hi = run(4), run(16)
+    probe_eff, single_ctl, history = _wait_for_quiet()
+    lo = run(4)
+    mid_probe = _wide_efficiency()  # between-leg contention evidence
+    hi = run(16)
     eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / 4
     return {
         "metric": "KG pipeline scaling efficiency, num_cpus 4 -> 16 (N vs 4N)",
@@ -300,6 +360,10 @@ def run_scaling() -> dict:
         "sec_4": round(lo["sec"], 2),
         "sec_16": round(hi["sec"], 2),
         "scaling_efficiency": round(eff, 3),
+        "probe_efficiency_at_launch": round(probe_eff, 3),
+        "probe_between_legs": round(mid_probe, 3),
+        "probe_history": history,
+        "single_core_control_s": round(single_ctl, 4),
     }
 
 
