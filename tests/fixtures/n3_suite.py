@@ -1550,3 +1550,307 @@ CASES += [
      f'<{X}r> <{X}sum> "10"^^<{XSD}integer> .',
      {"think": True, "conclusions": True}),
 ]
+
+# ---------------------------------------------------------------------------
+# Round-4 additions.
+#
+# (a) Turtle-suite corners (reference runs the W3C Turtle suite too,
+#     spec/suite_turtle_spec.rb:8): numeric sign/shape corners, string
+#     escape corners, PN_LOCAL/BLANK_NODE_LABEL character corners,
+#     base-relative IRI resolution corners, N3-vs-Turtle divergences
+#     (literal subjects, ^ reverse paths) — hand-derived expecteds.
+# (b) SLOW-manifest families at reduced size (suite_helper.rb:124-177
+#     tags 1k-10k-triple inputs SLOW and skips them in CI; these are
+#     the same shapes — graph-N chains, dt-N typed literals, list and
+#     formula bulk, proof chains — generated deterministically at a
+#     size CI can afford).
+# ---------------------------------------------------------------------------
+
+CASES += [
+    # --- (a) Turtle corners: positive syntax ---------------------------
+    ("t4_syntax_pname_percent", "PositiveSyntax",
+     "@prefix : <http://ex/>. :a%2Bb :p :o .", None, {}),
+    ("t4_syntax_bnode_medial_dot", "PositiveSyntax",
+     "_:a.b <http://p> <http://o> .", None, {}),
+    ("t4_syntax_bnode_digit_start", "PositiveSyntax",
+     "_:0a <http://p> <http://o> .", None, {}),
+    ("t4_syntax_langtag_subtags", "PositiveSyntax",
+     '@prefix : <http://ex/>. :s :p "x"@en-US-x-priv .', None, {}),
+    # --- (a) Turtle corners: negative syntax ---------------------------
+    ("t4_neg_langtag_digit", "NegativeSyntax",
+     '@prefix : <http://ex/>. :s :p "x"@12 .', None, {}),
+    ("t4_neg_bnode_final_dot", "NegativeSyntax",
+     "_:a. <http://b> <http://c> .", None, {}),
+    ("t4_neg_bad_uchar", "NegativeSyntax",
+     "<http://ex/\\uZZZZ> <http://p> <http://o> .", None, {}),
+    ("t4_neg_unclosed_long_string", "NegativeSyntax",
+     '@prefix : <http://ex/>. :s :p """abc .', None, {}),
+    ("t4_neg_bare_plus_object", "NegativeSyntax",
+     "@prefix : <http://ex/>. :s :p + .", None, {}),
+    ("t4_neg_raw_newline_in_short_string", "NegativeSyntax",
+     '@prefix : <http://ex/>. :s :p "a\nb" .', None, {}),
+    ("t4_neg_undeclared_prefix", "NegativeSyntax",
+     "und:x <http://p> <http://o> .", None, {}),
+    ("t4_neg_local_leading_dot", "NegativeSyntax",
+     "@prefix : <http://ex/>. :.a :p :o .", None, {}),
+    ("t4_neg_integer_then_double_dot", "NegativeSyntax",
+     "@prefix : <http://ex/>. :s :p 5. .", None, {}),
+    ("t4_neg_surrogate_uescape", "NegativeSyntax",
+     '@prefix : <http://ex/>. :s :p "\\uD800" .', None, {}),
+    # --- (a) Turtle corners: eval ---------------------------------------
+    ("t4_eval_signed_numeric_shapes", "Eval",
+     "@prefix : <http://ex/>. :s :p +.5, -0.0, +0, -.5e-1 .",
+     f'<{X}s> <{X}p> "+.5"^^<{XSD}decimal> .\n'
+     f'<{X}s> <{X}p> "-0.0"^^<{XSD}decimal> .\n'
+     f'<{X}s> <{X}p> "+0"^^<{XSD}integer> .\n'
+     f'<{X}s> <{X}p> "-.5e-1"^^<{XSD}double> .', {}),
+    ("t4_eval_long_string_inner_quotes", "Eval",
+     '@prefix : <http://ex/>. :s :p """a "q" and ""dq"" end""" .',
+     f'<{X}s> <{X}p> "a \\"q\\" and \\"\\"dq\\"\\" end" .', {}),
+    ("t4_eval_long_single_newline", "Eval",
+     "@prefix : <http://ex/>. :s :p '''line1\nline2''' .",
+     f'<{X}s> <{X}p> "line1\\nline2" .', {}),
+    ("t4_eval_escape_soup", "Eval",
+     '@prefix : <http://ex/>. :s :p "\\t\\b\\n\\r\\f\\"\\\\" .',
+     f'<{X}s> <{X}p> "\\t\\b\\n\\r\\f\\"\\\\" .', {}),
+    ("t4_eval_uescape_astral", "Eval",
+     '@prefix : <http://ex/>. :s :p "\\U0001F600" .',
+     f'<{X}s> <{X}p> "\U0001F600" .', {}),
+    ("t4_eval_pname_percent_preserved", "Eval",
+     "@prefix : <http://ex/>. :a%2Bb :p :o .",
+     f"<{X}a%2Bb> <{X}p> <{X}o> .", {}),
+    ("t4_eval_pname_esc_bang", "Eval",
+     "@prefix : <http://ex/>. :x\\!y :p :o .",
+     f"<{X}x!y> <{X}p> <{X}o> .", {}),
+    ("t4_eval_base_relative_corners", "Eval",
+     "@base <http://ex/a/b/c>. <#f> <> <./x> . <../y> <//h/p> <?q> .",
+     "<http://ex/a/b/c#f> <http://ex/a/b/c> <http://ex/a/b/x> .\n"
+     "<http://ex/a/y> <http://h/p> <http://ex/a/b/c?q> .", {}),
+    ("t4_eval_iri_uchar", "Eval",
+     "<http://ex/\\u00E9x> <http://p> <http://o> .",
+     "<http://ex/éx> <http://p> <http://o> .", {}),
+    ("t4_eval_prefix_redefined_mid_doc", "Eval",
+     "@prefix p: <http://a/>. p:x <http://p> p:y . "
+     "@prefix p: <http://b/>. p:x <http://p> p:y .",
+     "<http://a/x> <http://p> <http://a/y> .\n"
+     "<http://b/x> <http://p> <http://b/y> .", {}),
+    ("t4_eval_literal_subject_n3", "Eval",
+     # N3 divergence from Turtle: literals are valid subjects
+     '@prefix : <http://ex/>. "lit" :p :o .',
+     f'"lit" <{X}p> <{X}o> .', {}),
+    ("t4_eval_reverse_path_on_literal", "Eval",
+     # N3 divergence from Turtle: ^ is reverse path, not a typo for ^^
+     '@prefix : <http://ex/>. :s :p "x"^:dt .',
+     f'_:B <{X}dt> "x" .\n<{X}s> <{X}p> _:B .', {}),
+    ("t4_eval_nested_empty_lists", "Eval",
+     "@prefix : <http://ex/>. :s :p (() (())) .",
+     f"_:L1 <{RDFNS}first> <{RDFNS}nil> .\n_:L1 <{RDFNS}rest> _:L2 .\n"
+     f"_:L2 <{RDFNS}first> _:I .\n_:L2 <{RDFNS}rest> <{RDFNS}nil> .\n"
+     f"_:I <{RDFNS}first> <{RDFNS}nil> .\n_:I <{RDFNS}rest> <{RDFNS}nil> .\n"
+     f"<{X}s> <{X}p> _:L1 .", {}),
+    ("t4_eval_anon_chain", "Eval",
+     "@prefix : <http://ex/>. [ :p [ :q [ :r :o ] ] ] :top :z .",
+     f"_:A <{X}p> _:B .\n_:B <{X}q> _:C .\n_:C <{X}r> <{X}o> .\n"
+     f"_:A <{X}top> <{X}z> .", {}),
+]
+
+
+def _slow_reduced_cases():
+    """SLOW-manifest shapes at CI-affordable size, generated
+    deterministically (same generation idea as 01etc_graph-1000 /
+    test-dt-1000 / proof chains, reduced ~10x)."""
+    cases = []
+
+    # graph-N: one long :next chain (01etc_graph-1000 shape)
+    n = 200
+    src = ["@prefix : <http://ex/>."]
+    exp = []
+    for i in range(n):
+        src.append(f":n{i} :next :n{i + 1} .")
+        exp.append(f"<{X}n{i}> <{X}next> <{X}n{i + 1}> .")
+    cases.append(("t4_slow_graph_200", "Eval",
+                  "\n".join(src), "\n".join(exp), {}))
+
+    # dt-N: typed-literal bulk (test-dt-1000 shape)
+    kinds = [
+        ('"{}"^^<{}integer>', "{}"),
+        ('"{}.5"^^<{}decimal>', "{}.5"),
+        ('"{}.0e1"^^<{}double>', "{}.0e1"),
+        ('"s{}"', '"s{}"'),
+    ]
+    src = ["@prefix : <http://ex/>.", "@prefix x: <" + XSD + ">."]
+    exp = []
+    for i in range(120):
+        tmpl, lex = kinds[i % 4]
+        lit = lex.format(i)
+        src.append(f":d{i} :v {lit} .")
+        if tmpl.startswith('"s'):
+            exp.append(f'<{X}d{i}> <{X}v> "s{i}" .')
+        else:
+            exp.append(f"<{X}d{i}> <{X}v> " + tmpl.format(i, XSD) + " .")
+    cases.append(("t4_slow_dt_120", "Eval",
+                  "\n".join(src), "\n".join(exp), {}))
+
+    # star fan-out: one hub, many spokes (mmln-gv graph shape)
+    n = 150
+    src = ["@prefix : <http://ex/>.",
+           ":hub :to " + ", ".join(f":s{i}" for i in range(n)) + " ."]
+    exp = [f"<{X}hub> <{X}to> <{X}s{i}> ." for i in range(n)]
+    cases.append(("t4_slow_star_150", "Eval",
+                  "\n".join(src), "\n".join(exp), {}))
+
+    # prefix bulk: many prefixes, each used (04test namespace soup)
+    n = 60
+    src = [f"@prefix p{i}: <http://ns{i}/>." for i in range(n)]
+    src += [f"p{i}:a p{i}:b p{i}:c ." for i in range(n)]
+    exp = [f"<http://ns{i}/a> <http://ns{i}/b> <http://ns{i}/c> ."
+           for i in range(n)]
+    cases.append(("t4_slow_prefixes_60", "Eval",
+                  "\n".join(src), "\n".join(exp), {}))
+
+    # formula bulk: many scoped graph literals (05smml FACTS shape)
+    n = 60
+    src = ["@prefix : <http://ex/>."]
+    exp = []
+    for i in range(n):
+        src.append(f"{{ :a{i} :b :c{i} }} :says :d{i} .")
+        exp.append(f"<{X}a{i}> <{X}b> <{X}c{i}> _:F{i} .")
+        exp.append(f"_:F{i} <{X}says> <{X}d{i}> .")
+    cases.append(("t4_slow_formulae_60", "Eval",
+                  "\n".join(src), "\n".join(exp), {}))
+
+    # list bulk, list_terms mode (test-dl-1000 shape)
+    n = 100
+    src = ["@prefix : <http://ex/>.",
+           ":l :is ( " + " ".join(str(i) for i in range(n)) + " ) ."]
+    exp = [f"<{X}l> <{X}is> ("
+           + " ".join(f'"{i}"^^<{XSD}integer>' for i in range(n)) + ") ."]
+    cases.append(("t4_slow_list_100_terms", "Eval",
+                  "\n".join(src), "\n".join(exp), {"list_terms": True}))
+
+    # list bulk, first/rest mode at reduced size
+    n = 20
+    src = ["@prefix : <http://ex/>.",
+           ":l :is ( " + " ".join(f":e{i}" for i in range(n)) + " ) ."]
+    exp = []
+    for i in range(n):
+        nxt = f"_:C{i + 1}" if i + 1 < n else f"<{RDFNS}nil>"
+        exp.append(f"_:C{i} <{RDFNS}first> <{X}e{i}> .")
+        exp.append(f"_:C{i} <{RDFNS}rest> {nxt} .")
+    exp.append(f"<{X}l> <{X}is> _:C0 .")
+    cases.append(("t4_slow_list_20_firstrest", "Eval",
+                  "\n".join(src), "\n".join(exp), {}))
+
+    # proof chain: K sequential rules p0 -> p1 -> ... (proof-N shape)
+    k = 20
+    src = ["@prefix : <http://ex/>.", ":a :p0 :b ."]
+    exp = [f"<{X}a> <{X}p0> <{X}b> ."]
+    for i in range(k):
+        src.append(f"{{ ?x :p{i} ?y }} => {{ ?x :p{i + 1} ?y }} .")
+        exp.append(f"<{X}a> <{X}p{i + 1}> <{X}b> .")
+    cases.append(("t4_slow_proof_chain_20", "Reason",
+                  "\n".join(src), "\n".join(exp),
+                  {"think": True, "data": True}))
+
+    # transitive closure over a 32-node chain (path-256-3 shape)
+    n = 32
+    src = ["@prefix : <http://ex/>."]
+    src += [f":c{i} :arc :c{i + 1} ." for i in range(n - 1)]
+    src.append("{ ?x :arc ?y } => { ?x :path ?y } .")
+    src.append("{ ?x :path ?y . ?y :arc ?z } => { ?x :path ?z } .")
+    exp = [f"<{X}c{i}> <{X}arc> <{X}c{i + 1}> ." for i in range(n - 1)]
+    exp += [f"<{X}c{i}> <{X}path> <{X}c{j}> ."
+            for i in range(n) for j in range(i + 1, n)]
+    cases.append(("t4_slow_path_closure_32", "Reason",
+                  "\n".join(src), "\n".join(exp),
+                  {"think": True, "data": True}))
+
+    # counter walk via math:sum (easter/fib proof shape: arithmetic
+    # recursion along a structure)
+    n = 24
+    src = ["@prefix : <http://ex/>.",
+           "@prefix math: <http://www.w3.org/2000/10/swap/math#>.",
+           ":c0 :val 0 ."]
+    src += [f":c{i} :succ :c{i + 1} ." for i in range(n)]
+    src.append("{ ?a :succ ?b . ?a :val ?n . (?n 1) math:sum ?m } "
+               "=> { ?b :val ?m } .")
+    exp = [f"<{X}c0> <{X}val> \"0\"^^<{XSD}integer> ."]
+    exp += [f"<{X}c{i}> <{X}succ> <{X}c{i + 1}> ." for i in range(n)]
+    exp += [f'<{X}c{i + 1}> <{X}val> "{i + 1}"^^<{XSD}integer> .'
+            for i in range(n)]
+    cases.append(("t4_slow_counter_24", "Reason",
+                  "\n".join(src), "\n".join(exp),
+                  {"think": True, "data": True}))
+
+    return cases
+
+
+CASES += _slow_reduced_cases()
+
+# Round-4 batch 2: more Turtle/N3 grammar corners (probed against the
+# parser and cross-checked with the reference grammar; @forAll/@forSome
+# /@keywords are pre-CG N3 that the modern grammar — and the reference
+# reader — dropped, hence NegativeSyntax).
+CASES += [
+    ("t4_eval_exponent_signs", "Eval",
+     "@prefix : <http://ex/>. :s :p 1.0E+3, 2E-2 .",
+     f'<{X}s> <{X}p> "1.0E+3"^^<{XSD}double> .\n'
+     f'<{X}s> <{X}p> "2E-2"^^<{XSD}double> .', {}),
+    ("t4_eval_spaced_datatype_caret", "Eval",
+     '@prefix : <http://ex/>. :s :p "x" ^^ <http://dt> .',
+     f'<{X}s> <{X}p> "x"^^<http://dt> .', {}),
+    ("t4_eval_empty_prefix_iri_is_base", "Eval",
+     "@base <http://b/>. @prefix : <>. :x :y :z .",
+     "<http://b/x> <http://b/y> <http://b/z> .", {}),
+    ("t4_eval_comment_at_eof_no_newline", "Eval",
+     "@prefix : <http://ex/>. :a :b :c . # tail",
+     f"<{X}a> <{X}b> <{X}c> .", {}),
+    ("t4_eval_empty_short_and_long_strings", "Eval",
+     '@prefix : <http://ex/>. :s :p "", """""" .',
+     f'<{X}s> <{X}p> "" .\n<{X}s> <{X}p> "" .', {}),
+    ("t4_eval_uescape_is_char", "Eval",
+     '@prefix : <http://ex/>. :s :p "\\u0041" .',
+     f'<{X}s> <{X}p> "A" .', {}),
+    ("t4_eval_bnode_predicate_n3", "Eval",
+     # N3 divergence from Turtle: blank nodes are valid predicates
+     "@prefix : <http://ex/>. :s _:p :o .",
+     f"<{X}s> _:p <{X}o> .", {}),
+    ("t4_eval_nil_subject_and_object", "Eval",
+     "@prefix : <http://ex/>. () :p () .",
+     f"<{RDFNS}nil> <{X}p> <{RDFNS}nil> .", {}),
+    ("t4_eval_numeric_literal_subject", "Eval",
+     # N3 divergence from Turtle: literal subjects
+     "@prefix : <http://ex/>. 10 :isa :Number .",
+     f'"10"^^<{XSD}integer> <{X}isa> <{X}Number> .', {}),
+    ("t4_eval_literal_predicate_n3", "Eval",
+     # predicate ::= expression in the N3 grammar — literals included
+     '@prefix : <http://ex/>. :s "p" :o .',
+     f'<{X}s> "p" <{X}o> .', {}),
+    ("t4_eval_langtag_then_dot", "Eval",
+     '@prefix : <http://ex/>. :s :p "x"@en.',
+     f'<{X}s> <{X}p> "x"@en .', {}),
+    ("t4_eval_empty_pname_local", "Eval",
+     "@prefix p: <http://ex/>. p: p: p: .",
+     f"<{X}> <{X}> <{X}> .", {}),
+    ("t4_eval_iri_percent_preserved", "Eval",
+     "<http://ex/%20a> <http://p> <http://o> .",
+     "<http://ex/%20a> <http://p> <http://o> .", {}),
+    ("t4_neg_datatype_missing_iri", "NegativeSyntax",
+     '@prefix : <http://ex/>. :s :p "x"^^ .', None, {}),
+    ("t4_neg_unclosed_collection", "NegativeSyntax",
+     "@prefix : <http://ex/>. :s :p ( .", None, {}),
+    ("t4_neg_triple_dotted_number", "NegativeSyntax",
+     "@prefix : <http://ex/>. :s :p 1.2.3 .", None, {}),
+    ("t4_neg_iri_raw_newline", "NegativeSyntax",
+     "<http://ex/a\nb> <http://p> <http://o> .", None, {}),
+    ("t4_neg_stray_close_brace", "NegativeSyntax",
+     "@prefix : <http://ex/>. } :a :b :c .", None, {}),
+    ("t4_neg_double_statement_dot", "NegativeSyntax",
+     "@prefix : <http://ex/>. :s :p :o ..", None, {}),
+    ("t4_neg_forall_dropped_from_grammar", "NegativeSyntax",
+     "@prefix : <http://ex/>. @forAll :x . :x :loves :y .", None, {}),
+    ("t4_neg_forsome_dropped_from_grammar", "NegativeSyntax",
+     "@prefix : <http://ex/>. @forSome :x . :x :knows :y .", None, {}),
+    ("t4_neg_keywords_dropped_from_grammar", "NegativeSyntax",
+     "@keywords a, is, of . x y z .", None, {}),
+]
