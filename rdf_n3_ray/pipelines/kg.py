@@ -306,6 +306,12 @@ def append_kg_job(
     from ..stages.dedup import _quad_key128
 
     t0 = time.time()
+    # a compact generation committed but not yet promoted hides the
+    # stages it consumed from _existing_hashes_ds (some may already be
+    # retired) — anti-joining that partial corpus would re-ingest
+    # duplicates that become permanent at the next promotion.  Finish
+    # the pending promotion first, exactly like compact_kg_job does.
+    _finish_pending_compact(out_dir)
     stage = os.path.join(out_dir, f"stage=append-{lo}-{hi}")
     manifest = LineageManifest(stage)
     fp = _fingerprint("append", seed, n_convs, turns_per_conv, lo, hi)
@@ -383,7 +389,26 @@ def _finish_pending_compact(out_dir: str) -> dict | None:
     if not entry or not entry.get("complete"):
         # crashed before commit: stale tmp, cleaned by the next begin()
         return None
-    consumed = entry.get("metrics", {}).get("consumed_stages", [])
+    consumed = entry.get("metrics", {}).get("consumed_stages")
+    if consumed is None:
+        # Commit predates the consumed_stages metric.  Recover only if
+        # the surviving stages' row count proves the committed
+        # generation covers exactly their union (appends are disjoint,
+        # so the union row count is the sum); anything else — a crash
+        # mid-retire, or appends landed after the commit — needs a
+        # human, and refusing beats silently losing or duplicating rows.
+        stages = sorted(
+            name for name in os.listdir(out_dir)
+            if name == "stage=final" or name.startswith("stage=append-"))
+        stage_rows = sum(pq.read_metadata(f).num_rows
+                         for f in _stage_parquet_files(out_dir))
+        if stage_rows != entry["rows"]:
+            raise RuntimeError(
+                f"committed compact generation ({entry['rows']} rows) "
+                f"has no consumed_stages record and does not match the "
+                f"surviving stages ({stage_rows} rows across "
+                f"{stages!r}); refusing to promote")
+        consumed = stages
     for name in consumed:
         p = os.path.join(out_dir, name)
         if os.path.isdir(p):

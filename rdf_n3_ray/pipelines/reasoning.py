@@ -283,7 +283,13 @@ def _broadcast_merge(big, small: pd.DataFrame, shared):
     """Map-side equi-join: the small bindings frame rides the object
     store once; each big-side batch merges against it vectorized."""
     import ray
+    import ray.data as rd
 
+    if isinstance(big, pd.DataFrame):
+        # a driver merge can fan out past the join limit, leaving a
+        # DataFrame as the big side — lift it into a Dataset so the
+        # probe still runs distributed
+        big = rd.from_pandas(big)
     sref = ray.put(small)
 
     def join_batch(b: pd.DataFrame) -> pd.DataFrame:
@@ -556,11 +562,10 @@ def _pruned_kb_read(kb_dir: str, pattern, num_buckets: int):
 def _triple_hash128(b: pd.DataFrame) -> tuple[pd.Series, pd.Series]:
     """Two independent 64-bit hashes of (subj, pred, obj) -> 128-bit
     key; collision probability over 10^12 triples ~2^-104 (same
-    argument as stages/dedup._quad_key128)."""
-    import numpy as np
-
-    key = (b["subj"].astype(str) + "\x00" + b["pred"].astype(str)
-           + "\x00" + b["obj"].astype(str))
+    argument as stages/dedup._quad_key128).  Keys come from the same
+    _key_concat builder the dedup/join sites use, so the hash identity
+    cannot drift between them."""
+    key = _key_concat(b, _TCOLS)
     h1 = pd.util.hash_pandas_object(key, index=False).astype(np.int64)
     h2 = pd.util.hash_pandas_object(
         "\x02" + key, index=False).astype(np.int64)
@@ -646,12 +651,32 @@ def reason_kb_path(kb_dir: str, rules, num_buckets: int = 64,
                 base_parts.append(src.map_batches(
                     lambda b, _p=p: b[b["pred"] == _p],
                     batch_format="pandas"))
-    seen = None    # materialized (h1, h2) Dataset
+    # The seen-set lives in TWO forms: `seen_parts` (materialized 16-
+    # byte/row hash Datasets — the distributed truth) and, while the
+    # set is broadcast-sized, `bset`, a driver mirror of lexsorted
+    # numpy arrays merged incrementally.  hash_anti_join's one-shot
+    # broadcast path would re-gather + re-sort + re-put the FULL
+    # cumulative set every fixpoint iteration; the mirror makes each
+    # iteration pay one C-speed merge of just the delta.  Crossing
+    # `hash_broadcast_limit` drops the mirror for good and probes via
+    # the h1-bucket co-group over `seen_parts`.
+    from ..stages.antijoin import BroadcastHashSet
+
+    seen_parts: list = []
+    n_seen = 0
+    bset: BroadcastHashSet | None = BroadcastHashSet()
     if base_parts:
         s = base_parts[0]
         for extra in base_parts[1:]:
             s = s.union(extra)
-        seen = _triple_hash_ds(s).materialize()
+        base_h = _triple_hash_ds(s).materialize()
+        seen_parts.append(base_h)
+        n_seen = base_h.count()
+        if n_seen <= hash_broadcast_limit:
+            hdf = base_h.to_pandas()
+            bset.extend(hdf["h1"].to_numpy(), hdf["h2"].to_numpy())
+        else:
+            bset = None
 
     # Cross-iteration bindings caches.  base_bind[p] is the one-time
     # materialized bindings scan of the base KB (partition-pruned);
@@ -723,10 +748,20 @@ def reason_kb_path(kb_dir: str, rules, num_buckets: int = 64,
         # 128-bit hash AND anti-join them against base + everything
         # already inferred (slot overlap / multi-derivation dups die
         # in the same exchange that drops re-derivations)
-        fresh = hash_anti_join(
-            cand, seen, hash_fn=_triple_hash128, cols=_TCOLS,
-            broadcast_limit=hash_broadcast_limit,
-            num_buckets=num_buckets, dedup_left=True).materialize()
+        if bset is not None:
+            fresh = bset.filter_novel(
+                cand, hash_fn=_triple_hash128, cols=_TCOLS,
+                dedup_left=True, num_buckets=num_buckets).materialize()
+        else:
+            seen_ds = None
+            if seen_parts:
+                seen_ds = seen_parts[0]
+                for extra in seen_parts[1:]:
+                    seen_ds = seen_ds.union(extra)
+            fresh = hash_anti_join(
+                cand, seen_ds, hash_fn=_triple_hash128, cols=_TCOLS,
+                broadcast_limit=0,  # mirror dropped => stay bucketed
+                num_buckets=num_buckets, dedup_left=True).materialize()
         n_new = fresh.count()
         if n_new == 0:
             break
@@ -735,7 +770,14 @@ def reason_kb_path(kb_dir: str, rules, num_buckets: int = 64,
         fresh_h = _triple_hash_ds(fresh).materialize()
         # unions of materialized datasets move block refs, not data —
         # never re-materialize the cumulative adds/seen per iteration
-        seen = fresh_h if seen is None else seen.union(fresh_h)
+        seen_parts.append(fresh_h)
+        n_seen += n_new
+        if bset is not None:
+            if n_seen <= hash_broadcast_limit:
+                fdf = fresh_h.to_pandas()
+                bset.extend(fdf["h1"].to_numpy(), fdf["h2"].to_numpy())
+            else:
+                bset = None  # crossed the gate; bucket path from here
         delta = fresh
         adds_parts.append(fresh)
     if not adds_parts:

@@ -56,6 +56,69 @@ def span_membership(eh1: np.ndarray, eh2: np.ndarray,
     return hit
 
 
+class BroadcastHashSet:
+    """Incrementally-maintained sorted 128-bit key set for repeated
+    broadcast anti-join probes (the reasoner's fixpoint loop).
+
+    hash_anti_join's broadcast path gathers + sorts + ray.puts the FULL
+    right side on every call — fine for one-shot appends, quadratic
+    driver work across fixpoint iterations.  This keeps the lexsorted
+    (h1, h2) numpy arrays on the driver, merges each iteration's delta
+    with one C-speed concat+lexsort, and re-puts the arrays once per
+    extend; probes reuse the ref."""
+
+    def __init__(self):
+        self.h1 = np.empty(0, dtype=np.int64)
+        self.h2 = np.empty(0, dtype=np.int64)
+        self._ref = None
+
+    def __len__(self):
+        return len(self.h1)
+
+    def extend(self, h1: np.ndarray, h2: np.ndarray):
+        h1 = np.concatenate([self.h1, np.asarray(h1, dtype=np.int64)])
+        h2 = np.concatenate([self.h2, np.asarray(h2, dtype=np.int64)])
+        order = np.lexsort((h2, h1))
+        self.h1, self.h2 = h1[order], h2[order]
+        self._ref = None  # re-put lazily on next probe
+
+    def filter_novel(self, left_ds, *, hash_fn, cols,
+                     dedup_left: bool = False, num_buckets: int = 64):
+        """Left rows whose key is absent from this set; optionally
+        exact-deduped by key in one groupby (same semantics as
+        hash_anti_join(dedup_left=True))."""
+        import ray
+
+        if self._ref is None and len(self.h1):
+            self._ref = ray.put((self.h1, self.h2))
+        href = self._ref
+        cols = list(cols)
+
+        def anti(b: pd.DataFrame) -> pd.DataFrame:
+            h1, h2 = hash_fn(b)
+            if href is not None:
+                eh1, eh2 = ray.get(href)
+                novel = ~span_membership(
+                    eh1, eh2, h1.to_numpy(), h2.to_numpy())
+            else:
+                novel = np.ones(len(b), dtype=bool)
+            if not dedup_left:
+                return b[novel]
+            out = b[novel].copy()
+            out["h1"] = h1[novel]
+            out["h2"] = h2[novel]
+            out["hb"] = (out["h1"] % num_buckets).astype("int32")
+            return out
+
+        probed = left_ds.map_batches(anti, batch_format="pandas",
+                                     batch_size=65536)
+        if not dedup_left:
+            return probed
+        return (probed.groupby("hb")
+                .map_groups(lambda g: g.drop_duplicates(
+                    subset=["h1", "h2"])[cols], batch_format="pandas"))
+
+
 def _default_sentinels(cols):
     def sentinels(n: int) -> dict:
         return {c: np.full(n, "", dtype=object) for c in cols}

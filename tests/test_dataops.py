@@ -642,6 +642,31 @@ def test_reason_kb_path_rederivation_not_counted(ray_session, tmp_path):
     assert inferred == 0 and adds.count() == 0
 
 
+def test_join2_broadcasts_over_dataframe_big_side(ray_session):
+    """A driver merge can fan out past the join limit, leaving a plain
+    DataFrame as the BIG side of the next join; the broadcast path must
+    lift it into a Dataset instead of calling .map_batches on pandas."""
+    import ray.data as rd
+
+    from rdf_n3_ray.pipelines import reasoning as RZ
+
+    big_df = pd.DataFrame({"?x": [f"x{i % 50}" for i in range(600)],
+                           "?y": [f"y{i}" for i in range(600)]})
+    small_ds = rd.from_pandas(pd.DataFrame(
+        {"?y": [f"y{i}" for i in range(0, 600, 3)],
+         "?z": [f"z{i}" for i in range(0, 600, 3)]})).materialize()
+    orig_lim, orig_b = RZ._DRIVER_JOIN_LIMIT, RZ._JOIN_BROADCAST_LIMIT
+    RZ._DRIVER_JOIN_LIMIT, RZ._JOIN_BROADCAST_LIMIT = 100, 10_000
+    try:
+        out = RZ._join2(big_df, small_ds)
+    finally:
+        RZ._DRIVER_JOIN_LIMIT, RZ._JOIN_BROADCAST_LIMIT = orig_lim, orig_b
+    got = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+    want = big_df.merge(small_ds.to_pandas(), on=["?y"])
+    key = lambda df: sorted(map(tuple, df[["?x", "?y", "?z"]].values))
+    assert key(got) == key(want)
+
+
 def test_reason_kb_path_million_edges_bounded_driver(ray_session, tmp_path):
     """Productive ruleset at scale: transitive closure over a 10^6-edge
     relation (250k chains of 5 nodes) completes with BOUNDED driver

@@ -391,6 +391,102 @@ def test_compact_kg_job_crash_before_promote(ray_session, tmp_path,
     assert again["rows"] == 0
 
 
+def _kb_row_multiset_size(out):
+    import pyarrow.parquet as pq
+
+    from rdf_n3_ray.pipelines.kg import _stage_parquet_files
+
+    return sum(pq.read_metadata(f).num_rows
+               for f in _stage_parquet_files(out))
+
+
+def test_append_during_pending_compact_promotes_first(
+        ray_session, tmp_path, monkeypatch):
+    """An append launched while a committed compact generation is
+    pending (crashed mid-retire, one stage already gone) must finish
+    the promotion FIRST — anti-joining the partial corpus would
+    re-ingest rows that live in the compact generation and duplicate
+    them forever."""
+    import shutil
+
+    from rdf_n3_ray.pipelines.kg import append_kg_job, compact_kg_job
+
+    out = str(tmp_path / "kb")
+    append_kg_job(out, n_convs=30, lo=0, hi=15, turns_per_conv=4)
+    append_kg_job(out, n_convs=30, lo=15, hi=25, turns_per_conv=4)
+    before = _kb_rowset(out)
+    n_before = _kb_row_multiset_size(out)
+
+    real_rmtree = shutil.rmtree
+    calls = {"n": 0}
+
+    def crashing_rmtree(path, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # first stage retired, crash on the second
+            raise RuntimeError("injected crash mid-retire")
+        return real_rmtree(path, *a, **kw)
+
+    monkeypatch.setattr(shutil, "rmtree", crashing_rmtree)
+    with pytest.raises(RuntimeError, match="mid-retire"):
+        compact_kg_job(out)
+    monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+
+    # NOT compact_kg_job — the append itself must recover the pending
+    # promotion, then dedup against the complete corpus
+    again = append_kg_job(out, n_convs=30, lo=0, hi=15, turns_per_conv=4)
+    assert again["rows"] == 0  # idempotent: nothing re-ingested
+    assert "stage=final.compact" not in os.listdir(out)
+    new = append_kg_job(out, n_convs=30, lo=25, hi=30, turns_per_conv=4)
+    assert new["rows"] > 0
+    assert _kb_rowset(out) >= before
+    # multiset check: no row appears twice across stages
+    assert _kb_row_multiset_size(out) == n_before + new["rows"]
+
+
+def test_finish_pending_compact_legacy_manifest(ray_session, tmp_path,
+                                                monkeypatch):
+    """A compact generation committed WITHOUT the consumed_stages
+    metric (pre-upgrade code) recovers when the surviving stages' row
+    count proves coverage, and refuses loudly when it cannot."""
+    import json
+    import shutil
+
+    from rdf_n3_ray.pipelines import kg as KG
+    from rdf_n3_ray.pipelines.kg import append_kg_job, compact_kg_job
+
+    def commit_unpromoted_legacy(out):
+        """Run compact with promotion stubbed out, then strip the
+        consumed_stages metric — the exact on-disk state the
+        pre-upgrade code left after a crash right after commit."""
+        monkeypatch.setattr(KG, "_finish_pending_compact",
+                            lambda _d: None)
+        with pytest.raises(AssertionError):
+            compact_kg_job(out)
+        monkeypatch.undo()
+        mpath = os.path.join(out, "stage=final.compact", "_lineage.json")
+        doc = json.load(open(mpath))
+        del doc["partitions"]["all"]["metrics"]["consumed_stages"]
+        json.dump(doc, open(mpath, "w"))
+
+    out = str(tmp_path / "kb")
+    append_kg_job(out, n_convs=30, lo=0, hi=15, turns_per_conv=4)
+    append_kg_job(out, n_convs=30, lo=15, hi=25, turns_per_conv=4)
+    before = _kb_rowset(out)
+
+    commit_unpromoted_legacy(out)
+    m = compact_kg_job(out)  # row counts match -> safe to promote
+    assert m.get("recovered") and m["compacted_stages"] == 2
+    assert _kb_rowset(out) == before
+
+    # refusal arm: surviving stages no longer match the committed
+    # generation (legacy crash mid-retire: one stage already deleted)
+    append_kg_job(out, n_convs=30, lo=25, hi=30, turns_per_conv=4)
+    commit_unpromoted_legacy(out)
+    shutil.rmtree(os.path.join(out, "stage=append-25-30"))
+    with pytest.raises(RuntimeError, match="refusing to promote"):
+        compact_kg_job(out)
+
+
 def test_span_membership_vectorized_probe():
     """Sorted-membership kernel behind the broadcast hash anti-join:
     exact pair membership even with multi-row equal-h1 spans (forced
