@@ -438,84 +438,29 @@ def _instantiate_pieces(pieces, cons):
     return out
 
 
-def reason_dataset(triples_ds, rules, max_iterations: int = 10):
-    """Fixed-point rule application over a triple Dataset.
+def reason_dataset(triples_ds, rules, max_iterations: int = 10,
+                   num_buckets: int = 64,
+                   hash_broadcast_limit: int = 20_000_000):
+    """Fixed-point rule application over an in-memory triple Dataset.
 
     `triples_ds` columns: subj, pred, obj.  Returns (closure_ds,
-    n_inferred).  Each iteration is: per-rule distributed pattern
-    filters -> driver-side bindings join -> consequent instantiation ->
-    union + exact dedup (the only shuffle) -> count fixed point.
-    """
-    import ray.data as rd
-
-    # materialize at every iteration barrier: the pattern filters below
-    # scan `ds` once per rule pattern, and a lazy lineage would re-run
-    # the whole accumulated union+dedup chain on every scan (quadratic
-    # re-execution across iterations)
-    ds = triples_ds.materialize()
-    total = ds.count()
-    inferred_total = 0
-    delta = None  # rows added by the previous iteration (semi-naive)
-    for _ in range(max_iterations):
-        new_rows = []
-        # per-iteration cache: one distributed scan per distinct pattern
-        # against the full KB / the delta, shared across rules and
-        # delta-slots
-        full_cache: dict[tuple, pd.DataFrame] = {}
-        delta_cache: dict[tuple, pd.DataFrame] = {}
-
-        def pb_for(pattern, source):
-            cache = full_cache if source is ds else delta_cache
-            if pattern not in cache:
-                cache[pattern] = _pattern_bindings(source, pattern)
-            return cache[pattern]
-
-        for ant, cons in rules:
-            # semi-naive: new solutions must use at least one triple
-            # from last iteration's delta.  Evaluate the rule once per
-            # "delta slot" i (pattern i against delta, the rest against
-            # the full KB) and union; combinations with >=2 new triples
-            # are produced by several slots and dedup below.  Iteration
-            # 1 (delta None) is the naive full evaluation.
-            if delta is None:
-                slot_frames = [[pb_for(p, ds) for p in ant]]
-            else:
-                slot_frames = [
-                    [pb_for(p, delta if j == i else ds)
-                     for j, p in enumerate(ant)]
-                    for i in range(len(ant))
-                ]
-            pieces = [b for b in (_join_seq(fr) for fr in slot_frames)
-                      if b is not None]
-            if not pieces:
-                continue
-            inst = _instantiate_pieces(pieces, cons)
-            if inst is not None:
-                new_rows.append(inst)
-        if not new_rows:
-            break
-        small = [r for r in new_rows if isinstance(r, pd.DataFrame)]
-        big = [r for r in new_rows if not isinstance(r, pd.DataFrame)]
-        parts = list(big)
-        if small:
-            parts.append(rd.from_pandas(
-                pd.concat(small, ignore_index=True).drop_duplicates()))
-        add = parts[0]
-        for extra in parts[1:]:
-            add = add.union(extra)
-        delta = add.materialize()
-        # union the MATERIALIZED delta, not the lazy `add` lineage —
-        # unioning `add` would re-execute every instantiation map when
-        # the dedup shuffle below runs (double work per iteration)
-        ds = ds.union(delta)
-        # exact dedup shuffle (repository set semantics)
-        ds = _dedup_bindings_ds(ds, ["subj", "pred", "obj"])
-        new_total = ds.count()
-        if new_total == total:
-            break
-        inferred_total += new_total - total
-        total = new_total
-    return ds, inferred_total
+    n_inferred).  One exact-dedup shuffle establishes set semantics
+    over the input, then the shared semi-naive core (_reason_fixpoint
+    — the same machinery reason_kb_path runs over a partitioned
+    parquet KB) keeps deltas, the seen-set, and the cumulative adds
+    distributed; the closure is the deduped base union the inferred
+    additions, with only counts crossing the driver."""
+    # one dedup shuffle: the core's assume_unique joins and its
+    # "re-derivations are not inferences" anti-join both require the
+    # base to be an exact set (repository set semantics,
+    # reasoner.rb:123-140)
+    base = _dedup_bindings_ds(triples_ds.materialize(), _TCOLS)
+    adds, inferred_total = _reason_fixpoint(
+        lambda pattern: base, [base], rules, num_buckets=num_buckets,
+        max_iterations=max_iterations,
+        hash_broadcast_limit=hash_broadcast_limit)
+    closure = base if inferred_total == 0 else base.union(adds)
+    return closure, inferred_total
 
 
 # ---------------------------------------------------------------------------
@@ -616,14 +561,6 @@ def reason_kb_path(kb_dir: str, rules, num_buckets: int = 64,
     iteration extends them with bindings over that iteration's delta
     only (semi-naive all the way down to the scans).
     """
-    import ray.data as rd
-
-    from ..stages.antijoin import hash_anti_join
-
-    adds_parts: list = []  # materialized per-iteration inferred triples
-    delta = None           # materialized Dataset: last iteration's additions
-    inferred_total = 0
-
     # Seed the seen-set with the base triples a firing could re-derive:
     # an instantiated consequent's predicate is either the template's
     # ground predicate or a variable binding (unbounded), so prune the
@@ -651,6 +588,31 @@ def reason_kb_path(kb_dir: str, rules, num_buckets: int = 64,
                 base_parts.append(src.map_batches(
                     lambda b, _p=p: b[b["pred"] == _p],
                     batch_format="pandas"))
+    return _reason_fixpoint(
+        lambda pattern: _pruned_kb_read(kb_dir, pattern, num_buckets),
+        base_parts, rules, num_buckets=num_buckets,
+        max_iterations=max_iterations,
+        hash_broadcast_limit=hash_broadcast_limit)
+
+
+def _reason_fixpoint(read_pattern, seed_parts, rules, *, num_buckets,
+                     max_iterations, hash_broadcast_limit):
+    """Shared semi-naive fixpoint core over a duplicate-free base KB.
+
+    `read_pattern(pattern)` -> Dataset|None over the base facts (a
+    partition-pruned parquet read, or an in-memory materialized
+    Dataset); `seed_parts` are triple Datasets whose hashes seed the
+    seen-set (the base facts a firing could re-derive).  Returns
+    (adds_ds, n_inferred) — inferred triples only, never the base.
+    """
+    import ray.data as rd
+
+    from ..stages.antijoin import BroadcastHashSet, hash_anti_join
+
+    adds_parts: list = []  # materialized per-iteration inferred triples
+    delta = None           # materialized Dataset: last iteration's additions
+    inferred_total = 0
+
     # The seen-set lives in TWO forms: `seen_parts` (materialized 16-
     # byte/row hash Datasets — the distributed truth) and, while the
     # set is broadcast-sized, `bset`, a driver mirror of lexsorted
@@ -660,14 +622,12 @@ def reason_kb_path(kb_dir: str, rules, num_buckets: int = 64,
     # iteration pay one C-speed merge of just the delta.  Crossing
     # `hash_broadcast_limit` drops the mirror for good and probes via
     # the h1-bucket co-group over `seen_parts`.
-    from ..stages.antijoin import BroadcastHashSet
-
     seen_parts: list = []
     n_seen = 0
     bset: BroadcastHashSet | None = BroadcastHashSet()
-    if base_parts:
-        s = base_parts[0]
-        for extra in base_parts[1:]:
+    if seed_parts:
+        s = seed_parts[0]
+        for extra in seed_parts[1:]:
             s = s.union(extra)
         base_h = _triple_hash_ds(s).materialize()
         seen_parts.append(base_h)
@@ -689,7 +649,7 @@ def reason_kb_path(kb_dir: str, rules, num_buckets: int = 64,
 
     def full_bindings(pattern):
         if pattern not in base_bind:
-            src = _pruned_kb_read(kb_dir, pattern, num_buckets)
+            src = read_pattern(pattern)
             base_bind[pattern] = (
                 None if src is None else _pattern_bindings(src, pattern))
         lst = adds_bind.setdefault(pattern, [])
