@@ -17,6 +17,13 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from rdf_n3_ray.malloctune import tune_malloc
+
+# tune the (already-running) driver process: this host has first-touch
+# allocation-latency episodes (see rdf_n3_ray/malloctune.py); Ray's
+# workers predate this import, but driver-side folds/merges benefit
+tune_malloc()
+
 
 def entry() -> Any:
     """Flagship: synthetic transcripts -> parse -> skolemize -> link ->

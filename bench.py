@@ -52,28 +52,53 @@ def _wide_efficiency(return_single: bool = False):
     return (eff, single) if return_single else eff
 
 
+def _alloc_latency_s(mb: int = 200) -> float:
+    """First-touch page-fault latency probe: map `mb` of FRESH memory
+    and touch every page.  This host shows episodes where first-touch
+    runs ~200x slow (0.1 s <-> 20 s for the same 200 MB) while
+    pure-CPU work reads normal — a failure mode the burn probe cannot
+    see, but which inflates every shuffle (object-store writes fault
+    fresh pages) and every large batch temporary.  Uses raw mmap so
+    the measurement bypasses the process's tuned, reused malloc heap."""
+    import mmap
+
+    t0 = time.time()
+    m = mmap.mmap(-1, mb << 20)
+    try:
+        for off in range(0, mb << 20, 4096):
+            m[off] = 1
+    finally:
+        m.close()
+    return time.time() - t0
+
+
 def _wait_for_quiet():
-    """Hold the bench launch until the host-contention probe reads at
-    or above the repo's trust bar (BASELINE.md: draws below ~0.85
-    wide-work efficiency are co-tenant-steal windows that inflate wide
-    queries up to 3x on identical code).  Bounded wait; every probe
+    """Hold the bench launch until BOTH host probes read quiet: the
+    pure-CPU burn at/above the trust bar (BASELINE.md: draws below
+    ~0.85 wide-work efficiency are co-tenant-steal windows that
+    inflate wide queries up to 3x on identical code) AND first-touch
+    allocation latency at/below its bar.  Bounded wait; every probe
     draw is recorded so the emitted artifact is self-certifying.
-    Returns (efficiency_at_launch, single_core_control_s, history)."""
+    Returns (eff, single_core_control_s, alloc_s, history)."""
     target = float(os.environ.get("GRAFT_QUIET_TARGET", "0.85"))
+    alloc_bar = float(os.environ.get("GRAFT_ALLOC_QUIET_S", "1.0"))
     max_wait = float(os.environ.get("GRAFT_QUIET_MAX_WAIT", "900"))
     interval = float(os.environ.get("GRAFT_QUIET_INTERVAL", "45"))
     history = []
     deadline = time.time() + max_wait
     while True:
         eff, single = _wide_efficiency(return_single=True)
-        history.append(round(eff, 3))
-        if eff >= target or time.time() >= deadline:
-            if eff < target:
+        alloc_s = _alloc_latency_s()
+        history.append({"cpu": round(eff, 3), "alloc_s": round(alloc_s, 3)})
+        quiet = eff >= target and alloc_s <= alloc_bar
+        if quiet or time.time() >= deadline:
+            if not quiet:
                 print(f"# quiet-window wait expired after {max_wait}s; "
-                      f"proceeding at efficiency {eff:.2f}",
-                      file=sys.stderr)
-            return eff, single, history
-        print(f"# contention probe {eff:.2f} < {target}; waiting "
+                      f"proceeding at efficiency {eff:.2f} / "
+                      f"alloc {alloc_s:.2f}s", file=sys.stderr)
+            return eff, single, alloc_s, history
+        print(f"# probes cpu {eff:.2f} (bar {target}) / alloc "
+              f"{alloc_s:.2f}s (bar {alloc_bar}s); waiting "
               f"{interval:.0f}s for a quiet window", file=sys.stderr)
         time.sleep(interval)
 
@@ -81,9 +106,15 @@ def _wait_for_quiet():
 def run_bench() -> dict:
     import ray
 
+    from rdf_n3_ray.malloctune import tune_malloc
+
+    # malloc tuning BEFORE ray.init: the raylet and its workers inherit
+    # the MALLOC_* env, so big per-batch temporaries stop re-faulting
+    # pages on this allocation-latency-hostile host (see malloctune.py)
+    malloc_tuned = tune_malloc(prefault_mb=256)
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    eff, single_ctl, probe_history = _wait_for_quiet()
+    eff, single_ctl, alloc_ctl, probe_history = _wait_for_quiet()
     ray.init(
         address="local",
         num_cpus=num_cpus,
@@ -253,12 +284,21 @@ def run_bench() -> dict:
     # mid-run self-certification: a spawn-safe probe before each group;
     # a group launched into a contended window gets one extra draw per
     # query so its best-of can land between steal spikes
+    alloc_bar = float(os.environ.get("GRAFT_ALLOC_QUIET_S", "1.0"))
+
+    def probe_pair() -> dict:
+        return {"cpu": round(_wide_efficiency(), 3),
+                "alloc_s": round(_alloc_latency_s(), 3)}
+
+    def is_quiet(p: dict, bar: float) -> bool:
+        return p["cpu"] >= bar and p["alloc_s"] <= alloc_bar
+
     group_probes = []
     for group in groups:
         fresh_session()
-        g_eff = _wide_efficiency()
-        group_probes.append(round(g_eff, 3))
-        extra = 1 if g_eff < 0.75 else 0
+        gp = probe_pair()
+        group_probes.append(gp)
+        extra = 0 if is_quiet(gp, 0.75) else 1
         for name, fn in group:
             timed(name, fn, n=reps + extra)
 
@@ -273,14 +313,18 @@ def run_bench() -> dict:
     # kg_build's contention context is the launch probe AND the probe
     # taken right after it ran (group 1's pre-probe) — the window can
     # close between the gate opening and the first timed draw
-    kg_ctx = min([eff] + group_probes[:1])
+    kg_ctx = {"cpu": min([eff] + [group_probes[0]["cpu"]]
+                         if group_probes else [eff]),
+              "alloc_s": max([alloc_ctl] + ([group_probes[0]["alloc_s"]]
+                                            if group_probes else []))}
     contended = [g for g, p in zip([kg_group] + groups,
-                                   [kg_ctx] + group_probes) if p < trust]
+                                   [kg_ctx] + group_probes)
+                 if not is_quiet(p, trust)]
     redemption_probes = []
     for group in contended:
-        g_eff = _wide_efficiency()
-        redemption_probes.append(round(g_eff, 3))
-        if g_eff < trust:
+        rp = probe_pair()
+        redemption_probes.append(rp)
+        if not is_quiet(rp, trust):
             break  # window closed again; keep what we have
         fresh_session()
         for name, fn in group:
@@ -322,10 +366,12 @@ def run_bench() -> dict:
         # self-certification: the artifact carries its own contention
         # evidence (BASELINE.md trust bar: probe >= 0.85 at launch)
         "probe_efficiency_at_launch": round(eff, 3),
+        "probe_alloc_latency_at_launch_s": round(alloc_ctl, 3),
         "probe_history": probe_history,
         "probe_per_group": group_probes,
         "probe_redemption": redemption_probes,
         "single_core_control_s": round(single_ctl, 4),
+        "malloc_tuned": malloc_tuned,
         "draws_per_query": draws,
         "reps_base": reps,
     }
@@ -375,9 +421,13 @@ def run_scaling() -> dict:
         )
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
-    probe_eff, single_ctl, history = _wait_for_quiet()
+    from rdf_n3_ray.malloctune import tune_malloc
+
+    tune_malloc()  # children inherit MALLOC_* env
+    probe_eff, single_ctl, alloc_ctl, history = _wait_for_quiet()
     lo = run(4)
-    mid_probe = _wide_efficiency()  # between-leg contention evidence
+    mid_probe = {"cpu": round(_wide_efficiency(), 3),
+                 "alloc_s": round(_alloc_latency_s(), 3)}
     hi = run(16)
     eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / 4
     return {
@@ -389,7 +439,8 @@ def run_scaling() -> dict:
         "sec_16": round(hi["sec"], 2),
         "scaling_efficiency": round(eff, 3),
         "probe_efficiency_at_launch": round(probe_eff, 3),
-        "probe_between_legs": round(mid_probe, 3),
+        "probe_alloc_latency_at_launch_s": round(alloc_ctl, 3),
+        "probe_between_legs": mid_probe,
         "probe_history": history,
         "single_core_control_s": round(single_ctl, 4),
     }

@@ -228,41 +228,69 @@ def _verify_pair_group(group: pd.DataFrame, threshold: float,
                          "sim": np.array(out_s, dtype=np.float64)})
 
 
-def _verify_pairs_broadcast(info, pairs_ds, threshold: float,
-                            est_cut: float, shingle_k: int = 5):
-    """Small-corpus verification: (doc_id, signature, text) broadcast
-    once via ray.put (caller guarantees the bound), candidate pairs
-    deduped + signature-prefiltered on the driver (pairs are small),
-    exact shingle verify in an elastic actor pool with a lazy per-actor
-    shingle cache.  One groupby shuffle total for the whole pipeline."""
+_EMPTY_PAIRS = {"a": "int64", "b": "int64", "sim": "float64"}
+
+
+def _empty_pairs_df() -> pd.DataFrame:
+    return pd.DataFrame({c: pd.Series(dtype=t)
+                         for c, t in _EMPTY_PAIRS.items()})
+
+
+def _verify_rows(pairs_df: pd.DataFrame, texts: dict, threshold: float,
+                 shingle_k: int, cache: dict) -> pd.DataFrame:
+    """Exact k-shingle Jaccard over candidate rows with a lazy per-doc
+    shingle cache; keeps pairs at/above threshold."""
+    out_a, out_b, out_s = [], [], []
+    for a, bb_ in zip(pairs_df["a"], pairs_df["b"]):
+        A = _shingles_cached(cache, a, texts.get(a, ""), k=shingle_k)
+        B = _shingles_cached(cache, bb_, texts.get(bb_, ""), k=shingle_k)
+        sim = _probe_jaccard(A, B)
+        if sim >= threshold:
+            out_a.append(a)
+            out_b.append(bb_)
+            out_s.append(sim)
+    return pd.DataFrame({"a": np.array(out_a, dtype=np.int64),
+                         "b": np.array(out_b, dtype=np.int64),
+                         "sim": np.array(out_s, dtype=np.float64)})
+
+
+def _lsh_small_corpus(info, bands: int, threshold: float, est_cut: float,
+                      max_bucket, shingle_k: int = 5,
+                      driver_verify_limit: int = 4096):
+    """Small-corpus LSH tail: the caller's MEASURED size gate
+    guarantees (doc_id, signature, text) fits the driver, so band
+    explosion, bucket grouping, candidate emission (candidate_pairs is
+    fully vectorized) and the signature pre-filter all run driver-side
+    with ZERO shuffles; exact shingle verification runs on the driver
+    up to `driver_verify_limit` candidates and in an elastic actor
+    pool (texts ray.put once) above it.  The signature pass — the
+    per-doc compute that dominates at corpus scale — already ran
+    distributed; everything here is bounded by the gate."""
     import ray
     import ray.data as rd
 
     info_df = info.to_pandas()
+    band_df = explode_bands(info_df[["doc_id", "signature"]], bands=bands)
+    pairs = candidate_pairs(band_df, max_bucket=max_bucket) \
+        .drop_duplicates(subset=["a", "b"])
+    if pairs.empty:
+        return rd.from_pandas(_empty_pairs_df())
     order = np.argsort(info_df["doc_id"].to_numpy())
     sig_ids = info_df["doc_id"].to_numpy(dtype=np.int64)[order]
     sig_mat = np.asarray(info_df["signature"].tolist(),
                          dtype=np.int64)[order]
-    texts = dict(zip(info_df["doc_id"].astype(np.int64), info_df["text"]))
-
-    # per-block dedup BEFORE the driver collect: duplicate candidate
-    # copies (one per agreeing band) shrink distributively first, the
-    # driver only dedups across blocks
-    pairs = (pairs_ds.map_batches(
-        lambda b: b.drop_duplicates(subset=["a", "b"]),
-        batch_format="pandas")
-        .to_pandas().drop_duplicates(subset=["a", "b"]))
-    empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
-                          "b": pd.Series(dtype="int64"),
-                          "sim": pd.Series(dtype="float64")})
-    if pairs.empty:
-        return rd.from_pandas(empty)
     pa_ = np.searchsorted(sig_ids, pairs["a"].to_numpy(dtype=np.int64))
     pb_ = np.searchsorted(sig_ids, pairs["b"].to_numpy(dtype=np.int64))
     est = (sig_mat[pa_] == sig_mat[pb_]).mean(axis=1)
     pairs = pairs.loc[est >= est_cut, ["a", "b"]]
     if pairs.empty:
-        return rd.from_pandas(empty)
+        return rd.from_pandas(_empty_pairs_df())
+    texts = dict(zip(info_df["doc_id"].astype(np.int64), info_df["text"]))
+
+    if len(pairs) <= driver_verify_limit:
+        return rd.from_pandas(
+            _verify_rows(pairs, texts, threshold, shingle_k, {}))
+
     text_ref = ray.put(texts)
 
     class Verify:
@@ -271,20 +299,8 @@ def _verify_pairs_broadcast(info, pairs_ds, threshold: float,
             self.cache: dict = {}
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            out_a, out_b, out_s = [], [], []
-            for a, bb_ in zip(b["a"], b["b"]):
-                A = _shingles_cached(self.cache, a, self.tmap.get(a, ""),
-                                     k=shingle_k)
-                B = _shingles_cached(self.cache, bb_, self.tmap.get(bb_, ""),
-                                     k=shingle_k)
-                sim = _probe_jaccard(A, B)
-                if sim >= threshold:
-                    out_a.append(a)
-                    out_b.append(bb_)
-                    out_s.append(sim)
-            return pd.DataFrame({"a": np.array(out_a, dtype=np.int64),
-                                 "b": np.array(out_b, dtype=np.int64),
-                                 "sim": np.array(out_s, dtype=np.float64)})
+            return _verify_rows(b, self.tmap, threshold, shingle_k,
+                                self.cache)
 
     return (rd.from_pandas(pairs.reset_index(drop=True))
             .repartition(16)
@@ -344,6 +360,19 @@ def minhash_lsh_dedup(
     info = docs_ds.map_batches(sig_and_text,
                                batch_format="pandas").materialize()
 
+    if prefilter_sigma is None:
+        est_cut = 0.0
+    else:
+        margin = prefilter_sigma * float(
+            np.sqrt(threshold * (1 - threshold) / num_perm))
+        est_cut = max(0.0, threshold - margin)
+
+    if info.count() <= broadcast_limit:
+        # gated small corpus: the whole LSH tail runs driver-side with
+        # zero shuffles (only the signature pass above is distributed)
+        return _lsh_small_corpus(info, bands, threshold, est_cut,
+                                 max_bucket)
+
     band_rows = info.map_batches(
         lambda b: explode_bands(b[["doc_id", "signature"]], bands=bands),
         batch_format="pandas",
@@ -357,20 +386,9 @@ def minhash_lsh_dedup(
         batch_format="pandas",
     )
     # NB: `pairs` still contains global duplicates (the same (a, b)
-    # surfaces from every band the two docs agree on).  Broadcast path:
-    # deduped on the driver (bounded).  Distributed path: all copies of
+    # surfaces from every band the two docs agree on).  All copies of
     # a half-row are identical and land in the same endpoint bucket, so
     # `attach` dedups them for free — no dedicated dedup shuffle.
-
-    if prefilter_sigma is None:
-        est_cut = 0.0
-    else:
-        margin = prefilter_sigma * float(
-            np.sqrt(threshold * (1 - threshold) / num_perm))
-        est_cut = max(0.0, threshold - margin)
-
-    if info.count() <= broadcast_limit:
-        return _verify_pairs_broadcast(info, pairs, threshold, est_cut)
 
     # --- endpoint co-group: attach (signature, text) to each pair half.
     # Union schema (explicit Arrow types so both sides unify): [eb, role,

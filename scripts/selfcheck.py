@@ -15,6 +15,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 import pandas as pd
 
+from rdf_n3_ray.malloctune import tune_malloc
+
+tune_malloc()  # before ray.init: workers inherit the MALLOC_* env
+
 
 def to_pandas(result) -> pd.DataFrame:
     try:

@@ -5,6 +5,13 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from rdf_n3_ray.malloctune import tune_malloc  # noqa: E402
+
+# before any Ray session: this host has allocation-latency episodes
+# (first-touch 200x slow); tuned malloc + inherited MALLOC_* env keep
+# both the test driver and Ray workers off the re-fault path
+tune_malloc()
+
 
 @pytest.fixture(scope="session")
 def ray_session():
