@@ -201,6 +201,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_index": R.search_index,
         "top_supplier_revenue": R.top_supplier_revenue,
         "late_shipment_priority": R.late_shipment_priority,
+        # TPC-H Q2/Q9/Q11/Q16/Q20 shapes over lineitem-as-partsupp
+        "min_cost_supplier": R.min_cost_supplier,
+        "product_type_profit": R.product_type_profit,
+        "important_part_value": R.important_part_value,
+        "supplier_part_counts": R.supplier_part_counts,
+        "top_part_shippers": R.top_part_shippers,
         # iterative distributed algorithm (non-SQL: rows-only check;
         # pytest pins blob recovery + monotone objective)
         "embed_kmeans": _q_embed_kmeans,
@@ -273,4 +279,9 @@ def oracle_sql() -> dict[str, str]:
         "search_index": R.SEARCH_INDEX_SQL,
         "top_supplier_revenue": R.TOP_SUPPLIER_REVENUE_SQL,
         "late_shipment_priority": R.LATE_SHIPMENT_PRIORITY_SQL,
+        "min_cost_supplier": R.MIN_COST_SUPPLIER_SQL,
+        "product_type_profit": R.PRODUCT_TYPE_PROFIT_SQL,
+        "important_part_value": R.IMPORTANT_PART_VALUE_SQL,
+        "supplier_part_counts": R.SUPPLIER_PART_COUNTS_SQL,
+        "top_part_shippers": R.TOP_PART_SHIPPERS_SQL,
     }

@@ -5308,3 +5308,709 @@ FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape: per-part minimum-cost supplier within a region.
+# The testdata has no partsupp table, so lineitem's distinct
+# (partkey, suppkey) pairs ARE the part<->supplier relation (same join
+# topology, same per-group argmin + deterministic tie-break).  Two
+# bucket joins, nothing fact-sized broadcast: pairs dedup map-side,
+# join supplier attrs on a suppkey bucket, re-key to a partkey bucket
+# for the filtered-part inner join + per-part argmin; only the result
+# (<= |filtered parts| rows, then LIMIT k) reaches the driver.
+# ---------------------------------------------------------------------------
+
+def min_cost_supplier(sf_dir: str, region: str = "EUROPE",
+                      p_type: str = "STANDARD", k: int = 100,
+                      num_partitions: int = 64):
+    import ray
+
+    nation = _read(sf_dir, "nation",
+                   columns=["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region",
+                columns=["r_regionkey", "r_name"]).to_pandas()
+    rk = set(reg.loc[reg["r_name"] == region, "r_regionkey"])
+    nation = nation[nation["n_regionkey"].isin(rk)]
+    nat_names = dict(zip(nation["n_nationkey"].astype("int64"),
+                         nation["n_name"]))
+    nat_ref = ray.put(set(nat_names))
+
+    cols = ["pk", "sk", "bal_c", "nk", "s_name", "jb", "side"]
+
+    def _empty():
+        return pd.DataFrame({
+            "pk": pd.Series(dtype="int64"),
+            "sk": pd.Series(dtype="int64"),
+            "bal_c": pd.Series(dtype="int64"),
+            "nk": pd.Series(dtype="int64"),
+            "s_name": pd.Series(dtype="object"),
+            "jb": pd.Series(dtype="int32"),
+            "side": pd.Series(dtype="int8")})
+
+    # side 0: per-batch distinct (partkey, suppkey), bucketed on suppkey
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def li_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.DataFrame({"pk": b["l_partkey"].astype("int64"),
+                           "sk": b["l_suppkey"].astype("int64")})
+             .drop_duplicates())
+        g["bal_c"] = np.int64(0)
+        g["nk"] = np.int64(0)
+        g["s_name"] = ""
+        g["jb"] = (g["sk"] % num_partitions).astype("int32")
+        g["side"] = np.int8(0)
+        return g[cols]
+
+    # side 1: region-filtered supplier attrs (acctbal in exact cents)
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_name", "s_nationkey",
+                          "s_acctbal"])
+
+    def supp_side(b: pd.DataFrame) -> pd.DataFrame:
+        keep = ray.get(nat_ref)
+        b = b[b["s_nationkey"].isin(keep)]
+        sk = b["s_suppkey"].to_numpy().astype("int64")
+        g = pd.DataFrame({
+            "pk": np.zeros(len(b), dtype="int64"),
+            "sk": sk,
+            "bal_c": np.floor(b["s_acctbal"].to_numpy() * 100.0
+                              + 0.5).astype("int64"),
+            "nk": b["s_nationkey"].to_numpy().astype("int64"),
+            "s_name": b["s_name"].to_numpy(),
+            "jb": (sk % num_partitions).astype("int32"),
+            "side": np.full(len(b), 1, dtype="int8")})
+        return g[cols]
+
+    def join_supp(group: pd.DataFrame) -> pd.DataFrame:
+        s = group[group["side"] == 1][["sk", "bal_c", "nk", "s_name"]]
+        l = group[group["side"] == 0][["pk", "sk"]].drop_duplicates()
+        if s.empty or l.empty:
+            return _empty()
+        m = l.merge(s, on="sk")
+        m["jb"] = (m["pk"] % num_partitions).astype("int32")
+        m["side"] = np.int8(0)
+        return m[cols]
+
+    pairs = (li.map_batches(li_pairs, batch_format="pandas",
+                            batch_size=131072)
+             .union(supp.map_batches(supp_side, batch_format="pandas"))
+             .groupby("jb").map_groups(join_supp, batch_format="pandas"))
+
+    # side 1 (second join): type-filtered parts, bucketed on partkey
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"])
+
+    def part_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["p_type"] == p_type]
+        pk = b["p_partkey"].to_numpy().astype("int64")
+        g = pd.DataFrame({
+            "pk": pk,
+            "sk": np.zeros(len(b), dtype="int64"),
+            "bal_c": np.zeros(len(b), dtype="int64"),
+            "nk": np.zeros(len(b), dtype="int64"),
+            "s_name": np.full(len(b), "", dtype=object),
+            "jb": (pk % num_partitions).astype("int32"),
+            "side": np.full(len(b), 1, dtype="int8")})
+        return g[cols]
+
+    def argmin_per_part(group: pd.DataFrame) -> pd.DataFrame:
+        p = group[group["side"] == 1][["pk"]].drop_duplicates()
+        l = group[group["side"] == 0]
+        if p.empty or l.empty:
+            return _empty().drop(columns=["jb", "side"])
+        m = l.merge(p, on="pk").drop_duplicates(["pk", "sk"])
+        # argmin acctbal per part; ties broken by suppkey asc (the
+        # oracle's ROW_NUMBER ORDER BY s_acctbal, s_suppkey)
+        m = m.sort_values(["pk", "bal_c", "sk"], kind="stable")
+        return (m.groupby("pk", as_index=False).head(1)
+                [["pk", "sk", "bal_c", "nk", "s_name"]])
+
+    winners = (pairs.union(part.map_batches(part_side,
+                                            batch_format="pandas"))
+               .groupby("jb").map_groups(argmin_per_part,
+                                         batch_format="pandas"))
+    out = _fold_pd(winners, pd.DataFrame({
+        "pk": pd.Series(dtype="int64"), "sk": pd.Series(dtype="int64"),
+        "bal_c": pd.Series(dtype="int64"), "nk": pd.Series(dtype="int64"),
+        "s_name": pd.Series(dtype="object")}))
+    if out.empty:
+        return pd.DataFrame({
+            "s_acctbal": pd.Series(dtype="float64"),
+            "s_name": pd.Series(dtype="object"),
+            "n_name": pd.Series(dtype="object"),
+            "p_partkey": pd.Series(dtype="int64")})
+    out["s_acctbal"] = out["bal_c"].astype("int64") / 100.0
+    out["n_name"] = out["nk"].map(nat_names)
+    out = out.rename(columns={"pk": "p_partkey"})
+    out = out.sort_values(["s_acctbal", "n_name", "s_name", "p_partkey"],
+                          ascending=[False, True, True, True],
+                          kind="stable").head(k)
+    return (out[["s_acctbal", "s_name", "n_name", "p_partkey"]]
+            .reset_index(drop=True))
+
+
+MIN_COST_SUPPLIER_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem
+), ranked AS (
+  SELECT p.p_partkey, s.s_name, s.s_nationkey,
+         CAST(FLOOR(s.s_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_c,
+         ROW_NUMBER() OVER (PARTITION BY p.p_partkey
+                            ORDER BY FLOOR(s.s_acctbal * 100.0 + 0.5),
+                                     s.s_suppkey) AS rn
+  FROM pairs
+  JOIN part p ON p.p_partkey = pairs.pk
+  JOIN supplier s ON s.s_suppkey = pairs.sk
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE' AND p.p_type = 'STANDARD'
+)
+SELECT ranked.bal_c / 100.0 AS s_acctbal, ranked.s_name, n.n_name,
+       ranked.p_partkey
+FROM ranked JOIN nation n ON n.n_nationkey = ranked.s_nationkey
+WHERE rn = 1
+ORDER BY s_acctbal DESC, n.n_name, ranked.s_name, ranked.p_partkey
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape: profit by (supplier nation, order year) for parts
+# whose name matches a prefix.  No partsupp table in the testdata, so
+# profit = sum(extendedprice * (1 - discount)) in exact cents (the
+# supplycost term has no source column; the join topology —
+# lineitem |X| part |X| supplier |X| orders |X| nation — is intact).
+# Dimension sides: the name-filtered partkey set and the
+# suppkey->nationkey map are broadcast once via ray.put when under
+# `dim_broadcast_limit` rows (the part filter is selective; supplier is
+# ~1/60000 of lineitem) — past the gate each falls back to a bucket
+# join on its own key.  orders is fact-sized and always joins on an
+# orderkey bucket; only (nation, year) partials reach the driver.
+# ---------------------------------------------------------------------------
+
+def product_type_profit(sf_dir: str, name_prefix: str = "red",
+                        num_partitions: int = 64,
+                        dim_broadcast_limit: int = 2_000_000):
+    import ray
+
+    nation = _read(sf_dir, "nation",
+                   columns=["n_nationkey", "n_name"]).to_pandas()
+    nat_names = dict(zip(nation["n_nationkey"].astype("int64"),
+                         nation["n_name"]))
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+
+    def part_filter(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["p_name"].str.startswith(name_prefix)]
+        return pd.DataFrame(
+            {"p_partkey": b["p_partkey"].to_numpy().astype("int64")})
+
+    # materialize: the gate decision needs the count, and both are tiny
+    # relative to the fact scan (filtered keys / one int per supplier)
+    part_f = part.map_batches(part_filter,
+                              batch_format="pandas").materialize()
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_nationkey"]).materialize()
+
+    cols = ["key", "nk", "year", "rev_c", "jb", "side"]
+
+    def _empty():
+        return pd.DataFrame({
+            "key": pd.Series(dtype="int64"),
+            "nk": pd.Series(dtype="int64"),
+            "year": pd.Series(dtype="int64"),
+            "rev_c": pd.Series(dtype="int64"),
+            "jb": pd.Series(dtype="int32"),
+            "side": pd.Series(dtype="int8")})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey", "l_suppkey",
+                        "l_extendedprice", "l_discount"])
+
+    def li_rev(b: pd.DataFrame) -> tuple:
+        rev = np.floor(b["l_extendedprice"].to_numpy()
+                       * (1.0 - b["l_discount"].to_numpy()) * 100.0
+                       + 0.5).astype("int64")
+        return (b["l_orderkey"].to_numpy().astype("int64"),
+                b["l_partkey"].to_numpy().astype("int64"),
+                b["l_suppkey"].to_numpy().astype("int64"), rev)
+
+    if (part_f.count() <= dim_broadcast_limit
+            and supp.count() <= dim_broadcast_limit):
+        pk_ref = ray.put(np.sort(_fold_pd(
+            part_f, pd.DataFrame({"p_partkey": pd.Series(
+                dtype="int64")}))["p_partkey"].to_numpy()))
+        sdf = supp.to_pandas().sort_values("s_suppkey")
+        sup_ref = ray.put((sdf["s_suppkey"].to_numpy().astype("int64"),
+                           sdf["s_nationkey"].to_numpy().astype("int64")))
+
+        def li_semi(b: pd.DataFrame) -> pd.DataFrame:
+            ok, pk, sk, rev = li_rev(b)
+            keep = _semi_mask(ray.get(pk_ref), pk)
+            skeys, snk = ray.get(sup_ref)
+            hit, pos = _semi_probe(skeys, sk)
+            keep &= hit
+            g = (pd.DataFrame({"key": ok[keep], "nk": snk[pos[keep]],
+                               "rev_c": rev[keep]})
+                 .groupby(["key", "nk"], as_index=False)
+                 .agg(rev_c=("rev_c", "sum")))
+            g["year"] = np.int64(0)
+            g["jb"] = (g["key"] % num_partitions).astype("int32")
+            g["side"] = np.int8(0)
+            return g[cols]
+
+        li_tagged = li.map_batches(li_semi, batch_format="pandas",
+                                   batch_size=131072)
+    else:
+        # distributed fallback: partkey bucket semi-join, then suppkey
+        # bucket join to attach the nation — nothing broadcast
+        def li_side(b: pd.DataFrame) -> pd.DataFrame:
+            ok, pk, sk, rev = li_rev(b)
+            g = pd.DataFrame({"key": pk, "nk": sk, "year": ok,
+                              "rev_c": rev})
+            g["jb"] = (g["key"] % num_partitions).astype("int32")
+            g["side"] = np.int8(0)
+            return g[cols]
+
+        def pk_side(b: pd.DataFrame) -> pd.DataFrame:
+            pk = b["p_partkey"].to_numpy().astype("int64")
+            g = pd.DataFrame({"key": pk})
+            g["nk"] = np.int64(0)
+            g["year"] = np.int64(0)
+            g["rev_c"] = np.int64(0)
+            g["jb"] = (pk % num_partitions).astype("int32")
+            g["side"] = np.int8(1)
+            return g[cols]
+
+        def semi_part(group: pd.DataFrame) -> pd.DataFrame:
+            keys = group.loc[group["side"] == 1, "key"].to_numpy()
+            l = group[group["side"] == 0]
+            if len(keys) == 0 or l.empty:
+                return _empty()
+            l = l[_semi_mask(np.sort(keys), l["key"].to_numpy())]
+            # re-key on suppkey (carried in nk) for the nation join
+            g = l.copy()
+            g["key"] = g["nk"].to_numpy()
+            g["jb"] = (g["key"] % num_partitions).astype("int32")
+            return g[cols]
+
+        def sk_side(b: pd.DataFrame) -> pd.DataFrame:
+            sk = b["s_suppkey"].to_numpy().astype("int64")
+            g = pd.DataFrame({"key": sk,
+                              "nk": b["s_nationkey"].to_numpy()
+                              .astype("int64")})
+            g["year"] = np.int64(0)
+            g["rev_c"] = np.int64(0)
+            g["jb"] = (sk % num_partitions).astype("int32")
+            g["side"] = np.int8(1)
+            return g[cols]
+
+        def join_supp(group: pd.DataFrame) -> pd.DataFrame:
+            s = group[group["side"] == 1][["key", "nk"]]
+            l = group[group["side"] == 0][["key", "year", "rev_c"]]
+            if s.empty or l.empty:
+                return _empty()
+            m = l.merge(s, on="key")
+            g = (pd.DataFrame({"key": m["year"].to_numpy(),  # orderkey
+                               "nk": m["nk"].to_numpy(),
+                               "rev_c": m["rev_c"].to_numpy()})
+                 .groupby(["key", "nk"], as_index=False)
+                 .agg(rev_c=("rev_c", "sum")))
+            g["year"] = np.int64(0)
+            g["jb"] = (g["key"] % num_partitions).astype("int32")
+            g["side"] = np.int8(0)
+            return g[cols]
+
+        li_tagged = (li.map_batches(li_side, batch_format="pandas",
+                                    batch_size=131072)
+                     .union(part_f.map_batches(pk_side,
+                                               batch_format="pandas"))
+                     .groupby("jb").map_groups(semi_part,
+                                               batch_format="pandas")
+                     .union(supp.map_batches(sk_side,
+                                             batch_format="pandas"))
+                     .groupby("jb").map_groups(join_supp,
+                                               batch_format="pandas"))
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def ord_side(b: pd.DataFrame) -> pd.DataFrame:
+        ok = b["o_orderkey"].to_numpy().astype("int64")
+        g = pd.DataFrame({
+            "key": ok,
+            "nk": np.zeros(len(b), dtype="int64"),
+            "year": pd.DatetimeIndex(b["o_orderdate"]).year
+            .to_numpy().astype("int64"),
+            "rev_c": np.zeros(len(b), dtype="int64"),
+            "jb": (ok % num_partitions).astype("int32"),
+            "side": np.full(len(b), 1, dtype="int8")})
+        return g[cols]
+
+    def join_orders(group: pd.DataFrame) -> pd.DataFrame:
+        o = group[group["side"] == 1][["key", "year"]]
+        l = group[group["side"] == 0][["key", "nk", "rev_c"]]
+        if o.empty or l.empty:
+            return pd.DataFrame({"nk": pd.Series(dtype="int64"),
+                                 "year": pd.Series(dtype="int64"),
+                                 "rev_c": pd.Series(dtype="int64")})
+        m = l.merge(o, on="key")
+        return (m.groupby(["nk", "year"], as_index=False)
+                .agg(rev_c=("rev_c", "sum")))
+
+    parts = (li_tagged
+             .union(orders.map_batches(ord_side, batch_format="pandas",
+                                       batch_size=131072))
+             .groupby("jb").map_groups(join_orders,
+                                       batch_format="pandas"))
+    out = _fold_pd(parts, pd.DataFrame({
+        "nk": pd.Series(dtype="int64"),
+        "year": pd.Series(dtype="int64"),
+        "rev_c": pd.Series(dtype="int64")}))
+    if out.empty:
+        return pd.DataFrame({"n_name": pd.Series(dtype="object"),
+                             "o_year": pd.Series(dtype="int64"),
+                             "profit": pd.Series(dtype="float64")})
+    g = (out.groupby(["nk", "year"], as_index=False)
+         .agg(rev_c=("rev_c", "sum")))
+    g["n_name"] = g["nk"].map(nat_names)
+    g["o_year"] = g["year"].astype("int64")
+    g["profit"] = g["rev_c"].astype("int64") / 100.0
+    return (g.sort_values(["n_name", "o_year"], ascending=[True, False],
+                          kind="stable")
+            [["n_name", "o_year", "profit"]].reset_index(drop=True))
+
+
+PRODUCT_TYPE_PROFIT_SQL = """
+SELECT n.n_name, CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+       SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100.0
+                      + 0.5) AS BIGINT))::BIGINT / 100.0 AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE 'red%'
+GROUP BY n.n_name, YEAR(o.o_orderdate)
+ORDER BY n.n_name, o_year DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape: parts whose total line value exceeds a fixed
+# fraction of the corpus-wide total.  No partsupp table, so "value" is
+# sum(extendedprice * (1 - discount)) per partkey over lineitem (same
+# global-scalar-subquery shape: a grouped sum filtered against a
+# fraction of the ungrouped sum).  One shuffle: map-side per-part
+# cent partials -> partkey groupby; the global total is a streaming
+# Sum over the SAME grouped dataset (cheap — |parts| rows), and the
+# threshold test is exact integer math (value_c * denom > total_c), so
+# no float boundary can disagree with the oracle.
+# ---------------------------------------------------------------------------
+
+def important_part_value(sf_dir: str, frac_denom: int = 1600):
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rev = np.floor(b["l_extendedprice"].to_numpy()
+                       * (1.0 - b["l_discount"].to_numpy()) * 100.0
+                       + 0.5).astype("int64")
+        return (pd.DataFrame({"p_partkey": b["l_partkey"]
+                              .astype("int64"), "value_c": rev})
+                .groupby("p_partkey", as_index=False)
+                .agg(value_c=("value_c", "sum")))
+
+    per_part = (li.map_batches(partial, batch_format="pandas",
+                               batch_size=131072)
+                .groupby("p_partkey")
+                .aggregate(Sum("value_c", alias_name="value_c"))
+                .materialize())  # consumed twice: total + filter
+    total_c = int(per_part.sum("value_c") or 0)
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["value_c"].astype("int64")
+        b = b[v * frac_denom > total_c]
+        return pd.DataFrame({
+            "p_partkey": b["p_partkey"].astype("int64"),
+            "value": b["value_c"].astype("int64") / 100.0})
+
+    out = (per_part.map_batches(keep, batch_format="pandas")
+           .to_pandas())  # <= |parts above threshold| rows
+    if out.empty:
+        return pd.DataFrame({"p_partkey": pd.Series(dtype="int64"),
+                             "value": pd.Series(dtype="float64")})
+    return (out.sort_values(["value", "p_partkey"],
+                            ascending=[False, True], kind="stable")
+            .reset_index(drop=True))
+
+
+IMPORTANT_PART_VALUE_SQL = """
+WITH per_part AS (
+  SELECT l_partkey AS p_partkey,
+         SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100.0
+                        + 0.5) AS BIGINT))::BIGINT AS value_c
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_partkey, value_c / 100.0 AS value
+FROM per_part
+WHERE value_c * 1600 > (SELECT SUM(value_c)::BIGINT FROM per_part)
+ORDER BY value DESC, p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape: distinct-supplier count per (brand, type, size)
+# with a brand/size predicate and an excluded-supplier anti-join.
+# lineitem's distinct (partkey, suppkey) pairs stand in for partsupp;
+# suppliers with a negative account balance stand in for the
+# "complaints" exclusion (same anti-join shape — the exclusion set is
+# tiny and broadcast once).  Two shuffles: pairs dedup + part-attr
+# attach on a partkey bucket, then a (brand,type,size) hash bucket
+# where the per-group distinct-supplier count is exact (pairs arrive
+# already deduped, every (group, suppkey) lands in one bucket).
+# ---------------------------------------------------------------------------
+
+_Q16_SIZES = (1, 9, 14, 19, 23, 36, 45, 49)
+
+
+def supplier_part_counts(sf_dir: str, excl_brand: str = "Brand#5",
+                         sizes: tuple = _Q16_SIZES,
+                         num_partitions: int = 64):
+    import ray
+
+    # exclusion set: tiny by construction (complaint suppliers)
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"])
+
+    def bad_supp(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["s_acctbal"] < 0.0]
+        return pd.DataFrame(
+            {"sk": b["s_suppkey"].to_numpy().astype("int64")})
+
+    bad = np.sort(_fold_pd(
+        supp.map_batches(bad_supp, batch_format="pandas"),
+        pd.DataFrame({"sk": pd.Series(dtype="int64")}))["sk"].to_numpy())
+    bad_ref = ray.put(bad)
+
+    cols = ["pk", "sk", "p_brand", "p_type", "p_size", "jb", "side"]
+
+    def _empty():
+        return pd.DataFrame({
+            "pk": pd.Series(dtype="int64"),
+            "sk": pd.Series(dtype="int64"),
+            "p_brand": pd.Series(dtype="object"),
+            "p_type": pd.Series(dtype="object"),
+            "p_size": pd.Series(dtype="int64"),
+            "jb": pd.Series(dtype="int32"),
+            "side": pd.Series(dtype="int8")})
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def li_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        sk = b["l_suppkey"].to_numpy().astype("int64")
+        keep = ~_semi_mask(ray.get(bad_ref), sk)
+        g = (pd.DataFrame({"pk": b["l_partkey"].to_numpy()
+                           .astype("int64")[keep], "sk": sk[keep]})
+             .drop_duplicates())
+        g["p_brand"] = ""
+        g["p_type"] = ""
+        g["p_size"] = np.int64(0)
+        g["jb"] = (g["pk"] % num_partitions).astype("int32")
+        g["side"] = np.int8(0)
+        return g[cols]
+
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_brand", "p_type", "p_size"])
+    size_set = set(int(s) for s in sizes)
+
+    def part_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["p_brand"] != excl_brand)
+              & b["p_size"].isin(size_set)]
+        pk = b["p_partkey"].to_numpy().astype("int64")
+        g = pd.DataFrame({
+            "pk": pk,
+            "sk": np.zeros(len(b), dtype="int64"),
+            "p_brand": b["p_brand"].to_numpy(),
+            "p_type": b["p_type"].to_numpy(),
+            "p_size": b["p_size"].to_numpy().astype("int64"),
+            "jb": (pk % num_partitions).astype("int32"),
+            "side": np.full(len(b), 1, dtype="int8")})
+        return g[cols]
+
+    def attach_part(group: pd.DataFrame) -> pd.DataFrame:
+        p = group[group["side"] == 1][["pk", "p_brand", "p_type",
+                                       "p_size"]]
+        l = group[group["side"] == 0][["pk", "sk"]].drop_duplicates()
+        if p.empty or l.empty:
+            return _empty()
+        # distinct (group, suppkey) contributions; re-bucket on the
+        # output group key so the distinct count is bucket-local-exact
+        m = (l.merge(p, on="pk")
+             [["p_brand", "p_type", "p_size", "sk"]].drop_duplicates())
+        m = m.rename(columns={"sk": "sk"})
+        m["pk"] = np.int64(0)
+        m["jb"] = (pd.util.hash_pandas_object(
+            m["p_brand"].astype(str) + "|" + m["p_type"].astype(str)
+            + "|" + m["p_size"].astype(str), index=False)
+            % num_partitions).astype("int32")
+        m["side"] = np.int8(0)
+        return m[cols]
+
+    def count_group(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group[["p_brand", "p_type", "p_size", "sk"]]
+             .drop_duplicates()
+             .groupby(["p_brand", "p_type", "p_size"], as_index=False)
+             .agg(supplier_cnt=("sk", "size")))
+        g["supplier_cnt"] = g["supplier_cnt"].astype("int64")
+        return g
+
+    parts = (li.map_batches(li_pairs, batch_format="pandas",
+                            batch_size=131072)
+             .union(part.map_batches(part_side, batch_format="pandas"))
+             .groupby("jb").map_groups(attach_part,
+                                       batch_format="pandas")
+             .groupby("jb").map_groups(count_group,
+                                       batch_format="pandas"))
+    out = _fold_pd(parts, pd.DataFrame({
+        "p_brand": pd.Series(dtype="object"),
+        "p_type": pd.Series(dtype="object"),
+        "p_size": pd.Series(dtype="int64"),
+        "supplier_cnt": pd.Series(dtype="int64")}))
+    if out.empty:
+        return out
+    return (out.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True], kind="stable")
+        .reset_index(drop=True))
+
+
+SUPPLIER_PART_COUNTS_SQL = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#5'
+  AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l.l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 shape: suppliers who shipped more than a quantity
+# threshold of name-filtered parts inside a date window.  partsupp's
+# availqty has no source column, so the Q20 comparison "availqty >
+# 0.5 * shipped qty" becomes "shipped qty > threshold" over the same
+# semi-join chain (part-name filter -> lineitem window scan -> per-
+# supplier sum -> supplier/nation attach).  The filtered partkey set
+# is broadcast once (name-prefix selective); the per-supplier sum is
+# map-side partials + one small suppkey groupby; the final name
+# attach re-scans supplier with the QUALIFIED suppkeys broadcast —
+# the result set, not the supplier table, is what moves.
+# ---------------------------------------------------------------------------
+
+def top_part_shippers(sf_dir: str, name_prefix: str = "red",
+                      date_from: str = "1996-01-01",
+                      date_to: str = "1997-01-01",
+                      min_qty: float = 200.0):
+    import ray
+    from ray.data.aggregate import Sum
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+
+    def part_filter(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["p_name"].str.startswith(name_prefix)]
+        return pd.DataFrame(
+            {"p_partkey": b["p_partkey"].to_numpy().astype("int64")})
+
+    pk_ref = ray.put(np.sort(_fold_pd(
+        part.map_batches(part_filter, batch_format="pandas"),
+        pd.DataFrame({"p_partkey": pd.Series(dtype="int64")}))
+        ["p_partkey"].to_numpy()))
+    lo, hi = pd.Timestamp(date_from), pd.Timestamp(date_to)
+    qty_c_min = int(np.floor(min_qty * 100.0 + 0.5))
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_quantity",
+                        "l_shipdate"])
+
+    def li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)]
+        keep = _semi_mask(ray.get(pk_ref),
+                          b["l_partkey"].to_numpy().astype("int64"))
+        b = b[keep]
+        qty_c = np.floor(b["l_quantity"].to_numpy() * 100.0
+                         + 0.5).astype("int64")
+        return (pd.DataFrame({"s_suppkey": b["l_suppkey"]
+                              .astype("int64"), "qty_c": qty_c})
+                .groupby("s_suppkey", as_index=False)
+                .agg(qty_c=("qty_c", "sum")))
+
+    per_supp = (li.map_batches(li_partial, batch_format="pandas",
+                               batch_size=131072)
+                .groupby("s_suppkey")
+                .aggregate(Sum("qty_c", alias_name="qty_c"))
+                .to_pandas())  # <= |suppliers| tiny rows
+    if per_supp.empty:
+        return pd.DataFrame({"s_name": pd.Series(dtype="object"),
+                             "n_name": pd.Series(dtype="object"),
+                             "total_qty": pd.Series(dtype="float64")})
+    per_supp["qty_c"] = per_supp["qty_c"].astype("int64")
+    per_supp = per_supp[per_supp["qty_c"] > qty_c_min]
+
+    # attach names: broadcast the QUALIFIED keys, re-scan supplier
+    ok_ref = ray.put(np.sort(
+        per_supp["s_suppkey"].to_numpy().astype("int64")))
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_name", "s_nationkey"])
+
+    def supp_pick(b: pd.DataFrame) -> pd.DataFrame:
+        keep = _semi_mask(ray.get(ok_ref),
+                          b["s_suppkey"].to_numpy().astype("int64"))
+        b = b[keep]
+        return pd.DataFrame({
+            "s_suppkey": b["s_suppkey"].to_numpy().astype("int64"),
+            "s_name": b["s_name"].to_numpy(),
+            "s_nationkey": b["s_nationkey"].to_numpy().astype("int64")})
+
+    names = _fold_pd(
+        supp.map_batches(supp_pick, batch_format="pandas"),
+        pd.DataFrame({"s_suppkey": pd.Series(dtype="int64"),
+                      "s_name": pd.Series(dtype="object"),
+                      "s_nationkey": pd.Series(dtype="int64")}))
+    nation = _read(sf_dir, "nation",
+                   columns=["n_nationkey", "n_name"]).to_pandas()
+    nat_names = dict(zip(nation["n_nationkey"].astype("int64"),
+                         nation["n_name"]))
+    m = per_supp.merge(names, on="s_suppkey")
+    if m.empty:
+        return pd.DataFrame({"s_name": pd.Series(dtype="object"),
+                             "n_name": pd.Series(dtype="object"),
+                             "total_qty": pd.Series(dtype="float64")})
+    m["n_name"] = m["s_nationkey"].map(nat_names)
+    m["total_qty"] = m["qty_c"].astype("int64") / 100.0
+    return (m.sort_values("s_name", kind="stable")
+            [["s_name", "n_name", "total_qty"]].reset_index(drop=True))
+
+
+TOP_PART_SHIPPERS_SQL = """
+SELECT s.s_name, n.n_name, x.qty_c / 100.0 AS total_qty
+FROM (
+  SELECT l_suppkey,
+         SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT))::BIGINT
+           AS qty_c
+  FROM lineitem
+  JOIN part p ON p.p_partkey = l_partkey
+  WHERE p.p_name LIKE 'red%'
+    AND l_shipdate >= DATE '1996-01-01'
+    AND l_shipdate <  DATE '1997-01-01'
+  GROUP BY l_suppkey
+) x
+JOIN supplier s ON s.s_suppkey = x.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE x.qty_c > 20000
+ORDER BY s.s_name
+"""

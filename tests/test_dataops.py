@@ -2105,3 +2105,114 @@ def test_late_shipment_priority_matches_oracle(ray_session):
     out = late_shipment_priority("/root/testdata/sf0.01")
     assert set(out["ship_status"]) == {"late", "ontime"}
     _assert_oracle_equal(out, _duckdb_oracle(LATE_SHIPMENT_PRIORITY_SQL))
+
+
+def test_min_cost_supplier_matches_oracle(ray_session):
+    """TPC-H Q2 shape: lineitem distinct pairs as the part<->supplier
+    relation, two bucket joins, per-part argmin with (acctbal, suppkey)
+    tie-break — matches the oracle's ROW_NUMBER pick exactly."""
+    from rdf_n3_ray.pipelines.relational import (
+        MIN_COST_SUPPLIER_SQL, min_cost_supplier)
+
+    out = min_cost_supplier("/root/testdata/sf0.01")
+    assert out["p_partkey"].is_unique
+    _assert_oracle_equal(out, _duckdb_oracle(MIN_COST_SUPPLIER_SQL))
+
+
+def test_min_cost_supplier_absent_region(ray_session):
+    out = __import__("rdf_n3_ray.pipelines.relational",
+                     fromlist=["min_cost_supplier"]).min_cost_supplier(
+        "/root/testdata/sf0.01", region="ATLANTIS")
+    assert len(out) == 0
+    assert list(out.columns) == ["s_acctbal", "s_name", "n_name",
+                                 "p_partkey"]
+
+
+def test_product_type_profit_matches_oracle(ray_session):
+    """TPC-H Q9 shape: name-filtered part semi-join + supplier nation
+    attach (gated broadcast), orderkey bucket join for the year."""
+    from rdf_n3_ray.pipelines.relational import (
+        PRODUCT_TYPE_PROFIT_SQL, product_type_profit)
+
+    out = product_type_profit("/root/testdata/sf0.01")
+    _assert_oracle_equal(out, _duckdb_oracle(PRODUCT_TYPE_PROFIT_SQL))
+
+
+def test_product_type_profit_distributed_path(ray_session):
+    """Gate forced to 0: the partkey/suppkey bucket-join fallback must
+    produce the identical (nation, year) profit rows."""
+    from rdf_n3_ray.pipelines.relational import (
+        PRODUCT_TYPE_PROFIT_SQL, product_type_profit)
+
+    out = product_type_profit("/root/testdata/sf0.01",
+                              dim_broadcast_limit=0)
+    _assert_oracle_equal(out, _duckdb_oracle(PRODUCT_TYPE_PROFIT_SQL))
+
+
+def test_important_part_value_matches_oracle(ray_session):
+    """TPC-H Q11 shape: grouped sum filtered against a fraction of the
+    global sum, exact integer threshold (value_c * denom > total_c)."""
+    from rdf_n3_ray.pipelines.relational import (
+        IMPORTANT_PART_VALUE_SQL, important_part_value)
+
+    out = important_part_value("/root/testdata/sf0.01")
+    assert len(out) > 0
+    # every returned part strictly exceeds its share of the total
+    _assert_oracle_equal(out, _duckdb_oracle(IMPORTANT_PART_VALUE_SQL))
+
+
+def test_supplier_part_counts_matches_oracle(ray_session):
+    """TPC-H Q16 shape: distinct-supplier count per (brand, type, size)
+    with the negative-balance supplier anti-join exclusion."""
+    from rdf_n3_ray.pipelines.relational import (
+        SUPPLIER_PART_COUNTS_SQL, supplier_part_counts)
+
+    out = supplier_part_counts("/root/testdata/sf0.01")
+    assert (out["p_brand"] != "Brand#5").all()
+    _assert_oracle_equal(out, _duckdb_oracle(SUPPLIER_PART_COUNTS_SQL))
+
+
+def test_top_part_shippers_matches_oracle(ray_session):
+    """TPC-H Q20 shape: part-name semi-join -> windowed per-supplier
+    quantity sum -> threshold -> qualified-key supplier re-scan."""
+    from rdf_n3_ray.pipelines.relational import (
+        TOP_PART_SHIPPERS_SQL, top_part_shippers)
+
+    out = top_part_shippers("/root/testdata/sf0.01")
+    assert (out["total_qty"] > 200.0).all()
+    _assert_oracle_equal(out, _duckdb_oracle(TOP_PART_SHIPPERS_SQL))
+
+
+def test_top_part_shippers_no_qualifiers(ray_session):
+    from rdf_n3_ray.pipelines.relational import top_part_shippers
+
+    out = top_part_shippers("/root/testdata/sf0.01", min_qty=1e12)
+    assert len(out) == 0
+    assert list(out.columns) == ["s_name", "n_name", "total_qty"]
+
+
+def test_supplier_part_counts_empty_exclusion_set(ray_session):
+    """sf0.001 has no negative-balance suppliers: the all-empty
+    exclusion collect must keep its schema (_fold_pd guard)."""
+    from rdf_n3_ray.pipelines.relational import supplier_part_counts
+
+    out = supplier_part_counts("/root/testdata/sf0.001")
+    assert len(out) > 0 and out["supplier_cnt"].min() >= 1
+
+
+def test_product_type_profit_no_matching_parts(ray_session):
+    from rdf_n3_ray.pipelines.relational import product_type_profit
+
+    out = product_type_profit("/root/testdata/sf0.001",
+                              name_prefix="zzz-nope")
+    assert len(out) == 0
+    assert list(out.columns) == ["n_name", "o_year", "profit"]
+
+
+def test_top_part_shippers_no_matching_parts(ray_session):
+    from rdf_n3_ray.pipelines.relational import top_part_shippers
+
+    out = top_part_shippers("/root/testdata/sf0.001",
+                            name_prefix="zzz-nope")
+    assert len(out) == 0
+    assert list(out.columns) == ["s_name", "n_name", "total_qty"]
