@@ -266,6 +266,14 @@ def run_bench() -> dict:
           lambda: R.top_supplier_revenue(sf_dir)),
          ("late_shipment_priority",
           lambda: R.late_shipment_priority(sf_dir))],
+        [("min_cost_supplier", lambda: R.min_cost_supplier(sf_dir)),
+         ("product_type_profit",
+          lambda: R.product_type_profit(sf_dir)),
+         ("important_part_value",
+          lambda: R.important_part_value(sf_dir)),
+         ("supplier_part_counts",
+          lambda: R.supplier_part_counts(sf_dir)),
+         ("top_part_shippers", lambda: R.top_part_shippers(sf_dir))],
     ]
 
     def fresh_session():

@@ -5696,20 +5696,24 @@ ORDER BY n.n_name, o_year DESC
 
 
 # ---------------------------------------------------------------------------
-# TPC-H Q11 shape: parts whose total line value exceeds a fixed
-# fraction of the corpus-wide total.  No partsupp table, so "value" is
+# TPC-H Q11 shape: parts whose total line value exceeds a global
+# scalar threshold.  No partsupp table, so "value" is
 # sum(extendedprice * (1 - discount)) per partkey over lineitem (same
-# global-scalar-subquery shape: a grouped sum filtered against a
-# fraction of the ungrouped sum).  One shuffle: map-side per-part
-# cent partials -> partkey groupby; the global total is a streaming
-# Sum over the SAME grouped dataset (cheap — |parts| rows), and the
-# threshold test is exact integer math (value_c * denom > total_c), so
-# no float boundary can disagree with the oracle.
+# global-scalar-subquery shape: a grouped sum filtered against an
+# aggregate of the ungrouped corpus).  Q11's literal fraction is
+# defined to scale with SF (TPC-H spec: 0.0001/SF), so a fixed
+# fraction degenerates to zero rows as the corpus grows; the
+# scale-free equivalent is "value above num/den x the MEAN part
+# value".  One shuffle: map-side per-part cent partials -> partkey
+# bucket merge; the threshold (total_c * num) // (n_parts * den) is
+# computed in Python bigint on the driver and the strict > against it
+# is EXACTLY equivalent to value_c * n_parts * den > total_c * num
+# (a*b > c  <=>  a > c//b for positive ints), so no float boundary or
+# int64 overflow can disagree with the oracle.
 # ---------------------------------------------------------------------------
 
-def important_part_value(sf_dir: str, frac_denom: int = 1600):
-    from ray.data.aggregate import Sum
-
+def important_part_value(sf_dir: str, factor_num: int = 5,
+                         factor_den: int = 4, num_buckets: int = 64):
     li = _read(sf_dir, "lineitem",
                columns=["l_partkey", "l_extendedprice", "l_discount"])
 
@@ -5717,27 +5721,42 @@ def important_part_value(sf_dir: str, frac_denom: int = 1600):
         rev = np.floor(b["l_extendedprice"].to_numpy()
                        * (1.0 - b["l_discount"].to_numpy()) * 100.0
                        + 0.5).astype("int64")
-        return (pd.DataFrame({"p_partkey": b["l_partkey"]
-                              .astype("int64"), "value_c": rev})
-                .groupby("p_partkey", as_index=False)
-                .agg(value_c=("value_c", "sum")))
+        g = (pd.DataFrame({"p_partkey": b["l_partkey"].astype("int64"),
+                           "value_c": rev})
+             .groupby("p_partkey", as_index=False)
+             .agg(value_c=("value_c", "sum")))
+        g["jb"] = (g["p_partkey"] % num_buckets).astype("int32")
+        return g
 
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.groupby("p_partkey", as_index=False)
+             .agg(value_c=("value_c", "sum")))
+        g["value_c"] = g["value_c"].astype("int64")
+        return g
+
+    # consumed three times (count, total, filter) — one small pass each
     per_part = (li.map_batches(partial, batch_format="pandas",
                                batch_size=131072)
-                .groupby("p_partkey")
-                .aggregate(Sum("value_c", alias_name="value_c"))
-                .materialize())  # consumed twice: total + filter
+                .groupby("jb").map_groups(merge, batch_format="pandas")
+                .materialize())
+    n_parts = per_part.count()
+    if n_parts == 0:
+        return pd.DataFrame({"p_partkey": pd.Series(dtype="int64"),
+                             "value": pd.Series(dtype="float64")})
     total_c = int(per_part.sum("value_c") or 0)
+    # exact integer threshold: v > (total*num) // (n*den)  <=>
+    # v * n * den > total * num for positive ints
+    thresh = (total_c * factor_num) // (n_parts * factor_den)
 
     def keep(b: pd.DataFrame) -> pd.DataFrame:
-        v = b["value_c"].astype("int64")
-        b = b[v * frac_denom > total_c]
+        b = b[b["value_c"].astype("int64") > thresh]
         return pd.DataFrame({
             "p_partkey": b["p_partkey"].astype("int64"),
             "value": b["value_c"].astype("int64") / 100.0})
 
-    out = (per_part.map_batches(keep, batch_format="pandas")
-           .to_pandas())  # <= |parts above threshold| rows
+    out = _fold_pd(per_part.map_batches(keep, batch_format="pandas"),
+                   pd.DataFrame({"p_partkey": pd.Series(dtype="int64"),
+                                 "value": pd.Series(dtype="float64")}))
     if out.empty:
         return pd.DataFrame({"p_partkey": pd.Series(dtype="int64"),
                              "value": pd.Series(dtype="float64")})
@@ -5755,7 +5774,8 @@ WITH per_part AS (
 )
 SELECT p_partkey, value_c / 100.0 AS value
 FROM per_part
-WHERE value_c * 1600 > (SELECT SUM(value_c)::BIGINT FROM per_part)
+WHERE value_c::HUGEINT * (SELECT COUNT(*) FROM per_part) * 4
+      > (SELECT SUM(value_c)::HUGEINT FROM per_part) * 5
 ORDER BY value DESC, p_partkey
 """
 
