@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_supplier_revenue": R.top_supplier_revenue,
         "late_shipment_priority": R.late_shipment_priority,
         # TPC-H Q2/Q9/Q11/Q16/Q20 shapes over lineitem-as-partsupp
+        "simhash_pairs": R.simhash_pairs,
         "min_cost_supplier": R.min_cost_supplier,
         "product_type_profit": R.product_type_profit,
         "important_part_value": R.important_part_value,
@@ -279,6 +280,7 @@ def oracle_sql() -> dict[str, str]:
         "search_index": R.SEARCH_INDEX_SQL,
         "top_supplier_revenue": R.TOP_SUPPLIER_REVENUE_SQL,
         "late_shipment_priority": R.LATE_SHIPMENT_PRIORITY_SQL,
+        "simhash_pairs": R.SIMHASH_PAIRS_SQL,
         "min_cost_supplier": R.MIN_COST_SUPPLIER_SQL,
         "product_type_profit": R.PRODUCT_TYPE_PROFIT_SQL,
         "important_part_value": R.IMPORTANT_PART_VALUE_SQL,

@@ -6034,3 +6034,27 @@ JOIN nation n ON n.n_nationkey = s.s_nationkey
 WHERE x.qty_c > 20000
 ORDER BY s.s_name
 """
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs (Hamming-ball over the 63-bit fingerprint via
+# 4-band pigeonhole buckets — stages/neardup.simhash_pairs_dataset).
+# The oracle brute-forces the identical pair set: the bit-identical
+# HUGEINT simhash recompute joined on bit_count(xor) <= d.
+# ---------------------------------------------------------------------------
+
+def simhash_pairs(sf_dir: str, max_ham: int = 1):
+    from ..stages.neardup import simhash_pairs_dataset
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_pairs_dataset(docs, max_ham=max_ham)
+
+
+SIMHASH_PAIRS_SQL = f"""
+WITH sh AS ({SIMHASH_SQL})
+SELECT a.doc_id::BIGINT AS a, b.doc_id::BIGINT AS b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+ORDER BY a, b
+"""

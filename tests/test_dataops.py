@@ -2216,3 +2216,55 @@ def test_top_part_shippers_no_matching_parts(ray_session):
                             name_prefix="zzz-nope")
     assert len(out) == 0
     assert list(out.columns) == ["s_name", "n_name", "total_qty"]
+
+
+def test_simhash_pairs_matches_oracle(ray_session):
+    """Hamming-ball pairs via 4-band pigeonhole buckets == brute-force
+    bit_count(xor) <= 1 over the bit-identical simhash recompute."""
+    from rdf_n3_ray.pipelines.relational import (
+        SIMHASH_PAIRS_SQL, simhash_pairs)
+
+    out = simhash_pairs("/root/testdata/sf0.01").to_pandas()
+    assert (out["a"] < out["b"]).all()
+    assert not out.duplicated(["a", "b"]).any()
+    _assert_oracle_equal(out, _duckdb_oracle(SIMHASH_PAIRS_SQL))
+
+
+def test_simhash_pairs_recall_guarantee_bound(ray_session):
+    """4 bands guarantee complete recall only to Hamming distance 3."""
+    import pytest
+
+    from rdf_n3_ray.stages.neardup import simhash_pairs_dataset
+
+    with pytest.raises(ValueError):
+        import ray.data as rd
+
+        simhash_pairs_dataset(
+            rd.from_items([{"doc_id": 1, "text": "x"}]), max_ham=4)
+
+
+def test_simhash_pairs_ham3_complete(ray_session, tmp_path):
+    """max_ham=3 (the guarantee boundary) on a crafted corpus: docs
+    whose fingerprints differ in exactly 0..5 word-substitutions —
+    every <=3 pair found, nothing above unless simhash says so."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rdf_n3_ray.pipelines.relational import simhash_pairs
+    from rdf_n3_ray.stages.neardup import simhash_batch
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    texts = [base] + [
+        base.replace("alpha", f"sub{i}") for i in range(4)]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = simhash_pairs(str(tmp_path), max_ham=3).to_pandas()
+
+    sh = simhash_batch(pd.DataFrame({"doc_id": range(len(texts)),
+                                     "text": texts}))
+    fp = dict(zip(sh["doc_id"], sh["simhash"]))
+    expect = {(a, b) for a in fp for b in fp if a < b
+              and bin(fp[a] ^ fp[b]).count("1") <= 3}
+    assert set(zip(out["a"], out["b"])) == expect
