@@ -154,7 +154,14 @@ class N3Writer:
     # -- prefix handling (writer.rb:416-450 preprocess) -----------------
     def _used_namespaces(self) -> dict[str, str]:
         used = {}
-        names = {**_DEFAULT_PREFIXES, **self.prefixes}
+        merged = {**_DEFAULT_PREFIXES, **self.prefixes}
+        # the parser stores the default prefix under key None; emit it
+        # as the legal empty pname prefix ("@prefix : <...>"), with an
+        # explicit "" entry (if any) taking precedence
+        names = {}
+        if None in merged:
+            names[""] = merged.pop(None)
+        names.update(merged)
         # user prefixes override defaults for the same namespace (dict
         # inversion keeps the LAST writer); the empty prefix ("") is a
         # legal prefix name (writer_spec "pname URIs with empty prefix")
@@ -277,6 +284,12 @@ class N3Writer:
                 return False
             if len(outgoing) != 2 and not (allow_head_extra and node == head):
                 return False
+            if firsts[0] in self.serialized or rests[0] in self.serialized:
+                # part of the ladder was already rendered explicitly
+                # (chain nodes sorted before the head as subjects);
+                # folding now would re-emit the items as FRESH nodes
+                # and duplicate the structure (gk-list-issue-12.n3)
+                return False
             node = rests[0][2]
         return True
 
@@ -299,6 +312,8 @@ class N3Writer:
                 return None
             if len(outgoing) != 2 and not (allow_head_extra and node == head):
                 return None
+            if firsts[0] in self.serialized or rests[0] in self.serialized:
+                return None  # see _is_list_head
             ladder += [firsts[0], rests[0]]
             items.append(firsts[0][2])
             node = rests[0][2]
