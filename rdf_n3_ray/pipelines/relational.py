@@ -1009,11 +1009,12 @@ def decontaminate(sf_dir: str, bench_mod: int = 37, n: int = 13):
         # Typed Arrow output: all-empty pandas blocks would lose the
         # schema and make the driver's ["gram"] access KeyError.
         sel = b[b["doc_id"] % bench_mod == 0]
-        grams = []
-        for t in sel["text"]:
-            w = t.lower().split() if isinstance(t, str) else []
-            if len(w) >= n:
-                grams.append(" ".join(w[:n]))
+        flat, lens = _flat_tokens(sel["text"])
+        off = np.zeros(len(lens), dtype=np.int64)
+        if len(lens) > 1:
+            np.cumsum(lens[:-1], out=off[1:])
+        grams = [" ".join(flat[o:o + n])
+                 for o, ln in zip(off, lens) if ln >= n]
         return pa.table({"gram": pa.array(grams, pa.string())})
 
     bench = set(ds.map_batches(bench_grams,
@@ -1031,28 +1032,22 @@ def decontaminate(sf_dir: str, bench_mod: int = 37, n: int = 13):
 
     def hits(b: pd.DataFrame) -> pd.DataFrame:
         eh, bset = ray.get(bench_ref)
-        words = b["text"].fillna("").str.lower().str.split()
-        lens = words.str.len().to_numpy(np.int64)
+        flat, lens = _flat_tokens(b["text"])
         counts = np.zeros(len(b), dtype=np.int64)
-        if int(lens.sum()) >= n:
-            flat = list(itertools.chain.from_iterable(words))
+        if len(flat) >= n:
             gh = _rolling_gram_hashes(flat, n)
-            # candidate gram start positions (np.isin against the
-            # sorted benchmark hashes); only candidates are ever
-            # stringified, verified, and deduped — exactly
-            cand_pos = np.nonzero(np.isin(gh, eh))[0]
-            if len(cand_pos):
-                off = np.zeros(len(b), dtype=np.int64)
-                np.cumsum(lens[:-1], out=off[1:])
-                doc_of = np.searchsorted(off, cand_pos, side="right") - 1
-                # grams never span documents
-                valid = cand_pos <= (off[doc_of] + lens[doc_of] - n)
-                seen: set = set()
-                for dd, s in zip(doc_of[valid], cand_pos[valid]):
-                    g = " ".join(flat[s:s + n])
-                    if g in bset and (dd, g) not in seen:
-                        seen.add((dd, g))
-                        counts[dd] += 1
+            # candidate gram start positions (sorted-probe against the
+            # broadcast benchmark hashes); only candidates are ever
+            # stringified, verified, and deduped — exactly; grams never
+            # span documents (_gram_positions valid mask)
+            doc_of, valid = _gram_positions(lens, n)
+            idx = np.nonzero(valid & _semi_mask(eh, gh))[0]
+            seen: set = set()
+            for dd, s in zip(doc_of[idx], idx):
+                g = " ".join(flat[s:s + n])
+                if g in bset and (dd, g) not in seen:
+                    seen.add((dd, g))
+                    counts[dd] += 1
         return pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
                              "n_hits": counts})
 
@@ -1073,6 +1068,32 @@ def _gram_pows(n: int) -> np.ndarray:
 def _token_hashes(tokens) -> np.ndarray:
     return pd.util.hash_pandas_object(
         pd.Series(tokens, dtype=object), index=False).to_numpy(np.uint64)
+
+
+def _flat_tokens(text: "pd.Series") -> tuple[list, np.ndarray]:
+    """Oracle-parity tokenization (_ws_tokens: ASCII '\\s+', drop
+    empties) of a batch's text column, returned as the flattened token
+    stream plus per-row token counts — the shape the rolling-gram
+    kernels consume."""
+    ex = _ws_tokens(text.reset_index(drop=True))
+    lens = np.bincount(ex.index.to_numpy(np.int64),
+                       minlength=len(text)).astype(np.int64)
+    return ex.tolist(), lens
+
+
+def _gram_positions(lens: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_of, valid) for every rolling n-gram start position over the
+    flattened token stream: doc_of maps position -> source row, valid
+    masks windows that stay inside ONE document.  Single copy of the
+    offset arithmetic shared by decontaminate / dup_gram_pairs."""
+    off = np.zeros(len(lens), dtype=np.int64)
+    if len(lens) > 1:
+        np.cumsum(lens[:-1], out=off[1:])
+    m = max(int(lens.sum()) - n + 1, 0)
+    pos = np.arange(m)
+    doc_of = np.searchsorted(off, pos, side="right") - 1
+    valid = pos <= (off[doc_of] + lens[doc_of] - n)
+    return doc_of, valid
 
 
 def _rolling_gram_hashes(flat_tokens: list, n: int) -> np.ndarray:
@@ -1129,6 +1150,188 @@ FROM documents d
 LEFT JOIN (SELECT doc_id, count(*) AS n FROM hits GROUP BY doc_id) cnt
   USING (doc_id)
 ORDER BY d.doc_id
+"""
+
+
+def dup_gram_pairs(sf_dir: str, n: int = 5, max_docs_per_gram: int = 64,
+                   num_buckets: int = 32,
+                   candidate_broadcast_limit: int = 5_000_000):
+    """Cross-document exact duplicate n-gram pairs: every unordered doc
+    pair sharing >= 1 identical n-word-gram, with the count of distinct
+    shared grams — substring-level dedup, the doc-vs-doc counterpart of
+    `decontaminate` (doc-vs-benchmark) and the exact complement of the
+    probabilistic MinHash path (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better": exact-substring dup mass).
+    Grams in more than `max_docs_per_gram` docs are stop-grams
+    (boilerplate) and excluded on BOTH engines — standard hygiene, and
+    it bounds the quadratic pair blow-up of a hot phrase.
+
+    Scale shape — two corpus scans, one narrow shuffle, then shuffles
+    over dup mass only:
+      1. scan A rolls u64 gram hashes (`_rolling_gram_hashes`, siphash
+         once per distinct token) and emits per-doc distinct hashes —
+         8 bytes/row; groupby(h) keeps hashes seen in >= 2 docs.  That
+         candidate set (a collision-superset of the truly shared grams;
+         strings verify later) is dup-mass-sized and broadcast once via
+         ray.put; past `candidate_broadcast_limit` the filter is
+         skipped and every gram flows to the exact string grouping
+         instead (fully distributed, more shuffle — the honest
+         fallback, same answer).
+      2. scan B re-rolls the hashes, np.isin against the broadcast set,
+         stringifies ONLY candidate positions (the decontaminate
+         idiom), emits per-doc distinct (gram, doc_id).
+      3. gram-hash-bucket groupby: each bucket owns its grams
+         completely, so exact string grouping (hash collisions split),
+         the stop-gram filter, and all-pairs emission happen locally;
+         pair emission is the candidate_pairs array arithmetic
+         (neardup.py) — no Python loop over groups or pairs.
+      4. pair-hash-bucket groupby sums per-bucket partials into the
+         final (doc_a, doc_b, shared_grams); global sort for stable
+         output.
+    """
+    import ray
+
+    # materialize: both the candidate pass and the stringify pass scan
+    # the table; without it each pass re-reads and re-decodes the text
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).materialize()
+
+    def gram_hashes(b: pd.DataFrame) -> pd.DataFrame:
+        flat, lens = _flat_tokens(b["text"])
+        if len(flat) < n:
+            return pd.DataFrame({"h": pd.Series(dtype="int64")})
+        # int64 bit-reinterpret: Ray's groupby aggregation widens uint64
+        # (values past 2^63) to float64 and silently loses low bits —
+        # the two's-complement view keeps every hash exact in transit
+        gh = _rolling_gram_hashes(flat, n).view(np.int64)
+        doc_of, valid = _gram_positions(lens, n)  # no cross-doc grams
+        return (pd.DataFrame({"d": doc_of[valid], "h": gh[valid]})
+                .drop_duplicates()[["h"]])
+
+    cand_ds = (ds.map_batches(gram_hashes, batch_format="pandas")
+               .groupby("h").count()
+               .map_batches(lambda b: b.loc[b["count()"] >= 2, ["h"]],
+                            batch_format="pandas")
+               .materialize())
+    n_cand = cand_ds.count()
+    empty_pairs = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                "doc_b": pd.Series(dtype="int64"),
+                                "shared_grams": pd.Series(dtype="int64")})
+    if n_cand == 0:
+        return empty_pairs  # no gram is in 2 docs: provably zero pairs
+    if n_cand <= candidate_broadcast_limit:
+        cand = np.sort(_fold_pd(cand_ds, pd.DataFrame(
+            {"h": pd.Series(dtype="int64")}))["h"].to_numpy(np.int64))
+        cand_ref = ray.put(cand)
+    else:  # dup mass too big to broadcast: exact path without the filter
+        cand_ref = None
+
+    empty_g = pd.DataFrame({"gram": pd.Series(dtype="object"),
+                            "doc_id": pd.Series(dtype="int64"),
+                            "gb": pd.Series(dtype="int32")})
+
+    def cand_grams(b: pd.DataFrame) -> pd.DataFrame:
+        flat, lens = _flat_tokens(b["text"])
+        if len(flat) < n:
+            return empty_g.copy()
+        gh = _rolling_gram_hashes(flat, n).view(np.int64)
+        doc_of, valid = _gram_positions(lens, n)
+        if cand_ref is not None:
+            valid &= _semi_mask(ray.get(cand_ref), gh)
+        idx = np.nonzero(valid)[0]
+        if not len(idx):
+            return empty_g.copy()
+        docs = b["doc_id"].to_numpy(np.int64)
+        # only candidate positions are stringified; dedup per (doc,
+        # exact gram STRING) so u64 collisions cannot drop a gram
+        seen: set = set()
+        out_d, out_g = [], []
+        for dd, s in zip(doc_of[idx], idx):
+            g = " ".join(flat[s:s + n])
+            if (dd, g) not in seen:
+                seen.add((dd, g))
+                out_d.append(docs[dd])
+                out_g.append(g)
+        df = pd.DataFrame({"gram": pd.Series(out_g, dtype="object"),
+                           "doc_id": pd.Series(out_d, dtype="int64")})
+        df["gb"] = (pd.util.hash_pandas_object(df["gram"], index=False)
+                    % num_buckets).astype("int32")
+        return df
+
+    empty_partial = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                  "doc_b": pd.Series(dtype="int64"),
+                                  "m": pd.Series(dtype="int64"),
+                                  "pb": pd.Series(dtype="int32")})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # exact string grouping within the owning bucket; doc_id-sorted
+        # groups make the pair arithmetic emit doc_a < doc_b directly
+        g = g.sort_values(["gram", "doc_id"], kind="stable")
+        gr = g["gram"].to_numpy()
+        new_grp = np.ones(len(g), dtype=bool)
+        new_grp[1:] = gr[1:] != gr[:-1]
+        grp_id = np.cumsum(new_grp) - 1
+        sizes = np.bincount(grp_id)
+        keep = ((sizes >= 2) & (sizes <= max_docs_per_gram))[grp_id]
+        if not keep.any():
+            return empty_partial.copy()
+        g = g[keep]
+        gr = g["gram"].to_numpy()
+        ids = g["doc_id"].to_numpy(np.int64)
+        new_grp = np.ones(len(g), dtype=bool)
+        new_grp[1:] = gr[1:] != gr[:-1]
+        grp_id = np.cumsum(new_grp) - 1
+        rank = np.arange(len(g)) - np.nonzero(new_grp)[0][grp_id]
+        sizes = np.bincount(grp_id)
+        a_counts = sizes[grp_id] - 1 - rank
+        total = int(a_counts.sum())
+        a_pos = np.repeat(np.arange(len(ids)), a_counts)
+        k = (np.arange(total, dtype=np.int64)
+             - np.repeat(np.cumsum(a_counts) - a_counts, a_counts))
+        pairs = pd.DataFrame({"doc_a": ids[a_pos],
+                              "doc_b": ids[a_pos + 1 + k]})
+        m = (pairs.groupby(["doc_a", "doc_b"], as_index=False).size()
+             .rename(columns={"size": "m"}))
+        m["m"] = m["m"].astype("int64")
+        with np.errstate(over="ignore"):  # u64 wraparound hash is the point
+            m["pb"] = ((m["doc_a"].to_numpy(np.uint64) * _GRAM_P
+                        + m["doc_b"].to_numpy(np.uint64))
+                       % num_buckets).astype("int32")
+        return m
+
+    def merge_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["doc_a", "doc_b"], as_index=False)["m"].sum()
+        return pd.DataFrame({"doc_a": m["doc_a"].astype("int64"),
+                             "doc_b": m["doc_b"].astype("int64"),
+                             "shared_grams": m["m"].astype("int64")})
+
+    return (ds.map_batches(cand_grams, batch_format="pandas")
+            .groupby("gb").map_groups(bucket_pairs, batch_format="pandas")
+            .groupby("pb").map_groups(merge_pairs, batch_format="pandas")
+            .sort(["doc_a", "doc_b"]))
+
+
+DUP_GRAM_PAIRS_SQL = r"""
+WITH wf AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 4), ' ') AS gram
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(1, greatest(length(w) - 4, 0))) AS i
+        FROM wf)
+), keep AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(*) BETWEEN 2 AND 64
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM grams a
+  JOIN keep k ON a.gram = k.gram
+  JOIN grams b ON b.gram = a.gram AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, count(*)::BIGINT AS shared_grams
+FROM p GROUP BY doc_a, doc_b
+ORDER BY doc_a, doc_b
 """
 
 

@@ -754,6 +754,52 @@ def test_decontaminate_flags_overlapping_docs(ray_session):
     assert out.n_hits.dtype == "int64"
 
 
+def test_dup_gram_pairs_matches_oracle(ray_session):
+    """Cross-doc exact duplicate n-gram pairs hash-match the DuckDB
+    self-join recompute, and the no-candidate-broadcast fallback (the
+    100 TB dup-mass-too-big path) returns the identical pair set."""
+    from rdf_n3_ray.pipelines.relational import (
+        DUP_GRAM_PAIRS_SQL, dup_gram_pairs)
+
+    out = dup_gram_pairs("/root/testdata/sf0.01").to_pandas()
+    assert len(out) > 0
+    assert (out.doc_a < out.doc_b).all()
+    assert not out.duplicated(["doc_a", "doc_b"]).any()
+    assert out.shared_grams.dtype == "int64"
+    _assert_oracle_equal(out, _duckdb_oracle(DUP_GRAM_PAIRS_SQL))
+
+    fb = dup_gram_pairs("/root/testdata/sf0.01",
+                        candidate_broadcast_limit=0).to_pandas()
+    _assert_oracle_equal(fb, out)
+
+
+def test_dup_gram_pairs_stop_gram_cap(ray_session):
+    """A gram in more docs than the cap is boilerplate: excluded from
+    pair emission on both engines (here: cap 2 kills the 3-doc gram
+    but keeps the 2-doc gram's pair and count)."""
+    import ray.data as rd
+
+    from rdf_n3_ray.pipelines.relational import dup_gram_pairs
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["common phrase shared by all three docs x1",
+                 "common phrase shared by all three docs x2",
+                 "common phrase shared by all three docs x3",
+                 "rare pair gram only here twice yes",
+                 "rare pair gram only here twice yes"]})
+    import os
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        docs.to_parquet(os.path.join(td, "documents.parquet"))
+        out = dup_gram_pairs(td, n=7, max_docs_per_gram=2).to_pandas()
+    # docs 1-3 share the 7-gram "common phrase shared by all three docs"
+    # across 3 docs -> stop-gram at cap 2; docs 4/5 (7 tokens) share
+    # their single 7-gram
+    assert out.to_dict("records") == [
+        {"doc_a": 4, "doc_b": 5, "shared_grams": 1}]
+
+
 def test_event_percentiles_descent_exact(ray_session):
     """Histogram-descent selection returns EXACT order statistics even
     when forced to actually descend (tiny collect_limit)."""
