@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_dup_groups": R.jaccard_dup_groups,
         "decontaminate": R.decontaminate,
         "dup_gram_pairs": R.dup_gram_pairs,
+        "doc_dup_rate": R.doc_dup_rate,
         "top_tokens": R.top_tokens,
         "event_histogram": R.event_histogram,
         "events_sliding": R.events_sliding,
@@ -242,6 +243,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": R.LANG_ID_SQL,
         "decontaminate": R.DECONTAMINATE_SQL,
         "dup_gram_pairs": R.DUP_GRAM_PAIRS_SQL,
+        "doc_dup_rate": R.DOC_DUP_RATE_SQL,
         "top_tokens": R.TOP_TOKENS_SQL,
         "event_histogram": R.EVENT_HISTOGRAM_SQL,
         "events_sliding": R.EVENTS_SLIDING_SQL,

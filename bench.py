@@ -274,7 +274,8 @@ def run_bench() -> dict:
          ("supplier_part_counts",
           lambda: R.supplier_part_counts(sf_dir)),
          ("top_part_shippers", lambda: R.top_part_shippers(sf_dir))],
-        [("dup_gram_pairs", lambda: R.dup_gram_pairs(sf_dir).count())],
+        [("dup_gram_pairs", lambda: R.dup_gram_pairs(sf_dir).count()),
+         ("doc_dup_rate", lambda: R.doc_dup_rate(sf_dir).count())],
     ]
 
     def fresh_session():

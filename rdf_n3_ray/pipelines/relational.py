@@ -1096,6 +1096,39 @@ def _gram_positions(lens: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
     return doc_of, valid
 
 
+def _shared_hash_candidates(ds, n: int, num_buckets: int):
+    """Hashes of n-grams that occur in >= 2 DISTINCT documents (a
+    collision-superset of the truly shared grams; callers verify with
+    exact strings).  Narrow shuffle: per-doc distinct u64 gram hashes
+    travel as int64 bit-reinterprets (Ray's native groupby aggregation
+    widens uint64 past 2^63 to float64 and silently loses low bits —
+    and costs ~8 s in fixed 200-partition shuffle overhead at ANY
+    scale, so this uses the repo's bucket-column map_groups idiom
+    instead), bucketed by h % num_buckets so each bucket owns its
+    hashes completely."""
+
+    def gram_hashes(b: pd.DataFrame) -> pd.DataFrame:
+        flat, lens = _flat_tokens(b["text"])
+        if len(flat) < n:
+            return pd.DataFrame({"h": pd.Series(dtype="int64"),
+                                 "hb": pd.Series(dtype="int32")})
+        gh = _rolling_gram_hashes(flat, n).view(np.int64)
+        doc_of, valid = _gram_positions(lens, n)  # no cross-doc grams
+        df = (pd.DataFrame({"d": doc_of[valid], "h": gh[valid]})
+              .drop_duplicates()[["h"]])
+        # numpy mod keeps the divisor's sign: non-negative buckets
+        df["hb"] = (df["h"].to_numpy() % num_buckets).astype("int32")
+        return df
+
+    def bucket_cands(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g["h"].value_counts()  # rows are (doc, h)-distinct
+        return pd.DataFrame(
+            {"h": vc.index[vc.to_numpy() >= 2].to_numpy(np.int64)})
+
+    return (ds.map_batches(gram_hashes, batch_format="pandas")
+            .groupby("hb").map_groups(bucket_cands, batch_format="pandas"))
+
+
 def _rolling_gram_hashes(flat_tokens: list, n: int) -> np.ndarray:
     """Polynomial combine of n consecutive token hashes -> one uint64
     per gram start position.  Tokens are Arrow-dictionary-encoded so
@@ -1195,23 +1228,7 @@ def dup_gram_pairs(sf_dir: str, n: int = 5, max_docs_per_gram: int = 64,
     # the table; without it each pass re-reads and re-decodes the text
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).materialize()
 
-    def gram_hashes(b: pd.DataFrame) -> pd.DataFrame:
-        flat, lens = _flat_tokens(b["text"])
-        if len(flat) < n:
-            return pd.DataFrame({"h": pd.Series(dtype="int64")})
-        # int64 bit-reinterpret: Ray's groupby aggregation widens uint64
-        # (values past 2^63) to float64 and silently loses low bits —
-        # the two's-complement view keeps every hash exact in transit
-        gh = _rolling_gram_hashes(flat, n).view(np.int64)
-        doc_of, valid = _gram_positions(lens, n)  # no cross-doc grams
-        return (pd.DataFrame({"d": doc_of[valid], "h": gh[valid]})
-                .drop_duplicates()[["h"]])
-
-    cand_ds = (ds.map_batches(gram_hashes, batch_format="pandas")
-               .groupby("h").count()
-               .map_batches(lambda b: b.loc[b["count()"] >= 2, ["h"]],
-                            batch_format="pandas")
-               .materialize())
+    cand_ds = _shared_hash_candidates(ds, n, num_buckets).materialize()
     n_cand = cand_ds.count()
     empty_pairs = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
                                 "doc_b": pd.Series(dtype="int64"),
@@ -1308,6 +1325,147 @@ def dup_gram_pairs(sf_dir: str, n: int = 5, max_docs_per_gram: int = 64,
             .groupby("gb").map_groups(bucket_pairs, batch_format="pandas")
             .groupby("pb").map_groups(merge_pairs, batch_format="pandas")
             .sort(["doc_a", "doc_b"]))
+
+
+def doc_dup_rate(sf_dir: str, n: int = 5, max_docs_per_gram: int = 64,
+                 num_buckets: int = 32,
+                 candidate_broadcast_limit: int = 5_000_000):
+    """Per-document duplicate-gram mass: of a doc's n-word-gram
+    POSITIONS, how many hold a gram (string-exact) that also appears
+    in at least one OTHER document — the per-doc metric that drives
+    drop-or-rewrite dedup policy (Lee et al. 2022: fraction of a doc
+    that is duplicated elsewhere).  Returned as exact integers
+    (n_grams, dup_grams) so the oracle comparison is float-free; the
+    rate is dup_grams/n_grams downstream.  Grams in more than
+    `max_docs_per_gram` docs are stop-grams, excluded on both engines
+    (same hygiene + blow-up bound as `dup_gram_pairs`).
+
+    Scale shape mirrors dup_gram_pairs (narrow u64-hash candidate
+    shuffle, size-gated broadcast with exact no-filter fallback,
+    stringify-candidates-only) with two twists: per-(doc, gram) the
+    POSITION count k travels with the candidate row, and the final
+    per-doc merge is an identical-columns union of the tiny
+    (doc, n_grams) totals with the (doc, dup-partial) sums, co-located
+    by doc-bucket — one narrow shuffle, no join."""
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).materialize()
+
+    cand_ds = _shared_hash_candidates(ds, n, num_buckets).materialize()
+    n_cand = cand_ds.count()
+    if n_cand <= candidate_broadcast_limit:
+        cand = np.sort(_fold_pd(cand_ds, pd.DataFrame(
+            {"h": pd.Series(dtype="int64")}))["h"].to_numpy(np.int64))
+        cand_ref = ray.put(cand)
+    else:  # dup mass too big to broadcast: exact path without the filter
+        cand_ref = None
+
+    def totals(b: pd.DataFrame) -> pd.DataFrame:
+        _, lens = _flat_tokens(b["text"])
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64").to_numpy(),
+            "n_grams": np.maximum(lens - n + 1, 0).astype("int64"),
+            "dup_grams": np.zeros(len(b), dtype=np.int64),
+            "pb": (b["doc_id"].astype("int64") % num_buckets)
+                  .astype("int32").to_numpy()})
+
+    empty_g = pd.DataFrame({"gram": pd.Series(dtype="object"),
+                            "doc_id": pd.Series(dtype="int64"),
+                            "k": pd.Series(dtype="int64"),
+                            "gb": pd.Series(dtype="int32")})
+
+    def cand_grams(b: pd.DataFrame) -> pd.DataFrame:
+        flat, lens = _flat_tokens(b["text"])
+        if len(flat) < n:
+            return empty_g.copy()
+        gh = _rolling_gram_hashes(flat, n).view(np.int64)
+        doc_of, valid = _gram_positions(lens, n)
+        if cand_ref is not None:
+            valid &= _semi_mask(ray.get(cand_ref), gh)
+        idx = np.nonzero(valid)[0]
+        if not len(idx):
+            return empty_g.copy()
+        docs = b["doc_id"].to_numpy(np.int64)
+        # per (doc, exact gram STRING): the count of POSITIONS k —
+        # stringified only for candidates, u64 collisions cannot leak
+        counts: dict = {}
+        for dd, s in zip(doc_of[idx], idx):
+            key = (docs[dd], " ".join(flat[s:s + n]))
+            counts[key] = counts.get(key, 0) + 1
+        df = pd.DataFrame({"gram": [g for _, g in counts],
+                           "doc_id": np.fromiter(
+                               (d for d, _ in counts), np.int64,
+                               len(counts)),
+                           "k": np.fromiter(counts.values(), np.int64,
+                                            len(counts))})
+        df["gb"] = (pd.util.hash_pandas_object(df["gram"], index=False)
+                    % num_buckets).astype("int32")
+        return df
+
+    empty_partial = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                  "n_grams": pd.Series(dtype="int64"),
+                                  "dup_grams": pd.Series(dtype="int64"),
+                                  "pb": pd.Series(dtype="int32")})
+
+    def bucket_dup(g: pd.DataFrame) -> pd.DataFrame:
+        # exact string grouping; rows unique per (gram, doc): the
+        # group's row count IS its distinct-doc count
+        sizes = g.groupby("gram")["doc_id"].transform("size")
+        g = g[(sizes >= 2) & (sizes <= max_docs_per_gram)]
+        if not len(g):
+            return empty_partial.copy()
+        m = g.groupby("doc_id", as_index=False)["k"].sum()
+        return pd.DataFrame({
+            "doc_id": m["doc_id"].astype("int64"),
+            "n_grams": np.zeros(len(m), dtype=np.int64),
+            "dup_grams": m["k"].astype("int64"),
+            "pb": (m["doc_id"].astype("int64") % num_buckets)
+                  .astype("int32")})
+
+    def merge_doc(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("doc_id", as_index=False)[["n_grams",
+                                                 "dup_grams"]].sum()
+        return pd.DataFrame({"doc_id": m["doc_id"].astype("int64"),
+                             "n_grams": m["n_grams"].astype("int64"),
+                             "dup_grams": m["dup_grams"].astype("int64")})
+
+    tot = ds.map_batches(totals, batch_format="pandas")
+    dup = (ds.map_batches(cand_grams, batch_format="pandas")
+           .groupby("gb").map_groups(bucket_dup, batch_format="pandas")
+           .map_batches(lambda b: b[["doc_id", "n_grams", "dup_grams",
+                                     "pb"]], batch_format="pandas"))
+    # identical-columns union (repo idiom), co-located by doc-bucket
+    return (tot.union(dup)
+            .groupby("pb").map_groups(merge_doc, batch_format="pandas")
+            .sort("doc_id"))
+
+
+DOC_DUP_RATE_SQL = r"""
+WITH wf AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+), pos AS (
+  SELECT doc_id, array_to_string(list_slice(w, i, i + 4), ' ') AS gram
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(1, greatest(length(w) - 4, 0))) AS i
+        FROM wf)
+), dg AS (
+  SELECT DISTINCT doc_id, gram FROM pos
+), keep AS (
+  SELECT gram FROM dg GROUP BY gram HAVING count(*) BETWEEN 2 AND 64
+), hits AS (
+  SELECT p.doc_id, count(*) AS n
+  FROM pos p JOIN keep k ON p.gram = k.gram
+  GROUP BY p.doc_id
+)
+SELECT w0.doc_id, w0.n_grams, COALESCE(h.n, 0)::BIGINT AS dup_grams
+FROM (SELECT doc_id, greatest(length(w) - 4, 0)::BIGINT AS n_grams
+      FROM wf) w0
+LEFT JOIN hits h USING (doc_id)
+ORDER BY w0.doc_id
+"""
 
 
 DUP_GRAM_PAIRS_SQL = r"""

@@ -773,6 +773,24 @@ def test_dup_gram_pairs_matches_oracle(ray_session):
     _assert_oracle_equal(fb, out)
 
 
+def test_doc_dup_rate_matches_oracle(ray_session):
+    """Per-doc duplicate-gram position counts hash-match the DuckDB
+    recompute; every doc appears once, zero-dup docs included, and the
+    no-broadcast fallback path returns the identical table."""
+    from rdf_n3_ray.pipelines.relational import (
+        DOC_DUP_RATE_SQL, doc_dup_rate)
+
+    out = doc_dup_rate("/root/testdata/sf0.01").to_pandas()
+    assert len(out) == 500 and out.doc_id.is_unique
+    assert (out.dup_grams <= out.n_grams).all()
+    assert (out.dup_grams > 0).any() and (out.dup_grams == 0).any()
+    _assert_oracle_equal(out, _duckdb_oracle(DOC_DUP_RATE_SQL))
+
+    fb = doc_dup_rate("/root/testdata/sf0.01",
+                      candidate_broadcast_limit=0).to_pandas()
+    _assert_oracle_equal(fb, out)
+
+
 def test_dup_gram_pairs_stop_gram_cap(ray_session):
     """A gram in more docs than the cap is boilerplate: excluded from
     pair emission on both engines (here: cap 2 kills the 3-doc gram
