@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": R.decontaminate,
         "dup_gram_pairs": R.dup_gram_pairs,
         "doc_dup_rate": R.doc_dup_rate,
+        "curation_verdict": R.curation_verdict,
         "top_tokens": R.top_tokens,
         "event_histogram": R.event_histogram,
         "events_sliding": R.events_sliding,
@@ -244,6 +245,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": R.DECONTAMINATE_SQL,
         "dup_gram_pairs": R.DUP_GRAM_PAIRS_SQL,
         "doc_dup_rate": R.DOC_DUP_RATE_SQL,
+        "curation_verdict": R.CURATION_VERDICT_SQL,
         "top_tokens": R.TOP_TOKENS_SQL,
         "event_histogram": R.EVENT_HISTOGRAM_SQL,
         "events_sliding": R.EVENTS_SLIDING_SQL,

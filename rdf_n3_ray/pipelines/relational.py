@@ -1327,29 +1327,14 @@ def dup_gram_pairs(sf_dir: str, n: int = 5, max_docs_per_gram: int = 64,
             .sort(["doc_a", "doc_b"]))
 
 
-def doc_dup_rate(sf_dir: str, n: int = 5, max_docs_per_gram: int = 64,
-                 num_buckets: int = 32,
-                 candidate_broadcast_limit: int = 5_000_000):
-    """Per-document duplicate-gram mass: of a doc's n-word-gram
-    POSITIONS, how many hold a gram (string-exact) that also appears
-    in at least one OTHER document — the per-doc metric that drives
-    drop-or-rewrite dedup policy (Lee et al. 2022: fraction of a doc
-    that is duplicated elsewhere).  Returned as exact integers
-    (n_grams, dup_grams) so the oracle comparison is float-free; the
-    rate is dup_grams/n_grams downstream.  Grams in more than
-    `max_docs_per_gram` docs are stop-grams, excluded on both engines
-    (same hygiene + blow-up bound as `dup_gram_pairs`).
-
-    Scale shape mirrors dup_gram_pairs (narrow u64-hash candidate
-    shuffle, size-gated broadcast with exact no-filter fallback,
-    stringify-candidates-only) with two twists: per-(doc, gram) the
-    POSITION count k travels with the candidate row, and the final
-    per-doc merge is an identical-columns union of the tiny
-    (doc, n_grams) totals with the (doc, dup-partial) sums, co-located
-    by doc-bucket — one narrow shuffle, no join."""
+def _doc_dup_partials(ds, n: int, max_docs_per_gram: int,
+                      num_buckets: int, candidate_broadcast_limit: int):
+    """Per-doc dup-mass partial rows (doc_id, n_grams, dup_grams, pb):
+    the identical-columns union of the per-doc gram totals with the
+    per-gram-bucket dup-position sums, BEFORE the doc-bucket merge —
+    so callers (doc_dup_rate, curation_verdict) can fold extra partial
+    sources into the same single pb shuffle."""
     import ray
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).materialize()
 
     cand_ds = _shared_hash_candidates(ds, n, num_buckets).materialize()
     n_cand = cand_ds.count()
@@ -1422,6 +1407,39 @@ def doc_dup_rate(sf_dir: str, n: int = 5, max_docs_per_gram: int = 64,
             "pb": (m["doc_id"].astype("int64") % num_buckets)
                   .astype("int32")})
 
+    tot = ds.map_batches(totals, batch_format="pandas")
+    dup = (ds.map_batches(cand_grams, batch_format="pandas")
+           .groupby("gb").map_groups(bucket_dup, batch_format="pandas")
+           .map_batches(lambda b: b[["doc_id", "n_grams", "dup_grams",
+                                     "pb"]], batch_format="pandas"))
+    # identical-columns union (repo idiom), co-located by doc-bucket
+    return tot.union(dup)
+
+
+def doc_dup_rate(sf_dir: str, n: int = 5, max_docs_per_gram: int = 64,
+                 num_buckets: int = 32,
+                 candidate_broadcast_limit: int = 5_000_000):
+    """Per-document duplicate-gram mass: of a doc's n-word-gram
+    POSITIONS, how many hold a gram (string-exact) that also appears
+    in at least one OTHER document — the per-doc metric that drives
+    drop-or-rewrite dedup policy (Lee et al. 2022: fraction of a doc
+    that is duplicated elsewhere).  Returned as exact integers
+    (n_grams, dup_grams) so the oracle comparison is float-free; the
+    rate is dup_grams/n_grams downstream.  Grams in more than
+    `max_docs_per_gram` docs are stop-grams, excluded on both engines
+    (same hygiene + blow-up bound as `dup_gram_pairs`).
+
+    Scale shape mirrors dup_gram_pairs (narrow u64-hash candidate
+    shuffle, size-gated broadcast with exact no-filter fallback,
+    stringify-candidates-only) with two twists: per-(doc, gram) the
+    POSITION count k travels with the candidate row, and the final
+    per-doc merge is an identical-columns union of the tiny
+    (doc, n_grams) totals with the (doc, dup-partial) sums, co-located
+    by doc-bucket — one narrow shuffle, no join."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).materialize()
+    parts = _doc_dup_partials(ds, n, max_docs_per_gram, num_buckets,
+                              candidate_broadcast_limit)
+
     def merge_doc(g: pd.DataFrame) -> pd.DataFrame:
         m = g.groupby("doc_id", as_index=False)[["n_grams",
                                                  "dup_grams"]].sum()
@@ -1429,19 +1447,17 @@ def doc_dup_rate(sf_dir: str, n: int = 5, max_docs_per_gram: int = 64,
                              "n_grams": m["n_grams"].astype("int64"),
                              "dup_grams": m["dup_grams"].astype("int64")})
 
-    tot = ds.map_batches(totals, batch_format="pandas")
-    dup = (ds.map_batches(cand_grams, batch_format="pandas")
-           .groupby("gb").map_groups(bucket_dup, batch_format="pandas")
-           .map_batches(lambda b: b[["doc_id", "n_grams", "dup_grams",
-                                     "pb"]], batch_format="pandas"))
-    # identical-columns union (repo idiom), co-located by doc-bucket
-    return (tot.union(dup)
-            .groupby("pb").map_groups(merge_doc, batch_format="pandas")
+    return (parts.groupby("pb").map_groups(merge_doc,
+                                           batch_format="pandas")
             .sort("doc_id"))
 
 
-DOC_DUP_RATE_SQL = r"""
-WITH wf AS (
+# Shared dup-mass CTE block (wf/pos/dg/keep_g/hits) — ONE definition
+# feeds DOC_DUP_RATE_SQL, DUP_GRAM_PAIRS_SQL and CURATION_VERDICT_SQL
+# so the tokenization, gram window (n=5) and stop-gram band (2..64)
+# can never desynchronize across oracles.  Unreferenced CTEs cost
+# nothing (DuckDB only evaluates the ones a query reaches).
+_DUP_MASS_CTES = r"""wf AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
                      x -> x <> '') AS w
@@ -1453,13 +1469,17 @@ WITH wf AS (
         FROM wf)
 ), dg AS (
   SELECT DISTINCT doc_id, gram FROM pos
-), keep AS (
+), keep_g AS (
   SELECT gram FROM dg GROUP BY gram HAVING count(*) BETWEEN 2 AND 64
 ), hits AS (
   SELECT p.doc_id, count(*) AS n
-  FROM pos p JOIN keep k ON p.gram = k.gram
+  FROM pos p JOIN keep_g k ON p.gram = k.gram
   GROUP BY p.doc_id
-)
+)"""
+
+
+DOC_DUP_RATE_SQL = f"""
+WITH {_DUP_MASS_CTES}
 SELECT w0.doc_id, w0.n_grams, COALESCE(h.n, 0)::BIGINT AS dup_grams
 FROM (SELECT doc_id, greatest(length(w) - 4, 0)::BIGINT AS n_grams
       FROM wf) w0
@@ -1468,24 +1488,163 @@ ORDER BY w0.doc_id
 """
 
 
-DUP_GRAM_PAIRS_SQL = r"""
-WITH wf AS (
+def curation_verdict(sf_dir: str, n: int = 5, min_words: int = 5,
+                     max_punct_e4: int = 2000, max_docs_per_gram: int = 64,
+                     num_buckets: int = 32,
+                     candidate_broadcast_limit: int = 5_000_000):
+    """End-to-end training-data curation decision, one call: per doc
+    the four standard gate flags and the composed keep verdict —
+      lang_match   stopword-argmax language ID == the doc's declared lang
+      quality_ok   n_words >= min_words AND punct_ratio_e4 <= max_punct_e4
+      exact_dup    doc is NOT the min-doc_id holder of its exact text
+      dup_heavy    > 25% of its n-gram positions duplicated elsewhere
+                   (4*dup_grams > n_grams, integer-exact)
+      keep         lang_match AND quality_ok AND NOT exact_dup AND NOT dup_heavy
+    This is the composition a real corpus-curation pipeline runs
+    (CCNet/Gopher-style gating), built from the repo's proven pieces.
+
+    Scale shape: THREE partial sources fold into ONE doc-bucket
+    shuffle via the identical-columns union idiom —
+      A. LangId actor pool (stateful stage) + vectorized quality flags,
+         one row per doc;
+      B. exact-dup flags: text-hash coarse buckets, in-bucket exact
+         min-doc_id per full text (64-bit collisions cannot merge
+         distinct docs: grouping is by the string);
+      C. `_doc_dup_partials` (the dup-mass machinery shared with
+         doc_dup_rate).
+    Nothing wider than (doc_id, 6 int columns) crosses the final
+    shuffle; texts only travel inside the exact-dup bucket exchange,
+    exactly as `dedup_exact_docs` already does."""
+    from ..stages.text_stats import LangId
+
+    import ray
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "lang"]).materialize()
+    WIDE = ["doc_id", "lang_match", "quality_ok", "exact_dup",
+            "n_grams", "dup_grams", "pb"]
+
+    def widen(df: pd.DataFrame) -> pd.DataFrame:
+        for c in WIDE:
+            if c not in df.columns:
+                df[c] = np.zeros(len(df), dtype=np.int64)
+        df["doc_id"] = df["doc_id"].astype("int64")
+        df["pb"] = (df["doc_id"] % num_buckets).astype("int32")
+        return df[WIDE]
+
+    def lang_quality(b: pd.DataFrame) -> pd.DataFrame:
+        # b arrives from the LangId actor stage with lang_pred attached
+        text = b["text"].fillna("")
+        n_chars = text.str.len().astype("int64")
+        n_words = text.str.split().str.len().fillna(0).astype("int64")
+        n_punct = text.str.count(r"[^\w\s]").astype("int64")
+        punct_e4 = np.floor(
+            (n_punct / n_chars.replace(0, 1).astype("float64")) * 10000
+        ).astype("int64")
+        return widen(pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "lang_match": (b["lang_pred"] == b["lang"]).astype("int64"),
+            "quality_ok": ((n_words >= min_words)
+                           & (punct_e4 <= max_punct_e4)).astype("int64"),
+        }))
+
+    pool_max = max(2, int(ray.cluster_resources().get("CPU", 8)))
+    flags_a = (ds.map_batches(LangId, batch_format="pandas",
+                              batch_size=4096, concurrency=(1, pool_max))
+               .map_batches(lang_quality, batch_format="pandas"))
+
+    def text_key(b: pd.DataFrame) -> pd.DataFrame:
+        dk = pd.util.hash_pandas_object(b["text"].fillna(""),
+                                        index=False).astype(np.int64)
+        return pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
+                             "text": b["text"].fillna(""),
+                             "dkb": (dk % 64).astype("int32")})
+
+    def dup_flags(g: pd.DataFrame) -> pd.DataFrame:
+        mn = g.groupby("text")["doc_id"].transform("min")
+        return widen(pd.DataFrame({
+            "doc_id": g["doc_id"],
+            "exact_dup": (g["doc_id"] != mn).astype("int64")}))
+
+    flags_b = (ds.map_batches(text_key, batch_format="pandas")
+               .groupby("dkb").map_groups(dup_flags, batch_format="pandas"))
+
+    parts_c = (_doc_dup_partials(
+        ds.select_columns(["doc_id", "text"]), n, max_docs_per_gram,
+        num_buckets, candidate_broadcast_limit)
+        .map_batches(widen, batch_format="pandas"))
+
+    def verdict(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("doc_id", as_index=False)[
+            ["lang_match", "quality_ok", "exact_dup",
+             "n_grams", "dup_grams"]].sum()
+        dup_heavy = (4 * m["dup_grams"] > m["n_grams"]).astype("int64")
+        keep = ((m["lang_match"] == 1) & (m["quality_ok"] == 1)
+                & (m["exact_dup"] == 0) & (dup_heavy == 0)).astype("int64")
+        return pd.DataFrame({
+            "doc_id": m["doc_id"].astype("int64"),
+            "lang_match": m["lang_match"].astype("int64"),
+            "quality_ok": m["quality_ok"].astype("int64"),
+            "exact_dup": m["exact_dup"].astype("int64"),
+            "dup_heavy": dup_heavy, "keep": keep})
+
+    return (flags_a.union(flags_b).union(parts_c)
+            .groupby("pb").map_groups(verdict, batch_format="pandas")
+            .sort("doc_id"))
+
+
+def _curation_verdict_sql() -> str:
+    """Oracle: the four gates recomputed in SQL from the SAME builders
+    the individual oracles use — `_lang_pred_ctes()` (LANG_ID_SQL),
+    DOC_QUALITY_SQL's integer forms, DEDUP_EXACT_SQL's min-per-text,
+    and `_DUP_MASS_CTES` (DOC_DUP_RATE_SQL / DUP_GRAM_PAIRS_SQL) —
+    so an edit to any shared piece reaches every oracle at once."""
+    return rf"""
+WITH {_lang_pred_ctes()}, q AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
-                     x -> x <> '') AS w
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE length(string_split_regex(trim(text), '\s+')) END AS n_words,
+    FLOOR((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE
+          / GREATEST(length(text), 1) * 10000)::BIGINT AS punct_e4
   FROM documents
-), grams AS (
-  SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 4), ' ') AS gram
-  FROM (SELECT doc_id, w,
-               unnest(generate_series(1, greatest(length(w) - 4, 0))) AS i
-        FROM wf)
-), keep AS (
-  SELECT gram FROM grams GROUP BY gram HAVING count(*) BETWEEN 2 AND 64
-), p AS (
+), firsts AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+), {_DUP_MASS_CTES}, gates AS (
+  SELECT d.doc_id,
+    CASE WHEN pred.lang_pred = d.lang THEN 1 ELSE 0 END AS lang_match,
+    CASE WHEN q.n_words >= 5 AND q.punct_e4 <= 2000 THEN 1 ELSE 0
+         END AS quality_ok,
+    CASE WHEN f.doc_id IS NULL THEN 1 ELSE 0 END AS exact_dup,
+    CASE WHEN 4 * COALESCE(h.n, 0) >
+              greatest(length(wf.w) - 4, 0) THEN 1 ELSE 0 END AS dup_heavy
+  FROM documents d
+  JOIN pred USING (doc_id)
+  JOIN q USING (doc_id)
+  JOIN wf USING (doc_id)
+  LEFT JOIN firsts f USING (doc_id)
+  LEFT JOIN hits h USING (doc_id)
+)
+SELECT doc_id,
+       lang_match::BIGINT AS lang_match,
+       quality_ok::BIGINT AS quality_ok,
+       exact_dup::BIGINT AS exact_dup,
+       dup_heavy::BIGINT AS dup_heavy,
+       (CASE WHEN lang_match = 1 AND quality_ok = 1 AND exact_dup = 0
+             AND dup_heavy = 0 THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM gates ORDER BY doc_id
+"""
+
+
+# CURATION_VERDICT_SQL is assigned after LANG_ID_SQL below —
+# _curation_verdict_sql() composes _lang_pred_ctes(), defined there.
+
+
+DUP_GRAM_PAIRS_SQL = f"""
+WITH {_DUP_MASS_CTES}, p AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM grams a
-  JOIN keep k ON a.gram = k.gram
-  JOIN grams b ON b.gram = a.gram AND a.doc_id < b.doc_id
+  FROM dg a
+  JOIN keep_g k ON a.gram = k.gram
+  JOIN dg b ON b.gram = a.gram AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, count(*)::BIGINT AS shared_grams
 FROM p GROUP BY doc_a, doc_b
@@ -1493,12 +1652,14 @@ ORDER BY doc_a, doc_b
 """
 
 
-def _lang_id_sql() -> str:
-    """Oracle for lang_distribution: the stopword-argmax classifier
-    recomputed in SQL.  Generated from text_stats._STOPWORDS so the
-    profiles cannot drift; ties resolve to the FIRST language reaching
-    the max (profile insertion order en/de/fr/es — Python updates best
-    only on strictly-greater score), zero hits -> 'und'."""
+def _lang_pred_ctes() -> str:
+    """Shared CTE block (words/scored/pred): the stopword-argmax
+    classifier recomputed in SQL.  Generated from text_stats._STOPWORDS
+    so the profiles cannot drift; ties resolve to the FIRST language
+    reaching the max (profile insertion order en/de/fr/es — Python
+    updates best only on strictly-greater score), zero hits -> 'und'.
+    ONE builder feeds both LANG_ID_SQL and CURATION_VERDICT_SQL so the
+    two oracles can never desynchronize."""
     from ..stages.text_stats import _STOPWORDS
 
     def inlist(lang):
@@ -1507,8 +1668,7 @@ def _lang_id_sql() -> str:
     counts = ",\n    ".join(
         f"length(list_filter(ws, x -> list_contains({inlist(l)}, x))) AS c_{l}"
         for l in ("en", "de", "fr", "es"))
-    return f"""
-WITH words AS (
+    return f"""words AS (
   SELECT doc_id,
     list_transform(list_slice(regexp_extract_all(coalesce(text, ''),
       '[a-zA-Zäöüßéèêàçñ]+'), 1, 200), w -> lower(w)) AS ws
@@ -1522,13 +1682,16 @@ WITH words AS (
          WHEN c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
          WHEN c_fr = greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
          ELSE 'es' END AS lang_pred
-  FROM scored)
+  FROM scored)"""
+
+
+LANG_ID_SQL = f"""
+WITH {_lang_pred_ctes()}
 SELECT lang_pred, count(*)::BIGINT AS n_docs FROM pred
 GROUP BY lang_pred ORDER BY lang_pred
 """
 
-
-LANG_ID_SQL = _lang_id_sql()
+CURATION_VERDICT_SQL = _curation_verdict_sql()
 
 
 # ---------------------------------------------------------------------------

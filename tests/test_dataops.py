@@ -791,6 +791,71 @@ def test_doc_dup_rate_matches_oracle(ray_session):
     _assert_oracle_equal(fb, out)
 
 
+def test_curation_verdict_matches_oracle(ray_session):
+    """The composed curation pipeline (lang gate + quality gate +
+    exact-dup gate + dup-mass gate -> keep) hash-matches the DuckDB
+    recompute built from the same proven CTE families; each gate
+    fires for at least one doc so the composition is exercised."""
+    from rdf_n3_ray.pipelines.relational import (
+        CURATION_VERDICT_SQL, curation_verdict)
+
+    out = curation_verdict("/root/testdata/sf0.01").to_pandas()
+    assert len(out) == 500 and out.doc_id.is_unique
+    assert set(out.keep.unique()) <= {0, 1}
+    assert (out.keep == 1).any() and (out.keep == 0).any()
+    # the keep column is exactly the AND of the four gates
+    expect = ((out.lang_match == 1) & (out.quality_ok == 1)
+              & (out.exact_dup == 0) & (out.dup_heavy == 0)).astype("int64")
+    assert (out.keep == expect).all()
+    _assert_oracle_equal(out, _duckdb_oracle(CURATION_VERDICT_SQL))
+
+
+def test_curation_verdict_every_gate_rejects(ray_session):
+    """The sf0.01 corpus never trips the exact-dup or quality gates
+    (review finding), so drive every gate in the REJECTING direction
+    on a crafted corpus and hash-check it against the same oracle."""
+    import os
+    import tempfile
+
+    import duckdb
+
+    from rdf_n3_ray.pipelines.relational import (
+        CURATION_VERDICT_SQL, curation_verdict)
+
+    good = ("the cat and the dog went to the house in the town and it "
+            "was good for all of it")
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": [good,
+                 "the bird and the fish swam to a rock in the sea and "
+                 "it sang for all of the day",   # unique clean English
+                 "the bird and the fish swam to a rock in the sea and "
+                 "it sang for all of the day",   # exact dup of doc 2
+                 "the end of it",                # < 5 words
+                 "der hund und die katze ist von den nicht und der das "
+                 "die mit den haus und garten",  # German, declared en
+                 "the !!! ??? ### $$$ %%% and of to a in is that it "
+                 "for !!! ??? ###"],             # punct-heavy English
+        "lang": ["en"] * 6})
+    with tempfile.TemporaryDirectory() as td:
+        docs.to_parquet(os.path.join(td, "documents.parquet"))
+        out = curation_verdict(td).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{os.path.join(td, 'documents.parquet')}')")
+        want = con.execute(CURATION_VERDICT_SQL).fetchdf()
+    _assert_oracle_equal(out, want)
+    got = out.set_index("doc_id")
+    assert got.loc[1, "keep"] == 1                      # clean doc kept
+    assert got.loc[3, "exact_dup"] == 1                 # dup loser flagged
+    assert got.loc[2, "exact_dup"] == 0                 # min-doc_id wins
+    assert got.loc[2, "dup_heavy"] == 1                 # 100% shared grams
+    assert got.loc[4, "quality_ok"] == 0                # too short
+    assert got.loc[5, "lang_match"] == 0                # de text, en label
+    assert got.loc[6, "quality_ok"] == 0                # punct ratio
+    assert (got.loc[[3, 4, 5, 6], "keep"] == 0).all()
+
+
 def test_dup_gram_pairs_stop_gram_cap(ray_session):
     """A gram in more docs than the cap is boilerplate: excluded from
     pair emission on both engines (here: cap 2 kills the 3-doc gram
