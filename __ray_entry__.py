@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_gram_pairs": R.dup_gram_pairs,
         "doc_dup_rate": R.doc_dup_rate,
         "curation_verdict": R.curation_verdict,
+        "source_report": R.source_report,
         "top_tokens": R.top_tokens,
         "event_histogram": R.event_histogram,
         "events_sliding": R.events_sliding,
@@ -246,6 +247,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_gram_pairs": R.DUP_GRAM_PAIRS_SQL,
         "doc_dup_rate": R.DOC_DUP_RATE_SQL,
         "curation_verdict": R.CURATION_VERDICT_SQL,
+        "source_report": R.SOURCE_REPORT_SQL,
         "top_tokens": R.TOP_TOKENS_SQL,
         "event_histogram": R.EVENT_HISTOGRAM_SQL,
         "events_sliding": R.EVENTS_SLIDING_SQL,

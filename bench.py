@@ -276,7 +276,8 @@ def run_bench() -> dict:
          ("top_part_shippers", lambda: R.top_part_shippers(sf_dir))],
         [("dup_gram_pairs", lambda: R.dup_gram_pairs(sf_dir).count()),
          ("doc_dup_rate", lambda: R.doc_dup_rate(sf_dir).count()),
-         ("curation_verdict", lambda: R.curation_verdict(sf_dir).count())],
+         ("curation_verdict", lambda: R.curation_verdict(sf_dir).count()),
+         ("source_report", lambda: R.source_report(sf_dir))],
     ]
 
     def fresh_session():

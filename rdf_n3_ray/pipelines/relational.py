@@ -401,6 +401,81 @@ ORDER BY doc_id
 """
 
 
+def source_report(sf_dir: str):
+    """Per-source corpus report card: how much text each ingestion
+    source contributed and its aggregate shape — the first table a
+    curation run prints.  All-integer (counts + sums; means are
+    downstream division) so the oracle comparison is float-free.
+
+    Scale shape: per-batch partial sums per (source, lang) — at most
+    |sources|x|langs| rows leave each batch — then one tiny groupby;
+    the corpus never shuffles."""
+    ds = _read(sf_dir, "documents", columns=["text", "lang", "source"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        text = b["text"].fillna("")
+        g = pd.DataFrame({
+            "source": b["source"].fillna(""),
+            "n_docs": np.ones(len(b), dtype=np.int64),
+            "n_langs_rows": b["lang"].fillna(""),
+            "sum_chars": text.str.len().astype("int64"),
+            "sum_words": (text.str.split().str.len().fillna(0)
+                          .astype("int64")),
+            "sum_digits": text.str.count(r"[0-9]").astype("int64"),
+        })
+        m = g.groupby("source", as_index=False).agg(
+            n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum"),
+            sum_words=("sum_words", "sum"),
+            sum_digits=("sum_digits", "sum"),
+            n_langs=("n_langs_rows", "nunique"))
+        # nunique is NOT sum-mergeable: ship the distinct (source, lang)
+        # pairs instead and count them exactly in the final fold
+        langs = (g[["source", "n_langs_rows"]].drop_duplicates()
+                 .rename(columns={"n_langs_rows": "lang"}))
+        m = m.drop(columns=["n_langs"])
+        m["lang"] = ""          # identical-columns union idiom
+        langs = langs.assign(n_docs=np.int64(0), sum_chars=np.int64(0),
+                             sum_words=np.int64(0), sum_digits=np.int64(0))
+        cols = ["source", "lang", "n_docs", "sum_chars", "sum_words",
+                "sum_digits"]
+        return pd.concat([m[cols], langs[cols]], ignore_index=True)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        sums = (df[df["lang"] == ""].groupby("source", as_index=False)
+                [["n_docs", "sum_chars", "sum_words", "sum_digits"]].sum())
+        nl = (df[df["lang"] != ""][["source", "lang"]].drop_duplicates()
+              .groupby("source").size().rename("n_langs").reset_index())
+        out = sums.merge(nl, on="source", how="left")
+        out["n_langs"] = out["n_langs"].fillna(0).astype("int64")
+        for c in ("n_docs", "sum_chars", "sum_words", "sum_digits"):
+            out[c] = out[c].astype("int64")
+        return out.sort_values("source").reset_index(drop=True)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return fold(_fold_pd(partials, pd.DataFrame({
+        "source": pd.Series(dtype="object"),
+        "lang": pd.Series(dtype="object"),
+        "n_docs": pd.Series(dtype="int64"),
+        "sum_chars": pd.Series(dtype="int64"),
+        "sum_words": pd.Series(dtype="int64"),
+        "sum_digits": pd.Series(dtype="int64")})))
+
+
+SOURCE_REPORT_SQL = r"""
+SELECT coalesce(source, '') AS source,
+       count(*)::BIGINT AS n_docs,
+       SUM(length(coalesce(text, '')))::BIGINT AS sum_chars,
+       SUM(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+            ELSE length(string_split_regex(trim(coalesce(text, '')), '\s+'))
+            END)::BIGINT AS sum_words,
+       SUM(length(coalesce(text, '')) - length(
+           regexp_replace(coalesce(text, ''), '[0-9]', '', 'g')))::BIGINT
+           AS sum_digits,
+       COUNT(DISTINCT coalesce(lang, ''))::BIGINT AS n_langs
+FROM documents GROUP BY 1 ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup (documents): min doc_id per identical text
 # ---------------------------------------------------------------------------

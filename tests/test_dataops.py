@@ -810,6 +810,18 @@ def test_curation_verdict_matches_oracle(ray_session):
     _assert_oracle_equal(out, _duckdb_oracle(CURATION_VERDICT_SQL))
 
 
+def test_source_report_matches_oracle(ray_session):
+    """Per-source corpus report card: integer partial sums + exact
+    distinct-lang counts hash-match the DuckDB group-by."""
+    from rdf_n3_ray.pipelines.relational import (
+        SOURCE_REPORT_SQL, source_report)
+
+    out = source_report("/root/testdata/sf0.01")
+    assert len(out) >= 2 and out.source.is_unique
+    assert (out.n_langs >= 1).all()
+    _assert_oracle_equal(out, _duckdb_oracle(SOURCE_REPORT_SQL))
+
+
 def test_curation_verdict_every_gate_rejects(ray_session):
     """The sf0.01 corpus never trips the exact-dup or quality gates
     (review finding), so drive every gate in the REJECTING direction
