@@ -1654,6 +1654,118 @@ CASES += [
      f"_:A <{X}top> <{X}z> .", {}),
 ]
 
+# --- round-4 batch b: combining-feature Reason cases (each primitive is
+# individually proven above; these lock their interactions) ----------------
+CASES += [
+    # forward path sugar INSIDE a rule antecedent: `:a!:p :q2 ?y`
+    # desugars to `:a :p _:b . _:b :q2 ?y`, and the antecedent's bnode
+    # matches like a variable (reader.rb:431-458 + formula bnode-as-var)
+    ("r4b_reason_path_in_antecedent", "Reason",
+     "@prefix : <http://ex/>. :a :p :m . :m :q2 :v . "
+     "{ :a!:p :q2 ?y } => { :r :res ?y } .",
+     f"<{X}a> <{X}p> <{X}m> .\n<{X}m> <{X}q2> <{X}v> .\n"
+     f"<{X}r> <{X}res> <{X}v> .",
+     {"think": True, "data": True}),
+    # two numeric guards bracket the binding
+    ("r4b_reason_guard_bracket", "Reason",
+     f"@prefix : <http://ex/>. @prefix math: <{MATHNS}>. "
+     ":x :n 5 . :y :n 20 . "
+     "{ ?s :n ?v . ?v math:greaterThan 3 . ?v math:lessThan 10 } "
+     "=> { ?s a :Mid } .",
+     f'<{X}x> <{X}n> "5"^^<{XSD}integer> .\n'
+     f'<{X}y> <{X}n> "20"^^<{XSD}integer> .\n'
+     f"<{X}x> <{RDFNS}type> <{X}Mid> .",
+     {"think": True, "data": True}),
+    # string guard + arithmetic in ONE antecedent
+    ("r4b_reason_string_guard_then_sum", "Reason",
+     f"@prefix : <{X}>. @prefix string: <{STRNS}>. @prefix math: <{MATHNS}>. "
+     ':x :tag "abc" . :x :n 2 . :z :tag "zz" . :z :n 7 . '
+     '{ ?s :tag ?t . ?t string:startsWith "ab" . ?s :n ?v . '
+     "(?v 3) math:sum ?m } => { ?s :m ?m } .",
+     f'<{X}x> <{X}tag> "abc" .\n<{X}x> <{X}n> "2"^^<{XSD}integer> .\n'
+     f'<{X}z> <{X}tag> "zz" .\n<{X}z> <{X}n> "7"^^<{XSD}integer> .\n'
+     f'<{X}x> <{X}m> "5"^^<{XSD}integer> .',
+     {"think": True, "data": True}),
+    # a forward rule whose antecedent is PROVED by a backward rule
+    ("r4b_reason_backward_feeds_forward", "Reason",
+     "@prefix : <http://ex/>. { ?x :p ?y } <= { ?x :q ?y } . "
+     ":a :q :b . { ?x :p ?y } => { ?x :r ?y } .",
+     f"<{X}a> <{X}q> <{X}b> .\n<{X}a> <{X}p> <{X}b> .\n"
+     f"<{X}a> <{X}r> <{X}b> .",
+     {"think": True, "data": True}),
+    # list:member fan-out filtered by a numeric guard
+    ("r4b_reason_member_guarded", "Reason",
+     f"@prefix : <http://ex/>. @prefix list: <{LISTNS}>. "
+     f"@prefix math: <{MATHNS}>. "
+     ":l :xs (1 5 9) . { :l :xs ?L . ?L list:member ?m . "
+     "?m math:greaterThan 4 } => { :r :big ?m } .",
+     f'<{X}r> <{X}big> "5"^^<{XSD}integer> .\n'
+     f'<{X}r> <{X}big> "9"^^<{XSD}integer> .',
+     {"think": True, "conclusions": True}),
+    # time projection feeding a numeric guard
+    ("r4b_reason_year_guard", "Reason",
+     f"@prefix : <http://ex/>. @prefix time: <{TIMENS}>. "
+     f"@prefix math: <{MATHNS}>. "
+     ':e :at "2026-08-18T10:00:00Z"^^<http://www.w3.org/2001/XMLSchema#dateTime> . '
+     "{ ?s :at ?t . ?t time:year ?y . ?y math:notLessThan 2020 } "
+     "=> { ?s :recent true } .",
+     f'<{X}e> <{X}recent> "true"^^<{XSD}boolean> .',
+     {"think": True, "conclusions": True}),
+    # chained arithmetic: product then quotient — quotient follows
+    # xpath numeric-divide (reference math/quotient.rb:5): int/int is
+    # DECIMAL, so 24/2 = 12.0^^xsd:decimal, not 12^^xsd:integer
+    ("r4b_reason_product_quotient", "Reason",
+     f"@prefix : <http://ex/>. @prefix math: <{MATHNS}>. "
+     "{ (6 4) math:product ?p . (?p 2) math:quotient ?q } "
+     "=> { :r :val ?q } .",
+     f'<{X}r> <{X}val> "12.0"^^<{XSD}decimal> .',
+     {"think": True, "conclusions": True}),
+    # string:replace output feeds string:contains
+    ("r4b_reason_replace_then_contains", "Reason",
+     f"@prefix : <{X}>. @prefix string: <{STRNS}>. "
+     '{ ("hello world" "world" "there") string:replace ?r . '
+     '?r string:contains "there" } => { :ok :v ?r } .',
+     f'<{X}ok> <{X}v> "hello there" .',
+     {"think": True, "conclusions": True}),
+    # two independent rules reusing the SAME quickvar name ?x scope
+    # per rule formula, not globally
+    ("r4b_reason_var_scope_per_rule", "Reason",
+     "@prefix : <http://ex/>. :a :p 1 . :b :q 2 . "
+     "{ ?x :p ?v } => { ?x :sawP true } . "
+     "{ ?x :q ?v } => { ?x :sawQ true } .",
+     f'<{X}a> <{X}p> "1"^^<{XSD}integer> .\n'
+     f'<{X}b> <{X}q> "2"^^<{XSD}integer> .\n'
+     f'<{X}a> <{X}sawP> "true"^^<{XSD}boolean> .\n'
+     f'<{X}b> <{X}sawQ> "true"^^<{XSD}boolean> .',
+     {"think": True, "data": True}),
+    # list:length guard selects only the longer list
+    ("r4b_reason_length_guard", "Reason",
+     f"@prefix : <http://ex/>. @prefix list: <{LISTNS}>. "
+     f"@prefix math: <{MATHNS}>. "
+     ":s :xs (1 2 3) . :t :xs (4) . "
+     "{ ?d :xs ?L . ?L list:length ?n . ?n math:greaterThan 1 } "
+     "=> { ?d a :Long } .",
+     f"<{X}s> <{RDFNS}type> <{X}Long> .",
+     {"think": True, "conclusions": True}),
+    # log:includes as a rule guard over a named formula
+    ("r4b_reason_includes_guard", "Reason",
+     "@prefix : <http://ex/>. @prefix log: <http://www.w3.org/2000/10/swap/log#>. "
+     ":g :is { :a :b :c . :d :e :f } . "
+     "{ :g :is ?F . ?F log:includes { :a :b :c } } => { :r :ok true } .",
+     f'<{X}r> <{X}ok> "true"^^<{XSD}boolean> .',
+     {"think": True, "conclusions": True}),
+    # transitive closure PLUS a projection rule over the closure
+    ("r4b_reason_closure_then_project", "Reason",
+     "@prefix : <http://ex/>. :a :sub :b . :b :sub :c . "
+     "{ ?x :sub ?y . ?y :sub ?z } => { ?x :sub ?z } . "
+     "{ ?x :sub :c } => { ?x a :UnderC } .",
+     f"<{X}a> <{X}sub> <{X}b> .\n<{X}b> <{X}sub> <{X}c> .\n"
+     f"<{X}a> <{X}sub> <{X}c> .\n"
+     f"<{X}b> <{RDFNS}type> <{X}UnderC> .\n"
+     f"<{X}a> <{RDFNS}type> <{X}UnderC> .",
+     {"think": True, "data": True}),
+]
+
 
 def _slow_reduced_cases():
     """SLOW-manifest shapes at CI-affordable size, generated
