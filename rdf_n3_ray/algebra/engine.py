@@ -104,6 +104,7 @@ class Engine:
         self.kb_set.add(q)
         self.kb.append(q)
         self._graphs_memo = None  # KB changed
+        self._list_cells_memo = None
         if inferred:
             self.inferred.append(q)
         return True
@@ -157,33 +158,134 @@ class Engine:
         return term
 
     # -- pattern matching ----------------------------------------------
-    def _unify(self, pat, ground, sol: dict):
+    def _unify(self, pat, ground, sol: dict, alpha: dict | None = None):
         pat = sol.get(pat, pat) if is_var(pat) else pat
         if is_var(pat):
+            if alpha is not None and is_var(ground):
+                # inside formula-formula unification a pattern variable
+                # meeting a quoted universal is alpha-correspondence, not
+                # a binding (cwm alpha-equivalence; var-var bindings in
+                # `sol` would be dropped at formula.rb:154 parity)
+                prev = alpha.get(pat)
+                if prev is None:
+                    if ground in alpha.values():
+                        return None
+                    alpha[pat] = ground
+                    return sol
+                return sol if prev == ground else None
             s2 = dict(sol)
-            s2[pat] = ground
+            # nested ground elements arrive as Python lists — re-encode
+            # so bindings stay in the engine's string term space
+            s2[pat] = T.encode_list(ground) if isinstance(ground, list) else ground
             return s2
-        if isinstance(pat, str) and T.is_list_term(pat):
-            pl = T.parse_list_term(pat)
-            gl = (
-                T.parse_list_term(ground)
-                if isinstance(ground, str) and T.is_list_term(ground)
-                else self._expand_list(ground) if T.is_bnode(ground) else None
-            )
+        if isinstance(pat, list) or (isinstance(pat, str) and T.is_list_term(pat)):
+            # nested elements from parse_list_term arrive as Python lists
+            pl = pat if isinstance(pat, list) else T.parse_list_term(pat)
+            if isinstance(ground, list):
+                gl = ground
+            elif isinstance(ground, str) and T.is_list_term(ground):
+                gl = T.parse_list_term(ground)
+            elif isinstance(ground, str) and T.is_bnode(ground):
+                gl = self._expand_list(ground)
+            else:
+                gl = None
             if ground == T.RDF_NIL:
                 gl = []
             if gl is None or len(pl) != len(gl):
                 return None
             s2 = sol
             for pe, ge in zip(pl, gl):
-                s2 = self._unify(pe, ge, s2)
+                s2 = self._unify(pe, ge, s2, alpha)
                 if s2 is None:
                     return None
             return s2
+        if (pat != ground and self._is_formula_node(pat)
+                and self._is_formula_node(ground)):
+            # structural (alpha-equivalent) unification of quoted
+            # formulae — beyond the reference (its RDF::Query compares
+            # graph names), needed for the cwm unify goldens
+            return self._unify_formula_terms(
+                pat, ground, sol, alpha if alpha is not None else {})
         return sol if pat == ground else None
+
+    def _is_formula_node(self, t) -> bool:
+        return (isinstance(t, str) and T.is_bnode(t)
+                and ("_form_" in t or t in self._graphs()))
+
+    def _unify_formula_terms(self, pg: str, gg: str, sol: dict,
+                             alpha: dict):
+        """Unify two quoted formulae statement-by-statement (first
+        consistent matching wins), binding pattern variables to ground
+        terms in `sol` and tracking quoted-universal correspondences in
+        `alpha` only.  Formulae of different sizes never unify."""
+        pq = self._formula_quads(pg)
+        gq = self._formula_quads(gg)
+        if len(pq) != len(gq):
+            return None
+
+        def bt(i: int, sol_i: dict, used: frozenset):
+            if i == len(pq):
+                return sol_i
+            ps, pp, po, _ = pq[i]
+            for j, (gs, gp, go, _) in enumerate(gq):
+                if j in used:
+                    continue
+                saved = dict(alpha)
+                s1 = self._unify(pp, gp, sol_i, alpha)
+                s2 = self._unify(ps, gs, s1, alpha) if s1 is not None else None
+                s3 = self._unify(po, go, s2, alpha) if s2 is not None else None
+                if s3 is not None:
+                    r = bt(i + 1, s3, used | {j})
+                    if r is not None:
+                        return r
+                alpha.clear()
+                alpha.update(saved)
+            return None
+
+        return bt(0, sol, frozenset())
+
+    def _list_cell_facts(self) -> list[Quad]:
+        """Synthesized rdf:first/rdf:rest facts for every list term (and
+        every suffix/nested list) in the top graph — cwm's llyn store
+        keeps real cons cells, so rules may pattern-match list structure
+        (examples/list/builtin_generated_match.n3); the reference's
+        ListTerm-style encoding (ours too) hides it, so expose it here."""
+        memo = getattr(self, "_list_cells_memo", None)
+        if memo is not None:
+            return memo
+        facts: list[Quad] = []
+        seen: set[str] = set()
+
+        def walk(term):
+            if isinstance(term, list):
+                elems, enc = term, T.encode_list(term)
+            elif isinstance(term, str) and T.is_list_term(term):
+                elems, enc = T.parse_list_term(term), term
+            else:
+                return
+            if enc in seen or not elems:
+                return
+            seen.add(enc)
+            head = T.encode_list(elems[0]) if isinstance(elems[0], list) else elems[0]
+            tail = elems[1:]
+            facts.append((enc, T.RDF_FIRST, head, None))
+            facts.append((enc, T.RDF_REST, T.encode_list(tail), None))
+            walk(elems[0])
+            walk(tail)
+
+        for s_, _p, o_, g_ in self.kb:
+            if g_ is None:
+                walk(s_)
+                walk(o_)
+        self._list_cells_memo = facts
+        return facts
 
     def _match_bgp(self, patterns: list[tuple], facts: list[Quad], init: dict):
         """Simple BGP join: most-bound pattern first, backtracking."""
+        if any(p in (T.RDF_FIRST, T.RDF_REST) for _s, p, _o in patterns):
+            cells = self._list_cell_facts()
+            if cells:
+                facts = facts + cells
         solutions = [dict(init)]
         remaining = list(patterns)
         while remaining:
@@ -764,10 +866,12 @@ def reason(quads: list[Quad], think: bool = False, ctx: EvalContext | None = Non
     return Engine(quads, ctx=ctx).reason(think=think)
 
 
-def reason_n3(text: str, think: bool = False, base_uri: str | None = None) -> ReasonResult:
+def reason_n3(text: str, think: bool = False, base_uri: str | None = None,
+              legacy: bool = False) -> ReasonResult:
     """Parse (list_terms mode, as the reference CLI does —
-    format.rb:49) then reason."""
+    format.rb:49) then reason.  ``legacy`` opts into the cwm-era
+    @forAll/@forSome/@keywords directives (parse_n3 docstring)."""
     from ..parser.n3_parser import parse_n3
 
-    r = parse_n3(text, base_uri=base_uri, list_terms=True)
+    r = parse_n3(text, base_uri=base_uri, list_terms=True, legacy=legacy)
     return reason(r.quads, think=think)

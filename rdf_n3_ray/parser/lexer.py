@@ -64,6 +64,12 @@ IPLSTART = r"\[\s*id(?![\-0-9_A-Za-z])"
 PREFIX = r"@?prefix"
 BASE = r"@?base"
 QUICK_VAR_NAME = f"\\?{PN_LOCAL}"
+# Legacy-N3 bareword (cwm `@keywords` mode): a prefixless name token.
+# Not in the reference grammar (reader.rb has no production for it) —
+# emitted so the parser can either reject it (default, matching the
+# reference's error) or resolve it in the default namespace when the
+# opt-in `legacy=True` reader option saw an `@keywords` directive.
+BAREWORD = PN_PREFIX
 WS = r"(?:\s|#[^\n\r]*)+"
 ANON = r"\[\s*\]"
 
@@ -99,6 +105,7 @@ _TERMINALS: list[tuple[str, str, bool]] = [
     ("BASE", BASE, False),
     ("LANGTAG", LANGTAG, False),
     ("QUICK_VAR_NAME", QUICK_VAR_NAME, True),
+    ("BAREWORD", BAREWORD, False),  # last: every real terminal wins first
 ]
 
 # PREFIX/BASE are case-insensitive in the reference (terminals.rb:71-73 `ui`)
@@ -134,13 +141,16 @@ _FIRST_CHARS: dict[str, str] = {
     "BASE": "@bB",
     "LANGTAG": "@",
     "QUICK_VAR_NAME": "?",
+    "BAREWORD": _ASCII_LETTERS,
 }
 _DISPATCH: dict[str, list[tuple[str, re.Pattern, bool]]] = {}
 for _entry in _COMPILED:
     for _c in _FIRST_CHARS[_entry[0]]:
         _DISPATCH.setdefault(_c, []).append(_entry)
 # non-ASCII (unicode pname start) fallback
-_UNICODE_CANDIDATES = [e for e in _COMPILED if e[0] in ("PNAME_LN", "PNAME_NS")]
+_UNICODE_CANDIDATES = [
+    e for e in _COMPILED if e[0] in ("PNAME_LN", "PNAME_NS", "BAREWORD")
+]
 _EMPTY: list[tuple[str, re.Pattern, bool]] = []
 
 

@@ -103,6 +103,15 @@ def encode_term(t) -> str:
     return t.encode() if isinstance(t, ListTerm) else t
 
 
+# Legacy-cwm directives (opt-in `legacy=True` extension; the reference
+# grammar has no production for these and rejects them, as do we by
+# default — pinned NegativeSyntax in tests/fixtures/n3_suite.py).
+_LEGACY_DIRECTIVES = frozenset({"@forAll", "@forSome", "@keywords"})
+# Words with a syntactic role that `@keywords` may list (cwm accepts any
+# of its keyword set; these are the ones with dedicated terminals here).
+_SYNTAX_WORDS = frozenset({"a", "is", "of", "has", "true", "false"})
+
+
 class N3Parser:
     def __init__(
         self,
@@ -113,10 +122,19 @@ class N3Parser:
         validate: bool = False,
         canonicalize: bool = False,
         anon_base: str = "b0",
+        legacy: bool = False,
     ):
         self.validate = validate
         self.canonicalize = canonicalize
         self.list_terms = list_terms
+        # Opt-in legacy-cwm extension (NOT in the reference grammar —
+        # reader.rb rejects these, and so do we when legacy=False):
+        # @forAll/@forSome quantifier directives and @keywords bareword
+        # mode, needed to run the cwm-era goldens the reference ships
+        # but skips (examples/{list,unify,includes,reason}/*).
+        self.legacy = legacy
+        self.keywords: set[str] | None = None  # None = barewords invalid
+        self.quant_scopes: list[dict[str, str]] = [{}]  # iri -> var/bnode
         self.base_uri = base_uri
         self.result = ParseResult()
         self.prefixes: dict[str | None, str] = {}
@@ -173,6 +191,9 @@ class N3Parser:
                 tok = self.first()
                 if tok.type in ("BASE", "PREFIX"):
                     self.read_directive()
+                elif (self.legacy and tok.type == "LANGTAG"
+                      and tok.value in _LEGACY_DIRECTIVES):
+                    self.read_legacy_directive()
                 else:
                     self.read_n3Statement()
                     dot = self.shift()
@@ -236,6 +257,86 @@ class N3Parser:
             if token.value.startswith("@") and token.value != "@prefix":
                 self.soft_error(f"{token.value} should be downcased")
             self._directive_terminator(terminated, token)
+
+    def read_legacy_directive(self) -> None:
+        """Legacy-cwm `@forAll` / `@forSome` / `@keywords` (opt-in via
+        ``legacy=True``; cwm notation3.py semantics).  The reference
+        reader rejects all three (no production in reader.rb / the N3 CG
+        grammar), which stays our default behavior.
+
+        - ``@forAll :x, :y.``  — listed IRIs become universal variables
+          scoped to the current formula (document scope at top level).
+        - ``@forSome :x.``     — listed IRIs become existentials (blank
+          nodes) scoped to the current formula.
+        - ``@keywords a, is, of.`` — enables bareword mode: barewords are
+          default-namespace names; only the listed words keep their
+          syntactic role.
+        """
+        directive = self.shift()  # the LANGTAG token
+        kind = directive.value
+        if kind == "@keywords":
+            words: list[str] = []
+            tok = self.first()
+            while tok is not None and not (tok.type is None and tok.value == "."):
+                if tok.type == "BAREWORD" or tok.type in ("PREFIX", "BASE") or (
+                    tok.type is None and tok.value in _SYNTAX_WORDS
+                ):
+                    # PREFIX/BASE: `@keywords a, prefix.` lists the word
+                    # `prefix`, which lexes as the directive terminal
+                    words.append(tok.value)
+                    self.shift()
+                else:
+                    self.error("Expected keyword name in @keywords", tok)
+                nxt = self.first()
+                if nxt is not None and nxt.type is None and nxt.value == ",":
+                    self.shift()
+                    tok = self.first()
+                    continue
+                break
+            dot = self.shift()
+            if dot is None or dot.type is not None or dot.value != ".":
+                self.error("Expected '.' terminating @keywords", dot)
+            self.keywords = set(words)
+            return
+        # @forAll / @forSome: comma-separated iri list, '.'-terminated
+        iris: list[str] = []
+        while True:
+            tok = self.first()
+            if tok is None:
+                self.error(f"Unexpected end of file in {kind}", tok)
+            if tok.type == "IRIREF":
+                self.shift()
+                iri_ = self.process_iri(re.sub(r"\s+", "", tok.value[1:-1]))
+            elif tok.type in ("PNAME_LN", "PNAME_NS"):
+                self.shift()
+                iri_ = self.process_pname(tok.value)
+            elif tok.type == "BAREWORD" and self.keywords is not None:
+                self.shift()
+                iri_ = self.ns(None, tok.value)
+            else:
+                self.error(f"Expected IRI in {kind} list", tok)
+            iris.append(iri_)
+            nxt = self.first()
+            if nxt is not None and nxt.type is None and nxt.value == ",":
+                self.shift()
+                continue
+            break
+        dot = self.shift()
+        if dot is None or dot.type is not None or dot.value != ".":
+            self.error(f"Expected '.' terminating {kind}", dot)
+        scope = self.quant_scopes[-1]
+        for iri_ in iris:
+            if kind == "@forAll":
+                local = re.split(r"[#/]", iri_.strip("<>"))[-1] or "v"
+                name = local
+                n = 1
+                while name in self.variables:
+                    name = f"{local}_{n}"
+                    n += 1
+                self.variables[name] = T.var(name)
+                scope[iri_] = self.variables[name]
+            else:  # @forSome -> existential in the current formula
+                scope[iri_] = self.bnode()
 
     def _directive_terminator(self, terminated: bool, token: Token) -> None:
         nxt = self.first()
@@ -304,6 +405,16 @@ class N3Parser:
         if token is None:
             self.error("Unexpected end of file")
         v = token.value if token.type is None else None
+        if self.legacy and token.type == "LANGTAG" and token.value == "@a":
+            # cwm escape form: `@a` is always rdf:type, even when
+            # @keywords stripped bare `a` of its syntactic role
+            self.shift()
+            return T.RDF_TYPE, False
+        if (self.keywords is not None and v in ("a", "has", "is")
+                and v not in self.keywords):
+            # @keywords mode with this word undeclared: it is a plain
+            # default-namespace name, not syntax (cwm semantics)
+            v = None
         if v == "a":
             self.shift()
             return T.RDF_TYPE, False
@@ -520,14 +631,17 @@ class N3Parser:
         node = f"_:_form_{self._unique_label()}"
         self.result.formula_labels.add(node)
         self.formulae.append(node)
+        self.quant_scopes.append({})  # legacy @forAll/@forSome scope
         try:
             self.read_formulaContent()
         finally:
             closing = self.shift()
             if closing is None or closing.value != "}":
                 self.formulae.pop()
+                self.quant_scopes.pop()
                 self.error("formula: Expected closing '}'", closing)
             self.formulae.pop()
+            self.quant_scopes.pop()
         return node
 
     def read_formulaContent(self) -> None:
@@ -542,6 +656,12 @@ class N3Parser:
                 self.error("read_formulaContent: Unexpected end of file")
             if token.type in ("BASE", "PREFIX"):
                 self.read_directive()
+                nxt = self.first()
+                if nxt is not None and nxt.type is None and nxt.value == "}":
+                    break
+            elif (self.legacy and token.type == "LANGTAG"
+                  and token.value in _LEGACY_DIRECTIVES):
+                self.read_legacy_directive()
                 nxt = self.first()
                 if nxt is not None and nxt.type is None and nxt.value == "}":
                     break
@@ -580,11 +700,34 @@ class N3Parser:
             return None
         if token.type == "IRIREF":
             self.shift()
-            return self.process_iri(re.sub(r"\s+", "", token.value[1:-1]))
+            return self._quant_subst(
+                self.process_iri(re.sub(r"\s+", "", token.value[1:-1])))
         if token.type in ("PNAME_LN", "PNAME_NS"):
             self.shift()
-            return self.process_pname(token.value)
+            return self._quant_subst(self.process_pname(token.value))
+        if token.type == "BAREWORD" and self.keywords is not None:
+            # legacy @keywords mode: barewords are default-namespace names
+            # (cwm notation3.py semantics; opt-in only — the reference
+            # reader has no such production)
+            self.shift()
+            return self._quant_subst(self.ns(None, token.value))
+        if (self.keywords is not None and token.type is None
+                and token.value in _SYNTAX_WORDS
+                and token.value not in self.keywords):
+            # undeclared syntax word in @keywords mode: plain name
+            self.shift()
+            return self._quant_subst(self.ns(None, token.value))
         return None
+
+    def _quant_subst(self, iri: str) -> str:
+        """Map an IRI declared by a legacy @forAll/@forSome in any
+        enclosing scope to its quantified term (innermost wins)."""
+        if self.legacy:
+            for scope in reversed(self.quant_scopes):
+                mapped = scope.get(iri)
+                if mapped is not None:
+                    return mapped
+        return iri
 
     def read_blankNode(self):
         # [29] blankNode ::= BLANK_NODE_LABEL | ANON  (reader.rb:667-677)
@@ -701,6 +844,7 @@ def parse_n3(
     validate: bool = False,
     canonicalize: bool = False,
     anon_base: str = "b0",
+    legacy: bool = False,
 ) -> ParseResult:
     """Parse one N3 document into quads of N-Triples-encoded terms.
 
@@ -708,6 +852,11 @@ def parse_n3(
     bnode labels), mirroring the reference's repeatable labeler — the
     property that makes parallel, retry-safe Ray execution emit identical
     output (SURVEY.md §2.2).
+
+    ``legacy=True`` opts into the cwm-era `@forAll`/`@forSome`/`@keywords`
+    directives the reference grammar dropped (rejected by default, matching
+    the reference) — used to run the cwm goldens the reference ships but
+    skips.
     """
     try:
         parser = N3Parser(
@@ -718,6 +867,7 @@ def parse_n3(
             validate=validate,
             canonicalize=canonicalize,
             anon_base=anon_base,
+            legacy=legacy,
         )
         return parser.parse()
     except ParseError as e:

@@ -25,7 +25,8 @@ def cmd_parse(args) -> int:
     for path in args.files:
         text = open(path, encoding="utf-8").read()
         r = parse_n3(text, base_uri=f"file://{os.path.abspath(path)}",
-                     validate=args.validate, canonicalize=args.canonicalize)
+                     validate=args.validate, canonicalize=args.canonicalize,
+                     legacy=args.legacy)
         for e in r.errors:
             print(f"# error: {e}", file=sys.stderr)
         had_errors = had_errors or bool(r.errors)
@@ -45,7 +46,8 @@ def cmd_reason(args) -> int:
     for path in args.files:
         text = open(path, encoding="utf-8").read()
         result = reason_n3(text, think=args.think,
-                           base_uri=f"file://{os.path.abspath(path)}")
+                           base_uri=f"file://{os.path.abspath(path)}",
+                           legacy=args.legacy)
         if args.strings:
             sys.stdout.write(result.strings)
         elif args.conclusions:
@@ -108,6 +110,8 @@ def main() -> int:
     pp.add_argument("files", nargs="+")
     pp.add_argument("--validate", action="store_true")
     pp.add_argument("--canonicalize", action="store_true")
+    pp.add_argument("--legacy", action="store_true",
+                    help="accept cwm-era @forAll/@forSome/@keywords")
     pp.set_defaults(fn=cmd_parse)
 
     pr = sub.add_parser("reason")
@@ -116,6 +120,8 @@ def main() -> int:
     pr.add_argument("--conclusions", action="store_true")
     pr.add_argument("--data", action="store_true")
     pr.add_argument("--strings", action="store_true")
+    pr.add_argument("--legacy", action="store_true",
+                    help="accept cwm-era @forAll/@forSome/@keywords")
     pr.set_defaults(fn=cmd_reason)
 
     pl = sub.add_parser("pipeline")

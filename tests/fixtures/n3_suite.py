@@ -1965,4 +1965,95 @@ CASES += [
      "@prefix : <http://ex/>. @forSome :x . :x :knows :y .", None, {}),
     ("t4_neg_keywords_dropped_from_grammar", "NegativeSyntax",
      "@keywords a, is, of . x y z .", None, {}),
+
+    # --- legacy-cwm extension family (opt-in legacy=True) ---------------
+    # The reference rejects @forAll/@forSome/@keywords (cases above keep
+    # that parity); with legacy=True we reproduce cwm notation3.py
+    # semantics, validated against the reference's own cwm goldens
+    # (tests/test_golden_examples.py LEGACY_PAIRS).
+    ("l5_forall_simple", "Eval",
+     "@prefix : <http://ex/>. @forAll :x . :x :p :o .",
+     "?x <http://ex/p> <http://ex/o> .", {"legacy": True}),
+    ("l5_forsome_simple", "Eval",
+     "@prefix : <http://ex/>. @forSome :x . :x :p :o .",
+     "_:b0 <http://ex/p> <http://ex/o> .", {"legacy": True}),
+    ("l5_forall_multi", "Eval",
+     "@prefix : <http://ex/>. @forAll :x, :y . :x :p :y .",
+     "?x <http://ex/p> ?y .", {"legacy": True}),
+    ("l5_keywords_barewords", "Eval",
+     "@prefix : <http://ex/>. @keywords a . dan a Man .",
+     "<http://ex/dan> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+     " <http://ex/Man> .", {"legacy": True}),
+    ("l5_keywords_empty_all_names", "Eval",
+     "@prefix : <http://ex/>. @keywords . x y z .",
+     "<http://ex/x> <http://ex/y> <http://ex/z> .", {"legacy": True}),
+    ("l5_keywords_at_a_escape", "Eval",
+     "@prefix : <http://ex/>. @keywords is . x @a T .",
+     "<http://ex/x> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+     " <http://ex/T> .", {"legacy": True}),
+    ("l5_forall_in_list", "Eval",
+     "@prefix : <http://ex/>. @forAll :x . (:x) :p :o .",
+     "_:b0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> ?x .\n"
+     "_:b0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest>"
+     " <http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> .\n"
+     "_:b0 <http://ex/p> <http://ex/o> .", {"legacy": True}),
+    ("l5_forsome_in_formula_scoped", "Eval",
+     "@prefix : <http://ex/>. { @forSome :y . :s :p :y } :g :h .",
+     "<http://ex/s> <http://ex/p> _:b0 _:_form_0 .\n"
+     "_:_form_0 <http://ex/g> <http://ex/h> .", {"legacy": True}),
+    ("l5_forall_shadowed_by_inner_forsome", "Eval",
+     "@prefix : <http://ex/>. @forAll :x . :x :p { @forSome :x . :x :q :r } .",
+     "_:b0 <http://ex/q> <http://ex/r> _:_form_0 .\n"
+     "?x <http://ex/p> _:_form_0 .", {"legacy": True}),
+    ("l5_keywords_has_as_plain_name", "Eval",
+     "@prefix : <http://ex/>. @keywords of . dan has x .",
+     "<http://ex/dan> <http://ex/has> <http://ex/x> .", {"legacy": True}),
+    ("l5_neg_forall_bad_item", "NegativeSyntax",
+     '@prefix : <http://ex/>. @forAll "x" . :a :b :c .', None,
+     {"legacy": True}),
+    ("l5_neg_forall_unterminated", "NegativeSyntax",
+     "@prefix : <http://ex/>. @forAll :x :a :b :c .", None,
+     {"legacy": True}),
+    ("l5_reason_forall_rule", "Reason",
+     "@prefix : <http://ex/>. @forAll :x . :socrates a :Man . "
+     "{ :x a :Man } => { :x a :Mortal } .",
+     "<http://ex/socrates> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+     " <http://ex/Man> .\n"
+     "<http://ex/socrates> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+     " <http://ex/Mortal> .", {"legacy": True, "think": True}),
+    ("l5_reason_keywords_rule", "Reason",
+     "@prefix : <http://ex/>. @keywords a, is, of . dan a Man . "
+     "{ ?W a Man } => { ?W a Mortal } .",
+     "<http://ex/dan> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+     " <http://ex/Man> .\n"
+     "<http://ex/dan> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+     " <http://ex/Mortal> .", {"legacy": True, "think": True}),
+    ("l5_reason_formula_content_unify", "Reason",
+     "@prefix : <http://ex/>. @forAll :x . :j :says { :m :f :v } . "
+     "{ :j :says { :m :f :x } } => { :x a :Found } .",
+     "<http://ex/v> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+     " <http://ex/Found> .", {"legacy": True, "think": True}),
+    ("l5_reason_quoted_universal_alpha", "Reason",
+     "@prefix : <http://ex/>. :j :says { @forAll :y . :m :f :y } . "
+     "{ :j :says { @forAll :z . :m :f :z } } => { :ok a :Success } .",
+     "<http://ex/ok> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+     " <http://ex/Success> .", {"legacy": True, "think": True}),
+    ("l5_reason_cons_cell_first", "Reason",
+     "@prefix : <http://ex/>. "
+     "@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> . "
+     "( :q ) a :T . { ?X a :T . ?X rdf:first ?B } => { ?B a :First } .",
+     "(<http://ex/q>) <http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+     " <http://ex/T> .\n"
+     "<http://ex/q> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+     " <http://ex/First> .", {"legacy": True, "think": True}),
+    ("l5_reason_cons_cell_rest_walk", "Reason",
+     "@prefix : <http://ex/>. "
+     "@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> . "
+     "( :q :r ) a :T . { ?X a :T . ?X rdf:rest ?Y } => { ?Y a :T } .",
+     "(<http://ex/q> <http://ex/r>)"
+     " <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://ex/T> .\n"
+     "(<http://ex/r>) <http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+     " <http://ex/T> .\n"
+     "() <http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+     " <http://ex/T> .", {"legacy": True, "think": True}),
 ]

@@ -93,7 +93,7 @@ def test_eval(case):
 @pytest.mark.parametrize("case", REASON_CASES, ids=[c[0] for c in REASON_CASES])
 def test_reason(case):
     cid, _, text, expected, opts = case
-    parsed = parse_n3(text, list_terms=True)
+    parsed = parse_n3(text, list_terms=True, legacy=opts.get("legacy", False))
     assert not parsed.errors, (cid, parsed.errors)
     result = reason(parsed.quads, think=opts.get("think", False))
     got = result.conclusions() if opts.get("conclusions") else result.data()
