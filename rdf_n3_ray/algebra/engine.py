@@ -173,11 +173,21 @@ class Engine:
                     alpha[pat] = ground
                     return sol
                 return sol if prev == ground else None
+            if alpha is not None and pat in alpha:
+                # this var already corresponds to a quoted universal in
+                # the formula being unified — binding it to a concrete
+                # term as well would fake alpha-equivalence
+                return None
             s2 = dict(sol)
             # nested ground elements arrive as Python lists — re-encode
             # so bindings stay in the engine's string term space
             s2[pat] = T.encode_list(ground) if isinstance(ground, list) else ground
             return s2
+        if alpha is None and is_var(ground):
+            # ground-side universal (e.g. a legacy @forAll data fact
+            # '?x :p :o'): universal instantiation — it matches any
+            # pattern term, binding nothing
+            return sol
         if isinstance(pat, list) or (isinstance(pat, str) and T.is_list_term(pat)):
             # nested elements from parse_list_term arrive as Python lists
             pl = pat if isinstance(pat, list) else T.parse_list_term(pat)
@@ -206,7 +216,14 @@ class Engine:
             # graph names), needed for the cwm unify goldens
             return self._unify_formula_terms(
                 pat, ground, sol, alpha if alpha is not None else {})
-        return sol if pat == ground else None
+        if pat == ground:
+            return sol
+        if (pat == T.RDF_NIL and ground == "()") or (
+                pat == "()" and ground == T.RDF_NIL):
+            # the empty list: rdf:nil IRI and the parser's list_terms
+            # encoding '()' denote the same term
+            return sol
+        return None
 
     def _is_formula_node(self, t) -> bool:
         return (isinstance(t, str) and T.is_bnode(t)
@@ -244,46 +261,63 @@ class Engine:
 
         return bt(0, sol, frozenset())
 
-    def _list_cell_facts(self) -> list[Quad]:
+    # a list longer than this gets no synthesized cells (the suffix
+    # encodings are O(n^2) in the list length); cwm-style structural
+    # rules over lists this big are out of contract
+    _MAX_CELL_LIST = 512
+
+    def _list_cell_facts(self, facts: list[Quad]) -> list[Quad]:
         """Synthesized rdf:first/rdf:rest facts for every list term (and
-        every suffix/nested list) in the top graph — cwm's llyn store
-        keeps real cons cells, so rules may pattern-match list structure
-        (examples/list/builtin_generated_match.n3); the reference's
-        ListTerm-style encoding (ours too) hides it, so expose it here."""
-        memo = getattr(self, "_list_cells_memo", None)
-        if memo is not None:
-            return memo
-        facts: list[Quad] = []
+        every suffix/nested list) appearing in `facts` — cwm's llyn
+        store keeps real cons cells, so rules may pattern-match list
+        structure (examples/list/builtin_generated_match.n3); the
+        reference's ListTerm-style encoding (ours too) hides it, so
+        expose it here.  Derived from the facts being matched (not the
+        whole KB) so log:includes over a quoted formula sees only that
+        formula's lists.  The empty tail is '()' (the parser's
+        list_terms encoding); `_unify` treats '()' and rdf:nil as the
+        same term, so `rdf:rest rdf:nil` patterns match the last cell."""
+        if facts is self.kb:
+            memo = getattr(self, "_list_cells_memo", None)
+            if memo is not None:
+                return memo
+        cells: list[Quad] = []
         seen: set[str] = set()
 
         def walk(term):
-            if isinstance(term, list):
-                elems, enc = term, T.encode_list(term)
-            elif isinstance(term, str) and T.is_list_term(term):
-                elems, enc = T.parse_list_term(term), term
-            else:
-                return
-            if enc in seen or not elems:
-                return
-            seen.add(enc)
-            head = T.encode_list(elems[0]) if isinstance(elems[0], list) else elems[0]
-            tail = elems[1:]
-            facts.append((enc, T.RDF_FIRST, head, None))
-            facts.append((enc, T.RDF_REST, T.encode_list(tail), None))
-            walk(elems[0])
-            walk(tail)
+            # iterative over suffixes; recursion only for nesting depth
+            while True:
+                if isinstance(term, list):
+                    elems, enc = term, T.encode_list(term)
+                elif isinstance(term, str) and T.is_list_term(term):
+                    elems, enc = T.parse_list_term(term), term
+                else:
+                    return
+                if enc in seen or not elems or len(elems) > self._MAX_CELL_LIST:
+                    return
+                seen.add(enc)
+                head = (T.encode_list(elems[0])
+                        if isinstance(elems[0], list) else elems[0])
+                tail = elems[1:]
+                cells.append((enc, T.RDF_FIRST, head, None))
+                cells.append((enc, T.RDF_REST, T.encode_list(tail), None))
+                walk(elems[0])
+                term = tail  # continue with the suffix cell
 
-        for s_, _p, o_, g_ in self.kb:
-            if g_ is None:
-                walk(s_)
-                walk(o_)
-        self._list_cells_memo = facts
-        return facts
+        for s_, _p, o_, g_ in facts:
+            if g_ is not None:  # same graph filter as the match loop
+                continue
+            walk(s_)
+            walk(o_)
+        if facts is self.kb:
+            self._list_cells_memo = cells
+        return cells
 
     def _match_bgp(self, patterns: list[tuple], facts: list[Quad], init: dict):
         """Simple BGP join: most-bound pattern first, backtracking."""
-        if any(p in (T.RDF_FIRST, T.RDF_REST) for _s, p, _o in patterns):
-            cells = self._list_cell_facts()
+        if any(p in (T.RDF_FIRST, T.RDF_REST) or is_var(p)
+               for _s, p, _o in patterns):
+            cells = self._list_cell_facts(facts)
             if cells:
                 facts = facts + cells
         solutions = [dict(init)]

@@ -135,6 +135,7 @@ class N3Parser:
         self.legacy = legacy
         self.keywords: set[str] | None = None  # None = barewords invalid
         self.quant_scopes: list[dict[str, str]] = [{}]  # iri -> var/bnode
+        self.quant_starts: list[int] = [0]  # result.quads index at scope open
         self.base_uri = base_uri
         self.result = ParseResult()
         self.prefixes: dict[str | None, str] = {}
@@ -204,6 +205,9 @@ class N3Parser:
                 if self.validate:
                     break
                 self._recover({"."})
+        # document-level legacy quantifiers apply to the whole document
+        # (retroactive, like cwm's formula-scoped @forAll/@forSome)
+        self._apply_quant_scope(self.quant_scopes[0], 0)
         self.result.prefixes = dict(self.prefixes)
         return self.result
 
@@ -271,6 +275,12 @@ class N3Parser:
         - ``@keywords a, is, of.`` — enables bareword mode: barewords are
           default-namespace names; only the listed words keep their
           syntactic role.
+
+        Known simplification: an ``@forAll :x`` universal and a ``?x``
+        quickvar share one name space (both become ``?x``), mirroring
+        the N3 shorthand reading of ``?x`` as a document universal; cwm
+        distinguishes them when the declared prefix differs from the
+        document namespace.
         """
         directive = self.shift()  # the LANGTAG token
         kind = directive.value
@@ -632,16 +642,17 @@ class N3Parser:
         self.result.formula_labels.add(node)
         self.formulae.append(node)
         self.quant_scopes.append({})  # legacy @forAll/@forSome scope
+        self.quant_starts.append(len(self.result.quads))
         try:
             self.read_formulaContent()
         finally:
             closing = self.shift()
             if closing is None or closing.value != "}":
                 self.formulae.pop()
-                self.quant_scopes.pop()
+                self._pop_quant_scope()
                 self.error("formula: Expected closing '}'", closing)
             self.formulae.pop()
-            self.quant_scopes.pop()
+            self._pop_quant_scope()
         return node
 
     def read_formulaContent(self) -> None:
@@ -718,6 +729,42 @@ class N3Parser:
             self.shift()
             return self._quant_subst(self.ns(None, token.value))
         return None
+
+    def _pop_quant_scope(self) -> None:
+        """Close a legacy quantifier scope, retroactively substituting
+        its declarations over every quad emitted inside the scope —
+        cwm's @forAll/@forSome govern the whole enclosing formula, even
+        occurrences parsed before the directive."""
+        scope = self.quant_scopes.pop()
+        start = self.quant_starts.pop()
+        self._apply_quant_scope(scope, start)
+
+    def _apply_quant_scope(self, scope: dict[str, str], start: int) -> None:
+        if not scope:
+            return
+        quads = self.result.quads
+        for i in range(start, len(quads)):
+            s, p, o, g = quads[i]
+            ns = self._subst_deep(s, scope)
+            np_ = self._subst_deep(p, scope)
+            no = self._subst_deep(o, scope)
+            if (ns, np_, no) != (s, p, o):
+                quads[i] = (ns, np_, no, g)
+
+    def _subst_deep(self, t, scope: dict[str, str]):
+        if not isinstance(t, str):
+            return t
+        mapped = scope.get(t)
+        if mapped is not None:
+            return mapped
+        if T.is_list_term(t) and any(iri[1:-1] in t for iri in scope):
+            def walk(e):
+                if isinstance(e, list):
+                    return [walk(x) for x in e]
+                return scope.get(e, e) if isinstance(e, str) else e
+
+            return T.encode_list(walk(T.parse_list_term(t)))
+        return t
 
     def _quant_subst(self, iri: str) -> str:
         """Map an IRI declared by a legacy @forAll/@forSome in any

@@ -2046,6 +2046,34 @@ CASES += [
      " <http://ex/T> .\n"
      "<http://ex/q> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
      " <http://ex/First> .", {"legacy": True, "think": True}),
+    ("l5_forall_retroactive", "Eval",
+     # cwm quantifier scope is the whole formula: a directive after the
+     # statement still governs it
+     "@prefix : <http://ex/>. :x :p :o . @forAll :x .",
+     "?x <http://ex/p> <http://ex/o> .", {"legacy": True}),
+    ("l5_reason_rest_nil_pattern", "Reason",
+     # rdf:nil and the '()' list encoding are the same term, so the
+     # natural last-cell pattern matches
+     "@prefix : <http://ex/>. "
+     "@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> . "
+     "( :q ) a :T . { ?X a :T . ?X rdf:rest rdf:nil } => { :end a :End } .",
+     "(<http://ex/q>) <http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+     " <http://ex/T> .\n"
+     "<http://ex/end> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+     " <http://ex/End> .", {"legacy": True, "think": True}),
+    ("l5_reason_universal_fact_instantiation", "Reason",
+     # a universally quantified data fact matches any ground pattern
+     "@prefix : <http://ex/>. @forAll :x . :a :p :x . "
+     "{ :a :p :q } => { :ok a :Yes } .",
+     "<http://ex/ok> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+     " <http://ex/Yes> .", {"legacy": True, "think": True}),
+    ("l5_reason_alpha_no_concrete_crossbind", "Reason",
+     # a pattern var alpha-matched to a quoted universal must not also
+     # bind concretely elsewhere in the same formula (unsound otherwise)
+     "@prefix : <http://ex/>. "
+     ":j :says { @forAll :y . :m :f :y . :m :g :c } . @forAll :x . "
+     "{ :j :says { :m :f :x . :m :g :x } } => { :x a :Wrong } .",
+     "", {"legacy": True, "think": True}),
     ("l5_reason_cons_cell_rest_walk", "Reason",
      "@prefix : <http://ex/>. "
      "@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> . "
