@@ -159,8 +159,10 @@ class Engine:
 
     # -- pattern matching ----------------------------------------------
     def _unify(self, pat, ground, sol: dict, alpha: dict | None = None):
-        pat = sol.get(pat, pat) if is_var(pat) else pat
-        if is_var(pat):
+        # hot path: inlined is_var (type(t) is str and t[:1] == "?")
+        if type(pat) is str and pat[:1] == "?":
+            pat = sol.get(pat, pat)
+        if type(pat) is str and pat[:1] == "?":
             if alpha is not None and is_var(ground):
                 # inside formula-formula unification a pattern variable
                 # meeting a quoted universal is alpha-correspondence, not
@@ -314,12 +316,53 @@ class Engine:
         return cells
 
     def _match_bgp(self, patterns: list[tuple], facts: list[Quad], init: dict):
-        """Simple BGP join: most-bound pattern first, backtracking."""
+        """BGP join: most-bound pattern first, with a per-call fact
+        index on predicate and (predicate, subject) so each solution
+        only probes plausibly-matching facts instead of the whole KB —
+        the difference between O(|sols|·|KB|) and ~O(|sols|) per
+        pattern, which is what lets 1000-triple closures (the inputs
+        the reference's own CI tags SLOW) run in seconds."""
         if any(p in (T.RDF_FIRST, T.RDF_REST) or is_var(p)
                for _s, p, _o in patterns):
             cells = self._list_cell_facts(facts)
             if cells:
                 facts = facts + cells
+        # index the default-graph facts; wildcard bucket for facts whose
+        # predicate/subject is itself a variable (legacy universals) or
+        # a structured term that plain equality would miss
+        by_pred: dict[str, list[Quad]] = defaultdict(list)
+        by_pred_subj: dict[tuple, list[Quad]] = defaultdict(list)
+        wild: list[Quad] = []
+        for q in facts:
+            if q[3] is not None:
+                continue
+            fs, fp = q[0], q[1]
+            if is_var(fp):
+                wild.append(q)
+                continue
+            by_pred[fp].append(q)
+            if not (is_var(fs) or isinstance(fs, str) and fs.startswith("(")):
+                by_pred_subj[(fp, fs)].append(q)
+
+        loose_memo: dict[str, list[Quad]] = {}
+
+        def candidates(rp, rs):
+            if is_var(rp) or not isinstance(rp, str):
+                return None  # unindexable: scan everything
+            if (rs is not None and isinstance(rs, str) and not is_var(rs)
+                    and not rs.startswith("(") and not self._is_formula_node(rs)):
+                # subject ground and unstructured: (p, s) probe, plus
+                # facts whose subject is a var/list (unify may still hit)
+                exact = by_pred_subj.get((rp, rs), [])
+                loose = loose_memo.get(rp)
+                if loose is None:
+                    loose = loose_memo[rp] = [
+                        q for q in by_pred.get(rp, ())
+                        if is_var(q[0]) or q[0].startswith("(")
+                        or not isinstance(q[0], str)]
+                return exact + loose + wild
+            return by_pred.get(rp, []) + wild
+
         solutions = [dict(init)]
         remaining = list(patterns)
         while remaining:
@@ -328,19 +371,27 @@ class Engine:
             remaining.sort(key=lambda p: input_vars(p[0], p[2], probe) + (0 if not is_var(p[1]) else 1))
             s, p, o = remaining.pop(0)
             nxt = []
+            uni = self._unify
+            append = nxt.append
             for sol in solutions:
-                for fs, fp, fo, fg in facts:
-                    if fg is not None:
-                        continue
-                    s1 = self._unify(p, fp, sol)
+                rp = sol.get(p, p) if is_var(p) else p
+                rs = sol.get(s, s) if is_var(s) else s
+                cands = candidates(rp, rs)
+                if cands is None:
+                    cands = [q for q in facts if q[3] is None]
+                for fs, fp, fo, fg in cands:
+                    # identical-string terms unify trivially (equal
+                    # ground terms, or a var meeting itself — which
+                    # correctly leaves it unconstrained)
+                    s1 = sol if p == fp else uni(p, fp, sol)
                     if s1 is None:
                         continue
-                    s2 = self._unify(s, fs, s1)
+                    s2 = s1 if s == fs else uni(s, fs, s1)
                     if s2 is None:
                         continue
-                    s3 = self._unify(o, fo, s2)
+                    s3 = s2 if o == fo else uni(o, fo, s2)
                     if s3 is not None:
-                        nxt.append(s3)
+                        append(s3)
             solutions = _uniq(nxt)
             if not solutions:
                 return []
@@ -468,8 +519,10 @@ class Engine:
             return []
         formula_nodes = {k for k in graphs if k}
         # graphs created DURING this iteration (conjunction/parsedAsN3/
-        # conclusion results) live in the KB but not in the snapshot
-        live_graphs = {q[3] for q in self.kb if q[3] is not None}
+        # conclusion results) live in the KB but not in the snapshot —
+        # the memoized _graphs() keys cover them (None key is harmless:
+        # terms are never None), avoiding a KB scan per instantiation
+        live_graphs = self._graphs()
         bound_formulae: set[str] = set()
 
         def inst_formula(fg: str) -> tuple[str, list]:

@@ -707,3 +707,68 @@ def test_content_semantics_injected_fetcher():
                  " => { :r :got ?c } .", list_terms=True)
     out = reason(p.quads, think=True).conclusions()
     assert out == []
+
+
+# --- SLOW-shape fixpoint scale (suite_helper.rb:124-177 tags the
+# reference's 1k-10k-triple inputs SLOW and skips them in CI; these are
+# reduced-size analogues that must stay fast thanks to the _match_bgp
+# predicate/(predicate,subject) fact index) -----------------------------
+
+def test_chain_transitive_closure_40():
+    """01etc_graph-N shape: linear chain reachability closure."""
+    import time
+
+    n = 40
+    facts = " ".join(f":n{i} :edge :n{i+1} ." for i in range(n))
+    doc = f"""@prefix : <http://ex/>. {facts}
+{{ ?x :edge ?y }} => {{ ?x :reach ?y }} .
+{{ ?x :reach ?y . ?y :edge ?z }} => {{ ?x :reach ?z }} ."""
+    t0 = time.perf_counter()
+    r = reason_n3(doc, think=True)
+    elapsed = time.perf_counter() - t0
+    reach = {(q[0], q[2]) for q in r.data() if q[1] == "<http://ex/reach>"}
+    want = {(f"<http://ex/n{i}>", f"<http://ex/n{j}>")
+            for i in range(n + 1) for j in range(i + 1, n + 1)}
+    assert reach == want
+    # pre-index this took ~20s; generous 3x-noise bound guards the
+    # O(|solutions| * |KB|) regression class, not exact timing
+    assert elapsed < 15, f"closure too slow: {elapsed:.1f}s"
+
+
+def test_binary_tree_ancestor_closure():
+    """04test-shape: branching ancestor closure over a depth-6 tree."""
+    edges = []
+    for i in range(1, 64):
+        edges.append(f":v{i} :child :v{2*i} .")
+        edges.append(f":v{i} :child :v{2*i+1} .")
+    doc = f"""@prefix : <http://ex/>. {' '.join(edges)}
+{{ ?x :child ?y }} => {{ ?x :anc ?y }} .
+{{ ?x :anc ?y . ?y :child ?z }} => {{ ?x :anc ?z }} ."""
+    r = reason_n3(doc, think=True)
+    anc = {(q[0], q[2]) for q in r.data() if q[1] == "<http://ex/anc>"}
+
+    # every node's ancestor set = nodes on its root path
+    def ancestors(k):
+        out = set()
+        while k > 1:
+            k //= 2
+            out.add(k)
+        return out
+
+    want = {(f"<http://ex/v{a}>", f"<http://ex/v{k}>")
+            for k in range(2, 128) for a in ancestors(k)}
+    assert anc == want
+
+
+def test_wide_subject_join_uses_subject_index():
+    """One subject with 200 objects joined against a selective pattern:
+    the (predicate, subject) probe keeps this linear."""
+    facts = " ".join(f":hub :links :t{i} ." for i in range(200))
+    doc = f"""@prefix : <http://ex/>. {facts}
+:t7 :special true . :t42 :special true .
+{{ :hub :links ?t . ?t :special true }} => {{ ?t a :Hit }} ."""
+    r = reason_n3(doc, think=True)
+    hits = {q[0] for q in r.data()
+            if q[1] == "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+            and q[2] == "<http://ex/Hit>"}
+    assert hits == {"<http://ex/t7>", "<http://ex/t42>"}
