@@ -337,31 +337,41 @@ class Engine:
             if q[3] is not None:
                 continue
             fs, fp = q[0], q[1]
-            if is_var(fp):
+            if is_var(fp) or fp.startswith("("):
+                # var predicates (legacy universals) and structured
+                # predicates can unify with anything — always probed
                 wild.append(q)
                 continue
             by_pred[fp].append(q)
-            if not (is_var(fs) or isinstance(fs, str) and fs.startswith("(")):
+            if not (is_var(fs) or fs.startswith("(")):
                 by_pred_subj[(fp, fs)].append(q)
 
         loose_memo: dict[str, list[Quad]] = {}
 
         def candidates(rp, rs):
-            if is_var(rp) or not isinstance(rp, str):
-                return None  # unindexable: scan everything
+            if (is_var(rp) or not isinstance(rp, str) or rp.startswith("(")
+                    or rp == T.RDF_NIL or self._is_formula_node(rp)):
+                # unindexable pattern predicate (var, structured, nil's
+                # '()' alias, or formula node): scan everything
+                return None
+            bucket = by_pred.get(rp, [])
             if (rs is not None and isinstance(rs, str) and not is_var(rs)
-                    and not rs.startswith("(") and not self._is_formula_node(rs)):
+                    and not rs.startswith("(") and rs != T.RDF_NIL
+                    and not self._is_formula_node(rs)):
                 # subject ground and unstructured: (p, s) probe, plus
                 # facts whose subject is a var/list (unify may still hit)
                 exact = by_pred_subj.get((rp, rs), [])
                 loose = loose_memo.get(rp)
                 if loose is None:
                     loose = loose_memo[rp] = [
-                        q for q in by_pred.get(rp, ())
-                        if is_var(q[0]) or q[0].startswith("(")
-                        or not isinstance(q[0], str)]
+                        q for q in bucket
+                        if is_var(q[0]) or q[0].startswith("(")]
+                if not loose and not wild:
+                    return exact
                 return exact + loose + wild
-            return by_pred.get(rp, []) + wild
+            if not wild:
+                return bucket
+            return bucket + wild
 
         solutions = [dict(init)]
         remaining = list(patterns)
@@ -380,16 +390,20 @@ class Engine:
                 if cands is None:
                     cands = [q for q in facts if q[3] is None]
                 for fs, fp, fo, fg in cands:
-                    # identical-string terms unify trivially (equal
-                    # ground terms, or a var meeting itself — which
-                    # correctly leaves it unconstrained)
-                    s1 = sol if p == fp else uni(p, fp, sol)
+                    # identical GROUND terms unify trivially; vars still
+                    # go through _unify so a var meeting its same-named
+                    # ground twin binds var-to-var and is dropped by the
+                    # formula.rb:154 filter exactly like any other name
+                    s1 = (sol if p == fp and p[:1] != "?"
+                          else uni(p, fp, sol))
                     if s1 is None:
                         continue
-                    s2 = s1 if s == fs else uni(s, fs, s1)
+                    s2 = (s1 if s == fs and s[:1] != "?"
+                          else uni(s, fs, s1))
                     if s2 is None:
                         continue
-                    s3 = s2 if o == fo else uni(o, fo, s2)
+                    s3 = (s2 if o == fo and o[:1] != "?"
+                          else uni(o, fo, s2))
                     if s3 is not None:
                         append(s3)
             solutions = _uniq(nxt)

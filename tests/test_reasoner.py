@@ -714,11 +714,11 @@ def test_content_semantics_injected_fetcher():
 # reduced-size analogues that must stay fast thanks to the _match_bgp
 # predicate/(predicate,subject) fact index) -----------------------------
 
-def test_chain_transitive_closure_40():
+def test_chain_transitive_closure_60():
     """01etc_graph-N shape: linear chain reachability closure."""
     import time
 
-    n = 40
+    n = 60
     facts = " ".join(f":n{i} :edge :n{i+1} ." for i in range(n))
     doc = f"""@prefix : <http://ex/>. {facts}
 {{ ?x :edge ?y }} => {{ ?x :reach ?y }} .
@@ -730,9 +730,10 @@ def test_chain_transitive_closure_40():
     want = {(f"<http://ex/n{i}>", f"<http://ex/n{j}>")
             for i in range(n + 1) for j in range(i + 1, n + 1)}
     assert reach == want
-    # pre-index this took ~20s; generous 3x-noise bound guards the
-    # O(|solutions| * |KB|) regression class, not exact timing
-    assert elapsed < 15, f"closure too slow: {elapsed:.1f}s"
+    # the pre-index engine took 107s here vs ~1.4s now; a 45s bound
+    # guards the O(|solutions| * |KB|) regression class with a 30x
+    # noise margin (this host's contention can stretch wall time ~3x)
+    assert elapsed < 45, f"closure too slow: {elapsed:.1f}s"
 
 
 def test_binary_tree_ancestor_closure():
