@@ -92,6 +92,10 @@ class Engine:
         self.kb_set: set[Quad] = set()
         self.inferred: list[Quad] = []
         self.fresh_counter = 0
+        self._graphs_memo = None
+        self._kb_index = None  # persistent (by_pred, by_pred_subj, wild)
+        self._list_cells_memo = None
+        self._top_bgp_cache: tuple[int, list] = (0, [])
         for q in quads:
             self._insert(q)
         self.ctx.expand_list = self._expand_list
@@ -103,7 +107,14 @@ class Engine:
             return False
         self.kb_set.add(q)
         self.kb.append(q)
-        self._graphs_memo = None  # KB changed
+        # KB is append-only, so the graph memo and the persistent fact
+        # index extend incrementally instead of invalidating — the
+        # O(|KB|)-per-iteration rebuilds would make deep fixpoints
+        # quadratic in the closure size
+        if self._graphs_memo is not None:
+            self._graphs_memo[q[3]].append(q)
+        if self._kb_index is not None and q[3] is None:
+            self._index_fact(self._kb_index, q)
         self._list_cells_memo = None
         if inferred:
             self.inferred.append(q)
@@ -123,6 +134,9 @@ class Engine:
         return graphs
 
     def _formula_quads(self, g: str) -> list[Quad]:
+        memo = self._graphs_memo
+        if memo is not None:
+            return memo.get(g, [])
         return [q for q in self.kb if q[3] == g]
 
     def _expand_list(self, head: str) -> list | None:
@@ -315,36 +329,59 @@ class Engine:
             self._list_cells_memo = cells
         return cells
 
+    @staticmethod
+    def _index_fact(idx, q: Quad) -> None:
+        """Classify one default-graph fact into the (by_pred,
+        by_pred_subj, wild) index buckets: wildcard for var/structured
+        predicates (unify with anything), the (p, s) probe only for
+        plain ground subjects."""
+        by_pred, by_pred_subj, wild = idx
+        fs, fp = q[0], q[1]
+        if is_var(fp) or fp.startswith("("):
+            wild.append(q)
+            return
+        by_pred[fp].append(q)
+        if not (is_var(fs) or fs.startswith("(")):
+            by_pred_subj[(fp, fs)].append(q)
+
+    @classmethod
+    def _build_index(cls, facts: list[Quad]):
+        idx = (defaultdict(list), defaultdict(list), [])
+        for q in facts:
+            if q[3] is None:
+                cls._index_fact(idx, q)
+        return idx
+
     def _match_bgp(self, patterns: list[tuple], facts: list[Quad], init: dict):
-        """BGP join: most-bound pattern first, with a per-call fact
-        index on predicate and (predicate, subject) so each solution
-        only probes plausibly-matching facts instead of the whole KB —
-        the difference between O(|sols|·|KB|) and ~O(|sols|) per
-        pattern, which is what lets 1000-triple closures (the inputs
-        the reference's own CI tags SLOW) run in seconds."""
+        return self._match_bgp_multi(patterns, facts, [dict(init)])
+
+    def _match_bgp_multi(self, patterns: list[tuple], facts: list[Quad],
+                         solutions: list[dict]):
+        """BGP join over a list of starting solutions: most-bound
+        pattern first, with a per-call fact index on predicate and
+        (predicate, subject) so each solution only probes
+        plausibly-matching facts instead of the whole KB — the
+        difference between O(|sols|·|KB|) and ~O(|sols|) per pattern,
+        which is what lets 1000-triple closures (the inputs the
+        reference's own CI tags SLOW) run in seconds.  Taking the
+        starting solutions as a batch keeps the index build a one-time
+        cost for semi-naive seeds."""
+        from_kb = facts is self.kb
         if any(p in (T.RDF_FIRST, T.RDF_REST) or is_var(p)
                for _s, p, _o in patterns):
             cells = self._list_cell_facts(facts)
             if cells:
                 facts = facts + cells
-        # index the default-graph facts; wildcard bucket for facts whose
-        # predicate/subject is itself a variable (legacy universals) or
-        # a structured term that plain equality would miss
-        by_pred: dict[str, list[Quad]] = defaultdict(list)
-        by_pred_subj: dict[tuple, list[Quad]] = defaultdict(list)
-        wild: list[Quad] = []
-        for q in facts:
-            if q[3] is not None:
-                continue
-            fs, fp = q[0], q[1]
-            if is_var(fp) or fp.startswith("("):
-                # var predicates (legacy universals) and structured
-                # predicates can unify with anything — always probed
-                wild.append(q)
-                continue
-            by_pred[fp].append(q)
-            if not (is_var(fs) or fs.startswith("(")):
-                by_pred_subj[(fp, fs)].append(q)
+                from_kb = False  # combined list needs an ad-hoc index
+        if from_kb:
+            # persistent index over the append-only KB, extended
+            # incrementally by _insert — never rebuilt per iteration
+            idx = self._kb_index
+            if idx is None:
+                idx = self._kb_index = self._build_index(self.kb)
+        else:
+            idx = self._build_index(facts)
+        by_pred, by_pred_subj, wild = idx
 
         loose_memo: dict[str, list[Quad]] = {}
 
@@ -373,7 +410,6 @@ class Engine:
                 return bucket
             return bucket + wild
 
-        solutions = [dict(init)]
         remaining = list(patterns)
         while remaining:
             # choose pattern with fewest unbound vars under first solution
@@ -420,9 +456,19 @@ class Engine:
         rest are patterns; bnodes in quoted graphs become ndvars.
         """
         formula_nodes = {k for k in graphs if k}
-        patterns, ops = [], []
+        stmts = graphs.get(g, [])
+        if g is None:
+            # the top graph is append-only and huge in deep fixpoints:
+            # resume classification from the cached prefix instead of
+            # re-splitting the whole graph every iteration
+            cache = getattr(self, "_top_split_cache", None)
+            if cache is None or cache[0] > len(stmts):
+                cache = (0, [], [])
+            start, patterns, ops = cache
+        else:
+            start, patterns, ops = 0, [], []
         scope = g or "base"
-        for s, p, o, _ in graphs.get(g, []):
+        for s, p, o, _ in stmts[start:]:
             if g is not None:
                 s = self._promote(s, scope, formula_nodes)
                 o = self._promote(o, scope, formula_nodes)
@@ -436,6 +482,8 @@ class Engine:
                 ops.append((s, pred_iri, o))
             else:
                 patterns.append((s, p, o))
+        if g is None:
+            self._top_split_cache = (len(stmts), patterns, ops)
         return patterns, ops
 
     # -- builtin evaluation ----------------------------------------------
@@ -472,8 +520,16 @@ class Engine:
         """Formula#execute: BGP then ranked builtins (formula.rb:121-189)."""
         patterns, ops = self._formula_patterns(g, graphs)
         if g is None:
-            # top formula: ground statements trivially match themselves
-            bgp = [p for p in patterns if _has_var(p)]
+            # top formula: ground statements trivially match themselves;
+            # the var-pattern filter resumes from its cached prefix
+            # (patterns is the append-only cached top split)
+            n0, bgp = self._top_bgp_cache
+            if n0 > len(patterns):
+                n0, bgp = 0, []
+            for p_ in patterns[n0:]:
+                if _has_var(p_):
+                    bgp.append(p_)
+            self._top_bgp_cache = (len(patterns), bgp)
         else:
             # antecedent: ground patterns must hold in the KB too
             bgp = patterns
@@ -504,16 +560,52 @@ class Engine:
                 break
         return solutions, rules
 
-    def _apply_rule(self, ant: str, cons: str, graphs, outer_solutions):
+    def _match_bgp_delta(self, patterns, facts, delta, init: dict):
+        """Semi-naive BGP: union over seed positions k of the solutions
+        where pattern k matches a fact from `delta` (facts new since the
+        previous iteration) and the remaining patterns match the full
+        KB.  Any solution built solely from old facts was already found
+        in an earlier iteration, so restricting one position to the
+        delta loses nothing for monotonic (pure-pattern) rules while
+        cutting each iteration from O(|KB|-joins) to O(|delta|-joins)."""
+        out = []
+        for k in range(len(patterns)):
+            seeds = self._match_bgp([patterns[k]], delta, init)
+            if not seeds:
+                continue
+            rest = patterns[:k] + patterns[k + 1:]
+            if not rest:
+                out.extend(seeds)
+                continue
+            out.extend(self._match_bgp_multi(rest, facts, seeds))
+        return _uniq(out)
+
+    def _apply_rule(self, ant: str, cons: str, graphs, outer_solutions,
+                    delta: list | None = None):
         """log:implies (implies.rb:28-96): query antecedent, keep
-        solutions binding all its universals, instantiate consequent."""
+        solutions binding all its universals, instantiate consequent.
+
+        `delta` (facts inserted since the previous fixpoint iteration)
+        enables semi-naive evaluation for pure-pattern antecedents; any
+        rule with builtin sub-ops, or running under non-trivial outer
+        bindings, falls back to full evaluation."""
         new_quads = []
         for outer in outer_solutions:
             ant_g = outer.get(ant, ant) if is_var(ant) else ant
             cons_g = outer.get(cons, cons) if is_var(cons) else cons
             if ant_g not in graphs or is_var(ant_g):
                 continue
-            solutions, _ = self._run_formula(ant_g, graphs, outer)
+            if delta is not None and not outer:
+                pats, ops = self._formula_patterns(ant_g, graphs)
+                if pats and not ops:
+                    seeded = self._match_bgp_delta(pats, self.kb, delta, {})
+                    # same var-var drop as _run_formula (formula.rb:154)
+                    solutions = [s for s in seeded
+                                 if all(not is_var(v) for v in s.values())]
+                else:
+                    solutions, _ = self._run_formula(ant_g, graphs, outer)
+            else:
+                solutions, _ = self._run_formula(ant_g, graphs, outer)
             universals = self._antecedent_universals(ant_g, graphs)
             solutions = [
                 s for s in solutions if all(v in s for v in universals)
@@ -614,10 +706,16 @@ class Engine:
     def reason(self, think: bool = False, max_iterations: int = 100) -> ReasonResult:
         iterations = 0
         count = -1
+        prev_top_len: int | None = None  # KB size at the previous
+        # iteration's start; facts past it are that iteration's delta
+        seen_rules: set[tuple] = set()  # rules that have run full once
         while len(self.kb) > count and iterations < max_iterations:
             count = len(self.kb)
             iterations += 1
             graphs = self._graphs()
+            delta = (self.kb[prev_top_len:]
+                     if prev_top_len is not None else None)
+            prev_top_len = len(self.kb)
             solutions, rules = self._run_formula(None, graphs, {})
             # inferred statements from rules — collected first, inserted
             # after all rules ran, so every antecedent in this iteration
@@ -625,8 +723,15 @@ class Engine:
             # formula.execute, reasoner.rb:137-139)
             new_inferred = []
             for ant, _, cons in rules:
+                rid = (ant, cons)
+                # a rule first seen this iteration (including every rule
+                # on iteration 1, and rules derived by other rules) must
+                # run against the whole KB once before going semi-naive
+                d = delta if rid in seen_rules else None
+                seen_rules.add(rid)
                 new_inferred.extend(
-                    self._apply_rule(ant, cons, graphs, solutions or [{}])
+                    self._apply_rule(ant, cons, graphs, solutions or [{}],
+                                     delta=d)
                 )
             for q in new_inferred:
                 self._insert(q, inferred=True)
@@ -961,18 +1066,24 @@ def _uniq_quads(quads: list[Quad]) -> list[Quad]:
     return out
 
 
-def reason(quads: list[Quad], think: bool = False, ctx: EvalContext | None = None) -> ReasonResult:
+def reason(quads: list[Quad], think: bool = False,
+           ctx: EvalContext | None = None,
+           max_iterations: int = 100) -> ReasonResult:
     """Run the reasoner over parsed quads (Reasoner#execute,
     reasoner.rb:112-148)."""
-    return Engine(quads, ctx=ctx).reason(think=think)
+    return Engine(quads, ctx=ctx).reason(
+        think=think, max_iterations=max_iterations)
 
 
 def reason_n3(text: str, think: bool = False, base_uri: str | None = None,
-              legacy: bool = False) -> ReasonResult:
+              legacy: bool = False,
+              max_iterations: int = 100) -> ReasonResult:
     """Parse (list_terms mode, as the reference CLI does —
     format.rb:49) then reason.  ``legacy`` opts into the cwm-era
-    @forAll/@forSome/@keywords directives (parse_n3 docstring)."""
+    @forAll/@forSome/@keywords directives (parse_n3 docstring);
+    ``max_iterations`` bounds the fixpoint (deep closures like an
+    n-node chain need n iterations)."""
     from ..parser.n3_parser import parse_n3
 
     r = parse_n3(text, base_uri=base_uri, list_terms=True, legacy=legacy)
-    return reason(r.quads, think=think)
+    return reason(r.quads, think=think, max_iterations=max_iterations)
