@@ -356,7 +356,7 @@ class Engine:
         return self._match_bgp_multi(patterns, facts, [dict(init)])
 
     def _match_bgp_multi(self, patterns: list[tuple], facts: list[Quad],
-                         solutions: list[dict]):
+                         solutions: list[dict], idx=None):
         """BGP join over a list of starting solutions: most-bound
         pattern first, with a per-call fact index on predicate and
         (predicate, subject) so each solution only probes
@@ -365,7 +365,8 @@ class Engine:
         which is what lets 1000-triple closures (the inputs the
         reference's own CI tags SLOW) run in seconds.  Taking the
         starting solutions as a batch keeps the index build a one-time
-        cost for semi-naive seeds."""
+        cost for semi-naive seeds; `idx` lets a caller reuse an index it
+        already built over `facts`."""
         from_kb = facts is self.kb
         if any(p in (T.RDF_FIRST, T.RDF_REST) or is_var(p)
                for _s, p, _o in patterns):
@@ -373,14 +374,16 @@ class Engine:
             if cells:
                 facts = facts + cells
                 from_kb = False  # combined list needs an ad-hoc index
-        if from_kb:
-            # persistent index over the append-only KB, extended
-            # incrementally by _insert — never rebuilt per iteration
-            idx = self._kb_index
-            if idx is None:
-                idx = self._kb_index = self._build_index(self.kb)
-        else:
-            idx = self._build_index(facts)
+                idx = None
+        if idx is None:
+            if from_kb:
+                # persistent index over the append-only KB, extended
+                # incrementally by _insert — never rebuilt per iteration
+                idx = self._kb_index
+                if idx is None:
+                    idx = self._kb_index = self._build_index(self.kb)
+            else:
+                idx = self._build_index(facts)
         by_pred, by_pred_subj, wild = idx
 
         loose_memo: dict[str, list[Quad]] = {}
@@ -569,8 +572,10 @@ class Engine:
         delta loses nothing for monotonic (pure-pattern) rules while
         cutting each iteration from O(|KB|-joins) to O(|delta|-joins)."""
         out = []
+        delta_idx = self._build_index(delta)  # shared across seed positions
         for k in range(len(patterns)):
-            seeds = self._match_bgp([patterns[k]], delta, init)
+            seeds = self._match_bgp_multi(
+                [patterns[k]], delta, [dict(init)], idx=delta_idx)
             if not seeds:
                 continue
             rest = patterns[:k] + patterns[k + 1:]
@@ -623,12 +628,11 @@ class Engine:
         """
         if g not in graphs:
             return []
+        # `graphs` is the live (incrementally-extended) memo, so graphs
+        # created DURING this iteration by engine builtins
+        # (conjunction/parsedAsN3/conclusion) are already in it —
+        # formula_nodes covers every quoted graph, old or new
         formula_nodes = {k for k in graphs if k}
-        # graphs created DURING this iteration (conjunction/parsedAsN3/
-        # conclusion results) live in the KB but not in the snapshot —
-        # the memoized _graphs() keys cover them (None key is harmless:
-        # terms are never None), avoiding a KB scan per instantiation
-        live_graphs = self._graphs()
         bound_formulae: set[str] = set()
 
         def inst_formula(fg: str) -> tuple[str, list]:
@@ -660,7 +664,7 @@ class Engine:
                     v = sol[t]
                     # a solution binding a formula carries that formula's
                     # statements along (formula.rb:236-258 form_statements)
-                    if isinstance(v, str) and (v in formula_nodes or v in live_graphs):
+                    if isinstance(v, str) and v in formula_nodes:
                         bound_formulae.add(v)
                     return v, []
                 if t.endswith("_undext"):
@@ -694,11 +698,11 @@ class Engine:
             if fg in emitted:
                 continue
             emitted.add(fg)
-            fq = graphs.get(fg) or [q for q in self.kb if q[3] == fg]
+            fq = graphs.get(fg) or []
             for s, p, o, _ in fq:
                 out.append((s, p, o, fg))
                 for t in (s, o):
-                    if (t in formula_nodes or t in live_graphs) and t not in emitted:
+                    if t in formula_nodes and t not in emitted:
                         stack.append(t)
         return out
 
@@ -718,9 +722,14 @@ class Engine:
             prev_top_len = len(self.kb)
             solutions, rules = self._run_formula(None, graphs, {})
             # inferred statements from rules — collected first, inserted
-            # after all rules ran, so every antecedent in this iteration
-            # queries the same snapshot (kb << formula happens after
-            # formula.execute, reasoner.rb:137-139)
+            # after all rules ran, so rule consequents land between
+            # iterations (kb << formula happens after formula.execute,
+            # reasoner.rb:137-139).  NOTE: `graphs` is the LIVE memo,
+            # not a frozen snapshot — engine builtins that insert
+            # mid-iteration (parsedAsN3/conjunction/conclusion) are
+            # visible to later antecedents in the same iteration, as
+            # they already were via self.kb in _match_bgp; anything that
+            # truly needs a frozen view must copy
             new_inferred = []
             for ant, _, cons in rules:
                 rid = (ant, cons)
