@@ -94,6 +94,7 @@ class Engine:
         self.fresh_counter = 0
         self._graphs_memo = None
         self._kb_index = None  # persistent (by_pred, by_pred_subj, wild)
+        self._cons_memo = None  # rdf:first/rest cell map for _expand_list
         self._list_cells_memo = None
         self._top_bgp_cache: tuple[int, list] = (0, [])
         for q in quads:
@@ -115,6 +116,8 @@ class Engine:
             self._graphs_memo[q[3]].append(q)
         if self._kb_index is not None and q[3] is None:
             self._index_fact(self._kb_index, q)
+        if self._cons_memo is not None and q[1] in (T.RDF_FIRST, T.RDF_REST):
+            self._cons_memo[q[0]][q[1]] = q[2]
         self._list_cells_memo = None
         if inferred:
             self.inferred.append(q)
@@ -140,11 +143,15 @@ class Engine:
         return [q for q in self.kb if q[3] == g]
 
     def _expand_list(self, head: str) -> list | None:
-        """Expand an rdf:first/rest ladder headed at `head` (any graph)."""
-        by_subj = defaultdict(dict)
-        for s, p, o, g in self.kb:
-            if p in (T.RDF_FIRST, T.RDF_REST):
-                by_subj[s][p] = o
+        """Expand an rdf:first/rest ladder headed at `head` (any graph).
+        The cell map extends incrementally from _insert (append-only
+        KB), so repeated expansions don't rescan the KB."""
+        by_subj = self._cons_memo
+        if by_subj is None:
+            by_subj = self._cons_memo = defaultdict(dict)
+            for s, p, o, _g in self.kb:
+                if p in (T.RDF_FIRST, T.RDF_REST):
+                    by_subj[s][p] = o
         out, node, seen = [], head, set()
         while node != T.RDF_NIL:
             if node in seen or node not in by_subj:
