@@ -47,7 +47,8 @@ def cmd_reason(args) -> int:
         text = open(path, encoding="utf-8").read()
         result = reason_n3(text, think=args.think,
                            base_uri=f"file://{os.path.abspath(path)}",
-                           legacy=args.legacy)
+                           legacy=args.legacy,
+                           max_iterations=args.max_iterations)
         if args.strings:
             sys.stdout.write(result.strings)
         elif args.conclusions:
@@ -122,6 +123,8 @@ def main() -> int:
     pr.add_argument("--strings", action="store_true")
     pr.add_argument("--legacy", action="store_true",
                     help="accept cwm-era @forAll/@forSome/@keywords")
+    pr.add_argument("--max-iterations", type=int, default=100,
+                    help="fixpoint bound (deep closures need more)")
     pr.set_defaults(fn=cmd_reason)
 
     pl = sub.add_parser("pipeline")
