@@ -125,3 +125,28 @@ def test_formula_quads_round_trip(quads):
     back = parse_n3(out, base_uri="http://ex.org/")
     assert not back.errors, (out, back.errors)
     assert isomorphic(quads, back.quads), (quads, out, back.quads)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(
+    alphabet=':;,.(){}[]<>"@?!^=#ab \n' + 'forAlSmekywd',
+    max_size=80))
+def test_legacy_parser_total_and_deterministic(text):
+    """The opt-in legacy mode (@forAll/@forSome/@keywords, barewords,
+    retroactive scope substitution) must be as total as the default
+    reader — never raise in recovery mode, and be bit-deterministic."""
+    doc = "@keywords a, is, of .\n" + text
+    r1 = parse_n3(doc, base_uri="http://ex.org/", legacy=True)
+    r2 = parse_n3(doc, base_uri="http://ex.org/", legacy=True)
+    assert isinstance(r1.quads, list)
+    assert r1.quads == r2.quads and r1.errors == r2.errors
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.text(alphabet=':.(){} <>@forAlSmeb?x \n', max_size=60))
+def test_legacy_quantifier_soup_total(text):
+    """Quantifier-directive soup — exercises read_legacy_directive
+    error paths and scope pop/retro-substitution on malformed input."""
+    doc = "@prefix : <http://ex/> .\n@forAll :x .\n" + text
+    r = parse_n3(doc, base_uri="http://ex.org/", legacy=True)
+    assert isinstance(r.quads, list)
