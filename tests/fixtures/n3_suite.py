@@ -2085,3 +2085,42 @@ CASES += [
      "() <http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
      " <http://ex/T> .", {"legacy": True, "think": True}),
 ]
+
+# --- bulk shapes at reduced size (the reference's SLOW manifests run
+# 1k-10k-triple documents; these generated cases pin the same parser
+# shapes — statement bulk, wide predicateObjectLists, long collections,
+# deep formula nesting — at a size CI affords) ------------------------
+CASES += [
+    ("bulk_500_statements", "Eval",
+     "@prefix : <http://ex/>. " +
+     " ".join(f":s{i} :p :o{i} ." for i in range(500)),
+     "\n".join(f"<http://ex/s{i}> <http://ex/p> <http://ex/o{i}> ."
+               for i in range(500)), {}),
+    ("bulk_wide_pol_100", "Eval",
+     "@prefix : <http://ex/>. :s " +
+     " ; ".join(f":p{i} :o{i}" for i in range(100)) + " .",
+     "\n".join(f"<http://ex/s> <http://ex/p{i}> <http://ex/o{i}> ."
+               for i in range(100)), {}),
+    ("bulk_object_list_100", "Eval",
+     "@prefix : <http://ex/>. :s :p " +
+     " , ".join(f":o{i}" for i in range(100)) + " .",
+     "\n".join(f"<http://ex/s> <http://ex/p> <http://ex/o{i}> ."
+               for i in range(100)), {}),
+    ("bulk_collection_200", "PositiveSyntax",
+     "@prefix : <http://ex/>. :s :p (" +
+     " ".join(str(i) for i in range(200)) + ") .", None, {}),
+    ("bulk_formula_nesting_30", "PositiveSyntax",
+     "@prefix : <http://ex/>. " + "{" * 30 + " :a :b :c . " + "}" * 30 +
+     " :d :e .", None, {}),
+    ("bulk_prefix_redefinitions_100", "Eval",
+     " ".join(f"@prefix : <http://ex{i}/>. :a{i} :p :o ."
+              for i in range(100)),
+     "\n".join(f"<http://ex{i}/a{i}> <http://ex{i}/p> <http://ex{i}/o> ."
+               for i in range(100)), {}),
+    ("bulk_bnode_chain_100", "PositiveSyntax",
+     "@prefix : <http://ex/>. :s :p " + "[ :n " * 100 + ":end" +
+     " ]" * 100 + " .", None, {}),
+    ("bulk_long_string_16k", "Eval",
+     '@prefix : <http://ex/>. :s :p """' + "x" * 16384 + '""" .',
+     '<http://ex/s> <http://ex/p> "' + "x" * 16384 + '" .', {}),
+]
