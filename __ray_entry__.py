@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_cosine_dups": R.embed_cosine_dups,
         "sessionize": R.sessionize,
         "asof_join": R.asof_join_orders,
+        "range_join_attrib": R.range_join_attrib,
         "revenue_by_priority": R.revenue_by_priority,
         "nations_without_suppliers": R.nations_without_suppliers,
         "part_brand_stats": R.part_brand_stats,
@@ -235,6 +236,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_cosine_dups": R.EMBED_COSINE_DUPS_SQL,
         "sessionize": R.SESSIONIZE_SQL,
         "asof_join": R.ASOF_JOIN_SQL,
+        "range_join_attrib": R.RANGE_JOIN_ATTRIB_SQL,
         "revenue_by_priority": R.REVENUE_BY_PRIORITY_SQL,
         "nations_without_suppliers": R.NATIONS_WITHOUT_SUPPLIERS_SQL,
         "part_brand_stats": R.PART_BRAND_STATS_SQL,

@@ -2175,6 +2175,84 @@ ORDER BY e.event_id
 
 
 # ---------------------------------------------------------------------------
+# Banded range join (attribution window): for every purchase event,
+# count the same user's click events in the preceding 30 minutes
+# (click.ts in (purchase.ts - 30min, purchase.ts]).  Ray Data has no
+# range join; this is the bucket-paired pattern: hash BOTH roles of the
+# self-join on user into the same buckets, then inside each bucket the
+# band predicate reduces to prefix-count arithmetic over two
+# pd.merge_asof probes — count_le(t) - count_le(t - W) against a
+# per-user cumulative click counter.  No per-row loop, no all-pairs
+# blowup.  Partitioning assumption (same as asof_join_orders): one
+# user-bucket's events fit in a worker.
+# ---------------------------------------------------------------------------
+
+RANGE_JOIN_WINDOW_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+def range_join_attrib(sf_dir: str, num_buckets: int = 32):
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+
+    def bucketed(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_type"].isin(("purchase", "click"))]
+        return b.assign(ub=_user_bucket(b["user_id"], num_buckets))
+
+    win = pd.Timedelta(microseconds=RANGE_JOIN_WINDOW_US)
+
+    def attrib(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "event_id": pd.Series(dtype="int64"),
+            "user_id": pd.Series(dtype="int64"),
+            "clicks_30m": pd.Series(dtype="int64")})
+        # one ts unit for both merge_asof probes (parquet us vs the
+        # Timedelta arithmetic's ns would MergeError)
+        group = group.assign(ts=group["ts"].astype("datetime64[ns]"))
+        p = group.loc[group["event_type"] == "purchase",
+                      ["event_id", "user_id", "ts"]]
+        if p.empty:
+            return empty
+        c = group.loc[group["event_type"] == "click", ["user_id", "ts"]]
+        if c.empty:
+            return p.assign(clicks_30m=np.int64(0))[
+                ["event_id", "user_id", "clicks_30m"]]
+        # per-user cumulative click count; for equal (user, ts) the
+        # counter ascends, and merge_asof backward takes the LAST row
+        # with ts <= t — i.e. the full count_le(t), ties included
+        c = c.sort_values(["user_id", "ts"], kind="stable")
+        c = c.assign(cnt=(c.groupby("user_id").cumcount() + 1).astype("int64"))
+        c = c.sort_values("ts", kind="stable")
+        p = p.sort_values("ts", kind="stable")
+        hi = pd.merge_asof(p, c, on="ts", by="user_id",
+                           direction="backward", allow_exact_matches=True)
+        lo_probe = p.assign(ts=p["ts"] - win).sort_values("ts", kind="stable")
+        lo = pd.merge_asof(lo_probe, c, on="ts", by="user_id",
+                           direction="backward", allow_exact_matches=True)
+        # merge_asof preserves left order; lo was re-sorted by the
+        # shifted ts, so align the two probes on event_id
+        n = (hi.set_index("event_id")["cnt"].fillna(0)
+             - lo.set_index("event_id")["cnt"].fillna(0))
+        out = hi[["event_id", "user_id"]].copy()
+        out["clicks_30m"] = n.loc[out["event_id"]].astype("int64").to_numpy()
+        return out
+
+    out = (ev.map_batches(bucketed, batch_format="pandas")
+           .groupby("ub").map_groups(attrib, batch_format="pandas"))
+    return out.sort("event_id")
+
+
+RANGE_JOIN_ATTRIB_SQL = """
+SELECT p.event_id, p.user_id, COUNT(c.event_id) AS clicks_30m
+FROM events p LEFT JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click'
+ AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 30 MINUTE
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id
+ORDER BY p.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Big-big hash join: lineitem x orders (both fact-sized — broadcast is
 # wrong here; Ray's native hash-partitioned join shuffles both sides on
 # the key).  Revenue by order priority.

@@ -500,11 +500,36 @@ class N3Writer:
         if self.base_uri:
             header = f"@base <{self.base_uri}> .\n" + header
         body = self._render_graph(None)
-        # Named graphs whose formula node is never referenced from an
-        # outer statement have no free-standing N3 syntax; they only
-        # arise from error-recovered input and are dropped (the
-        # reference's writer likewise only renders reachable formulae,
-        # writer.rb:630-649).
+        # Formula graphs never referenced from an outer statement (e.g.
+        # parsed from a subject-only statement — the N3 grammar's
+        # `triples ::= subject predicateObjectList?` makes `{ ... } .`
+        # valid surface syntax) would otherwise lose their quads.  Emit
+        # each orphan ROOT as a subject-only `{ ... } .` statement;
+        # rendering a root consumes any orphan formulae it references,
+        # so iterate to a fixpoint (sorted order keeps output
+        # deterministic; the arbitrary-pick fallback breaks reference
+        # cycles between orphans).
+        extra = []
+        while True:
+            pending = {g for g, qs in self.graphs.items()
+                       if g is not None
+                       and any(q not in self.serialized for q in qs)}
+            if not pending:
+                break
+            referenced = set()
+            for g in pending:
+                for q in self.graphs[g]:
+                    if q in self.serialized:
+                        continue
+                    for t in (q[0], q[1], q[2]):
+                        if t in pending:
+                            referenced.add(t)
+            roots = sorted(pending - referenced) or [sorted(pending)[0]]
+            for g in roots:
+                if any(q not in self.serialized for q in self.graphs[g]):
+                    extra.append(self._formula(g) + " .")
+        if extra:
+            body = body + ("\n" if body else "") + "\n".join(extra)
         return header + ("\n" if header and body else "") + body + ("\n" if body else "")
 
 

@@ -346,6 +346,37 @@ def test_dup_groups_union_find():
     assert g[5] == g[6] == 5
 
 
+def test_range_join_attrib_window_bounds(ray_session):
+    """Window is (t-30min, t]: a click exactly 30min before is OUT, a
+    click at the purchase instant is IN; zero-click purchases emit 0."""
+    import os, tempfile
+
+    import pyarrow as pa_
+    import pyarrow.parquet as pq_
+
+    from rdf_n3_ray.pipelines.relational import range_join_attrib
+
+    base = pd.Timestamp("2024-01-01 12:00:00")
+    ev = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5, 6, 7],
+        "user_id":  [5, 5, 5, 5, 5, 9, 9],
+        "event_type": ["click", "click", "click", "purchase", "view",
+                       "purchase", "click"],
+        "ts": [base - pd.Timedelta(minutes=30),   # boundary: excluded
+               base - pd.Timedelta(minutes=29),   # in window
+               base,                              # at instant: included
+               base,                              # the purchase
+               base - pd.Timedelta(minutes=1),    # wrong type: ignored
+               base,                              # other user, no clicks<=ts
+               base + pd.Timedelta(seconds=1)]})  # after purchase: out
+    d = tempfile.mkdtemp()
+    pq_.write_table(pa_.Table.from_pandas(ev), os.path.join(d, "events.parquet"))
+    out = range_join_attrib(d).to_pandas()
+    got = dict(zip(out.event_id, out.clicks_30m))
+    assert got == {4: 2, 6: 0}
+    assert out.clicks_30m.dtype == "int64"
+
+
 def test_sessionize_gap_semantics(ray_session):
     import ray.data as rd
 

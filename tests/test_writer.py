@@ -316,6 +316,32 @@ def test_parse_result_formula_labels_round_trip():
     assert "{ <http://ex/a> <http://ex/b> <http://ex/c> . }" in out
 
 
+def test_orphan_formula_emitted_as_subject_only_statement():
+    """A formula parsed from a subject-only statement (`{ ... } .` is
+    valid surface N3 — `triples ::= subject predicateObjectList?`) is
+    never referenced from an outer quad; the writer must still emit it
+    (as a subject-only `{ ... } .`) so its quads survive round-trip."""
+    text = '@prefix : <http://ex/> .\n{ :a :b :c . :d :e :f } .\n'
+    r = parse_n3(text)
+    assert not r.errors, r.errors
+    assert len(r.quads) == 2
+    out = serialize_n3(r.quads,
+                       formula_labels=getattr(r, "formula_labels", None))
+    back = parse_n3(out)
+    assert not back.errors, (out, back.errors)
+    assert isomorphic(r.quads, back.quads), (out, back.quads)
+    # nested orphan: outer orphan references an inner formula — one
+    # root statement, fixpoint consumes the inner one
+    text2 = '@prefix : <http://ex/> .\n{ :x :says { :y :z :w } } .\n'
+    r2 = parse_n3(text2)
+    assert not r2.errors
+    out2 = serialize_n3(r2.quads,
+                        formula_labels=getattr(r2, "formula_labels", None))
+    back2 = parse_n3(out2)
+    assert not back2.errors, (out2, back2.errors)
+    assert isomorphic(r2.quads, back2.quads), (out2, back2.quads)
+
+
 def test_round_trip_full_conformance_suite():
     """Every PositiveSyntax/Eval input of the vendored 395-case suite
     must survive parse -> serialize -> reparse isomorphically (pins the
