@@ -109,22 +109,23 @@ def dedup_triples_narrow(ds, num_buckets: int = 64):
     lose = (src.map_batches(project, batch_format="pandas")
             .groupby("tbucket").map_groups(losers, batch_format="pandas"))
     lose_df = lose.to_pandas()
-    lose_df = lose_df[["h1", "h2", *ident]] if len(lose_df) else None
+    # (conv_id, turn_idx, emit_idx) is a globally unique physical row
+    # id, so the broadcast loser table needs ONLY those columns — each
+    # entry removes exactly one row, no cross-block ambiguity even when
+    # Ray splits a turn's rows.  Keying the anti-join by row id (not by
+    # quad hash) means drop_losers never re-hashes the long IRI strings
+    # per batch: that second _quad_key128 pass used to cost as much CPU
+    # as the parse stage itself.
+    lose_df = lose_df[ident] if len(lose_df) else None
     lose_ref = ray.put(lose_df)
 
     def drop_losers(batch: pd.DataFrame) -> pd.DataFrame:
         l = ray.get(lose_ref)
         if l is None:
             return batch.drop(columns=["emit_idx"])
-        h1, h2 = _quad_key128(batch)
-        # (conv_id, turn_idx, emit_idx) is a globally unique physical
-        # row id, so each loser entry removes exactly one row — no
-        # cross-block ambiguity even when Ray splits a turn's rows
-        tag = batch.assign(h1=h1, h2=h2)
-        merged = tag.merge(l, on=["h1", "h2", *ident], how="left",
-                           indicator=True)
-        out = merged[merged["_merge"] == "left_only"]
-        return out.drop(columns=["h1", "h2", "emit_idx", "_merge"])
+        mask = pd.MultiIndex.from_frame(batch[ident]).isin(
+            pd.MultiIndex.from_frame(l))
+        return batch.loc[~mask].drop(columns=["emit_idx"])
 
     return src.map_batches(drop_losers, batch_format="pandas")
 
