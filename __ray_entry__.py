@@ -17,12 +17,14 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from rdf_n3_ray.datatune import tune_data_context
 from rdf_n3_ray.malloctune import tune_malloc
 
 # tune the (already-running) driver process: this host has first-touch
 # allocation-latency episodes (see rdf_n3_ray/malloctune.py); Ray's
 # workers predate this import, but driver-side folds/merges benefit
 tune_malloc()
+tune_data_context()  # polars sort path (rdf_n3_ray/datatune.py)
 
 
 def entry() -> Any:

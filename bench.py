@@ -127,6 +127,9 @@ def run_bench() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    from rdf_n3_ray.datatune import tune_data_context
+
+    tune_data_context()  # polars sort path; persists across restarts
 
     from rdf_n3_ray.pipelines import relational as R
     from rdf_n3_ray.pipelines.kg import build_kg_dataset
@@ -475,6 +478,8 @@ def run_scaling() -> dict:
             " logging_level='ERROR')\n"
             "from ray.data import DataContext\n"
             "DataContext.get_current().enable_progress_bars = False\n"
+            "from rdf_n3_ray.datatune import tune_data_context\n"
+            "tune_data_context()\n"
             "from rdf_n3_ray.pipelines.kg import build_kg_dataset\n"
             "from rdf_n3_ray.sources.transcripts import transcripts_dataset\n"
             "build_kg_dataset(transcripts_dataset(n_convs=200,"

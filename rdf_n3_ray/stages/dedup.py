@@ -71,7 +71,37 @@ def _quad_key128(df: pd.DataFrame) -> tuple[pd.Series, pd.Series]:
     return h1, h2
 
 
-def dedup_triples_narrow(ds, num_buckets: int = 64):
+class DropLosers:
+    """Actor-pool anti-join stage: deserialize the broadcast loser table
+    and build its MultiIndex ONCE per actor (`ray.get` of a 6-figure-row
+    pandas frame per *task* used to dominate this stage's wall time),
+    then filter each batch with a single `MultiIndex.isin` probe.
+
+    Arrow-native on purpose: only the three narrow ident columns are
+    converted to pandas for the probe; the wide IRI string columns are
+    filtered zero-copy, and the batch keeps its Arrow schema (a pandas
+    round-trip re-infers an all-null `graph` block as type Null, which
+    the polars sort path refuses to concat with String blocks)."""
+
+    def __init__(self, lose_ref, ident):
+        import ray
+
+        self.ident = ident
+        l = ray.get(lose_ref)
+        self.index = None if l is None else pd.MultiIndex.from_frame(l)
+
+    def __call__(self, batch: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+
+        if self.index is None:
+            return batch.drop(["emit_idx"])
+        ident_df = batch.select(self.ident).to_pandas()
+        mask = pd.MultiIndex.from_frame(ident_df).isin(self.index)
+        return batch.filter(pa.array(~mask)).drop(["emit_idx"])
+
+
+def dedup_triples_narrow(ds, num_buckets: int = 64,
+                         loser_broadcast_limit: int = 20_000_000):
     """Exact dedup where ONLY (h1, h2, conv_id, turn_idx) goes through
     the shuffle — full triple rows never move.
 
@@ -81,11 +111,14 @@ def dedup_triples_narrow(ds, num_buckets: int = 64):
     3. groupby(coarse bucket) -> LOSER rows (all but the min-ident copy
        of each distinct quad): a ~28-byte/row shuffle instead of full
        IRI strings;
-    4. broadcast the loser set (ray.put; sized by the duplicate count,
-       which is tiny for KG extraction) and anti-join it per batch.
-       At cluster scale, if the duplicate fraction is large, swap the
-       broadcast for a bucket-paired hash anti-join (same loser table,
-       groupby bucket on both sides).
+    4. broadcast the loser set (ray.put once; read once per ACTOR via
+       DropLosers.__init__) and anti-join each batch against it by the
+       globally-unique physical row id — no quad re-hashing.
+       Scale gate: a loser set above ``loser_broadcast_limit`` rows
+       (~0.5 GiB of row ids at the default 20M) means the duplicate
+       fraction is too large to broadcast — fall back to the wide
+       full-row shuffle (`dedup_triples`), which never collects
+       anything to the driver.
     """
     import ray
 
@@ -107,7 +140,11 @@ def dedup_triples_narrow(ds, num_buckets: int = 64):
         return group.loc[dup, ["h1", "h2", *ident]]
 
     lose = (src.map_batches(project, batch_format="pandas")
-            .groupby("tbucket").map_groups(losers, batch_format="pandas"))
+            .groupby("tbucket").map_groups(losers, batch_format="pandas")
+            .materialize())  # narrow (ids only); consumed twice below
+    if lose.count() > loser_broadcast_limit:
+        # duplicate fraction too large for a driver round-trip: wide path
+        return dedup_triples(src, num_buckets=num_buckets)
     lose_df = lose.to_pandas()
     # (conv_id, turn_idx, emit_idx) is a globally unique physical row
     # id, so the broadcast loser table needs ONLY those columns — each
@@ -119,15 +156,11 @@ def dedup_triples_narrow(ds, num_buckets: int = 64):
     lose_df = lose_df[ident] if len(lose_df) else None
     lose_ref = ray.put(lose_df)
 
-    def drop_losers(batch: pd.DataFrame) -> pd.DataFrame:
-        l = ray.get(lose_ref)
-        if l is None:
-            return batch.drop(columns=["emit_idx"])
-        mask = pd.MultiIndex.from_frame(batch[ident]).isin(
-            pd.MultiIndex.from_frame(l))
-        return batch.loc[~mask].drop(columns=["emit_idx"])
-
-    return src.map_batches(drop_losers, batch_format="pandas")
+    pool_max = max(2, int(ray.cluster_resources().get("CPU", 8)))
+    return src.map_batches(
+        DropLosers,
+        fn_constructor_kwargs={"lose_ref": lose_ref, "ident": ident},
+        batch_format="pyarrow", concurrency=(1, pool_max))
 
 
 def dedup_triples(ds, batch_size: int | None = None, num_buckets: int = 64):

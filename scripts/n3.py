@@ -16,6 +16,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from rdf_n3_ray.datatune import tune_data_context  # noqa: E402
+
+tune_data_context()  # polars sort path for the Ray-backed subcommands
+
 
 def cmd_parse(args) -> int:
     from rdf_n3_ray.parser.n3_parser import parse_n3

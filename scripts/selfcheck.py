@@ -15,9 +15,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 import pandas as pd
 
+from rdf_n3_ray.datatune import tune_data_context
 from rdf_n3_ray.malloctune import tune_malloc
 
 tune_malloc()  # before ray.init: workers inherit the MALLOC_* env
+tune_data_context()
 
 
 def to_pandas(result) -> pd.DataFrame:

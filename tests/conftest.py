@@ -12,6 +12,10 @@ from rdf_n3_ray.malloctune import tune_malloc  # noqa: E402
 # both the test driver and Ray workers off the re-fault path
 tune_malloc()
 
+from rdf_n3_ray.datatune import tune_data_context  # noqa: E402
+
+tune_data_context()
+
 
 @pytest.fixture(scope="session")
 def ray_session():
