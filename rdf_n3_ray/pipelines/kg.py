@@ -62,7 +62,12 @@ def build_kg_dataset(
         # are filtered in place (stages/dedup.py) — drops emit_idx
         all_triples = dedup_triples_narrow(all_triples)
     if sort:
-        all_triples = all_triples.sort(["conv_id", "turn_idx"])
+        # shuffle-free when the input's conv-range partitioning
+        # survived (it always does on the source/job paths); exact
+        # boundary check falls back to a global sort otherwise
+        from ..stages.ordering import sorted_by
+
+        all_triples = sorted_by(all_triples, ["conv_id", "turn_idx"])
     return all_triples
 
 
@@ -143,7 +148,10 @@ def run_kg_job(
             if f.endswith(".parquet")
         ]
         triples = rd.read_parquet(shard_files)
-        final = dedup_triples_narrow(triples).sort(["conv_id", "turn_idx"])
+        from ..stages.ordering import sorted_by
+
+        final = sorted_by(dedup_triples_narrow(triples),
+                          ["conv_id", "turn_idx"])
         final.write_parquet(tmp)
         nrows = sum(
             pq.read_metadata(os.path.join(tmp, f)).num_rows

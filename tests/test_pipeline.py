@@ -115,6 +115,37 @@ def test_kg_output_invariant_under_blocking(ray_session):
     assert outs[0].equals(outs[1]), (len(outs[0]), len(outs[1]))
 
 
+def test_sorted_by_partitioned_fast_path_equals_global_sort(ray_session):
+    """sorted_by on range-partitioned blocks must produce exactly the
+    global-sort order without shuffling; on interleaved (unpartitioned)
+    blocks the boundary check must detect the overlap and fall back —
+    either way the output order is the global lexicographic order."""
+    import ray.data as rd
+
+    from rdf_n3_ray.stages.ordering import sorted_by
+
+    # partitioned: two blocks with disjoint ascending conv ranges
+    part = rd.from_items(
+        [{"conv_id": f"conv-{c:06d}", "turn_idx": t, "v": c * 10 + t}
+         for c in (1, 2) for t in (2, 0, 1)], override_num_blocks=1).union(
+        rd.from_items(
+            [{"conv_id": f"conv-{c:06d}", "turn_idx": t, "v": c * 10 + t}
+             for c in (3, 4) for t in (1, 0)], override_num_blocks=1))
+    got = sorted_by(part, ["conv_id", "turn_idx"]).to_pandas()
+    want = part.sort(["conv_id", "turn_idx"]).to_pandas()
+    assert got.values.tolist() == want.values.tolist()
+
+    # unpartitioned: conv ranges interleave across blocks -> fallback
+    mixed = rd.from_items(
+        [{"conv_id": f"conv-{c:06d}", "turn_idx": 0, "v": c}
+         for c in (5, 1)], override_num_blocks=1).union(
+        rd.from_items(
+            [{"conv_id": f"conv-{c:06d}", "turn_idx": 0, "v": c}
+             for c in (3, 2)], override_num_blocks=1))
+    got2 = sorted_by(mixed, ["conv_id", "turn_idx"]).to_pandas()
+    assert got2["v"].tolist() == [1, 2, 3, 5]
+
+
 def test_read_n3_files_source(ray_session, tmp_path):
     from rdf_n3_ray.sources.n3_files import read_n3_files
 
