@@ -71,11 +71,47 @@ def _quad_key128(df: pd.DataFrame) -> tuple[pd.Series, pd.Series]:
     return h1, h2
 
 
-class DropLosers:
-    """Actor-pool anti-join stage: deserialize the broadcast loser table
-    and build its MultiIndex ONCE per actor (`ray.get` of a 6-figure-row
-    pandas frame per *task* used to dominate this stage's wall time),
-    then filter each batch with a single `MultiIndex.isin` probe.
+_IDENT_KEY2 = "rdf_n3_ident_2__"  # 16 chars, pandas hash_key contract
+_MIX1 = np.uint64(0x9E3779B97F4A7C15)
+_MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _ident_key128(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """128-bit hash of the physical row id (conv_id, turn_idx,
+    emit_idx) — same collision argument as `_quad_key128`.
+
+    Construction: (turn_idx << 32) | emit_idx packs the two int32s
+    injectively; XORing its odd-multiplier bijections into two
+    INDEPENDENT keyed hashes of the conv_id string gives per-conv
+    injectivity exactly and cross-conv collisions at ~2^-128 per pair.
+    (pandas' `hash_key` only seeds object-dtype hashing, so hashing the
+    whole frame twice would NOT give two independent hashes of the
+    numeric columns — hence the explicit mix.)"""
+    c1 = pd.util.hash_pandas_object(
+        df["conv_id"], index=False).to_numpy()
+    c2 = pd.util.hash_pandas_object(
+        df["conv_id"], index=False, hash_key=_IDENT_KEY2).to_numpy()
+    te = ((df["turn_idx"].to_numpy().astype(np.uint64) << np.uint64(32))
+          | df["emit_idx"].to_numpy().astype(np.uint64))
+    i1 = c1 ^ (te * _MIX1)
+    i2 = c2 ^ (te * _MIX2)
+    return (i1.view(np.int64), i2.view(np.int64))
+
+
+def _make_drop_losers(lose_ref, ident):
+    """Task-pool anti-join stage: `ray.get` the broadcast loser key
+    arrays per TASK — zero-copy plasma mmap for numpy int64, so the
+    per-task cost is a metadata lookup, not a deserialize — then filter
+    each batch with a vectorized sorted-membership probe
+    (`antijoin.span_membership`) on the 128-bit row-id hash.
+
+    History of this stage (each step measured at sf0.1):
+    - pandas MultiIndex.isin probe cost more than the loser shuffle
+      itself (string tuples, per-actor index build);
+    - the hash probe (two `hash_pandas_object` passes + searchsorted
+      per batch) cut the stage 5-8.7s -> 2.2-3.4s;
+    - an ACTOR pool then paid a ~10x startup storm per call purely to
+      cache a broadcast that was already zero-copy — plain tasks win.
 
     Arrow-native on purpose: only the three narrow ident columns are
     converted to pandas for the probe; the wide IRI string columns are
@@ -83,21 +119,21 @@ class DropLosers:
     round-trip re-infers an all-null `graph` block as type Null, which
     the polars sort path refuses to concat with String blocks)."""
 
-    def __init__(self, lose_ref, ident):
+    def drop_losers(batch: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
         import ray
 
-        self.ident = ident
-        l = ray.get(lose_ref)
-        self.index = None if l is None else pd.MultiIndex.from_frame(l)
-
-    def __call__(self, batch: "pa.Table") -> "pa.Table":
-        import pyarrow as pa
-
-        if self.index is None:
+        keys = ray.get(lose_ref)
+        if keys is None:
             return batch.drop(["emit_idx"])
-        ident_df = batch.select(self.ident).to_pandas()
-        mask = pd.MultiIndex.from_frame(ident_df).isin(self.index)
+        from .antijoin import span_membership
+
+        ident_df = batch.select(ident).to_pandas()
+        i1, i2 = _ident_key128(ident_df)
+        mask = span_membership(keys[0], keys[1], i1, i2)
         return batch.filter(pa.array(~mask)).drop(["emit_idx"])
+
+    return drop_losers
 
 
 def dedup_triples_narrow(ds, num_buckets: int = 64,
@@ -134,10 +170,14 @@ def dedup_triples_narrow(ds, num_buckets: int = 64,
         return out
 
     def losers(group: pd.DataFrame) -> pd.DataFrame:
-        """Everything except the min-ident copy of each distinct quad."""
+        """128-bit row-id hashes of everything except the min-ident
+        copy of each distinct quad.  Hashing on the reduce side keeps
+        the shuffle narrow (the ident columns were needed anyway for
+        the deterministic winner order)."""
         group = group.sort_values(ident, kind="stable")
         dup = group.duplicated(subset=["h1", "h2"], keep="first")
-        return group.loc[dup, ["h1", "h2", *ident]]
+        i1, i2 = _ident_key128(group.loc[dup, ident])
+        return pd.DataFrame({"i1": i1, "i2": i2})
 
     lose = (src.map_batches(project, batch_format="pandas")
             .groupby("tbucket").map_groups(losers, batch_format="pandas")
@@ -147,20 +187,25 @@ def dedup_triples_narrow(ds, num_buckets: int = 64,
         return dedup_triples(src, num_buckets=num_buckets)
     lose_df = lose.to_pandas()
     # (conv_id, turn_idx, emit_idx) is a globally unique physical row
-    # id, so the broadcast loser table needs ONLY those columns — each
+    # id, so the broadcast loser set needs ONLY its 128-bit hash — each
     # entry removes exactly one row, no cross-block ambiguity even when
     # Ray splits a turn's rows.  Keying the anti-join by row id (not by
     # quad hash) means drop_losers never re-hashes the long IRI strings
     # per batch: that second _quad_key128 pass used to cost as much CPU
-    # as the parse stage itself.
-    lose_df = lose_df[ident] if len(lose_df) else None
-    lose_ref = ray.put(lose_df)
+    # as the parse stage itself.  Broadcast payload = two lexsorted
+    # int64 arrays: plasma-mmap zero-copy on every actor, no index
+    # build (16 bytes/loser at the 20M gate = ~320 MB worst case).
+    if len(lose_df):
+        li1 = lose_df["i1"].to_numpy()
+        li2 = lose_df["i2"].to_numpy()
+        order = np.lexsort((li2, li1))
+        lose_keys = (li1[order], li2[order])
+    else:
+        lose_keys = None
+    lose_ref = ray.put(lose_keys)
 
-    pool_max = max(2, int(ray.cluster_resources().get("CPU", 8)))
     return src.map_batches(
-        DropLosers,
-        fn_constructor_kwargs={"lose_ref": lose_ref, "ident": ident},
-        batch_format="pyarrow", concurrency=(1, pool_max))
+        _make_drop_losers(lose_ref, ident), batch_format="pyarrow")
 
 
 def dedup_triples(ds, batch_size: int | None = None, num_buckets: int = 64):
