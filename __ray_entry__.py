@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_rate": R.doc_dup_rate,
         "curation_verdict": R.curation_verdict,
         "source_report": R.source_report,
+        "winnow_fingerprints": R.winnow_fingerprints,
         "top_tokens": R.top_tokens,
         "event_histogram": R.event_histogram,
         "events_sliding": R.events_sliding,
@@ -252,6 +253,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_rate": R.DOC_DUP_RATE_SQL,
         "curation_verdict": R.CURATION_VERDICT_SQL,
         "source_report": R.SOURCE_REPORT_SQL,
+        "winnow_fingerprints": R.WINNOW_FP_SQL,
         "top_tokens": R.TOP_TOKENS_SQL,
         "event_histogram": R.EVENT_HISTOGRAM_SQL,
         "events_sliding": R.EVENTS_SLIDING_SQL,

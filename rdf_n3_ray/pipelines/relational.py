@@ -1563,6 +1563,109 @@ ORDER BY w0.doc_id
 """
 
 
+def winnow_fingerprints(sf_dir: str, n: int = 4, w: int = 8):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003): slide a window of `w` consecutive word n-grams over
+    each document and keep each window's minimum gram.  Guarantees a
+    shared fingerprint for any verbatim match of >= w + n - 1 tokens
+    at expected density 2/(w+1) regardless of document length — the
+    LOCAL-fingerprint counterpart of the global MinHash sketch
+    (winnowing detects shared substrings, MinHash whole-doc
+    similarity).  The selection key here is the lexicographic gram
+    (binary collation — the corpus is ASCII) so the DuckDB oracle
+    reproduces the pick exactly; at 100 TB the same code winnows the
+    u64 rolling hashes from `_rolling_gram_hashes` instead (swap the
+    rank array, skip the stringify).
+
+    Scale shape: a pure map, NO shuffle at any scale — tokenize,
+    n-gram, rank the batch's grams (np.unique codes are
+    order-isomorphic to the strings), one vectorized sliding-window
+    min over int32 codes.  Each document lives in one input row, so
+    per-batch (doc, fingerprint) dedup is already global.  Documents
+    with 1 <= g < w grams contribute the min over all their grams
+    (the i=1 truncated window), so every document with >= n tokens
+    yields >= 1 fingerprint."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "fp": pd.Series(dtype="object")})
+
+    def fps(b: pd.DataFrame) -> pd.DataFrame:
+        flat, lens = _flat_tokens(b["text"])
+        if len(flat) < n:
+            return empty.copy()
+        # gram strings for every flat position: n shifted zero-copy
+        # slices of ONE arrow array, joined by a vectorized kernel
+        fa = pa.array(flat, pa.string())
+        m = len(flat) - n + 1
+        gs = pc.binary_join_element_wise(
+            *[fa.slice(i, m) for i in range(n)], " ")
+        doc_of, valid = _gram_positions(lens, n)
+        vg = gs.to_numpy(zero_copy_only=False)[valid]
+        if not len(vg):
+            return empty.copy()
+        dv = doc_of[valid]  # per-doc gram runs are contiguous
+        uniq, codes = np.unique(vg, return_inverse=True)
+        gcnt = np.bincount(dv, minlength=len(b))
+        sel_d: list = []
+        sel_c: list = []
+        if len(codes) >= w:
+            sw = np.lib.stride_tricks.sliding_window_view(codes, w)
+            mins = sw.min(axis=1)
+            ok = dv[:len(mins)] == dv[w - 1:]  # window inside one doc
+            sel_d.append(dv[:len(mins)][ok])
+            sel_c.append(mins[ok])
+        short = np.nonzero((gcnt > 0) & (gcnt < w))[0]
+        if len(short):
+            per_doc_min = pd.Series(codes).groupby(dv).min()
+            sel_d.append(short)
+            sel_c.append(per_doc_min.reindex(short).to_numpy(np.int64))
+        if not sel_d:
+            return empty.copy()
+        d = np.concatenate(sel_d).astype(np.int64)
+        c = np.concatenate(sel_c).astype(np.int64)
+        key = np.unique(d * len(uniq) + c)  # (doc, fp) dedup
+        docs = b["doc_id"].to_numpy(np.int64)[key // len(uniq)]
+        return pd.DataFrame({"doc_id": docs,
+                             "fp": pd.Series(uniq[key % len(uniq)],
+                                             dtype="object")})
+
+    out = ds.map_batches(fps, batch_format="pandas").to_pandas()
+    if out.empty:  # all-empty blocks lose the schema in to_pandas()
+        out = empty.copy()
+    return out.sort_values(["doc_id", "fp"]).reset_index(drop=True)
+
+
+# window min over VARCHAR is binary-collation lexicographic — equal to
+# numpy object-string comparison on this ASCII corpus; the truncated
+# ROWS frame at partition end reproduces the short-document (g < w)
+# single-window rule, selected by i <= greatest(g - w + 1, 1)
+WINNOW_FP_SQL = f"""
+WITH wf AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, i,
+         array_to_string(list_slice(w, i, i + {4 - 1}), ' ') AS gram,
+         greatest(length(w) - {4 - 1}, 0) AS g
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(1, greatest(length(w) - {4 - 1}, 0))) AS i
+        FROM wf)
+), wins AS (
+  SELECT doc_id, i, g,
+         min(gram) OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN CURRENT ROW AND {8 - 1} FOLLOWING) AS fp
+  FROM grams
+)
+SELECT DISTINCT doc_id::BIGINT AS doc_id, fp
+FROM wins WHERE i <= greatest(g - {8 - 1}, 1)
+ORDER BY doc_id, fp
+"""
+
+
 def curation_verdict(sf_dir: str, n: int = 5, min_words: int = 5,
                      max_punct_e4: int = 2000, max_docs_per_gram: int = 64,
                      num_buckets: int = 32,

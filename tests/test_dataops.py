@@ -822,6 +822,28 @@ def test_doc_dup_rate_matches_oracle(ray_session):
     _assert_oracle_equal(fb, out)
 
 
+def test_winnow_fingerprints_matches_oracle(ray_session):
+    """Winnowing (window-min over word 4-grams, w=8) hash-matches the
+    DuckDB window recompute; the 2/(w+1) density guarantee holds in
+    aggregate and every >=4-token doc yields at least one fingerprint."""
+    from rdf_n3_ray.pipelines.relational import (
+        WINNOW_FP_SQL, winnow_fingerprints)
+
+    out = winnow_fingerprints("/root/testdata/sf0.01")
+    assert len(out) > 0
+    _assert_oracle_equal(out, _duckdb_oracle(WINNOW_FP_SQL))
+
+    docs = pd.read_parquet("/root/testdata/sf0.01/documents.parquet",
+                           columns=["doc_id", "text"])
+    wc = docs.set_index("doc_id").text.str.split().str.len()
+    covered = set(out.doc_id)
+    assert all(d in covered for d in wc.index[wc >= 4])
+    # winnowing selects ~2/(w+1) of gram positions (pre-dedup it is a
+    # guarantee; post-dedup stays well under one fp per gram)
+    n_grams = int((wc[wc >= 4] - 3).sum())
+    assert len(out) < 0.5 * n_grams
+
+
 def test_curation_verdict_matches_oracle(ray_session):
     """The composed curation pipeline (lang gate + quality gate +
     exact-dup gate + dup-mass gate -> keep) hash-matches the DuckDB
