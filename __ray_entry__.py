@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # force window-rank oracle hash-checks the partition/probe path
         "ann_ivf_exact": R.ann_ivf_exact,
         "jaccard_dup_groups": R.jaccard_dup_groups,
+        "dup_groups_cc": R.dup_groups_cc,
         "decontaminate": R.decontaminate,
         "dup_gram_pairs": R.dup_gram_pairs,
         "doc_dup_rate": R.doc_dup_rate,
@@ -246,6 +247,7 @@ def oracle_sql() -> dict[str, str]:
         # exact-recompute oracles for the approximate/near-dup family
         "minhash_pairs": R.MINHASH_PAIRS_SQL,
         "jaccard_dup_groups": R.JACCARD_GROUPS_SQL,
+        "dup_groups_cc": R.JACCARD_GROUPS_SQL,
         "simhash": R.SIMHASH_SQL,
         "lang_id": R.LANG_ID_SQL,
         "decontaminate": R.DECONTAMINATE_SQL,

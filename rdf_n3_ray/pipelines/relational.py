@@ -2041,6 +2041,31 @@ def jaccard_dup_groups(sf_dir: str, threshold: float = 0.5):
     return groups.sort_values("doc_id").reset_index(drop=True)
 
 
+def dup_groups_cc(sf_dir: str, threshold: float = 0.5):
+    """Same result as `jaccard_dup_groups`, computed by the distributed
+    hash-to-min connected-components stage (`stages/components.py`)
+    instead of the driver union-find — the 100 TB path: the verified
+    pair Dataset never lands on the driver; labels converge in
+    O(log n) bucket-parallel rounds and only one int per bucket per
+    round reaches the driver.  Both implementations emit
+    min(component member id) as the group, so they are byte-equal and
+    share the `JACCARD_GROUPS_SQL` oracle."""
+    from ..stages.components import connected_components
+    from ..stages.neardup import minhash_lsh_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_lsh_dedup(docs, threshold=threshold,
+                              prefilter_sigma=None)
+    out = connected_components(pairs, num_buckets=8).to_pandas()
+    if out.empty:  # all-empty blocks lose the schema in to_pandas()
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "dup_group": pd.Series(dtype="int64")})
+    out = out.rename(columns={"node": "doc_id", "label": "dup_group"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["dup_group"] = out["dup_group"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def minhash_pairs(sf_dir: str, threshold: float = 0.5):
     """Verified near-dup pairs, deterministically ordered.  The DuckDB
     oracle recomputes EXACT k-shingle Jaccard over all pairs; equality

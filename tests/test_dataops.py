@@ -844,6 +844,21 @@ def test_winnow_fingerprints_matches_oracle(ray_session):
     assert len(out) < 0.5 * n_grams
 
 
+def test_dup_groups_cc_matches_oracle(ray_session):
+    """The distributed connected-components dup grouping hash-matches
+    the same recursive-CTE oracle as the driver union-find path (both
+    emit min component member id), so the two implementations are
+    interchangeable."""
+    from rdf_n3_ray.pipelines.relational import (
+        JACCARD_GROUPS_SQL, dup_groups_cc, jaccard_dup_groups)
+
+    out = dup_groups_cc("/root/testdata/sf0.01")
+    assert len(out) > 0
+    _assert_oracle_equal(out, _duckdb_oracle(JACCARD_GROUPS_SQL))
+    pd.testing.assert_frame_equal(
+        out, jaccard_dup_groups("/root/testdata/sf0.01"))
+
+
 def test_curation_verdict_matches_oracle(ray_session):
     """The composed curation pipeline (lang gate + quality gate +
     exact-dup gate + dup-mass gate -> keep) hash-matches the DuckDB
