@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_verdict": R.curation_verdict,
         "source_report": R.source_report,
         "winnow_fingerprints": R.winnow_fingerprints,
+        "winnow_dup_pairs": R.winnow_dup_pairs,
         "top_tokens": R.top_tokens,
         "event_histogram": R.event_histogram,
         "events_sliding": R.events_sliding,
@@ -256,6 +257,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_verdict": R.CURATION_VERDICT_SQL,
         "source_report": R.SOURCE_REPORT_SQL,
         "winnow_fingerprints": R.WINNOW_FP_SQL,
+        "winnow_dup_pairs": R.WINNOW_DUP_PAIRS_SQL,
         "top_tokens": R.TOP_TOKENS_SQL,
         "event_histogram": R.EVENT_HISTOGRAM_SQL,
         "events_sliding": R.EVENTS_SLIDING_SQL,

@@ -281,6 +281,10 @@ def run_bench() -> dict:
          ("doc_dup_rate", lambda: R.doc_dup_rate(sf_dir).count()),
          ("curation_verdict", lambda: R.curation_verdict(sf_dir).count()),
          ("source_report", lambda: R.source_report(sf_dir))],
+        [("winnow_fingerprints",
+          lambda: len(R.winnow_fingerprints(sf_dir))),
+         ("winnow_dup_pairs", lambda: R.winnow_dup_pairs(sf_dir).count()),
+         ("dup_groups_cc", lambda: len(R.dup_groups_cc(sf_dir)))],
     ]
 
     def fresh_session():

@@ -1586,6 +1586,17 @@ def winnow_fingerprints(sf_dir: str, n: int = 4, w: int = 8):
     with 1 <= g < w grams contribute the min over all their grams
     (the i=1 truncated window), so every document with >= n tokens
     yields >= 1 fingerprint."""
+    out = _winnow_fp_ds(sf_dir, n, w).to_pandas()
+    if out.empty:  # all-empty blocks lose the schema in to_pandas()
+        out = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                            "fp": pd.Series(dtype="object")})
+    return out.sort_values(["doc_id", "fp"]).reset_index(drop=True)
+
+
+def _winnow_fp_ds(sf_dir: str, n: int, w: int):
+    """Distributed (doc_id, fp) winnowing fingerprints as a Dataset —
+    the shared core of `winnow_fingerprints` (driver projection) and
+    `winnow_dup_pairs` (pair mining; fps never land on the driver)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
@@ -1631,17 +1642,14 @@ def winnow_fingerprints(sf_dir: str, n: int = 4, w: int = 8):
                              "fp": pd.Series(uniq[key % len(uniq)],
                                              dtype="object")})
 
-    out = ds.map_batches(fps, batch_format="pandas").to_pandas()
-    if out.empty:  # all-empty blocks lose the schema in to_pandas()
-        out = empty.copy()
-    return out.sort_values(["doc_id", "fp"]).reset_index(drop=True)
+    return ds.map_batches(fps, batch_format="pandas")
 
 
 # window min over VARCHAR is binary-collation lexicographic — equal to
 # numpy object-string comparison on this ASCII corpus; the truncated
 # ROWS frame at partition end reproduces the short-document (g < w)
 # single-window rule, selected by i <= greatest(g - w + 1, 1)
-WINNOW_FP_SQL = f"""
+_WINNOW_CTE = f"""
 WITH wf AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
@@ -1659,10 +1667,115 @@ WITH wf AS (
          min(gram) OVER (PARTITION BY doc_id ORDER BY i
                          ROWS BETWEEN CURRENT ROW AND {8 - 1} FOLLOWING) AS fp
   FROM grams
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM wins WHERE i <= greatest(g - {8 - 1}, 1)
 )
-SELECT DISTINCT doc_id::BIGINT AS doc_id, fp
-FROM wins WHERE i <= greatest(g - {8 - 1}, 1)
-ORDER BY doc_id, fp
+"""
+
+WINNOW_FP_SQL = _WINNOW_CTE + """
+SELECT doc_id::BIGINT AS doc_id, fp FROM fps ORDER BY doc_id, fp
+"""
+
+
+def winnow_dup_pairs(sf_dir: str, n: int = 4, w: int = 8,
+                     min_shared: int = 2, max_docs_per_fp: int = 64,
+                     num_buckets: int = 32):
+    """Cross-document LOCAL near-dup pairs: every unordered doc pair
+    sharing >= `min_shared` winnowing fingerprints, with the count of
+    distinct shared fingerprints.  Winnowing's guarantee makes this
+    the cheap substring-overlap detector: any verbatim shared passage
+    of >= w + n - 1 tokens is caught by at least one shared
+    fingerprint, at ~2/(w+1) the cost of the exact all-grams path
+    (`dup_gram_pairs` mines every shared gram; this mines the winnowed
+    sample — Lee et al. 2022 exact-substring dup mass vs the SIGMOD'03
+    sketch of it).  Fingerprints in more than `max_docs_per_fp` docs
+    are stop-fingerprints (boilerplate) excluded on BOTH engines —
+    hygiene, and it bounds the quadratic pair blow-up of a hot phrase.
+
+    Scale shape: the winnowed (doc, fp) rows — already a ~2/(w+1)
+    sample of the gram stream, produced with NO shuffle — shuffle ONCE
+    by fp-hash bucket; each bucket owns its fingerprints completely,
+    so the stop-fp cap and all-pairs emission are bucket-local (the
+    `dup_gram_pairs` array-arithmetic pair emission — no Python loop
+    over groups or pairs); per-bucket pair partials shuffle by
+    pair-hash bucket for the shared-count sum; only pairs at or above
+    `min_shared` survive.  Nothing corpus-sized reaches the driver."""
+    fp_ds = _winnow_fp_ds(sf_dir, n, w)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["gb"] = (pd.util.hash_pandas_object(b["fp"], index=False)
+                   % num_buckets).astype("int32")
+        return b
+
+    empty_partial = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                  "doc_b": pd.Series(dtype="int64"),
+                                  "m": pd.Series(dtype="int64"),
+                                  "pb": pd.Series(dtype="int32")})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # each fp is wholly owned by its bucket and (doc, fp) rows are
+        # already distinct, so the size cap is the GLOBAL doc count and
+        # per-fp pair emission never double-counts
+        g = g.sort_values(["fp", "doc_id"], kind="stable")
+        f = g["fp"].to_numpy()
+        new_grp = np.ones(len(g), dtype=bool)
+        new_grp[1:] = f[1:] != f[:-1]
+        grp_id = np.cumsum(new_grp) - 1
+        sizes = np.bincount(grp_id)
+        keep = ((sizes >= 2) & (sizes <= max_docs_per_fp))[grp_id]
+        if not keep.any():
+            return empty_partial.copy()
+        g = g[keep]
+        f = g["fp"].to_numpy()
+        ids = g["doc_id"].to_numpy(np.int64)
+        new_grp = np.ones(len(g), dtype=bool)
+        new_grp[1:] = f[1:] != f[:-1]
+        grp_id = np.cumsum(new_grp) - 1
+        rank = np.arange(len(g)) - np.nonzero(new_grp)[0][grp_id]
+        sizes = np.bincount(grp_id)
+        a_counts = sizes[grp_id] - 1 - rank
+        total = int(a_counts.sum())
+        a_pos = np.repeat(np.arange(len(ids)), a_counts)
+        k = (np.arange(total, dtype=np.int64)
+             - np.repeat(np.cumsum(a_counts) - a_counts, a_counts))
+        pairs = pd.DataFrame({"doc_a": ids[a_pos],
+                              "doc_b": ids[a_pos + 1 + k]})
+        m = (pairs.groupby(["doc_a", "doc_b"], as_index=False).size()
+             .rename(columns={"size": "m"}))
+        m["m"] = m["m"].astype("int64")
+        with np.errstate(over="ignore"):  # u64 wraparound hash is the point
+            m["pb"] = ((m["doc_a"].to_numpy(np.uint64) * _GRAM_P
+                        + m["doc_b"].to_numpy(np.uint64))
+                       % num_buckets).astype("int32")
+        return m
+
+    def merge_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["doc_a", "doc_b"], as_index=False)["m"].sum()
+        m = m[m["m"] >= min_shared]
+        return pd.DataFrame({"doc_a": m["doc_a"].astype("int64"),
+                             "doc_b": m["doc_b"].astype("int64"),
+                             "shared_fps": m["m"].astype("int64")})
+
+    return (fp_ds.map_batches(assign, batch_format="pandas")
+            .groupby("gb").map_groups(bucket_pairs, batch_format="pandas")
+            .groupby("pb").map_groups(merge_pairs, batch_format="pandas")
+            .sort(["doc_a", "doc_b"]))
+
+
+WINNOW_DUP_PAIRS_SQL = _WINNOW_CTE + f"""
+, ok AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) BETWEEN 2 AND 64
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  JOIN ok ON ok.fp = a.fp
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
+       shared_fps::BIGINT AS shared_fps
+FROM pairs WHERE shared_fps >= 2
+ORDER BY doc_a, doc_b
 """
 
 

@@ -844,6 +844,39 @@ def test_winnow_fingerprints_matches_oracle(ray_session):
     assert len(out) < 0.5 * n_grams
 
 
+def test_winnow_dup_pairs_matches_oracle(ray_session):
+    """Shared-fingerprint pair mining hash-matches the DuckDB
+    self-join recompute (stop-fp cap applied on both engines), and
+    every exact-dup doc pair (identical text) appears — winnowing
+    selects identical fingerprints from identical token streams."""
+    from rdf_n3_ray.pipelines.relational import (
+        WINNOW_DUP_PAIRS_SQL, winnow_dup_pairs)
+
+    out = winnow_dup_pairs("/root/testdata/sf0.01").to_pandas()
+    assert len(out) > 0
+    _assert_oracle_equal(out, _duckdb_oracle(WINNOW_DUP_PAIRS_SQL))
+
+    assert (out["doc_a"] < out["doc_b"]).all()
+    assert (out["shared_fps"] >= 2).all()
+
+    # cross-validate against the fingerprint query: recompute the pair
+    # list from the (hash-green) winnow_fingerprints table in pandas
+    from rdf_n3_ray.pipelines.relational import winnow_fingerprints
+    fps = winnow_fingerprints("/root/testdata/sf0.01")
+    fp_docs = fps.groupby("fp")["doc_id"].nunique()
+    ok = fps[fps["fp"].isin(fp_docs[(fp_docs >= 2)
+                                    & (fp_docs <= 64)].index)]
+    m = ok.merge(ok, on="fp")
+    m = m[m["doc_id_x"] < m["doc_id_y"]]
+    exp = (m.groupby(["doc_id_x", "doc_id_y"]).size()
+           .reset_index(name="shared_fps"))
+    exp = (exp[exp["shared_fps"] >= 2]
+           .rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})
+           .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+           .astype("int64"))
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), exp)
+
+
 def test_dup_groups_cc_matches_oracle(ray_session):
     """The distributed connected-components dup grouping hash-matches
     the same recursive-CTE oracle as the driver union-find path (both
