@@ -2124,3 +2124,98 @@ CASES += [
      '@prefix : <http://ex/>. :s :p """' + "x" * 16384 + '""" .',
      '<http://ex/s> <http://ex/p> "' + "x" * 16384 + '" .', {}),
 ]
+
+
+# --- r4c: builtin-registry conformance tail ---------------------------
+# Rule-context Reason cases for the 23 registered builtins that had
+# only registry-sweep unit coverage (math trig/hyperbolic family,
+# remaining negated comparators, time accessors, sha384/512).  Expected
+# values are mathematically pinned (exact trig identities at 0/1, NIST
+# FIPS 180-2 "abc" digests, epoch arithmetic), not engine echoes;
+# gmTime/localTime are excluded as non-deterministic by definition.
+_PRE = ("@prefix : <http://ex/>. "
+        "@prefix math: <http://www.w3.org/2000/10/swap/math#>. "
+        "@prefix time: <http://www.w3.org/2000/10/swap/time#>. "
+        "@prefix string: <http://www.w3.org/2000/10/swap/string#>. "
+        "@prefix crypto: <http://www.w3.org/2000/10/swap/crypto#>. ")
+_D = '"{}"^^<http://www.w3.org/2001/XMLSchema#double>'
+_DT = '"2024-03-09T05:06:07Z"^^<http://www.w3.org/2001/XMLSchema#dateTime>'
+_VAL = "<http://ex/r> <http://ex/val> {} ."
+_OK = ('<http://ex/r> <http://ex/ok> '
+       '"true"^^<http://www.w3.org/2001/XMLSchema#boolean> .')
+_RC = {"think": True, "conclusions": True}
+
+CASES += [
+    # exact trig/hyperbolic identities: f(0) / f(1) with closed-form 0, 1
+    *[(f"r4c_reason_math_{fn}_{arg}", "Reason",
+       _PRE + "{ %s math:%s ?v } => { :r :val ?v } ." % (arg, fn),
+       _VAL.format(_D.format(out)), dict(_RC))
+      for fn, arg, out in [
+          ("sin", 0, "0.0E0"), ("cos", 0, "1.0E0"), ("tan", 0, "0.0E0"),
+          ("asin", 0, "0.0E0"), ("acos", 1, "0.0E0"),
+          ("atan", 0, "0.0E0"),
+          ("sinh", 0, "0.0E0"), ("cosh", 0, "1.0E0"),
+          ("tanh", 0, "0.0E0"),
+          ("asinh", 0, "0.0E0"), ("acosh", 1, "0.0E0"),
+          ("atanh", 0, "0.0E0")]],
+    # negated comparators: both the firing and the non-firing side
+    ("r4c_reason_math_not_greater_fires", "Reason",
+     _PRE + "{ 2 math:notGreaterThan 2 } => { :r :ok true } .",
+     _OK, dict(_RC)),
+    ("r4c_reason_math_not_greater_blocks", "Reason",
+     _PRE + "{ 3 math:notGreaterThan 2 } => { :r :ok true } .",
+     "", dict(_RC)),
+    ("r4c_reason_string_not_greater", "Reason",
+     _PRE + '{ "abc" string:notGreaterThan "abd" } => { :r :ok true } .',
+     _OK, dict(_RC)),
+    ("r4c_reason_string_eq_ignoring_case", "Reason",
+     _PRE + '{ "AbC" string:equalIgnoringCase "aBc" } => { :r :ok true } .',
+     _OK, dict(_RC)),
+    ("r4c_reason_string_eq_ignoring_case_blocks", "Reason",
+     _PRE + '{ "AbC" string:equalIgnoringCase "abd" } => { :r :ok true } .',
+     "", dict(_RC)),
+    ("r4c_reason_string_neq_ignoring_case", "Reason",
+     _PRE + '{ "AbC" string:notEqualIgnoringCase "xyz" } => '
+            "{ :r :ok true } .",
+     _OK, dict(_RC)),
+    # time accessors over a fixed UTC instant (hour/minute pinned by the
+    # lexical form; inSeconds = exact epoch arithmetic: 1970-01-02 = 86400)
+    ("r4c_reason_time_hour", "Reason",
+     _PRE + "{ %s time:hour ?v } => { :r :val ?v } ." % _DT,
+     _VAL.format('"5"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+     dict(_RC)),
+    ("r4c_reason_time_minute", "Reason",
+     _PRE + "{ %s time:minute ?v } => { :r :val ?v } ." % _DT,
+     _VAL.format('"6"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+     dict(_RC)),
+    ("r4c_reason_time_in_seconds_epoch_day", "Reason",
+     _PRE + '{ "1970-01-02T00:00:00Z"'
+            '^^<http://www.w3.org/2001/XMLSchema#dateTime>'
+            " time:inSeconds ?v } => { :r :val ?v } .",
+     _VAL.format('"86400"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+     dict(_RC)),
+    ("r4c_reason_time_timezone_offset", "Reason",
+     _PRE + '{ "2024-03-09T05:06:07-05:00"'
+            '^^<http://www.w3.org/2001/XMLSchema#dateTime>'
+            " time:timeZone ?v } => { :r :val ?v } .",
+     _VAL.format('"-05:00"'), dict(_RC)),
+    ("r4c_reason_time_timezone_z", "Reason",
+     _PRE + "{ %s time:timeZone ?v } => { :r :val ?v } ." % _DT,
+     _VAL.format('"Z"'), dict(_RC)),
+    # FIPS 180-2 "abc" test vectors
+    ("r4c_reason_crypto_sha384", "Reason",
+     _PRE + '{ "abc" crypto:sha384 ?h } => { :r :val ?h } .',
+     _VAL.format('"cb00753f45a35e8bb5a03d699ac65007272c32ab0eded163'
+                 '1a8b605a43ff5bed8086072ba1e7cc2358baeca134c825a7"'),
+     dict(_RC)),
+    ("r4c_reason_crypto_sha512", "Reason",
+     _PRE + '{ "abc" crypto:sha512 ?h } => { :r :val ?h } .',
+     _VAL.format('"ddaf35a193617abacc417349ae20413112e6fa4e89a97ea2'
+                 '0a9eeee64b55d39a2192992a274fc1a836ba3c23a3feebbd'
+                 '454d4423643ce80e2a9ac94fa54ca49f"'), dict(_RC)),
+    # combining case: trig inside a guard chain feeding arithmetic
+    ("r4c_reason_trig_guard_chain", "Reason",
+     _PRE + "{ 0 math:cos ?c . ?c math:greaterThan 0 . "
+            "(?c 2) math:sum ?v } => { :r :val ?v } .",
+     _VAL.format(_D.format("3.0E0")), dict(_RC)),
+]
