@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_rate": R.doc_dup_rate,
         "curation_verdict": R.curation_verdict,
         "source_report": R.source_report,
+        "domain_resample": R.domain_resample,
         "winnow_fingerprints": R.winnow_fingerprints,
         "winnow_dup_pairs": R.winnow_dup_pairs,
         "top_tokens": R.top_tokens,
@@ -256,6 +257,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_rate": R.DOC_DUP_RATE_SQL,
         "curation_verdict": R.CURATION_VERDICT_SQL,
         "source_report": R.SOURCE_REPORT_SQL,
+        "domain_resample": R.DOMAIN_RESAMPLE_SQL,
         "winnow_fingerprints": R.WINNOW_FP_SQL,
         "winnow_dup_pairs": R.WINNOW_DUP_PAIRS_SQL,
         "top_tokens": R.TOP_TOKENS_SQL,

@@ -284,7 +284,8 @@ def run_bench() -> dict:
         [("winnow_fingerprints",
           lambda: len(R.winnow_fingerprints(sf_dir))),
          ("winnow_dup_pairs", lambda: R.winnow_dup_pairs(sf_dir).count()),
-         ("dup_groups_cc", lambda: len(R.dup_groups_cc(sf_dir)))],
+         ("dup_groups_cc", lambda: len(R.dup_groups_cc(sf_dir))),
+         ("domain_resample", lambda: len(R.domain_resample(sf_dir)))],
     ]
 
     def fresh_session():

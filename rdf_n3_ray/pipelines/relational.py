@@ -476,6 +476,89 @@ FROM documents GROUP BY 1 ORDER BY source
 """
 
 
+def domain_resample(sf_dir: str, alpha: float = 0.5):
+    """Temperature-based domain rebalancing: downsample each source so
+    its kept share follows n_s^alpha (the multinomial temperature mix
+    of GPT-3 / The Pile / CC-mix recipes, alpha in (0, 1] flattens the
+    source distribution; alpha=1 keeps everything).  Keep probability
+    q_s = (min_n / n_s)^(1-alpha), so the SMALLEST source keeps 100%
+    and larger sources shrink toward the flattened mix.  Selection is
+    a deterministic per-doc hash gate — h(doc_id) mod 2^32 <
+    floor(2^32 * q_s) — so the sample is reproducible, resumable, and
+    engine-independent: sqrt and float division are IEEE
+    correctly-rounded in both numpy and DuckDB, and the hash is exact
+    integer arithmetic (Knuth multiplicative mod 2^32), so the oracle
+    reproduces the EXACT row set, not a statistical twin.
+
+    Scale shape: per-batch partial counts per source (at most
+    |sources| rows leave each batch) -> tiny driver fold -> thresholds
+    broadcast in the closure -> one filter map.  NO shuffle; the
+    corpus streams through exactly twice (count pass + filter pass)."""
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("alpha must be in (0, 1]")
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "source"]).materialize()
+
+    def counts(b: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.DataFrame({"source": b["source"].fillna("")})
+             .groupby("source", as_index=False).size()
+             .rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    empty_c = pd.DataFrame({"source": pd.Series(dtype="object"),
+                            "n": pd.Series(dtype="int64")})
+    cnt = _fold_pd(ds.map_batches(counts, batch_format="pandas"), empty_c)
+    cnt = cnt.groupby("source", as_index=False)["n"].sum()
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "source": pd.Series(dtype="object")})
+    if cnt.empty:
+        return empty
+    mn = int(cnt["n"].min())
+    # float64 ops in the same order as the SQL: divide, sqrt, multiply,
+    # floor — each IEEE correctly-rounded, so thresholds match
+    # bit-exactly.  At the default alpha=0.5 the exponent is sqrt
+    # (correctly rounded by spec in BOTH engines); generic pow lacks
+    # that guarantee, so only the sqrt path claims oracle bit-parity.
+    r = float(mn) / cnt["n"].to_numpy(np.float64)
+    q = np.sqrt(r) if alpha == 0.5 else r ** (1.0 - alpha)
+    thresh = np.floor(4294967296.0 * q).astype(np.int64)
+    th = dict(zip(cnt["source"], thresh))
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(4294967296)
+        t = b["source"].fillna("").map(th).to_numpy(np.int64)
+        m = h.astype(np.int64) < t
+        return pd.DataFrame({"doc_id": ids[m].astype("int64"),
+                             "source": b["source"].fillna("").to_numpy()[m]})
+
+    out = ds.map_batches(keep, batch_format="pandas").to_pandas()
+    if out.empty:
+        return empty
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# (doc_id * 2654435761) stays under 2^95 << HUGEINT range, and
+# x mod 2^32 is invariant under the numpy side's mod-2^64 wraparound
+DOMAIN_RESAMPLE_SQL = """
+WITH counts AS (
+  SELECT coalesce(source, '') AS source, count(*)::BIGINT AS n
+  FROM documents GROUP BY 1
+), mn AS (SELECT min(n) AS mn FROM counts),
+th AS (
+  SELECT source,
+         CAST(floor(4294967296.0 * sqrt(mn * 1.0 / n)) AS BIGINT) AS t
+  FROM counts, mn
+)
+SELECT d.doc_id::BIGINT AS doc_id, coalesce(d.source, '') AS source
+FROM documents d
+JOIN th ON th.source = coalesce(d.source, '')
+WHERE (d.doc_id::HUGEINT * 2654435761) % 4294967296 < t
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup (documents): min doc_id per identical text
 # ---------------------------------------------------------------------------

@@ -877,6 +877,36 @@ def test_winnow_dup_pairs_matches_oracle(ray_session):
     pd.testing.assert_frame_equal(out.reset_index(drop=True), exp)
 
 
+def test_domain_resample_matches_oracle(ray_session):
+    """Temperature resampling reproduces the oracle's EXACT row set
+    (deterministic hash gate + IEEE-correctly-rounded sqrt threshold);
+    the smallest source survives intact and alpha=1 keeps everything."""
+    from rdf_n3_ray.pipelines.relational import (
+        DOMAIN_RESAMPLE_SQL, domain_resample)
+
+    out = domain_resample("/root/testdata/sf0.01")
+    assert len(out) > 0
+    _assert_oracle_equal(out, _duckdb_oracle(DOMAIN_RESAMPLE_SQL))
+
+    docs = pd.read_parquet("/root/testdata/sf0.01/documents.parquet",
+                           columns=["doc_id", "source"])
+    docs["source"] = docs["source"].fillna("")
+    n = docs.groupby("source").size()
+    kept = out.groupby("source").size().reindex(n.index).fillna(0)
+    smallest = n.idxmin()
+    assert kept[smallest] == n[smallest]  # q = 1 for the smallest
+    # kept fraction tracks sqrt(min/n) within binomial noise
+    q = np.sqrt(n.min() / n)
+    frac = kept / n
+    assert ((frac - q).abs() < 4 * np.sqrt(q * (1 - q) / n) + 1e-9).all()
+
+    full = domain_resample("/root/testdata/sf0.01", alpha=1.0)
+    assert len(full) == len(docs)
+
+    with pytest.raises(ValueError):
+        domain_resample("/root/testdata/sf0.01", alpha=0.0)
+
+
 def test_dup_groups_cc_matches_oracle(ray_session):
     """The distributed connected-components dup grouping hash-matches
     the same recursive-CTE oracle as the driver union-find path (both
