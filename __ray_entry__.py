@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_verdict": R.curation_verdict,
         "source_report": R.source_report,
         "domain_resample": R.domain_resample,
+        "pack_sequences": R.pack_sequences,
         "winnow_fingerprints": R.winnow_fingerprints,
         "winnow_dup_pairs": R.winnow_dup_pairs,
         "top_tokens": R.top_tokens,
@@ -258,6 +259,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_verdict": R.CURATION_VERDICT_SQL,
         "source_report": R.SOURCE_REPORT_SQL,
         "domain_resample": R.DOMAIN_RESAMPLE_SQL,
+        "pack_sequences": R.PACK_SEQUENCES_SQL,
         "winnow_fingerprints": R.WINNOW_FP_SQL,
         "winnow_dup_pairs": R.WINNOW_DUP_PAIRS_SQL,
         "top_tokens": R.TOP_TOKENS_SQL,

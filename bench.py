@@ -285,7 +285,8 @@ def run_bench() -> dict:
           lambda: len(R.winnow_fingerprints(sf_dir))),
          ("winnow_dup_pairs", lambda: R.winnow_dup_pairs(sf_dir).count()),
          ("dup_groups_cc", lambda: len(R.dup_groups_cc(sf_dir))),
-         ("domain_resample", lambda: len(R.domain_resample(sf_dir)))],
+         ("domain_resample", lambda: len(R.domain_resample(sf_dir))),
+         ("pack_sequences", lambda: R.pack_sequences(sf_dir).count())],
     ]
 
     def fresh_session():

@@ -539,6 +539,88 @@ def domain_resample(sf_dir: str, alpha: float = 0.5):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def pack_sequences(sf_dir: str, budget: int = 256):
+    """Greedy sequence packing: lay documents into fixed token-budget
+    bins (the universal LLM-preprocessing step that turns ragged docs
+    into dense training sequences).  Within each source, docs are
+    packed in doc_id order: a doc opens a new bin iff it would overflow
+    the current one; an oversize doc (t > budget) gets a bin to itself
+    (truncation is the downstream tokenizer's call, not the packer's).
+    Emits (doc_id, source, n_tokens, bin_id, off) — bin_id counts per
+    source, off is the doc's token offset inside its bin — so the
+    layout is a pure deterministic function of the corpus.
+
+    Scale shape: token counts are a pure map; packing shuffles ONCE by
+    source and runs per-group.  The greedy scan is sequential by
+    definition, but the per-group kernel loops over BINS, not docs
+    (each bin boundary is one searchsorted over the prefix-sum array),
+    then assigns ids/offsets vectorized.  At 100 TB you pack per
+    (source, shard-of-fixed-row-ranges) independently and offset the
+    bin ids per shard — same kernel, one more partition key; packing
+    quality loses at most one partial bin per shard boundary."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def toks(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "source": b["source"].fillna(""),
+            "n_tokens": (b["text"].fillna("").str.split().str.len()
+                         .astype("int64")),
+        })
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="stable").reset_index(drop=True)
+        t = g["n_tokens"].to_numpy(np.int64)
+        cum = np.concatenate([[0], np.cumsum(t)])
+        starts = []  # first doc index of each bin
+        i, n = 0, len(t)
+        while i < n:
+            starts.append(i)
+            j = int(np.searchsorted(cum, cum[i] + budget, side="right")) - 1
+            i = max(j, i + 1)  # oversize doc: bin of its own
+        starts = np.asarray(starts, dtype=np.int64)
+        bin_of = np.zeros(n, dtype=np.int64)
+        bin_of[starts[1:]] = 1
+        bin_of = np.cumsum(bin_of)
+        off = cum[:-1] - cum[starts[bin_of]]
+        g["bin_id"] = bin_of
+        g["off"] = off.astype("int64")
+        return g
+
+    return (ds.map_batches(toks, batch_format="pandas")
+            .groupby("source").map_groups(pack, batch_format="pandas")
+            .sort(["source", "doc_id"]))
+
+
+PACK_SEQUENCES_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id::BIGINT AS doc_id, coalesce(source, '') AS source,
+         (CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+           ELSE length(string_split_regex(trim(coalesce(text, '')), '\\s+'))
+           END)::BIGINT AS n_tokens,
+         row_number() OVER (PARTITION BY coalesce(source, '')
+                            ORDER BY doc_id) AS rn
+  FROM documents
+), walk AS (
+  SELECT source, rn, doc_id, n_tokens,
+         0::BIGINT AS bin_id, 0::BIGINT AS off,
+         n_tokens AS running
+  FROM toks WHERE rn = 1
+  UNION ALL
+  SELECT w.source, x.rn, x.doc_id, x.n_tokens,
+         CASE WHEN w.running + x.n_tokens > 256 AND w.running > 0
+              THEN w.bin_id + 1 ELSE w.bin_id END,
+         CASE WHEN w.running + x.n_tokens > 256 AND w.running > 0
+              THEN 0 ELSE w.running END,
+         CASE WHEN w.running + x.n_tokens > 256 AND w.running > 0
+              THEN x.n_tokens ELSE w.running + x.n_tokens END
+  FROM walk w JOIN toks x ON x.source = w.source AND x.rn = w.rn + 1
+)
+SELECT doc_id, source, n_tokens, bin_id, off
+FROM walk ORDER BY source, doc_id
+"""
+
+
 # (doc_id * 2654435761) stays under 2^95 << HUGEINT range, and
 # x mod 2^32 is invariant under the numpy side's mod-2^64 wraparound
 DOMAIN_RESAMPLE_SQL = """

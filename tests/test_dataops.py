@@ -907,6 +907,29 @@ def test_domain_resample_matches_oracle(ray_session):
         domain_resample("/root/testdata/sf0.01", alpha=0.0)
 
 
+def test_pack_sequences_matches_oracle(ray_session):
+    """Greedy packing hash-matches the recursive-CTE oracle and holds
+    its invariants: no bin over budget except oversize singletons, no
+    doc lost, offsets are the exact prefix sums inside each bin."""
+    from rdf_n3_ray.pipelines.relational import (
+        PACK_SEQUENCES_SQL, pack_sequences)
+
+    out = pack_sequences("/root/testdata/sf0.01").to_pandas()
+    assert len(out) == 500
+    _assert_oracle_equal(out, _duckdb_oracle(PACK_SEQUENCES_SQL))
+
+    fill = out.groupby(["source", "bin_id"]).agg(
+        tot=("n_tokens", "sum"), k=("doc_id", "size"))
+    over = fill[fill["tot"] > 256]
+    assert (over["k"] == 1).all()  # only oversize singletons overflow
+    assert out["bin_id"].max() > 0  # the corpus actually packs
+    for (_, _), g in out.groupby(["source", "bin_id"]):
+        g = g.sort_values("doc_id")
+        assert (g["off"].to_numpy()
+                == np.concatenate([[0], np.cumsum(
+                    g["n_tokens"].to_numpy())[:-1]])).all()
+
+
 def test_dup_groups_cc_matches_oracle(ray_session):
     """The distributed connected-components dup grouping hash-matches
     the same recursive-CTE oracle as the driver union-find path (both
