@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_exact": R.ann_ivf_exact,
         "jaccard_dup_groups": R.jaccard_dup_groups,
         "dup_groups_cc": R.dup_groups_cc,
+        "near_dedup_keep": R.near_dedup_keep,
         "decontaminate": R.decontaminate,
         "dup_gram_pairs": R.dup_gram_pairs,
         "doc_dup_rate": R.doc_dup_rate,
@@ -251,6 +252,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": R.MINHASH_PAIRS_SQL,
         "jaccard_dup_groups": R.JACCARD_GROUPS_SQL,
         "dup_groups_cc": R.JACCARD_GROUPS_SQL,
+        "near_dedup_keep": R.NEAR_DEDUP_KEEP_SQL,
         "simhash": R.SIMHASH_SQL,
         "lang_id": R.LANG_ID_SQL,
         "decontaminate": R.DECONTAMINATE_SQL,

@@ -286,7 +286,8 @@ def run_bench() -> dict:
          ("winnow_dup_pairs", lambda: R.winnow_dup_pairs(sf_dir).count()),
          ("dup_groups_cc", lambda: len(R.dup_groups_cc(sf_dir))),
          ("domain_resample", lambda: len(R.domain_resample(sf_dir))),
-         ("pack_sequences", lambda: R.pack_sequences(sf_dir).count())],
+         ("pack_sequences", lambda: R.pack_sequences(sf_dir).count()),
+         ("near_dedup_keep", lambda: R.near_dedup_keep(sf_dir).count())],
     ]
 
     def fresh_session():

@@ -2344,6 +2344,45 @@ def dup_groups_cc(sf_dir: str, threshold: float = 0.5):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def near_dedup_keep(sf_dir: str, threshold: float = 0.5):
+    """End-to-end near-dedup verdict: per document, keep it iff it is
+    NOT in any near-dup cluster or it is the cluster's canonical
+    representative (min doc_id) — the keep-list a curation run feeds
+    downstream.  Composes the distributed pipeline end to end:
+    MinHash+LSH verified pairs -> hash-to-min connected components
+    (`stages/components.py`) -> broadcast of the (dup-mass-sized)
+    label map -> one verdict map over the corpus.  The corpus itself
+    never shuffles; only near-dup members (label != self) ride the
+    broadcast."""
+    import ray
+
+    from ..stages.components import connected_components
+    from ..stages.neardup import minhash_lsh_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_lsh_dedup(docs, threshold=threshold,
+                              prefilter_sigma=None)
+    cc = connected_components(pairs, num_buckets=8).to_pandas()
+    if cc.empty:
+        drop = np.empty(0, np.int64)
+    else:
+        # only non-canonical members need to travel: keep is the default
+        drop = np.sort(cc.loc[cc["node"] != cc["label"], "node"]
+                       .to_numpy(np.int64))
+    drop_ref = ray.put(drop)
+
+    def verdict(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(np.int64)
+        d = ray.get(drop_ref)
+        pos = np.searchsorted(d, ids)
+        hit = (pos < len(d)) & (d[np.minimum(pos, len(d) - 1)] == ids) \
+            if len(d) else np.zeros(len(ids), dtype=bool)
+        return pd.DataFrame({"doc_id": ids, "keep": ~hit})
+
+    return (docs.select_columns(["doc_id"])
+            .map_batches(verdict, batch_format="pandas").sort("doc_id"))
+
+
 def minhash_pairs(sf_dir: str, threshold: float = 0.5):
     """Verified near-dup pairs, deterministically ordered.  The DuckDB
     oracle recomputes EXACT k-shingle Jaccard over all pairs; equality
@@ -2410,6 +2449,22 @@ JACCARD_GROUPS_SQL = _SHINGLE_PAIRS_CTE + """
 )
 SELECT x::BIGINT AS doc_id, LEAST(x, MIN(y))::BIGINT AS dup_group
 FROM reach GROUP BY x ORDER BY doc_id
+"""
+
+NEAR_DEDUP_KEEP_SQL = _SHINGLE_PAIRS_CTE + """
+, edges AS (
+  SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs
+), reach AS (
+  SELECT x, y FROM edges
+  UNION
+  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+), grp AS (
+  SELECT x AS doc_id, LEAST(x, MIN(y)) AS g FROM reach GROUP BY x
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       (g.g IS NULL OR g.g = d.doc_id) AS keep
+FROM documents d LEFT JOIN grp g ON g.doc_id = d.doc_id
+ORDER BY d.doc_id
 """
 
 

@@ -907,6 +907,25 @@ def test_domain_resample_matches_oracle(ray_session):
         domain_resample("/root/testdata/sf0.01", alpha=0.0)
 
 
+def test_near_dedup_keep_matches_oracle(ray_session):
+    """The composed keep-list (LSH pairs -> connected components ->
+    verdict map) hash-matches the recursive-CTE oracle and agrees with
+    jaccard_dup_groups: exactly the non-canonical cluster members are
+    dropped."""
+    from rdf_n3_ray.pipelines.relational import (
+        NEAR_DEDUP_KEEP_SQL, jaccard_dup_groups, near_dedup_keep)
+
+    out = near_dedup_keep("/root/testdata/sf0.01").to_pandas()
+    assert len(out) == 500
+    _assert_oracle_equal(out, _duckdb_oracle(NEAR_DEDUP_KEEP_SQL))
+
+    groups = jaccard_dup_groups("/root/testdata/sf0.01")
+    dropped = set(out.loc[~out["keep"], "doc_id"])
+    expected_drop = set(
+        groups.loc[groups["doc_id"] != groups["dup_group"], "doc_id"])
+    assert dropped == expected_drop and len(dropped) > 0
+
+
 def test_pack_sequences_matches_oracle(ray_session):
     """Greedy packing hash-matches the recursive-CTE oracle and holds
     its invariants: no bin over budget except oversize singletons, no
