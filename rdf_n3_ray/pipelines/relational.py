@@ -561,11 +561,15 @@ def pack_sequences(sf_dir: str, budget: int = 256):
     ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
 
     def toks(b: pd.DataFrame) -> pd.DataFrame:
+        # count maximal non-ASCII-WS runs: exact parity with the
+        # oracle's regexp_split_to_array('\s+') + drop-empty filter
+        # (RE2 '\s' is the Perl set [ \t\n\f\r]; Python str.split()
+        # would diverge on \v / Unicode whitespace — see _ASCII_WS)
         return pd.DataFrame({
             "doc_id": b["doc_id"].astype("int64"),
             "source": b["source"].fillna(""),
-            "n_tokens": (b["text"].fillna("").str.split().str.len()
-                         .astype("int64")),
+            "n_tokens": (b["text"].fillna("")
+                         .str.count(r"[^ \t\n\f\r]+").astype("int64")),
         })
 
     def pack(g: pd.DataFrame) -> pd.DataFrame:
@@ -592,12 +596,17 @@ def pack_sequences(sf_dir: str, budget: int = 256):
             .sort(["source", "doc_id"]))
 
 
+# the bin transition fires whenever the doc would overflow — with NO
+# "running > 0" escape, so an oversize doc opens its own bin even when
+# the current bin holds only zero-token docs (matching the kernel's
+# prefix-sum walk exactly; verified on adversarial zero-token/oversize
+# interleavings)
 PACK_SEQUENCES_SQL = """
 WITH RECURSIVE toks AS (
   SELECT doc_id::BIGINT AS doc_id, coalesce(source, '') AS source,
-         (CASE WHEN trim(coalesce(text, '')) = '' THEN 0
-           ELSE length(string_split_regex(trim(coalesce(text, '')), '\\s+'))
-           END)::BIGINT AS n_tokens,
+         length(list_filter(
+             regexp_split_to_array(coalesce(text, ''), '\\s+'),
+             x -> x <> ''))::BIGINT AS n_tokens,
          row_number() OVER (PARTITION BY coalesce(source, '')
                             ORDER BY doc_id) AS rn
   FROM documents
@@ -608,11 +617,11 @@ WITH RECURSIVE toks AS (
   FROM toks WHERE rn = 1
   UNION ALL
   SELECT w.source, x.rn, x.doc_id, x.n_tokens,
-         CASE WHEN w.running + x.n_tokens > 256 AND w.running > 0
+         CASE WHEN w.running + x.n_tokens > 256
               THEN w.bin_id + 1 ELSE w.bin_id END,
-         CASE WHEN w.running + x.n_tokens > 256 AND w.running > 0
+         CASE WHEN w.running + x.n_tokens > 256
               THEN 0 ELSE w.running END,
-         CASE WHEN w.running + x.n_tokens > 256 AND w.running > 0
+         CASE WHEN w.running + x.n_tokens > 256
               THEN x.n_tokens ELSE w.running + x.n_tokens END
   FROM walk w JOIN toks x ON x.source = w.source AND x.rn = w.rn + 1
 )
@@ -1426,6 +1435,57 @@ ORDER BY d.doc_id
 """
 
 
+_EMPTY_PAIR_PARTIAL = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                    "doc_b": pd.Series(dtype="int64"),
+                                    "m": pd.Series(dtype="int64"),
+                                    "pb": pd.Series(dtype="int32")})
+
+
+def _key_group_pair_partials(g: "pd.DataFrame", key_col: str,
+                             max_per_key: int,
+                             num_buckets: int) -> "pd.DataFrame":
+    """All-pairs emission within each `key_col` group of a bucket-owned
+    (key, doc_id) frame — the shared kernel of `dup_gram_pairs` and
+    `winnow_dup_pairs`.  Exact string grouping within the owning bucket
+    (each key is wholly owned, so the [2, max_per_key] size gate is the
+    GLOBAL doc count); doc_id-sorted groups make the vectorized pair
+    arithmetic emit doc_a < doc_b directly; output rows are per-pair
+    within-bucket counts (m) keyed by the pair-hash bucket (pb)."""
+    g = g.sort_values([key_col, "doc_id"], kind="stable")
+    gr = g[key_col].to_numpy()
+    new_grp = np.ones(len(g), dtype=bool)
+    new_grp[1:] = gr[1:] != gr[:-1]
+    grp_id = np.cumsum(new_grp) - 1
+    sizes = np.bincount(grp_id) if len(g) else np.empty(0, np.int64)
+    keep = ((sizes >= 2) & (sizes <= max_per_key))[grp_id] \
+        if len(g) else np.zeros(0, dtype=bool)
+    if not keep.any():
+        return _EMPTY_PAIR_PARTIAL.copy()
+    g = g[keep]
+    gr = g[key_col].to_numpy()
+    ids = g["doc_id"].to_numpy(np.int64)
+    new_grp = np.ones(len(g), dtype=bool)
+    new_grp[1:] = gr[1:] != gr[:-1]
+    grp_id = np.cumsum(new_grp) - 1
+    rank = np.arange(len(g)) - np.nonzero(new_grp)[0][grp_id]
+    sizes = np.bincount(grp_id)
+    a_counts = sizes[grp_id] - 1 - rank
+    total = int(a_counts.sum())
+    a_pos = np.repeat(np.arange(len(ids)), a_counts)
+    k = (np.arange(total, dtype=np.int64)
+         - np.repeat(np.cumsum(a_counts) - a_counts, a_counts))
+    pairs = pd.DataFrame({"doc_a": ids[a_pos],
+                          "doc_b": ids[a_pos + 1 + k]})
+    m = (pairs.groupby(["doc_a", "doc_b"], as_index=False).size()
+         .rename(columns={"size": "m"}))
+    m["m"] = m["m"].astype("int64")
+    with np.errstate(over="ignore"):  # u64 wraparound hash is the point
+        m["pb"] = ((m["doc_a"].to_numpy(np.uint64) * _GRAM_P
+                    + m["doc_b"].to_numpy(np.uint64))
+                   % num_buckets).astype("int32")
+    return m
+
+
 def dup_gram_pairs(sf_dir: str, n: int = 5, max_docs_per_gram: int = 64,
                    num_buckets: int = 32,
                    candidate_broadcast_limit: int = 5_000_000):
@@ -1514,46 +1574,9 @@ def dup_gram_pairs(sf_dir: str, n: int = 5, max_docs_per_gram: int = 64,
                     % num_buckets).astype("int32")
         return df
 
-    empty_partial = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
-                                  "doc_b": pd.Series(dtype="int64"),
-                                  "m": pd.Series(dtype="int64"),
-                                  "pb": pd.Series(dtype="int32")})
-
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # exact string grouping within the owning bucket; doc_id-sorted
-        # groups make the pair arithmetic emit doc_a < doc_b directly
-        g = g.sort_values(["gram", "doc_id"], kind="stable")
-        gr = g["gram"].to_numpy()
-        new_grp = np.ones(len(g), dtype=bool)
-        new_grp[1:] = gr[1:] != gr[:-1]
-        grp_id = np.cumsum(new_grp) - 1
-        sizes = np.bincount(grp_id)
-        keep = ((sizes >= 2) & (sizes <= max_docs_per_gram))[grp_id]
-        if not keep.any():
-            return empty_partial.copy()
-        g = g[keep]
-        gr = g["gram"].to_numpy()
-        ids = g["doc_id"].to_numpy(np.int64)
-        new_grp = np.ones(len(g), dtype=bool)
-        new_grp[1:] = gr[1:] != gr[:-1]
-        grp_id = np.cumsum(new_grp) - 1
-        rank = np.arange(len(g)) - np.nonzero(new_grp)[0][grp_id]
-        sizes = np.bincount(grp_id)
-        a_counts = sizes[grp_id] - 1 - rank
-        total = int(a_counts.sum())
-        a_pos = np.repeat(np.arange(len(ids)), a_counts)
-        k = (np.arange(total, dtype=np.int64)
-             - np.repeat(np.cumsum(a_counts) - a_counts, a_counts))
-        pairs = pd.DataFrame({"doc_a": ids[a_pos],
-                              "doc_b": ids[a_pos + 1 + k]})
-        m = (pairs.groupby(["doc_a", "doc_b"], as_index=False).size()
-             .rename(columns={"size": "m"}))
-        m["m"] = m["m"].astype("int64")
-        with np.errstate(over="ignore"):  # u64 wraparound hash is the point
-            m["pb"] = ((m["doc_a"].to_numpy(np.uint64) * _GRAM_P
-                        + m["doc_b"].to_numpy(np.uint64))
-                       % num_buckets).astype("int32")
-        return m
+        return _key_group_pair_partials(g, "gram", max_docs_per_gram,
+                                        num_buckets)
 
     def merge_pairs(g: pd.DataFrame) -> pd.DataFrame:
         m = g.groupby(["doc_a", "doc_b"], as_index=False)["m"].sum()
@@ -1873,47 +1896,11 @@ def winnow_dup_pairs(sf_dir: str, n: int = 4, w: int = 8,
                    % num_buckets).astype("int32")
         return b
 
-    empty_partial = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
-                                  "doc_b": pd.Series(dtype="int64"),
-                                  "m": pd.Series(dtype="int64"),
-                                  "pb": pd.Series(dtype="int32")})
-
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # each fp is wholly owned by its bucket and (doc, fp) rows are
-        # already distinct, so the size cap is the GLOBAL doc count and
-        # per-fp pair emission never double-counts
-        g = g.sort_values(["fp", "doc_id"], kind="stable")
-        f = g["fp"].to_numpy()
-        new_grp = np.ones(len(g), dtype=bool)
-        new_grp[1:] = f[1:] != f[:-1]
-        grp_id = np.cumsum(new_grp) - 1
-        sizes = np.bincount(grp_id)
-        keep = ((sizes >= 2) & (sizes <= max_docs_per_fp))[grp_id]
-        if not keep.any():
-            return empty_partial.copy()
-        g = g[keep]
-        f = g["fp"].to_numpy()
-        ids = g["doc_id"].to_numpy(np.int64)
-        new_grp = np.ones(len(g), dtype=bool)
-        new_grp[1:] = f[1:] != f[:-1]
-        grp_id = np.cumsum(new_grp) - 1
-        rank = np.arange(len(g)) - np.nonzero(new_grp)[0][grp_id]
-        sizes = np.bincount(grp_id)
-        a_counts = sizes[grp_id] - 1 - rank
-        total = int(a_counts.sum())
-        a_pos = np.repeat(np.arange(len(ids)), a_counts)
-        k = (np.arange(total, dtype=np.int64)
-             - np.repeat(np.cumsum(a_counts) - a_counts, a_counts))
-        pairs = pd.DataFrame({"doc_a": ids[a_pos],
-                              "doc_b": ids[a_pos + 1 + k]})
-        m = (pairs.groupby(["doc_a", "doc_b"], as_index=False).size()
-             .rename(columns={"size": "m"}))
-        m["m"] = m["m"].astype("int64")
-        with np.errstate(over="ignore"):  # u64 wraparound hash is the point
-            m["pb"] = ((m["doc_a"].to_numpy(np.uint64) * _GRAM_P
-                        + m["doc_b"].to_numpy(np.uint64))
-                       % num_buckets).astype("int32")
-        return m
+        # (doc, fp) rows are already distinct, so per-fp pair emission
+        # never double-counts (shared kernel: _key_group_pair_partials)
+        return _key_group_pair_partials(g, "fp", max_docs_per_fp,
+                                        num_buckets)
 
     def merge_pairs(g: pd.DataFrame) -> pd.DataFrame:
         m = g.groupby(["doc_a", "doc_b"], as_index=False)["m"].sum()
@@ -2373,10 +2360,7 @@ def near_dedup_keep(sf_dir: str, threshold: float = 0.5):
 
     def verdict(b: pd.DataFrame) -> pd.DataFrame:
         ids = b["doc_id"].to_numpy(np.int64)
-        d = ray.get(drop_ref)
-        pos = np.searchsorted(d, ids)
-        hit = (pos < len(d)) & (d[np.minimum(pos, len(d) - 1)] == ids) \
-            if len(d) else np.zeros(len(ids), dtype=bool)
+        hit = _semi_mask(ray.get(drop_ref), ids)
         return pd.DataFrame({"doc_id": ids, "keep": ~hit})
 
     return (docs.select_columns(["doc_id"])

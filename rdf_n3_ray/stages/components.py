@@ -189,6 +189,7 @@ def connected_components(pairs_ds, num_buckets: int = 8,
         edges.append(e)
         labels.append(l)
 
+    converged = False
     for _ in range(max_iters):
         cand = [as_list(_propagate.options(num_returns=B).remote(
             edges[b], labels[b], B)) for b in range(B)]
@@ -205,6 +206,14 @@ def connected_components(pairs_ds, num_buckets: int = 8,
         labels = [applied[b][0] for b in range(B)]
         # the only per-round driver traffic: B ints
         if sum(ray.get([applied[b][1] for b in range(B)])) == 0:
+            converged = True
             break
 
+    if not converged:
+        # silent fall-through would emit labels that are not component
+        # minima — downstream dedup would keep wrong documents
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            "rounds (pointer halving makes this O(log n) — raise "
+            "max_iters only for genuinely astronomical graphs)")
     return rd.from_arrow_refs([_project.remote(lab) for lab in labels])
