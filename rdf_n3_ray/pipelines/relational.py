@@ -62,6 +62,20 @@ def _semi_mask(keys_sorted: np.ndarray, values: np.ndarray) -> np.ndarray:
 _ASCII_WS = r"[ \t\n\f\r]+"
 
 
+def _n_words(text: "pd.Series") -> "pd.Series":
+    """Word count as the number of maximal non-ASCII-WS runs — exact
+    parity with the `_N_WORDS_SQL` fragment on every input, including
+    leading/trailing newlines (space-only trim() would leave an empty
+    split segment) and \\v (ordinary char in RE2 '\\s' AND here).
+    Python str.split() would diverge on both (see _ASCII_WS)."""
+    return text.fillna("").str.count(r"[^ \t\n\f\r]+").astype("int64")
+
+
+# SQL twin of _n_words: split on RE2 '\s+' and count non-empty segments
+_N_WORDS_SQL = ("length(list_filter(regexp_split_to_array("
+                "coalesce(text, ''), '\\s+'), x -> x <> ''))")
+
+
 def _ws_tokens(text: "pd.Series") -> "pd.Series":
     """lower + split exactly like the oracle's
     regexp_split_to_array(lower(...), '\\s+') + drop-empty filter;
@@ -382,7 +396,7 @@ def doc_token_stats(sf_dir: str):
             {
                 "doc_id": batch["doc_id"],
                 "n_chars": text.str.len().astype("int64"),
-                "n_words": text.str.split().str.len().fillna(0).astype("int64"),
+                "n_words": _n_words(text),
                 "n_digits": text.str.count(r"[0-9]").astype("int64"),
             }
         )
@@ -393,8 +407,7 @@ def doc_token_stats(sf_dir: str):
 DOC_TOKEN_STATS_SQL = r"""
 SELECT doc_id,
        length(text) AS n_chars,
-       CASE WHEN trim(text) = '' THEN 0
-            ELSE length(string_split_regex(trim(text), '\s+')) END AS n_words,
+       length(list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'), x -> x <> '')) AS n_words,
        length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
 FROM documents
 ORDER BY doc_id
@@ -419,8 +432,7 @@ def source_report(sf_dir: str):
             "n_docs": np.ones(len(b), dtype=np.int64),
             "n_langs_rows": b["lang"].fillna(""),
             "sum_chars": text.str.len().astype("int64"),
-            "sum_words": (text.str.split().str.len().fillna(0)
-                          .astype("int64")),
+            "sum_words": _n_words(text),
             "sum_digits": text.str.count(r"[0-9]").astype("int64"),
         })
         m = g.groupby("source", as_index=False).agg(
@@ -465,9 +477,7 @@ SOURCE_REPORT_SQL = r"""
 SELECT coalesce(source, '') AS source,
        count(*)::BIGINT AS n_docs,
        SUM(length(coalesce(text, '')))::BIGINT AS sum_chars,
-       SUM(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
-            ELSE length(string_split_regex(trim(coalesce(text, '')), '\s+'))
-            END)::BIGINT AS sum_words,
+       SUM(length(list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'), x -> x <> '')))::BIGINT AS sum_words,
        SUM(length(coalesce(text, '')) - length(
            regexp_replace(coalesce(text, ''), '[0-9]', '', 'g')))::BIGINT
            AS sum_digits,
@@ -1979,7 +1989,7 @@ def curation_verdict(sf_dir: str, n: int = 5, min_words: int = 5,
         # b arrives from the LangId actor stage with lang_pred attached
         text = b["text"].fillna("")
         n_chars = text.str.len().astype("int64")
-        n_words = text.str.split().str.len().fillna(0).astype("int64")
+        n_words = _n_words(text)
         n_punct = text.str.count(r"[^\w\s]").astype("int64")
         punct_e4 = np.floor(
             (n_punct / n_chars.replace(0, 1).astype("float64")) * 10000
@@ -2045,8 +2055,7 @@ def _curation_verdict_sql() -> str:
     return rf"""
 WITH {_lang_pred_ctes()}, q AS (
   SELECT doc_id,
-    CASE WHEN trim(text) = '' THEN 0
-         ELSE length(string_split_regex(trim(text), '\s+')) END AS n_words,
+    length(list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'), x -> x <> '')) AS n_words,
     FLOOR((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE
           / GREATEST(length(text), 1) * 10000)::BIGINT AS punct_e4
   FROM documents
@@ -2185,7 +2194,7 @@ def doc_quality(sf_dir: str):
     def quality(batch: pd.DataFrame) -> pd.DataFrame:
         text = batch["text"].fillna("")
         n_chars = text.str.len().astype("int64")
-        n_words = text.str.split().str.len().fillna(0).astype("int64")
+        n_words = _n_words(text)
         n_punct = text.str.count(r"[^\w\s]").astype("int64")
         n_upper = text.str.count(r"[A-Z]").astype("int64")
         denom = n_chars.replace(0, 1).astype("float64")
@@ -2210,12 +2219,10 @@ def doc_quality(sf_dir: str):
 
 DOC_QUALITY_SQL = r"""
 SELECT doc_id,
-       CASE WHEN trim(text) = '' THEN 0
-            ELSE length(string_split_regex(trim(text), '\s+')) END AS n_words,
+       length(list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'), x -> x <> '')) AS n_words,
        length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
        length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
-       FLOOR(length(text)::DOUBLE / GREATEST(CASE WHEN trim(text) = '' THEN 0
-            ELSE length(string_split_regex(trim(text), '\s+')) END, 1)
+       FLOOR(length(text)::DOUBLE / GREATEST(length(list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'), x -> x <> '')), 1)
             * 10000)::BIGINT AS mean_word_len_e4,
        FLOOR((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE
              / GREATEST(length(text), 1) * 10000)::BIGINT AS punct_ratio_e4
