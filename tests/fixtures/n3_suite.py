@@ -2219,3 +2219,65 @@ CASES += [
             "(?c 2) math:sum ?v } => { :r :val ?v } .",
      _VAL.format(_D.format("3.0E0")), dict(_RC)),
 ]
+
+
+# --- r4d: cross-feature Reason combinations ---------------------------
+# Interactions of individually-proven primitives, each probed against
+# the engine and pinned with unambiguous expected output: backward rule
+# feeding a forward guard, rule-emitted list consumed by list:member,
+# scrape -> coerced arithmetic (reference signature str/scrape.rb:5:
+# subject is the (string pattern) list), digest prefix guard, dayOfWeek
+# branch, nested-formula variable scoping, string-literal coercion in
+# math:sum.
+_PRE4D = ("@prefix : <http://ex/>. "
+          "@prefix math: <http://www.w3.org/2000/10/swap/math#>. "
+          "@prefix list: <http://www.w3.org/2000/10/swap/list#>. "
+          "@prefix string: <http://www.w3.org/2000/10/swap/string#>. "
+          "@prefix time: <http://www.w3.org/2000/10/swap/time#>. "
+          "@prefix crypto: <http://www.w3.org/2000/10/swap/crypto#>. ")
+_B = '"true"^^<http://www.w3.org/2001/XMLSchema#boolean>'
+_I = '^^<http://www.w3.org/2001/XMLSchema#integer>'
+
+CASES += [
+    ("r4d_reason_backward_feeds_forward", "Reason",
+     _PRE4D + ":a :n 4 . { ?x :big true } <= { ?x :n ?v . "
+              "?v math:greaterThan 3 } . "
+              "{ ?x :big true } => { ?x :verdict :yes } .",
+     f"<http://ex/a> <http://ex/big> {_B} .\n"
+     "<http://ex/a> <http://ex/verdict> <http://ex/yes> .",
+     {"think": True, "conclusions": True}),
+    ("r4d_reason_rule_emits_list_member_consumes", "Reason",
+     _PRE4D + ":seed :is 1 . { ?x :is 1 } => { ?x :lst ( 1 2 3 ) } . "
+              "{ ?x :lst ?l . ?l list:member 2 } => { ?x :has2 true } .",
+     '<http://ex/seed> <http://ex/lst> ("1"' + _I + ' "2"' + _I
+     + ' "3"' + _I + ') .\n'
+     f"<http://ex/seed> <http://ex/has2> {_B} .",
+     {"think": True, "conclusions": True}),
+    ("r4d_reason_scrape_then_sum", "Reason",
+     _PRE4D + ':d :code "id-42" . { ?x :code ?c . '
+              '(?c "id-([0-9]+)") string:scrape ?n . '
+              "(?n 1) math:sum ?m } => { ?x :next ?m } .",
+     '<http://ex/d> <http://ex/next> "43"' + _I + " .",
+     {"think": True, "conclusions": True}),
+    ("r4d_reason_string_coercion_in_sum", "Reason",
+     _PRE4D + '{ ("42" 1) math:sum ?m } => { :r :val ?m } .',
+     '<http://ex/r> <http://ex/val> "43"' + _I + " .",
+     {"think": True, "conclusions": True}),
+    ("r4d_reason_digest_prefix_guard", "Reason",
+     _PRE4D + '{ "abc" crypto:sha1 ?h . ?h string:startsWith "a9" } '
+              "=> { :r :ok true } .",
+     f"<http://ex/r> <http://ex/ok> {_B} .",
+     {"think": True, "conclusions": True}),
+    ("r4d_reason_dayofweek_branch", "Reason",
+     _PRE4D + ':e :when "2024-03-09T05:06:07Z"'
+              '^^<http://www.w3.org/2001/XMLSchema#dateTime> . '
+              "{ ?x :when ?t . ?t time:dayOfWeek 6 } => "
+              "{ ?x :saturday true } .",
+     f"<http://ex/e> <http://ex/saturday> {_B} .",
+     {"think": True, "conclusions": True}),
+    ("r4d_reason_nested_formula_scoping", "Reason",
+     _PRE4D + ":m :says { :sky :is :blue } . "
+              "{ ?w :says { ?a :is ?b } } => { ?w :claims ?b } .",
+     "<http://ex/m> <http://ex/claims> <http://ex/blue> .",
+     {"think": True, "conclusions": True}),
+]
