@@ -287,7 +287,8 @@ def run_bench() -> dict:
          ("dup_groups_cc", lambda: len(R.dup_groups_cc(sf_dir))),
          ("domain_resample", lambda: len(R.domain_resample(sf_dir))),
          ("pack_sequences", lambda: R.pack_sequences(sf_dir).count()),
-         ("near_dedup_keep", lambda: R.near_dedup_keep(sf_dir).count())],
+         ("near_dedup_keep", lambda: R.near_dedup_keep(sf_dir).count()),
+         ("trade_pagerank", lambda: R.trade_pagerank(sf_dir).count())],
     ]
 
     def fresh_session():

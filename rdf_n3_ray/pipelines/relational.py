@@ -583,27 +583,35 @@ def pack_sequences(sf_dir: str, budget: int = 256):
         })
 
     def pack(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id", kind="stable").reset_index(drop=True)
-        t = g["n_tokens"].to_numpy(np.int64)
-        cum = np.concatenate([[0], np.cumsum(t)])
-        starts = []  # first doc index of each bin
-        i, n = 0, len(t)
-        while i < n:
-            starts.append(i)
-            j = int(np.searchsorted(cum, cum[i] + budget, side="right")) - 1
-            i = max(j, i + 1)  # oversize doc: bin of its own
-        starts = np.asarray(starts, dtype=np.int64)
-        bin_of = np.zeros(n, dtype=np.int64)
-        bin_of[starts[1:]] = 1
-        bin_of = np.cumsum(bin_of)
-        off = cum[:-1] - cum[starts[bin_of]]
-        g["bin_id"] = bin_of
-        g["off"] = off.astype("int64")
-        return g
+        return _pack_group(g, budget)
 
     return (ds.map_batches(toks, batch_format="pandas")
             .groupby("source").map_groups(pack, batch_format="pandas")
             .sort(["source", "doc_id"]))
+
+
+def _pack_group(g: "pd.DataFrame", budget: int) -> "pd.DataFrame":
+    """The per-source greedy packing kernel (module-level so property
+    tests can drive it against the SQL recurrence without Ray): loops
+    over BIN boundaries via searchsorted on the token prefix sums, then
+    assigns bin ids and in-bin offsets vectorized."""
+    g = g.sort_values("doc_id", kind="stable").reset_index(drop=True)
+    t = g["n_tokens"].to_numpy(np.int64)
+    cum = np.concatenate([[0], np.cumsum(t)])
+    starts = []  # first doc index of each bin
+    i, n = 0, len(t)
+    while i < n:
+        starts.append(i)
+        j = int(np.searchsorted(cum, cum[i] + budget, side="right")) - 1
+        i = max(j, i + 1)  # oversize doc: bin of its own
+    starts = np.asarray(starts, dtype=np.int64)
+    bin_of = np.zeros(n, dtype=np.int64)
+    bin_of[starts[1:]] = 1
+    bin_of = np.cumsum(bin_of)
+    off = cum[:-1] - cum[starts[bin_of]]
+    g["bin_id"] = bin_of
+    g["off"] = off.astype("int64")
+    return g
 
 
 # the bin transition fires whenever the doc would overflow — with NO
@@ -2278,6 +2286,25 @@ def ann_ivf(sf_dir: str, k: int = 5, n_queries: int = 4,
     return df.reset_index(drop=True)
 
 
+def ann_pq(sf_dir: str, k: int = 5, n_queries: int = 4, m: int = 8,
+           ks: int = 16):
+    """Product-quantization ANN (`stages/ann.py pq_*`): the memory
+    scale path — vectors become m uint8 codes, queries score via ADC
+    table lookups.  Approximate by construction, so rows-only in the
+    driver gate; recall vs brute force is pinned in pytest."""
+    from ..stages.ann import pq_topk
+
+    ds = _strip_meta(_read(sf_dir, "embeddings",
+                           columns=["vec_id", "embedding"]))
+    first = sorted(ds.take(n_queries), key=lambda r: r["vec_id"])
+    queries = np.asarray([r["embedding"] for r in first], dtype=np.float64)
+    df = pq_topk(ds, queries, k=k, m=m, ks=ks)
+    df["query_idx"] = df["query_idx"].astype("int64")
+    df["sim"] = df["sim"].round(4)
+    return df.sort_values(["query_idx", "sim", "vec_id"],
+                          ascending=[True, False, True]).reset_index(drop=True)
+
+
 def ann_ivf_exact(sf_dir: str, k: int = 5, n_queries: int = 4):
     """IVF probe machinery at nprobe == n_clusters: every partition is
     probed, so the result is EXACT top-k and the brute-force window-rank
@@ -2441,6 +2468,122 @@ JACCARD_GROUPS_SQL = _SHINGLE_PAIRS_CTE + """
 SELECT x::BIGINT AS doc_id, LEAST(x, MIN(y))::BIGINT AS dup_group
 FROM reach GROUP BY x ORDER BY doc_id
 """
+
+def trade_pagerank(sf_dir: str, iters: int = 5, num_partitions: int = 64,
+                   num_buckets: int = 8):
+    """Entity importance over the customer<->supplier trade graph:
+    integer-arithmetic PageRank (`stages/pagerank.py`) on the
+    symmetrized bipartite graph whose edges are the DISTINCT
+    (customer, supplier) pairs connected by an order line.  Node ids
+    disambiguate the two key spaces (customer k -> 2k, supplier
+    k -> 2k+1).  Exact int64 floor arithmetic makes the result a pure
+    function of the edge set, so the unrolled-iteration SQL oracle
+    matches bit-for-bit.
+
+    Scale shape: the lineitem->orders pairing is the repo's
+    bucket-paired big-big join (orderkey buckets, identical-columns
+    union, per-batch distinct first); pair dedup owns each (src, dst)
+    in one pair-hash bucket; the PageRank rounds themselves move only
+    (dst, contribution) int64 shards between stable src-hash buckets
+    (see stages/pagerank.py for the raw-task rationale)."""
+    from ..stages.pagerank import pagerank
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def li_side(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.drop_duplicates()
+        ok = g["l_orderkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "k": ok, "v": g["l_suppkey"].to_numpy(np.int64),
+            "jb": (ok % num_partitions).astype("int32"),
+            "side": np.zeros(len(g), dtype=np.int8)})
+
+    def ord_side(b: pd.DataFrame) -> pd.DataFrame:
+        ok = b["o_orderkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "k": ok, "v": b["o_custkey"].to_numpy(np.int64),
+            "jb": (ok % num_partitions).astype("int32"),
+            "side": np.ones(len(b), dtype=np.int8)})
+
+    empty_e = pd.DataFrame({"src": pd.Series(dtype="int64"),
+                            "dst": pd.Series(dtype="int64"),
+                            "pb": pd.Series(dtype="int32")})
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["side"] == 0][["k", "v"]]
+        r = g[g["side"] == 1][["k", "v"]]
+        if l.empty or r.empty:
+            return empty_e.copy()
+        m = l.merge(r, on="k")  # v_x = suppkey, v_y = custkey
+        df = pd.DataFrame({
+            "src": m["v_y"].to_numpy(np.int64) * 2,
+            "dst": m["v_x"].to_numpy(np.int64) * 2 + 1,
+        }).drop_duplicates()
+        with np.errstate(over="ignore"):  # u64 wraparound hash
+            df["pb"] = ((df["src"].to_numpy(np.uint64) * _GRAM_P
+                         + df["dst"].to_numpy(np.uint64))
+                        % num_partitions).astype("int32")
+        return df
+
+    def dedup_and_symmetrize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["src", "dst"])
+        s = g["src"].to_numpy(np.int64)
+        d = g["dst"].to_numpy(np.int64)
+        return pd.DataFrame({"src": np.concatenate([s, d]),
+                             "dst": np.concatenate([d, s])})
+
+    pairs = (li.map_batches(li_side, batch_format="pandas",
+                            batch_size=65536)
+             .union(orders.map_batches(ord_side, batch_format="pandas"))
+             .groupby("jb").map_groups(join_bucket, batch_format="pandas")
+             .groupby("pb").map_groups(dedup_and_symmetrize,
+                                       batch_format="pandas"))
+
+    pr = pagerank(pairs, iters=iters, num_buckets=num_buckets)
+
+    def label(b: pd.DataFrame) -> pd.DataFrame:
+        node = b["node"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "kind": np.where(node % 2 == 0, "customer", "supplier"),
+            "key": node // 2,
+            "pr": b["pr"].astype("int64")})
+
+    return pr.map_batches(label, batch_format="pandas").sort(["kind", "key"])
+
+
+def _pagerank_sql(iters: int = 5) -> str:
+    """Unrolled-iteration twin of stages/pagerank.py's integer
+    recurrence (DuckDB disallows aggregates in a recursive CTE term,
+    so the fixed iteration count is unrolled as chained CTEs)."""
+    sql = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+e0 AS (
+  SELECT DISTINCT (o.o_custkey * 2)::BIGINT AS src,
+                  (li.l_suppkey * 2 + 1)::BIGINT AS dst
+  FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey
+), edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT src AS node, 1000000000::BIGINT AS r FROM deg)"""
+    prev = "r0"
+    for i in range(1, iters + 1):
+        sql += f""",
+r{i} AS (
+  SELECT e.dst AS node,
+         (150000000 + SUM((p.r * 85) // (100 * d.outdeg)))::BIGINT AS r
+  FROM edges e JOIN {prev} p ON p.node = e.src
+  JOIN deg d ON d.src = e.src
+  GROUP BY e.dst)"""
+        prev = f"r{i}"
+    return sql + f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       (node // 2)::BIGINT AS key, r AS pr
+FROM {prev} ORDER BY kind, key
+"""
+
+
+TRADE_PAGERANK_SQL = _pagerank_sql(5)
+
 
 NEAR_DEDUP_KEEP_SQL = _SHINGLE_PAIRS_CTE + """
 , edges AS (

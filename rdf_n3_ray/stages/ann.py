@@ -399,3 +399,120 @@ def ivf_query(out_dir: str, queries: np.ndarray, k: int = 10,
         concurrency=(1, 4),
     )
     return _merge_topk(partials, k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the 100 TB memory path for ANN
+# ---------------------------------------------------------------------------
+
+def pq_train(embeddings_ds, m: int = 8, ks: int = 16,
+             sample_size: int = 2048, iters: int = 8, seed: int = 5):
+    """Train per-subspace codebooks (Jegou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011) on a
+    driver-side sample: split the (L2-normalized) vector into `m`
+    contiguous subvectors and k-means each subspace independently.
+    Returns codebooks of shape (m, ks, dim // m).
+
+    The codebooks are tiny (m * ks * dsub floats — kilobytes) and
+    broadcast in task args; the corpus itself is only ever touched by
+    the streaming encode pass (`pq_encode`)."""
+    embeddings_ds = embeddings_ds.materialize()
+    try:
+        n = embeddings_ds.count()
+        frac = min(1.0, sample_size / max(n, 1))
+    except Exception:
+        frac = 1.0
+    sample = embeddings_ds.random_sample(frac, seed=seed) if frac < 1.0 \
+        else embeddings_ds
+    mat = _normalize(_matrix([r["embedding"]
+                              for r in sample.take(sample_size)])
+                     .astype(np.float64))
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ks, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = mat[:, j * dsub:(j + 1) * dsub]
+        idx = rng.choice(len(sub), size=min(ks, len(sub)), replace=False)
+        cent = sub[idx].copy()
+        for _ in range(iters):
+            # plain Euclidean k-means per subspace (subvectors are NOT
+            # unit-norm; assignment by min L2 == max dot - ||c||^2/2)
+            d2 = (np.add.outer((sub * sub).sum(1), (cent * cent).sum(1))
+                  - 2.0 * (sub @ cent.T))
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cent)):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j, :len(cent)] = cent
+        if len(cent) < ks:  # degenerate tiny sample: pad with copies
+            books[j, len(cent):] = cent[0]
+    return embeddings_ds, books
+
+
+def pq_encode(embeddings_ds, books: np.ndarray):
+    """Streaming encode pass: each vector becomes `m` uint8 codes
+    (nearest codebook entry per subspace) — dim*4 bytes -> m bytes per
+    vector (64-dim float32 -> 8 bytes at m=8), the compression that
+    lets a 100 TB embedding column sit in cluster RAM as ~1.5 TB of
+    codes.  Codes ride as a fixed-size list column next to vec_id."""
+    m, ks, dsub = books.shape
+    norms = (books * books).sum(axis=2)  # (m, ks)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        emb = _normalize(_matrix(batch.column("embedding"))
+                         .astype(np.float64))
+        n = len(emb)
+        codes = np.empty((n, m), dtype=np.uint8)
+        for j in range(m):
+            sub = emb[:, j * dsub:(j + 1) * dsub]
+            d2 = norms[j][None, :] - 2.0 * (sub @ books[j].T)
+            codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "code": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.reshape(-1), pa.uint8()), m),
+        })
+
+    return embeddings_ds.map_batches(encode, batch_format="pyarrow")
+
+
+def pq_topk(embeddings_ds, queries: np.ndarray, k: int = 10, m: int = 8,
+            ks: int = 16, sample_size: int = 2048, seed: int = 5):
+    """PQ ANN via asymmetric distance computation (ADC): per query,
+    precompute the (m, ks) inner-product table query-subvector x
+    codebook entry; a row's approximate cosine is then m table lookups
+    summed — no float vector ever touched after the encode pass.
+    Partial top-k per batch + the shared `_merge_topk` driver merge,
+    identical in shape to the exact path so recall is directly
+    comparable (tested >= the pinned bar vs brute force)."""
+    embeddings_ds, books = pq_train(embeddings_ds, m=m, ks=ks,
+                                    sample_size=sample_size, seed=seed)
+    codes_ds = pq_encode(embeddings_ds, books)
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    dsub = books.shape[2]
+    # ADC tables: tab[q, j, c] = <q_subj, books[j, c]>
+    tab = np.einsum("qjd,jcd->qjc",
+                    qn.reshape(len(qn), m, dsub), books)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vid = batch.column("vec_id").to_numpy()
+        codes = np.asarray(batch.column("code").combine_chunks()
+                           .flatten()).reshape(len(vid), m)
+        # scores[q, row] = sum_j tab[q, j, codes[row, j]]
+        scores = tab[:, np.arange(m)[None, :], codes].sum(axis=2)
+        kk = min(k, scores.shape[1])
+        top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+        qi = np.repeat(np.arange(len(qn)), kk)
+        vi = vid[top.reshape(-1)]
+        si = scores[np.arange(len(qn))[:, None], top].reshape(-1)
+        return pa.table({"query_idx": pa.array(qi, pa.int64()),
+                         "vec_id": pa.array(vi, pa.int64()),
+                         "sim": pa.array(si, pa.float64())})
+
+    partials = codes_ds.map_batches(partial, batch_format="pyarrow",
+                                    batch_size=4096)
+    return _merge_topk(partials, k)

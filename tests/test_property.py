@@ -150,3 +150,62 @@ def test_legacy_quantifier_soup_total(text):
     doc = "@prefix : <http://ex/> .\n@forAll :x .\n" + text
     r = parse_n3(doc, base_uri="http://ex.org/", legacy=True)
     assert isinstance(r.quads, list)
+
+
+# --- data-ops oracle-parity properties (no Ray: kernel vs DuckDB) -----
+
+_WS_TEXT = st.text(
+    alphabet=list("ab \t\n\f\r\v") + [" "], max_size=30)
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_WS_TEXT, max_size=12))
+def test_n_words_matches_sql_fragment(texts):
+    """_n_words (non-ASCII-WS run count) is bit-equal to _N_WORDS_SQL
+    (RE2 '\\s+' split + drop-empty) on arbitrary whitespace soup,
+    including \\v and NBSP which are token chars on BOTH engines."""
+    import duckdb
+    import pandas as pd
+
+    from rdf_n3_ray.pipelines.relational import _N_WORDS_SQL, _n_words
+
+    df = pd.DataFrame({"text": pd.Series(texts, dtype="object")})
+    con = duckdb.connect()
+    con.register("t", df)
+    sql = _N_WORDS_SQL.replace("coalesce(text, '')", "coalesce(t.text, '')")
+    got = con.execute(f"SELECT {sql} AS n FROM t").fetchdf()["n"]
+    assert got.astype("int64").tolist() == _n_words(df["text"]).tolist()
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.integers(min_value=0, max_value=600),
+                min_size=1, max_size=25))
+def test_pack_group_matches_sql_recurrence(tokens):
+    """The greedy packing kernel (bin-boundary searchsorted walk) is
+    bit-equal to the doc-by-doc CASE recurrence PACK_SEQUENCES_SQL
+    unrolls, for arbitrary token-count sequences including zero-token
+    docs and oversize docs."""
+    import pandas as pd
+
+    from rdf_n3_ray.pipelines.relational import _pack_group
+
+    g = pd.DataFrame({"doc_id": range(len(tokens)),
+                      "source": "s",
+                      "n_tokens": pd.Series(tokens, dtype="int64")})
+    got = _pack_group(g.copy(), budget=256)
+
+    # reference: the SQL recurrence, literally
+    bin_id, off, running, exp = 0, 0, 0, []
+    for i, t in enumerate(tokens):
+        if i == 0:
+            exp.append((0, 0))
+            running = t
+            continue
+        if running + t > 256:
+            bin_id, off, running = bin_id + 1, 0, t
+        else:
+            off, running = running, running + t
+        exp.append((bin_id, off))
+    assert list(zip(got["bin_id"], got["off"])) == exp
