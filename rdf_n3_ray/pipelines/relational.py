@@ -404,10 +404,10 @@ def doc_token_stats(sf_dir: str):
     return ds.map_batches(stats, batch_format="pandas", batch_size=8192).sort("doc_id")
 
 
-DOC_TOKEN_STATS_SQL = r"""
+DOC_TOKEN_STATS_SQL = rf"""
 SELECT doc_id,
        length(text) AS n_chars,
-       length(list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'), x -> x <> '')) AS n_words,
+       {_N_WORDS_SQL} AS n_words,
        length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
 FROM documents
 ORDER BY doc_id
@@ -473,11 +473,11 @@ def source_report(sf_dir: str):
         "sum_digits": pd.Series(dtype="int64")})))
 
 
-SOURCE_REPORT_SQL = r"""
+SOURCE_REPORT_SQL = rf"""
 SELECT coalesce(source, '') AS source,
        count(*)::BIGINT AS n_docs,
        SUM(length(coalesce(text, '')))::BIGINT AS sum_chars,
-       SUM(length(list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'), x -> x <> '')))::BIGINT AS sum_words,
+       SUM({_N_WORDS_SQL})::BIGINT AS sum_words,
        SUM(length(coalesce(text, '')) - length(
            regexp_replace(coalesce(text, ''), '[0-9]', '', 'g')))::BIGINT
            AS sum_digits,
@@ -571,15 +571,10 @@ def pack_sequences(sf_dir: str, budget: int = 256):
     ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
 
     def toks(b: pd.DataFrame) -> pd.DataFrame:
-        # count maximal non-ASCII-WS runs: exact parity with the
-        # oracle's regexp_split_to_array('\s+') + drop-empty filter
-        # (RE2 '\s' is the Perl set [ \t\n\f\r]; Python str.split()
-        # would diverge on \v / Unicode whitespace — see _ASCII_WS)
         return pd.DataFrame({
             "doc_id": b["doc_id"].astype("int64"),
             "source": b["source"].fillna(""),
-            "n_tokens": (b["text"].fillna("")
-                         .str.count(r"[^ \t\n\f\r]+").astype("int64")),
+            "n_tokens": _n_words(b["text"]),
         })
 
     def pack(g: pd.DataFrame) -> pd.DataFrame:
@@ -619,12 +614,10 @@ def _pack_group(g: "pd.DataFrame", budget: int) -> "pd.DataFrame":
 # the current bin holds only zero-token docs (matching the kernel's
 # prefix-sum walk exactly; verified on adversarial zero-token/oversize
 # interleavings)
-PACK_SEQUENCES_SQL = """
+PACK_SEQUENCES_SQL = f"""
 WITH RECURSIVE toks AS (
   SELECT doc_id::BIGINT AS doc_id, coalesce(source, '') AS source,
-         length(list_filter(
-             regexp_split_to_array(coalesce(text, ''), '\\s+'),
-             x -> x <> ''))::BIGINT AS n_tokens,
+         {_N_WORDS_SQL}::BIGINT AS n_tokens,
          row_number() OVER (PARTITION BY coalesce(source, '')
                             ORDER BY doc_id) AS rn
   FROM documents
@@ -2063,7 +2056,7 @@ def _curation_verdict_sql() -> str:
     return rf"""
 WITH {_lang_pred_ctes()}, q AS (
   SELECT doc_id,
-    length(list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'), x -> x <> '')) AS n_words,
+    {_N_WORDS_SQL} AS n_words,
     FLOOR((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE
           / GREATEST(length(text), 1) * 10000)::BIGINT AS punct_e4
   FROM documents
@@ -2225,12 +2218,12 @@ def doc_quality(sf_dir: str):
                           batch_size=8192).sort("doc_id")
 
 
-DOC_QUALITY_SQL = r"""
+DOC_QUALITY_SQL = rf"""
 SELECT doc_id,
-       length(list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'), x -> x <> '')) AS n_words,
+       {_N_WORDS_SQL} AS n_words,
        length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
        length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
-       FLOOR(length(text)::DOUBLE / GREATEST(length(list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'), x -> x <> '')), 1)
+       FLOOR(length(text)::DOUBLE / GREATEST({_N_WORDS_SQL}, 1)
             * 10000)::BIGINT AS mean_word_len_e4,
        FLOOR((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE
              / GREATEST(length(text), 1) * 10000)::BIGINT AS punct_ratio_e4

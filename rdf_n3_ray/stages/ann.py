@@ -415,8 +415,13 @@ def pq_train(embeddings_ds, m: int = 8, ks: int = 16,
 
     The codebooks are tiny (m * ks * dsub floats — kilobytes) and
     broadcast in task args; the corpus itself is only ever touched by
-    the streaming encode pass (`pq_encode`)."""
-    embeddings_ds = embeddings_ds.materialize()
+    the streaming encode pass (`pq_encode`) — no materialize here:
+    count() on a Parquet source is metadata-only, the sample pass
+    streams, and the encode pass re-reads from storage, so the float
+    corpus (the thing PQ exists to not hold) never pins in the object
+    store."""
+    if not 0 < ks <= 256:
+        raise ValueError(f"ks={ks} must fit a uint8 code (1..256)")
     try:
         n = embeddings_ds.count()
         frac = min(1.0, sample_size / max(n, 1))
@@ -424,8 +429,10 @@ def pq_train(embeddings_ds, m: int = 8, ks: int = 16,
         frac = 1.0
     sample = embeddings_ds.random_sample(frac, seed=seed) if frac < 1.0 \
         else embeddings_ds
-    mat = _normalize(_matrix([r["embedding"]
-                              for r in sample.take(sample_size)])
+    rows = sample.take(sample_size)
+    if not rows:
+        raise ValueError("pq_train: embeddings dataset is empty")
+    mat = _normalize(_matrix([r["embedding"] for r in rows])
                      .astype(np.float64))
     dim = mat.shape[1]
     if dim % m:
@@ -505,13 +512,24 @@ def pq_topk(embeddings_ds, queries: np.ndarray, k: int = 10, m: int = 8,
         # scores[q, row] = sum_j tab[q, j, codes[row, j]]
         scores = tab[:, np.arange(m)[None, :], codes].sum(axis=2)
         kk = min(k, scores.shape[1])
-        top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
-        qi = np.repeat(np.arange(len(qn)), kk)
-        vi = vid[top.reshape(-1)]
-        si = scores[np.arange(len(qn))[:, None], top].reshape(-1)
-        return pa.table({"query_idx": pa.array(qi, pa.int64()),
-                         "vec_id": pa.array(vi, pa.int64()),
-                         "sim": pa.array(si, pa.float64())})
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(len(qn)):
+            col = scores[qi]
+            # lexicographic (-sim, vec_id): PQ collapses near-dups to
+            # IDENTICAL codes, so exact score ties are the norm, and
+            # plain argpartition would keep a batching-dependent subset
+            # (see BruteForceTopK / MaskedTopK)
+            order = np.lexsort((vid, -col))[:kk]
+            out_q.append(np.full(kk, qi, dtype=np.int64))
+            out_id.append(vid[order])
+            out_sim.append(col[order])
+        return pa.table({"query_idx": pa.array(np.concatenate(out_q),
+                                               pa.int64()),
+                         "vec_id": pa.array(
+                             np.concatenate(out_id).astype(np.int64),
+                             pa.int64()),
+                         "sim": pa.array(np.concatenate(out_sim),
+                                         pa.float64())})
 
     partials = codes_ds.map_batches(partial, batch_format="pyarrow",
                                     batch_size=4096)

@@ -47,30 +47,39 @@ def _pr_bucketize(tbl: "pa.Table", num_buckets: int):
 
 
 @ray.remote(num_returns=2)
-def _pr_init(scale: int, *shards):
-    """Concat this bucket's edge shards, sort by src once; derive the
-    owned node list, outdegrees, and the uniform starting rank."""
+def _pr_init(scale: int, num_buckets: int, *shards):
+    """Concat this bucket's edge shards and precompute everything
+    round-invariant ONCE: the per-edge source index into the owned
+    node list, and the destination-bucket permutation + cut bounds —
+    so each round's contribution task is a pure gather (no argsort or
+    searchsorted repeated per iteration)."""
     s = np.concatenate([x[0] for x in shards]) if shards else \
         np.empty(0, np.int64)
     d = np.concatenate([x[1] for x in shards]) if shards else \
         np.empty(0, np.int64)
-    order = np.argsort(s, kind="stable")
-    s, d = s[order], d[order]
     nodes, outdeg = np.unique(s, return_counts=True)
+    idx = np.searchsorted(nodes, s)  # every src is an owned node
+    part = d % num_buckets
+    perm = np.argsort(part, kind="stable")
+    dsorted = d[perm]
+    bounds = np.searchsorted(part[perm], np.arange(num_buckets + 1))
     ranks = np.full(len(nodes), scale, dtype=np.int64)
-    return (s, d), (nodes, outdeg.astype(np.int64), ranks)
+    return (idx, perm, dsorted, bounds), \
+        (nodes, outdeg.astype(np.int64), ranks)
 
 
 @ray.remote
 def _pr_contrib(edges, state, num_buckets: int,
                 damp_num: int, damp_den: int):
     """Per owned edge: floor-divided damped contribution, keyed by the
-    destination's bucket."""
-    s, d = edges
+    destination's bucket — one multiply/divide and two gathers per
+    round, everything positional precomputed in _pr_init."""
+    idx, perm, dsorted, bounds = edges
     nodes, outdeg, rank = state
-    idx = np.searchsorted(nodes, s)  # every src is an owned node
     c = (rank[idx] * damp_num) // (damp_den * outdeg[idx])
-    return _ret(_split_by(d % num_buckets, num_buckets, d, c), num_buckets)
+    cs = c[perm]
+    return _ret([(dsorted[a:b], cs[a:b])
+                 for a, b in zip(bounds[:-1], bounds[1:])], num_buckets)
 
 
 @ray.remote
@@ -120,7 +129,7 @@ def pagerank(edges_ds, iters: int = 5, num_buckets: int = 8,
             for blk in blocks]
     edges, states = [], []
     for b in range(B):
-        e, st = _pr_init.remote(scale, *[row[b] for row in grid])
+        e, st = _pr_init.remote(scale, B, *[row[b] for row in grid])
         edges.append(e)
         states.append(st)
 
