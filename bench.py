@@ -288,7 +288,8 @@ def run_bench() -> dict:
          ("domain_resample", lambda: len(R.domain_resample(sf_dir))),
          ("pack_sequences", lambda: R.pack_sequences(sf_dir).count()),
          ("near_dedup_keep", lambda: R.near_dedup_keep(sf_dir).count()),
-         ("trade_pagerank", lambda: R.trade_pagerank(sf_dir).count())],
+         ("trade_pagerank", lambda: R.trade_pagerank(sf_dir).count()),
+         ("ann_pq", lambda: len(R.ann_pq(sf_dir)))],
     ]
 
     def fresh_session():

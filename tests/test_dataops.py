@@ -336,6 +336,32 @@ def test_pq_topk_recall_vs_brute_force(ray_session):
     assert flat.dtype == np.uint8 and flat.max() < 16
 
 
+def test_ivfpq_topk_degrades_to_pq_and_prunes(ray_session):
+    """IVF+PQ at nprobe == n_clusters returns exactly pq_topk's result
+    (partition pruning loses nothing when every partition is probed);
+    at nprobe=2 every hit still comes from the query's own cluster."""
+    import ray.data as rd
+
+    from rdf_n3_ray.stages.ann import ivfpq_topk, pq_topk
+
+    tbl = _clustered_embeddings()
+    queries = np.asarray(tbl["embedding"].to_pylist()[:3], dtype=np.float64)
+    full = ivfpq_topk(rd.from_arrow(tbl), queries, k=5, n_clusters=4,
+                      nprobe=4, m=4, ks=16)
+    flat = pq_topk(rd.from_arrow(tbl), queries, k=5, m=4, ks=16)
+    pd.testing.assert_frame_equal(full.reset_index(drop=True),
+                                  flat.reset_index(drop=True))
+
+    pruned = ivfpq_topk(rd.from_arrow(tbl), queries, k=5, n_clusters=4,
+                        nprobe=2, m=4, ks=16)
+    exact30 = brute_force_topk(rd.from_arrow(tbl), queries, k=30,
+                               dtype=np.float64)
+    for qi in range(3):
+        cluster = set(exact30[exact30.query_idx == qi].vec_id)
+        got = set(pruned[pruned.query_idx == qi].vec_id)
+        assert got and got <= cluster, (qi, got, cluster)
+
+
 def test_cosine_dup_pairs_exact(ray_session):
     import ray.data as rd
 
