@@ -2281,3 +2281,53 @@ CASES += [
      "<http://ex/m> <http://ex/claims> <http://ex/blue> .",
      {"think": True, "conclusions": True}),
 ]
+
+
+# --- r4e: syntax-corner batch (parser-probed) --------------------------
+# 18 malformed shapes the grammar must reject (terminator/bracket
+# discipline, literal suffix rules, directive arity) plus two
+# intuition-traps that ARE legal N3 and must stay accepted: a literal
+# in predicate position (predicate := expression in the CG grammar)
+# and an empty ';' repetition (Turtle-style predicateObjectList).
+_P4E = "@prefix : <http://ex/>. "
+CASES += [
+    ("r4e_neg_double_comma", "NegativeSyntax",
+     _P4E + ":a :b :c ,, :d .", None, {}),
+    ("r4e_neg_dot_in_collection", "NegativeSyntax",
+     _P4E + ":a :b (1 2 . 3) .", None, {}),
+    ("r4e_neg_missing_datatype", "NegativeSyntax",
+     _P4E + ':a :b "x"^^ .', None, {}),
+    ("r4e_neg_double_dot_number", "NegativeSyntax",
+     _P4E + ":a :b 1.2.3 .", None, {}),
+    ("r4e_neg_unclosed_formula", "NegativeSyntax",
+     _P4E + "{ :a :b :c .", None, {}),
+    ("r4e_neg_unclosed_collection", "NegativeSyntax",
+     _P4E + ":a :b (1 2 .", None, {}),
+    ("r4e_neg_unclosed_bnode", "NegativeSyntax",
+     _P4E + ":a :b [ :c :d .", None, {}),
+    ("r4e_neg_empty_langtag", "NegativeSyntax",
+     _P4E + ':a :b "x"@ .', None, {}),
+    ("r4e_neg_bare_semicolon_start", "NegativeSyntax",
+     _P4E + ":a ; :b :c .", None, {}),
+    ("r4e_neg_implies_missing_rhs", "NegativeSyntax",
+     _P4E + "{ :a :b :c } => .", None, {}),
+    ("r4e_neg_double_caret_chain", "NegativeSyntax",
+     _P4E + ':a :b "x"^^<http://t/>^^<http://u/> .', None, {}),
+    ("r4e_neg_stray_close_brace", "NegativeSyntax",
+     _P4E + ":a :b :c . } ", None, {}),
+    ("r4e_neg_stray_close_paren", "NegativeSyntax",
+     _P4E + ":a :b :c . ) ", None, {}),
+    ("r4e_neg_stray_close_bracket", "NegativeSyntax",
+     _P4E + ":a :b :c . ] ", None, {}),
+    ("r4e_neg_predicate_missing_object", "NegativeSyntax",
+     _P4E + ":a :b .", None, {}),
+    ("r4e_neg_literal_datatype_and_lang", "NegativeSyntax",
+     _P4E + ':a :b "x"^^<http://t/>@en .', None, {}),
+    ("r4e_neg_at_base_no_iri", "NegativeSyntax", "@base .", None, {}),
+    ("r4e_neg_prefix_no_colon", "NegativeSyntax",
+     "@prefix p <http://ex/> .", None, {}),
+    ("r4e_pos_literal_predicate", "PositiveSyntax",
+     _P4E + ":a 5 :c .", None, {}),
+    ("r4e_pos_empty_semicolon_repeat", "PositiveSyntax",
+     _P4E + ":a :b :c ;; .", None, {}),
+]
