@@ -2331,3 +2331,41 @@ CASES += [
     ("r4e_pos_empty_semicolon_repeat", "PositiveSyntax",
      _P4E + ":a :b :c ;; .", None, {}),
 ]
+
+
+# --- r4f: the complete RFC 3986 §5.4 reference-resolution table -------
+# One Eval case per example (normal §5.4.1 + abnormal §5.4.2), base
+# <http://a/b/c/d;p?q>, expected subjects straight from the RFC — the
+# authoritative public fixture for @base/relative-IRI behavior.
+_RFC3986_BASE = "http://a/b/c/d;p?q"
+_RFC3986_TABLE = [
+    ("g:h", "g:h"), ("g", "http://a/b/c/g"), ("./g", "http://a/b/c/g"),
+    ("g/", "http://a/b/c/g/"), ("/g", "http://a/g"), ("//g", "http://g"),
+    ("?y", "http://a/b/c/d;p?y"), ("g?y", "http://a/b/c/g?y"),
+    ("#s", "http://a/b/c/d;p?q#s"), ("g#s", "http://a/b/c/g#s"),
+    ("g?y#s", "http://a/b/c/g?y#s"), (";x", "http://a/b/c/;x"),
+    ("g;x", "http://a/b/c/g;x"), ("g;x?y#s", "http://a/b/c/g;x?y#s"),
+    ("", "http://a/b/c/d;p?q"), (".", "http://a/b/c/"),
+    ("./", "http://a/b/c/"), ("..", "http://a/b/"),
+    ("../", "http://a/b/"), ("../g", "http://a/b/g"),
+    ("../..", "http://a/"), ("../../", "http://a/"),
+    ("../../g", "http://a/g"),
+    ("../../../g", "http://a/g"), ("../../../../g", "http://a/g"),
+    ("/./g", "http://a/g"), ("/../g", "http://a/g"),
+    ("g.", "http://a/b/c/g."), (".g", "http://a/b/c/.g"),
+    ("g..", "http://a/b/c/g.."), ("..g", "http://a/b/c/..g"),
+    ("./../g", "http://a/b/g"), ("./g/.", "http://a/b/c/g/"),
+    ("g/./h", "http://a/b/c/g/h"), ("g/../h", "http://a/b/c/h"),
+    ("g;x=1/./y", "http://a/b/c/g;x=1/y"),
+    ("g;x=1/../y", "http://a/b/c/y"),
+    ("g?y/./x", "http://a/b/c/g?y/./x"),
+    ("g?y/../x", "http://a/b/c/g?y/../x"),
+    ("g#s/./x", "http://a/b/c/g#s/./x"),
+    ("g#s/../x", "http://a/b/c/g#s/../x"),
+]
+CASES += [
+    (f"r4f_rfc3986_{i:02d}", "Eval",
+     f"@base <{_RFC3986_BASE}>. <{ref}> <http://p/> <http://o/> .",
+     f"<{exp}> <http://p/> <http://o/> .", {})
+    for i, (ref, exp) in enumerate(_RFC3986_TABLE)
+]
