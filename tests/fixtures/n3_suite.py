@@ -2369,3 +2369,31 @@ CASES += [
      f"<{exp}> <http://p/> <http://o/> .", {})
     for i, (ref, exp) in enumerate(_RFC3986_TABLE)
 ]
+
+
+# --- r4g: numeric literal lexical-quirk family ------------------------
+# Pins the reference's exact lexical handling (reader.rb:466-507):
+# bare leading-dot decimals get "0" prefixed but SIGNED leading-dot
+# forms keep their lexical form verbatim; ".E" doubles get ".0E"; all
+# other numeric lexical forms (signs, leading zeros, exponent case)
+# pass through untouched.
+_XI = '^^<http://www.w3.org/2001/XMLSchema#integer>'
+_XD = '^^<http://www.w3.org/2001/XMLSchema#decimal>'
+_XF = '^^<http://www.w3.org/2001/XMLSchema#double>'
+_NUM_FORMS = [
+    ("0", '"0"' + _XI), ("-0", '"-0"' + _XI), ("+7", '"+7"' + _XI),
+    ("007", '"007"' + _XI),
+    ("1.5", '"1.5"' + _XD), ("-2.50", '"-2.50"' + _XD),
+    (".5", '"0.5"' + _XD), ("+.5", '"+.5"' + _XD),
+    ("-.25", '"-.25"' + _XD),
+    ("1e0", '"1e0"' + _XF), ("1E+2", '"1E+2"' + _XF),
+    ("-3.14e-2", '"-3.14e-2"' + _XF), ("+1.0E5", '"+1.0E5"' + _XF),
+    ("1.e2", '"1.0e2"' + _XF), (".5e1", '".5e1"' + _XF),
+    ("-1.E3", '"-1.0E3"' + _XF),
+]
+CASES += [
+    (f"r4g_numlex_{i:02d}", "Eval",
+     f"@prefix : <http://ex/>. :s :p {src} .",
+     f"<http://ex/s> <http://ex/p> {exp} .", {})
+    for i, (src, exp) in enumerate(_NUM_FORMS)
+]
