@@ -61,6 +61,21 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+
+def _elastic_pool() -> tuple:
+    """Elastic actor-pool bound: (1, cluster CPUs).  A fixed small cap
+    starves the only expensive stage at scale (the round-3 LangId
+    lesson); results are pool-size-invariant (pure per-batch partials),
+    so sizing to the cluster is free."""
+    import ray
+
+    try:
+        n = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        n = 8
+    return (1, max(2, n))
+
+
 class BruteForceTopK:
     """Actor-pool stage: per-batch partial top-k against the broadcast
     query matrix; partials merged on the driver (tiny: Q×k rows)."""
@@ -123,7 +138,7 @@ def _merge_topk(partials_ds, k: int) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_idx", "vec_id", "sim"])
 
 
-def brute_force_topk(embeddings_ds, queries: np.ndarray, k: int = 10, concurrency: int = 4,
+def brute_force_topk(embeddings_ds, queries: np.ndarray, k: int = 10, concurrency=None,
                      dtype=np.float32):
     """Distributed exact top-k: map (partial per batch) + driver merge.
 
@@ -136,7 +151,7 @@ def brute_force_topk(embeddings_ds, queries: np.ndarray, k: int = 10, concurrenc
                                "k": k, "dtype": dtype},
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=concurrency,
+        concurrency=concurrency or _elastic_pool(),
     )
     return _merge_topk(partials, k)
 
@@ -264,7 +279,7 @@ def ivf_topk(embeddings_ds, queries: np.ndarray, k: int = 10,
                                "dtype": np.float64},
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=(1, 4),
+        concurrency=_elastic_pool(),
     )
     return _merge_topk(partials, k)
 
@@ -307,7 +322,7 @@ def lsh_topk(embeddings_ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
                                "dtype": np.float32},
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=(1, 4),
+        concurrency=_elastic_pool(),
     )
     return _merge_topk(partials, k)
 
@@ -382,7 +397,7 @@ def ivf_query(out_dir: str, queries: np.ndarray, k: int = 10,
                                    "dtype": np.float64},
             batch_format="pyarrow",
             batch_size=4096,
-            concurrency=(1, 4),
+            concurrency=_elastic_pool(),
         )
         return _merge_topk(partials, k)
 
@@ -396,7 +411,7 @@ def ivf_query(out_dir: str, queries: np.ndarray, k: int = 10,
                                "dtype": np.float64},
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=(1, 4),
+        concurrency=_elastic_pool(),
     )
     return _merge_topk(partials, k)
 
