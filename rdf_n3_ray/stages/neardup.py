@@ -302,10 +302,12 @@ def _lsh_small_corpus(info, bands: int, threshold: float, est_cut: float,
             return _verify_rows(b, self.tmap, threshold, shingle_k,
                                 self.cache)
 
+    from .ann import _elastic_pool
+
     return (rd.from_pandas(pairs.reset_index(drop=True))
             .repartition(16)
             .map_batches(Verify, batch_format="pandas",
-                         batch_size=8192, concurrency=(1, 8)))
+                         batch_size=8192, concurrency=_elastic_pool()))
 
 
 def minhash_lsh_dedup(
