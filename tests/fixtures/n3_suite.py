@@ -2397,3 +2397,38 @@ CASES += [
      f"<http://ex/s> <http://ex/p> {exp} .", {})
     for i, (src, exp) in enumerate(_NUM_FORMS)
 ]
+
+
+# --- r4h: string escape / quote-style family --------------------------
+# Engine-probed: control escapes stay escaped in the N-Triples lexical
+# encoding, \U unescapes to the raw codepoint, single/long quote styles
+# normalize to the double-quoted encoding with inner quotes escaped.
+_P4H = "@prefix : <http://ex/>. "
+_SP = "<http://ex/s> <http://ex/p> "
+CASES += [
+    ("r4h_escape_tab", "Eval",
+     _P4H + r':s :p "tab\there" .', _SP + r'"tab\there" .', {}),
+    ("r4h_escape_newline", "Eval",
+     _P4H + r':s :p "nl\nnl" .', _SP + r'"nl\nnl" .', {}),
+    ("r4h_escape_cr", "Eval",
+     _P4H + r':s :p "cr\rcr" .', _SP + r'"cr\rcr" .', {}),
+    ("r4h_escape_quote", "Eval",
+     _P4H + r':s :p "q\"q" .', _SP + r'"q\"q" .', {}),
+    ("r4h_escape_backslash", "Eval",
+     _P4H + r':s :p "bs\\bs" .', _SP + r'"bs\\bs" .', {}),
+    ("r4h_uchar_bmp", "Eval",
+     _P4H + r':s :p "uAend" .', _SP + '"uAend" .', {}),
+    ("r4h_uchar_astral", "Eval",
+     _P4H + r':s :p "U\U0001F600end" .', _SP + '"U\U0001F600end" .', {}),
+    ("r4h_single_quote_style", "Eval",
+     _P4H + ":s :p 'single' .", _SP + '"single" .', {}),
+    ("r4h_long_single_inner_quote", "Eval",
+     _P4H + ":s :p '''long ' quote''' .", _SP + '"long \' quote" .', {}),
+    ("r4h_long_double_inner_quotes", "Eval",
+     _P4H + ':s :p """long "" inner""" .', _SP + r'"long \"\" inner" .',
+     {}),
+    ("r4h_raw_unicode_passthrough", "Eval",
+     _P4H + ':s :p "é" .', _SP + '"é" .', {}),
+    ("r4h_single_quote_escape", "Eval",
+     _P4H + r":s :p 'esc\t' .", _SP + r'"esc\t" .', {}),
+]
