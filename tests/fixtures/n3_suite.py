@@ -2432,3 +2432,41 @@ CASES += [
     ("r4h_single_quote_escape", "Eval",
      _P4H + r":s :p 'esc\t' .", _SP + r'"esc\t" .', {}),
 ]
+
+
+# --- r4i: list-builtin edge family (engine-probed) --------------------
+_P4I = ("@prefix : <http://ex/>. "
+        "@prefix list: <http://www.w3.org/2000/10/swap/list#>. "
+        "@prefix log: <http://www.w3.org/2000/10/swap/log#>. ")
+_RC4 = {"think": True, "conclusions": True}
+_L123 = ('("1"' + _I + ' "2"' + _I + ' "3"' + _I + ')')
+CASES += [
+    ("r4i_list_append_with_empty", "Reason",
+     _P4I + "{ (() (1 2)) list:append ?x } => { :r :val ?x } .",
+     '<http://ex/r> <http://ex/val> ("1"' + _I + ' "2"' + _I + ") .",
+     dict(_RC4)),
+    ("r4i_list_append_three_operands", "Reason",
+     _P4I + "{ ((1) (2) (3)) list:append ?x } => { :r :val ?x } .",
+     "<http://ex/r> <http://ex/val> " + _L123 + " .", dict(_RC4)),
+    ("r4i_list_length_empty", "Reason",
+     _P4I + "{ () list:length ?n } => { :r :val ?n } .",
+     '<http://ex/r> <http://ex/val> "0"' + _I + " .", dict(_RC4)),
+    ("r4i_list_iterate_binds_index_and_member", "Reason",
+     _P4I + "{ (:a :b) list:iterate (?i ?m) } => { :r ?m ?i } .",
+     '<http://ex/r> <http://ex/a> "0"' + _I + " .\n"
+     '<http://ex/r> <http://ex/b> "1"' + _I + " .", dict(_RC4)),
+    ("r4i_list_first_last_singleton", "Reason",
+     _P4I + "{ (:only) list:first ?f . (:only) list:last ?l } => "
+            "{ :r :fl (?f ?l) } .",
+     "<http://ex/r> <http://ex/fl> (<http://ex/only> <http://ex/only>) .",
+     dict(_RC4)),
+    ("r4i_list_in_enumerates_then_filters", "Reason",
+     _P4I + "{ ?x list:in (1 2 3) . ?x log:equalTo 2 } => "
+            "{ :r :found ?x } .",
+     '<http://ex/r> <http://ex/found> "2"' + _I + " .", dict(_RC4)),
+    ("r4i_list_member_via_bound_var", "Reason",
+     _P4I + ":d :lst (5 6) . { ?d :lst ?l . ?l list:member ?m } => "
+            "{ ?d :has ?m } .",
+     '<http://ex/d> <http://ex/has> "5"' + _I + " .\n"
+     '<http://ex/d> <http://ex/has> "6"' + _I + " .", dict(_RC4)),
+]
