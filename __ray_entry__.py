@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_dup_groups": R.jaccard_dup_groups,
         "dup_groups_cc": R.dup_groups_cc,
         "near_dedup_keep": R.near_dedup_keep,
+        "dup_rate_by_source": R.dup_rate_by_source,
         "trade_pagerank": R.trade_pagerank,
         "ann_pq": R.ann_pq,
         "decontaminate": R.decontaminate,
@@ -255,6 +256,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_dup_groups": R.JACCARD_GROUPS_SQL,
         "dup_groups_cc": R.JACCARD_GROUPS_SQL,
         "near_dedup_keep": R.NEAR_DEDUP_KEEP_SQL,
+        "dup_rate_by_source": R.DUP_RATE_BY_SOURCE_SQL,
         "trade_pagerank": R.TRADE_PAGERANK_SQL,
         "simhash": R.SIMHASH_SQL,
         "lang_id": R.LANG_ID_SQL,

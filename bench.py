@@ -289,7 +289,9 @@ def run_bench() -> dict:
          ("pack_sequences", lambda: R.pack_sequences(sf_dir).count()),
          ("near_dedup_keep", lambda: R.near_dedup_keep(sf_dir).count()),
          ("trade_pagerank", lambda: R.trade_pagerank(sf_dir).count()),
-         ("ann_pq", lambda: len(R.ann_pq(sf_dir)))],
+         ("ann_pq", lambda: len(R.ann_pq(sf_dir))),
+         ("dup_rate_by_source",
+          lambda: len(R.dup_rate_by_source(sf_dir)))],
     ]
 
     def fresh_session():

@@ -2578,6 +2578,54 @@ FROM {prev} ORDER BY kind, key
 TRADE_PAGERANK_SQL = _pagerank_sql(5)
 
 
+def dup_rate_by_source(sf_dir: str, threshold: float = 0.5):
+    """Per-source near-duplication report: how many of each ingestion
+    source's documents are non-canonical near-dup cluster members (the
+    docs `near_dedup_keep` would drop) — the table that tells a
+    curation run WHICH crawl is contaminating the corpus.  All-integer
+    (n_docs, n_dropped; rates are downstream division).
+
+    Scale shape: the drop-set from the connected-components pass is
+    dup-mass-sized and broadcasts once; the corpus streams through a
+    single count map emitting at most |sources| rows per batch, then
+    one tiny fold.  No corpus shuffle."""
+    import ray
+
+    from ..stages.components import connected_components
+    from ..stages.neardup import minhash_lsh_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_lsh_dedup(docs, threshold=threshold,
+                              prefilter_sigma=None)
+    cc = connected_components(pairs, num_buckets=8).to_pandas()
+    if cc.empty:
+        drop = np.empty(0, np.int64)
+    else:
+        drop = np.sort(cc.loc[cc["node"] != cc["label"], "node"]
+                       .to_numpy(np.int64))
+    drop_ref = ray.put(drop)
+
+    src_ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(np.int64)
+        hit = _semi_mask(ray.get(drop_ref), ids)
+        g = pd.DataFrame({"source": b["source"].fillna(""),
+                          "n_docs": np.ones(len(b), dtype=np.int64),
+                          "n_dropped": hit.astype(np.int64)})
+        return g.groupby("source", as_index=False).sum()
+
+    empty = pd.DataFrame({"source": pd.Series(dtype="object"),
+                          "n_docs": pd.Series(dtype="int64"),
+                          "n_dropped": pd.Series(dtype="int64")})
+    out = _fold_pd(src_ds.map_batches(partial, batch_format="pandas"),
+                   empty)
+    out = out.groupby("source", as_index=False)[["n_docs", "n_dropped"]].sum()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_dropped"] = out["n_dropped"].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
 NEAR_DEDUP_KEEP_SQL = _SHINGLE_PAIRS_CTE + """
 , edges AS (
   SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs
@@ -2592,6 +2640,24 @@ SELECT d.doc_id::BIGINT AS doc_id,
        (g.g IS NULL OR g.g = d.doc_id) AS keep
 FROM documents d LEFT JOIN grp g ON g.doc_id = d.doc_id
 ORDER BY d.doc_id
+"""
+
+DUP_RATE_BY_SOURCE_SQL = _SHINGLE_PAIRS_CTE + """
+, edges AS (
+  SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs
+), reach AS (
+  SELECT x, y FROM edges
+  UNION
+  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+), grp AS (
+  SELECT x AS doc_id, LEAST(x, MIN(y)) AS g FROM reach GROUP BY x
+)
+SELECT coalesce(d.source, '') AS source,
+       count(*)::BIGINT AS n_docs,
+       SUM(CASE WHEN grp.g IS NOT NULL AND grp.g <> d.doc_id
+                THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+FROM documents d LEFT JOIN grp ON grp.doc_id = d.doc_id
+GROUP BY 1 ORDER BY source
 """
 
 

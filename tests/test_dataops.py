@@ -1005,6 +1005,27 @@ def test_trade_pagerank_matches_oracle(ray_session):
     assert set(out["kind"]) == {"customer", "supplier"}
 
 
+def test_dup_rate_by_source_matches_oracle(ray_session):
+    """Per-source dup report hash-matches the closure oracle and is
+    consistent with near_dedup_keep: per-source dropped counts equal
+    the keep-list's drops grouped by source."""
+    from rdf_n3_ray.pipelines.relational import (
+        DUP_RATE_BY_SOURCE_SQL, dup_rate_by_source, near_dedup_keep)
+
+    out = dup_rate_by_source("/root/testdata/sf0.01")
+    assert out["n_docs"].sum() == 500 and out["n_dropped"].sum() > 0
+    _assert_oracle_equal(out, _duckdb_oracle(DUP_RATE_BY_SOURCE_SQL))
+
+    keep = near_dedup_keep("/root/testdata/sf0.01").to_pandas()
+    src = pd.read_parquet("/root/testdata/sf0.01/documents.parquet",
+                          columns=["doc_id", "source"])
+    j = keep.merge(src, on="doc_id")
+    exp = (j[~j["keep"]].groupby(j["source"].fillna("")).size())
+    got = out.set_index("source")["n_dropped"]
+    for s, n in exp.items():
+        assert got.get(s, 0) == n
+
+
 def test_pack_sequences_matches_oracle(ray_session):
     """Greedy packing hash-matches the recursive-CTE oracle and holds
     its invariants: no bin over budget except oversize singletons, no
