@@ -2578,6 +2578,258 @@ FROM {prev} ORDER BY kind, key
 TRADE_PAGERANK_SQL = _pagerank_sql(5)
 
 
+def triangle_count(sf_dir: str, num_buckets: int = 32,
+                   degree_broadcast_limit: int = 5_000_000):
+    """Triangle census of the part co-purchase graph: nodes are parts,
+    an edge joins two parts that appear in the same order, and the
+    output is one exact-integer row — distinct edges, wedges (paths of
+    length 2, sum over nodes of C(deg, 2)), triangles, and the global
+    clustering coefficient 3*tri/wedges in ppm (floor of the exact
+    rational, so both engines agree bit-for-bit).
+
+    The classic distributed triangle algorithm (degree orientation +
+    wedge closure; Suri & Vassilvitskii WWW'11 / Cohen's MapReduce
+    formulation):
+      1. distinct (order, part) map-side, order-hash bucket shuffle;
+         each bucket owns its orders, so per-order part pairs come from
+         the shared `_key_group_pair_partials` kernel (array
+         arithmetic, no Python pair loop).  Per-order part counts are
+         bounded (an order has a handful of lines), so the C(L, 2)
+         emission cannot blow up.
+      2. pair-hash buckets dedup pairs into the distinct edge set E —
+         each edge wholly owned by one bucket (materialized: consumed
+         by degrees, orientation, and the closure probe).
+      3. degrees from per-block np.unique partials + node-bucket fold.
+      4. orient each edge low->high by (degree, id); out-degrees are
+         then O(sqrt(|E|))-bounded, which bounds wedge emission.
+         Degrees broadcast once via ray.put when the node count is
+         under `degree_broadcast_limit`; past it, the same orientation
+         runs fully distributed as two node-bucket join rounds
+         (identical-columns kind-tagged unions) — same answer, tested
+         equal by forcing the limit to 0.
+      5. per-source wedges via the SAME pair kernel keyed by the SAME
+         pair-hash, so wedge (v, w) lands in the bucket that owns edge
+         (v, w): closure is a bucket-local merge; only per-bucket
+         count rows reach the driver."""
+    import ray
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    no_cap = np.iinfo(np.int64).max
+
+    def op_dedup(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.drop_duplicates()
+        o = b["l_orderkey"].to_numpy(np.int64)
+        return pd.DataFrame({"key": o,
+                             "doc_id": b["l_partkey"].to_numpy(np.int64),
+                             "ob": (o % num_buckets).astype(np.int32)})
+
+    def order_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["key", "doc_id"])
+        return _key_group_pair_partials(g, "key", no_cap, num_buckets)
+
+    edges = (li.map_batches(op_dedup, batch_format="pandas",
+                            batch_size=131072)
+             .groupby("ob").map_groups(order_pairs, batch_format="pandas")
+             .groupby("pb").map_groups(
+                 lambda g: g.drop_duplicates(subset=["doc_a", "doc_b"])
+                 [["doc_a", "doc_b"]],
+                 batch_format="pandas"))
+    # consumed three times (degrees, orientation, closure probe)
+    edges = edges.materialize()
+
+    def deg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        nodes = np.concatenate([b["doc_a"].to_numpy(np.int64),
+                                b["doc_b"].to_numpy(np.int64)])
+        u, c = np.unique(nodes, return_counts=True)
+        return pd.DataFrame({"node": u, "deg": c.astype(np.int64),
+                             "nb": (u % num_buckets).astype(np.int32)})
+
+    def deg_fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", as_index=False)["deg"].sum()
+        out["deg"] = out["deg"].astype("int64")
+        return out
+
+    degrees = (edges.map_batches(deg_partial, batch_format="pandas")
+               .groupby("nb").map_groups(deg_fold, batch_format="pandas")
+               .materialize())  # reused: wedge total + orientation
+
+    # total wedges = sum over nodes of C(deg, 2) — full degrees, NOT
+    # the oriented out-degrees (those undercount by construction)
+    def wedge_partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["deg"].to_numpy(np.int64)
+        return pd.DataFrame({"w": [int((d * (d - 1) // 2).sum())]})
+
+    wedge_rows = _fold_pd(degrees.map_batches(wedge_partial,
+                                              batch_format="pandas"),
+                          pd.DataFrame({"w": pd.Series(dtype="int64")}))
+    n_wedges = int(wedge_rows["w"].sum()) if len(wedge_rows) else 0
+
+    n_nodes = degrees.count()
+    if n_nodes <= degree_broadcast_limit:
+        deg_df = degrees.to_pandas()
+        nodes_s = deg_df["node"].to_numpy(np.int64)
+        order = np.argsort(nodes_s)
+        deg_ref = ray.put((nodes_s[order],
+                           deg_df["deg"].to_numpy(np.int64)[order]))
+
+        def orient(b: pd.DataFrame) -> pd.DataFrame:
+            nodes_sorted, degs = ray.get(deg_ref)
+            u = b["doc_a"].to_numpy(np.int64)
+            v = b["doc_b"].to_numpy(np.int64)
+            # every endpoint has a degree row by construction
+            du = degs[np.searchsorted(nodes_sorted, u)]
+            dv = degs[np.searchsorted(nodes_sorted, v)]
+            swap = (dv < du) | ((dv == du) & (v < u))
+            s = np.where(swap, v, u)
+            return pd.DataFrame({"s": s, "t": np.where(swap, u, v),
+                                 "sb": (s % num_buckets).astype(np.int32)})
+
+        oriented = edges.map_batches(orient, batch_format="pandas")
+    else:
+        oriented = _orient_by_degree_distributed(edges, degrees,
+                                                 num_buckets)
+
+    def src_wedges(g: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"key": g["s"], "doc_id": g["t"]})
+        out = _key_group_pair_partials(g, "key", no_cap, num_buckets)
+        out["kind"] = np.full(len(out), 1, np.int8)
+        return out
+
+    wedges = (oriented.groupby("sb")
+              .map_groups(src_wedges, batch_format="pandas"))
+
+    def edge_tag(b: pd.DataFrame) -> pd.DataFrame:
+        with np.errstate(over="ignore"):  # u64 wraparound hash
+            pb = ((b["doc_a"].to_numpy(np.uint64) * _GRAM_P
+                   + b["doc_b"].to_numpy(np.uint64))
+                  % num_buckets).astype("int32")
+        return pd.DataFrame({"doc_a": b["doc_a"].to_numpy(np.int64),
+                             "doc_b": b["doc_b"].to_numpy(np.int64),
+                             "m": np.zeros(len(b), np.int64),
+                             "pb": pb,
+                             "kind": np.zeros(len(b), np.int8)})
+
+    def close_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["kind"] == 0][["doc_a", "doc_b"]]
+        w = g[g["kind"] == 1]
+        hit = w.merge(e, on=["doc_a", "doc_b"])
+        return pd.DataFrame({"n_tri": [int(hit["m"].sum())],
+                             "n_edges": [len(e)]})
+
+    counts = (edges.map_batches(edge_tag, batch_format="pandas")
+              .union(wedges)
+              .groupby("pb").map_groups(close_bucket,
+                                        batch_format="pandas"))
+    fold = _fold_pd(counts, pd.DataFrame({
+        "n_tri": pd.Series(dtype="int64"),
+        "n_edges": pd.Series(dtype="int64")}))
+    n_tri = int(fold["n_tri"].sum()) if len(fold) else 0
+    n_edges = int(fold["n_edges"].sum()) if len(fold) else 0
+    gcc_ppm = (3_000_000 * n_tri) // n_wedges if n_wedges else 0
+    return pd.DataFrame({"n_edges": pd.Series([n_edges], dtype="int64"),
+                         "n_wedges": pd.Series([n_wedges], dtype="int64"),
+                         "n_triangles": pd.Series([n_tri], dtype="int64"),
+                         "gcc_ppm": pd.Series([gcc_ppm], dtype="int64")})
+
+
+def _orient_by_degree_distributed(edges, degrees, num_buckets: int):
+    """Degree orientation without the broadcast: two node-bucket join
+    rounds attach deg(doc_a) then deg(doc_b) via the repo's
+    identical-columns kind-tagged union idiom, then orient.  Same
+    (degree, id) comparison as the broadcast path — tested bit-equal
+    by forcing `degree_broadcast_limit=0`."""
+    _e2 = pd.DataFrame({"k": pd.Series(dtype="int64"),
+                        "other": pd.Series(dtype="int64"),
+                        "d": pd.Series(dtype="int64"),
+                        "kind": pd.Series(dtype="int8"),
+                        "kb": pd.Series(dtype="int32")})
+
+    def deg_rows(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["node"].to_numpy(np.int64)
+        return pd.DataFrame({"k": k,
+                             "other": np.zeros(len(b), np.int64),
+                             "d": b["deg"].to_numpy(np.int64),
+                             "kind": np.ones(len(b), np.int8),
+                             "kb": (k % num_buckets).astype(np.int32)})
+
+    def edge_rows(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["doc_a"].to_numpy(np.int64)
+        return pd.DataFrame({"k": k,
+                             "other": b["doc_b"].to_numpy(np.int64),
+                             "d": np.zeros(len(b), np.int64),
+                             "kind": np.zeros(len(b), np.int8),
+                             "kb": (k % num_buckets).astype(np.int32)})
+
+    def _deg_lookup(g: pd.DataFrame, probe: np.ndarray) -> np.ndarray:
+        d = g[g["kind"] == 1]
+        ks = d["k"].to_numpy(np.int64)
+        order = np.argsort(ks)
+        return d["d"].to_numpy(np.int64)[order][
+            np.searchsorted(ks[order], probe)]
+
+    def attach_a(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["kind"] == 0]
+        if e.empty:
+            return _e2.copy()
+        da = _deg_lookup(g, e["k"].to_numpy(np.int64))
+        k2 = e["other"].to_numpy(np.int64)  # re-key by doc_b
+        return pd.DataFrame({"k": k2,
+                             "other": e["k"].to_numpy(np.int64),
+                             "d": da,
+                             "kind": np.zeros(len(e), np.int8),
+                             "kb": (k2 % num_buckets).astype(np.int32)})
+
+    def attach_b_orient(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["kind"] == 0]
+        if e.empty:
+            return pd.DataFrame({"s": pd.Series(dtype="int64"),
+                                 "t": pd.Series(dtype="int64"),
+                                 "sb": pd.Series(dtype="int32")})
+        dv = _deg_lookup(g, e["k"].to_numpy(np.int64))
+        u = e["other"].to_numpy(np.int64)   # original doc_a
+        v = e["k"].to_numpy(np.int64)       # original doc_b
+        du = e["d"].to_numpy(np.int64)
+        swap = (dv < du) | ((dv == du) & (v < u))
+        s = np.where(swap, v, u)
+        return pd.DataFrame({"s": s, "t": np.where(swap, u, v),
+                             "sb": (s % num_buckets).astype(np.int32)})
+
+    deg_tagged = degrees.map_batches(deg_rows, batch_format="pandas")
+    phase1 = (edges.map_batches(edge_rows, batch_format="pandas")
+              .union(deg_tagged)
+              .groupby("kb").map_groups(attach_a, batch_format="pandas"))
+    return (phase1.union(deg_tagged)
+            .groupby("kb").map_groups(attach_b_orient,
+                                      batch_format="pandas"))
+
+
+TRIANGLE_COUNT_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+),
+deg AS (
+  SELECT x, count(*)::BIGINT AS d
+  FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY x
+),
+tri AS (
+  SELECT count(*)::BIGINT AS t
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+wed AS (SELECT COALESCE(sum((d * (d - 1)) // 2), 0)::BIGINT AS w FROM deg)
+SELECT (SELECT count(*) FROM e)::BIGINT AS n_edges,
+       wed.w AS n_wedges,
+       tri.t AS n_triangles,
+       CASE WHEN wed.w = 0 THEN 0
+            ELSE ((3000000::HUGEINT * tri.t) // wed.w)::BIGINT
+       END AS gcc_ppm
+FROM tri, wed
+"""
+
+
 def dup_rate_by_source(sf_dir: str, threshold: float = 0.5):
     """Per-source near-duplication report: how many of each ingestion
     source's documents are non-canonical near-dup cluster members (the

@@ -1005,6 +1005,28 @@ def test_trade_pagerank_matches_oracle(ray_session):
     assert set(out["kind"]) == {"customer", "supplier"}
 
 
+def test_triangle_count_matches_oracle(ray_session):
+    """The degree-oriented wedge-closure triangle census hash-matches
+    the self-join oracle, the distributed-orientation fallback
+    (degree_broadcast_limit=0) returns the identical row, and the
+    integer invariants hold (3*tri <= wedges, gcc in [0, 1e6])."""
+    from rdf_n3_ray.pipelines.relational import (
+        TRIANGLE_COUNT_SQL, triangle_count)
+
+    out = triangle_count("/root/testdata/sf0.001")
+    assert len(out) == 1
+    _assert_oracle_equal(out, _duckdb_oracle(
+        TRIANGLE_COUNT_SQL, "/root/testdata/sf0.001"))
+    row = out.iloc[0]
+    assert row["n_triangles"] > 0
+    assert 3 * row["n_triangles"] <= row["n_wedges"]
+    assert 0 <= row["gcc_ppm"] <= 1_000_000
+
+    fallback = triangle_count("/root/testdata/sf0.001",
+                              degree_broadcast_limit=0)
+    pd.testing.assert_frame_equal(out, fallback)
+
+
 def test_dup_rate_by_source_matches_oracle(ray_session):
     """Per-source dup report hash-matches the closure oracle and is
     consistent with near_dedup_keep: per-source dropped counts equal
