@@ -228,6 +228,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # iterative distributed algorithm (non-SQL: rows-only check;
         # pytest pins blob recovery + monotone objective)
         "embed_kmeans": _q_embed_kmeans,
+        # rows-only: k-means fit is iterative (no SQL twin); the
+        # keep-list invariants are pytest-pinned (test_dataops)
+        "semdedup": R.semdedup,
     }
 
 

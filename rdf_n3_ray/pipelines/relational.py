@@ -2261,6 +2261,20 @@ ORDER BY a, b
 """
 
 
+def semdedup(sf_dir: str, tau: float = 0.35, n_clusters: int = 8,
+             iters: int = 4):
+    """SemDeDup keep-list over the embeddings table (rows-only: the
+    k-means fit is iterative/float-fold-order-dependent, so no SQL
+    oracle — the stage's invariants are pytest-pinned instead; see
+    stages/embed_dedup.semdedup for the scale shape)."""
+    from ..stages.embed_dedup import semdedup as _semdedup
+
+    ds = _strip_meta(_read(sf_dir, "embeddings",
+                           columns=["vec_id", "embedding"]))
+    out = _semdedup(ds, tau=tau, n_clusters=n_clusters, iters=iters)
+    return out.sort("vec_id")
+
+
 # ---------------------------------------------------------------------------
 # IVF ANN (approximate; rows-only check + recall-vs-brute-force unit test)
 # ---------------------------------------------------------------------------

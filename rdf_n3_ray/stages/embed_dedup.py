@@ -174,3 +174,69 @@ def dup_groups_from_pairs(pairs_df: pd.DataFrame,
             parent[max(ra, rb)] = min(ra, rb)
     rows = sorted((x, find(x)) for x in parent)
     return pd.DataFrame(rows, columns=["id", "group"])
+
+
+def semdedup(embeddings_ds, tau: float = 0.35, n_clusters: int = 8,
+             iters: int = 4, seed: int = 5, chunk: int = 1024,
+             centroids=None):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    by spherical k-means clustering + within-cluster cosine pairing.
+    Each embedding is assigned to a centroid; inside each cluster,
+    pairs with cosine >= tau form duplicate components and only the
+    min-id member of each component is kept.  Returns a Dataset
+    (vec_id, cluster, keep) — one row per input vector.
+
+    Scale shape: the k-means fit/assign passes stream (cluster.py);
+    pair mining is a per-cluster `map_groups` whose matmul is chunked
+    (`chunk` x cluster_size peak, never cluster_size^2), and the
+    union-find touches only at-or-above-threshold pairs (dup-mass) with
+    a vectorized pointer-halving resolution — no per-row Python over
+    the cluster.  Partitioning assumption (the paper's own recipe):
+    n_clusters scales with corpus size (k ~ sqrt(n)) so one cluster's
+    embedding matrix fits in a worker.  Cross-cluster near-dup pairs
+    are invisible by design — that is SemDeDup's recall/cost trade."""
+    from .cluster import kmeans_assign, kmeans_lloyd
+
+    ds = embeddings_ds.materialize()  # fit passes + assign reuse it
+    if centroids is None:
+        centroids, _ = kmeans_lloyd(ds, n_clusters=n_clusters,
+                                    iters=iters, seed=seed)
+    assigned = kmeans_assign(ds, centroids)
+
+    def cluster_keep(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = _normalize(_matrix(list(g["embedding"].to_numpy()[order]))
+                         .astype(np.float64))
+        n = len(ids)
+        parent = np.arange(n, dtype=np.int64)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = int(parent[x])
+            return x
+
+        for lo in range(0, n, chunk):
+            sims = mat[lo:lo + chunk] @ mat.T
+            ii, jj = np.nonzero(sims >= tau)
+            gi = ii + lo
+            upper = jj > gi  # each unordered pair once
+            # ids are index-sorted, so min root == min vec_id
+            for a, b in zip(gi[upper], jj[upper]):
+                ra, rb = find(int(a)), find(int(b))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        while True:  # vectorized pointer-halving to the fixed point
+            nxt = parent[parent]
+            if np.array_equal(nxt, parent):
+                break
+            parent = nxt
+        return pd.DataFrame({
+            "vec_id": ids,
+            "cluster": g["cluster"].to_numpy(np.int32)[order],
+            "keep": parent == np.arange(n)})
+
+    return (assigned.groupby("cluster")
+            .map_groups(cluster_keep, batch_format="pandas"))

@@ -1005,6 +1005,62 @@ def test_trade_pagerank_matches_oracle(ray_session):
     assert set(out["kind"]) == {"customer", "supplier"}
 
 
+def test_semdedup_invariants(ray_session):
+    """SemDeDup keep-list: one row per vector; GIVEN the run's own
+    cluster assignment, the keep column exactly equals a test-local
+    union-find over exact within-cluster cosine pairs (pins the pair
+    mining + component resolution; the k-means fit itself is pinned by
+    the embed_kmeans tests); co-cluster recall of exact pairs clears a
+    floor; no co-clustered dup pair survives with both members kept."""
+    from rdf_n3_ray.pipelines.relational import semdedup
+
+    tau = 0.35
+    out = semdedup("/root/testdata/sf0.001", tau=tau).to_pandas()
+    emb = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    assert len(out) == len(emb)
+    assert out["vec_id"].is_unique
+    assert (~out["keep"]).sum() > 0
+
+    mat = np.stack([np.asarray(e, dtype=np.float64)
+                    for e in emb["embedding"]])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = emb["vec_id"].to_numpy(np.int64)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    cl = out.set_index("vec_id")["cluster"]
+
+    # exact recompute of the keep-list given the observed clustering
+    from rdf_n3_ray.stages.embed_dedup import dup_groups_from_pairs
+    expected_keep = dict.fromkeys(map(int, ids), True)
+    n_pairs = n_cocluster = 0
+    for c, grp in out.groupby("cluster"):
+        vids = np.sort(grp["vec_id"].to_numpy(np.int64))
+        sub = mat[[pos[int(v)] for v in vids]]
+        s = sub @ sub.T
+        iu, ju = np.triu_indices(len(vids), 1)
+        hit = s[iu, ju] >= tau
+        pairs = pd.DataFrame({"a": vids[iu[hit]], "b": vids[ju[hit]]})
+        groups = dup_groups_from_pairs(pairs)
+        for vid, g in zip(groups["id"], groups["group"]):
+            expected_keep[int(vid)] = (vid == g)
+    got = dict(zip(out["vec_id"].astype(int), out["keep"]))
+    assert got == expected_keep
+
+    # recall floor: planted pairs co-cluster often enough to matter
+    s = mat @ mat.T
+    iu, ju = np.triu_indices(len(ids), 1)
+    hit = s[iu, ju] >= tau
+    a, b = ids[iu[hit]], ids[ju[hit]]
+    n_pairs = int(hit.sum())
+    co = (cl[a].to_numpy() == cl[b].to_numpy())
+    n_cocluster = int(co.sum())
+    assert n_pairs > 0 and n_cocluster / n_pairs >= 0.2
+
+    kp = out.set_index("vec_id")["keep"]
+    both = kp[a].to_numpy() & kp[b].to_numpy() & co
+    assert both.sum() == 0
+
+
 def test_triangle_count_matches_oracle(ray_session):
     """The degree-oriented wedge-closure triangle census hash-matches
     the self-join oracle, the distributed-orientation fallback
