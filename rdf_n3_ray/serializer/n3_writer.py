@@ -170,12 +170,20 @@ class N3Writer:
             for t in (s, p, o):
                 if T.is_iri(t):
                     v = T.iri_value(t)
-                    if self._relativize(v) is not None:
-                        continue  # relativized form wins over pname
-                    for ns, pfx in by_ns.items():
-                        if v.startswith(ns) and _pname_safe(v[len(ns):]):
-                            used[pfx] = ns
-                            break
+                elif T.is_literal(t):
+                    # datatype IRIs shorten too (writer.rb:424
+                    # get_pname(statement.object.datatype))
+                    v = T.literal_parts(t)[1]
+                    if v is None:
+                        continue
+                else:
+                    continue
+                if self._relativize(v) is not None:
+                    continue  # relativized form wins over pname
+                for ns, pfx in by_ns.items():
+                    if v.startswith(ns) and _pname_safe(v[len(ns):]):
+                        used[pfx] = ns
+                        break
         return used
 
     def _relativize(self, v: str) -> str | None:
@@ -216,7 +224,10 @@ class N3Writer:
                 elif dt == T.XSD_DECIMAL:
                     value = T.canonical_decimal(value)
                 elif dt == T.XSD_DOUBLE:
-                    value = T.canonical_double(value)
+                    # the N3 writer downcases the exponent marker
+                    # (writer.rb:295 `.sub('E', 'e')`); the reader-side
+                    # canonical form keeps XSD's uppercase E
+                    value = T.canonical_double(value).replace("E", "e")
                 elif dt == T.XSD_BOOLEAN:
                     value = T.canonical_boolean(value)
                 t = T.literal(value, datatype=dt)
@@ -232,6 +243,13 @@ class N3Writer:
             if dt == T.XSD_DOUBLE and ("e" in value or "E" in value) \
                     and _DBL_LEX_RE.match(value):
                 return value
+            if dt is not None:
+                # pname-shorten the datatype IRI (writer.rb format_uri
+                # via format_literal's `^^#{format_uri(...)}`)
+                for pfx, ns in self._active.items():
+                    local = dt[len(ns):]
+                    if dt.startswith(ns) and _pname_safe(local):
+                        return t[: t.rfind("^^") + 2] + f"{pfx}:{local}"
             return t  # keep full form incl lang/datatype
         if T.is_var(t):
             return t
@@ -437,6 +455,19 @@ class N3Writer:
         quads = self.graphs.get(graph, [])
         subjects = list(dict.fromkeys(q[0] for q in quads))
         subjects.sort(key=lambda s: self._subject_sort_key(s, quads))
+        # referenced list-head bnodes go LAST: their reference site
+        # usually inlines the ladder as "( ... )" (writer.rb marks cons
+        # cells subject_done up front), leaving nothing to render here;
+        # whatever is NOT inlined (shared lists, predicate-position
+        # heads) still renders below, by label, after its referencer
+        deferred = [s for s in subjects
+                    if T.is_bnode(s) and s not in self.graphs
+                    and not self._is_formula_label(s)
+                    and self.ref_count[(graph, s)] > 0
+                    and self._is_list_head(s, graph)]
+        if deferred:
+            dset = set(deferred)
+            subjects = [s for s in subjects if s not in dset] + deferred
         out = []
         for s in subjects:
             sq = [q for q in quads if q[0] == s and q not in self.serialized]
