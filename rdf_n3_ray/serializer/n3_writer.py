@@ -337,7 +337,10 @@ class N3Writer:
             node = rests[0][2]
         for q in ladder:
             self.serialized.add(q)
-        return "( " + " ".join(self._term(i, graph) for i in items) + " )"
+        # no inner padding — the reference writes "(a b)"
+        # (writer.rb:497-512 collection; writer_spec "implication"
+        # expects the strict %r{\(17\) a :TestCase} form)
+        return "(" + " ".join(self._term(i, graph) for i in items) + ")"
 
     def _cyclic_bnodes(self, graph: str | None) -> set:
         """Bnodes on a directed bnode->bnode cycle in this graph (incl.
@@ -558,7 +561,17 @@ class N3Writer:
             roots = sorted(pending - referenced) or [sorted(pending)[0]]
             for g in roots:
                 if any(q not in self.serialized for q in self.graphs[g]):
-                    extra.append(self._formula(g) + " .")
+                    if T.is_iri(g) or (T.is_bnode(g)
+                                       and not self._is_formula_label(g)):
+                        # NAMED graph (N-Quads 4-term input / TriG-style
+                        # label): the name must survive — render as
+                        # `<name> = { ... } .` (writer_spec.rb:572-597
+                        # "named with URI"/"named with BNode").  Minted
+                        # formula labels keep the bare `{ ... } .` form.
+                        name = self._term(g, None) if T.is_iri(g) else g
+                        extra.append(f"{name} = " + self._formula(g) + " .")
+                    else:
+                        extra.append(self._formula(g) + " .")
         if extra:
             body = body + ("\n" if body else "") + "\n".join(extra)
         return header + ("\n" if header and body else "") + body + ("\n" if body else "")

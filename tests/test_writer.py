@@ -347,6 +347,36 @@ _WRITER_FORMULA_CASES = [
       r'(?m)^"one" a :SUCCESS \.$',
       r'(?m)^"two" a :SUCCESS \.$'],
      {"prefixes": {"": "http://ex/"}}),
+    # writer_spec.rb:552-571 "nested": bpl with a formula object that
+    # itself holds bpls (ordering softened — order_subjects differs
+    # on ties; structure and content pinned)
+    ("nested bpl with formula object",
+     '@prefix doc: <http://www.w3.org/2000/10/swap/pim/doc#> .\n'
+     '@prefix ex: <http://www.example.net/2000/10/whatever#> .\n'
+     '@prefix contact: <http://www.w3.org/2000/10/swap/pim/contact#> .\n'
+     '[] doc:creator [contact:email <mailto:fred@example.com> ];\n'
+     '   ex:says { [] doc:title "Huckleberry Finn";\n'
+     '     doc:creator [contact:knownAs "Mark Twain"] }.',
+     [r'ex:says \{',
+      r'doc:creator \[contact:knownAs "Mark Twain"\]',
+      r'doc:title "Huckleberry Finn"',
+      r'doc:creator \[contact:email <mailto:fred@example\.com>\]'],
+     {"prefixes": {"doc": "http://www.w3.org/2000/10/swap/pim/doc#",
+                   "ex": "http://www.example.net/2000/10/whatever#",
+                   "contact":
+                       "http://www.w3.org/2000/10/swap/pim/contact#"}}),
+    # writer_spec.rb:598-615 "implication": quantified list subject
+    # inside the antecedent, strict no-padding "(17)" list form
+    ("implication with list subjects",
+     '@prefix : <http://a/b#> .\n'
+     '@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .\n'
+     '("17"^^xsd:integer) a :TestCase .\n'
+     '{ ( ?x ) a :TestCase }  => { ?x a :RESULT } .',
+     [r'\(17\) a :TestCase \.',
+      r'\(\?x\) a :TestCase \.',
+      r'\?x a :RESULT \.'],
+     {"prefixes": {"": "http://a/b#",
+                   "xsd": "http://www.w3.org/2001/XMLSchema#"}}),
 ]
 
 
@@ -404,6 +434,34 @@ def test_writer_canonicalize_literals(case):
     assert not r.errors, r.errors
     out = serialize_n3(r.quads, canonicalize=True)
     assert _re2.search(rx, out), (lit, out)
+
+
+def test_named_graphs_keep_their_name():
+    """writer_spec.rb:572-597 'named with URI'/'named with BNode': a
+    4-term quad whose graph label is an IRI or a user bnode (the
+    N-Quads reader path — there is no TriG reader, matching the
+    reference whose trig input arrives via RDF::TriG) renders as
+    `<name> = { ... } .`, never as an anonymous orphan formula."""
+    from rdf_n3_ray.serializer.n3_writer import serialize_n3
+
+    quads = [("<http://a/a>", "<http://a/b>", "<http://a/c>", None),
+             ("<http://a/A>", "<http://a/b>", "<http://a/c>",
+              "<http://a/C>")]
+    out = serialize_n3(quads)
+    assert _re2.search(r'(?m)^<http://a/a> <http://a/b> <http://a/c> \.$',
+                       out)
+    assert _re2.search(r'<http://a/C> = \{', out)
+    assert _re2.search(r'<http://a/A> <http://a/b> <http://a/c> \.', out)
+    assert _re2.search(r'\} \.', out)
+
+    bq = [("<http://a/a>", "<http://a/b>", "<http://a/c>", None),
+          ("<http://a/A>", "<http://a/b>", "<http://a/c>", "_:C")]
+    outb = serialize_n3(bq)
+    assert _re2.search(r'_:C = \{', outb)
+    # a minted formula label keeps the anonymous `{ ... } .` form
+    fq = [("<http://a/A>", "<http://a/b>", "<http://a/c>", "_:x_form_1")]
+    outf = serialize_n3(fq)
+    assert "= {" not in outf and outf.lstrip().startswith("{")
 
 
 def test_explicit_formula_labels_disable_heuristic():
