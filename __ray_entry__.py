@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_rate_by_source": R.dup_rate_by_source,
         "trade_pagerank": R.trade_pagerank,
         "triangle_count": R.triangle_count,
+        "events_profile": R.events_profile,
         "ann_pq": R.ann_pq,
         "decontaminate": R.decontaminate,
         "dup_gram_pairs": R.dup_gram_pairs,
@@ -263,6 +264,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_rate_by_source": R.DUP_RATE_BY_SOURCE_SQL,
         "trade_pagerank": R.TRADE_PAGERANK_SQL,
         "triangle_count": R.TRIANGLE_COUNT_SQL,
+        "events_profile": R.EVENTS_PROFILE_SQL,
         "simhash": R.SIMHASH_SQL,
         "lang_id": R.LANG_ID_SQL,
         "decontaminate": R.DECONTAMINATE_SQL,

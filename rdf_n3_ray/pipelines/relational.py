@@ -4204,6 +4204,125 @@ ORDER BY custdist DESC, c_count DESC
 # RE2-compatible pattern through DuckDB's regexp_extract.
 # ---------------------------------------------------------------------------
 
+def events_profile(sf_dir: str, num_buckets: int = 64):
+    """Column-level table profile of `events`: per column the row
+    count, null count, and EXACT distinct count — the data-engine
+    utility every ingestion run wants before curation decisions.
+
+    One read pass; each batch emits kind-tagged partials in ONE frame:
+    a tiny per-column (n_rows, n_nulls) count row, plus per-batch
+    distinct (column, key) pairs whose key is an INJECTIVE string
+    encoding (ints/timestamps verbatim, doubles as raw IEEE bits in
+    hex with -0.0 normalized to 0.0 so SQL's 0.0 = -0.0 equality is
+    mirrored, strings as themselves) — never a lossy hash, so bucket
+    dedup is exact.  (column, key) pairs are wholly owned by their
+    hash bucket; each bucket emits one partial distinct count per
+    column and the driver folds <= num_buckets x n_cols integers.
+    NULLs are excluded from distinct counts (SQL COUNT(DISTINCT)
+    semantics)."""
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ds = _read(sf_dir, "events", columns=cols)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out_col, out_key, out_rows, out_nulls, out_kind = [], [], [], [], []
+        for c in cols:
+            s = b[c]
+            nn = s.notna()
+            out_col.append(c)
+            out_key.append("")
+            out_rows.append(len(s))
+            out_nulls.append(int((~nn).sum()))
+            out_kind.append(1)
+            v = s[nn]
+            if c == "value":
+                a = v.to_numpy(np.float64) + 0.0  # -0.0 -> 0.0
+                keys = np.unique(a.view(np.uint64))
+                ks = [format(x, "016x") for x in keys]
+            elif c == "ts":
+                ks = np.unique(v.to_numpy("datetime64[us]")
+                               .view(np.int64)).astype(str)
+            elif c in ("event_type", "props"):
+                ks = v.unique()
+            else:
+                ks = np.unique(v.to_numpy(np.int64)).astype(str)
+            out_col.extend([c] * len(ks))
+            out_key.extend(ks)
+            out_rows.extend([0] * len(ks))
+            out_nulls.extend([0] * len(ks))
+            out_kind.extend([0] * len(ks))
+        out = pd.DataFrame({"col": out_col, "key": out_key,
+                            "n_rows": np.asarray(out_rows, np.int64),
+                            "n_nulls": np.asarray(out_nulls, np.int64),
+                            "kind": np.asarray(out_kind, np.int8)})
+        hb = pd.util.hash_pandas_object(out["col"] + "\x00" + out["key"],
+                                        index=False)
+        out["vb"] = np.where(out["kind"] == 1, -1,
+                             (hb % num_buckets).astype(np.int64)
+                             ).astype("int32")
+        return out
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        if int(g["vb"].iloc[0]) == -1:  # the count rows ride bucket -1
+            m = g.groupby("col", as_index=False)[["n_rows", "n_nulls"]].sum()
+            m["n_distinct"] = np.int64(0)
+            m["kind"] = np.int8(1)
+            return m[["col", "n_rows", "n_nulls", "n_distinct", "kind"]]
+        d = g.drop_duplicates(subset=["col", "key"])
+        m = d.groupby("col", as_index=False).agg(
+            n_distinct=("key", "size"))
+        m["n_rows"] = np.int64(0)
+        m["n_nulls"] = np.int64(0)
+        m["n_distinct"] = m["n_distinct"].astype("int64")
+        m["kind"] = np.int8(0)
+        return m[["col", "n_rows", "n_nulls", "n_distinct", "kind"]]
+
+    parts = (ds.map_batches(partial, batch_format="pandas",
+                            batch_size=131072)
+             .groupby("vb").map_groups(bucket_fold, batch_format="pandas"))
+    df = _fold_pd(parts, pd.DataFrame({
+        "col": pd.Series(dtype="object"),
+        "n_rows": pd.Series(dtype="int64"),
+        "n_nulls": pd.Series(dtype="int64"),
+        "n_distinct": pd.Series(dtype="int64"),
+        "kind": pd.Series(dtype="int8")}))
+    if df.empty:
+        return pd.DataFrame({"column": pd.Series(dtype="object"),
+                             "n_rows": pd.Series(dtype="int64"),
+                             "n_nulls": pd.Series(dtype="int64"),
+                             "n_distinct": pd.Series(dtype="int64")})
+    out = df.groupby("col", as_index=False)[
+        ["n_rows", "n_nulls", "n_distinct"]].sum()
+    out = out.rename(columns={"col": "column"})
+    for c in ("n_rows", "n_nulls", "n_distinct"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("column").reset_index(drop=True)
+
+
+EVENTS_PROFILE_SQL = """
+SELECT * FROM (
+  SELECT 'event_id' AS "column", count(*)::BIGINT AS n_rows,
+         (count(*) - count(event_id))::BIGINT AS n_nulls,
+         count(DISTINCT event_id)::BIGINT AS n_distinct FROM events
+  UNION ALL
+  SELECT 'ts', count(*)::BIGINT, (count(*) - count(ts))::BIGINT,
+         count(DISTINCT ts)::BIGINT FROM events
+  UNION ALL
+  SELECT 'user_id', count(*)::BIGINT, (count(*) - count(user_id))::BIGINT,
+         count(DISTINCT user_id)::BIGINT FROM events
+  UNION ALL
+  SELECT 'event_type', count(*)::BIGINT,
+         (count(*) - count(event_type))::BIGINT,
+         count(DISTINCT event_type)::BIGINT FROM events
+  UNION ALL
+  SELECT 'value', count(*)::BIGINT, (count(*) - count(value))::BIGINT,
+         count(DISTINCT value)::BIGINT FROM events
+  UNION ALL
+  SELECT 'props', count(*)::BIGINT, (count(*) - count(props))::BIGINT,
+         count(DISTINCT props)::BIGINT FROM events
+) ORDER BY "column"
+"""
+
+
 def event_props_agg(sf_dir: str):
     import re
 

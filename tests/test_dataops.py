@@ -1005,6 +1005,44 @@ def test_trade_pagerank_matches_oracle(ray_session):
     assert set(out["kind"]) == {"customer", "supplier"}
 
 
+def test_events_profile_matches_oracle(ray_session, tmp_path):
+    """Column profile hash-matches the UNION-ALL oracle; the injective
+    key encoding mirrors SQL semantics on the nasty corners: NULLs
+    excluded from distinct counts, -0.0 equal to 0.0."""
+    from rdf_n3_ray.pipelines.relational import (
+        EVENTS_PROFILE_SQL, events_profile)
+
+    out = events_profile("/root/testdata/sf0.01")
+    assert list(out["column"]) == sorted(
+        ["event_id", "ts", "user_id", "event_type", "value", "props"])
+    _assert_oracle_equal(out, _duckdb_oracle(EVENTS_PROFILE_SQL))
+
+    # corner-case table: NULLs in every column, -0.0 vs 0.0
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    t = pa.table({
+        "event_id": pa.array([1, 2, None, 4], pa.int64()),
+        "ts": pa.array([1000, None, 1000, 2000], pa.timestamp("us")),
+        "user_id": pa.array([7, 7, None, None], pa.int64()),
+        "event_type": pa.array(["a", None, "a", "b"], pa.string()),
+        "value": pa.array([0.0, -0.0, None, 1.5], pa.float64()),
+        "props": pa.array([None, None, "{}", "{}"], pa.string()),
+    })
+    d = tmp_path / "evp"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    got = events_profile(str(d))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{d}/events.parquet')")
+    exp = con.execute(EVENTS_PROFILE_SQL).fetchdf()
+    _assert_oracle_equal(got, exp)
+    row = got.set_index("column")
+    assert row.loc["value", "n_distinct"] == 2  # -0.0 == 0.0
+    assert row.loc["props", "n_nulls"] == 2
+
+
 def test_semdedup_invariants(ray_session):
     """SemDeDup keep-list: one row per vector; GIVEN the run's own
     cluster assignment, the keep column exactly equals a test-local
