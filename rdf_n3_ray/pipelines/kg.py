@@ -484,3 +484,52 @@ def compact_kg_job(out_dir: str) -> dict:
     promoted = _finish_pending_compact(out_dir)
     assert promoted is not None and promoted["rows"] == rows
     return {**promoted, "elapsed_sec": time.time() - t0}
+
+
+def kg_diff(dir_a: str, dir_b: str, out_dir: str | None = None) -> dict:
+    """Quad-level diff of two committed KBs: triples B added relative
+    to A and triples B removed, by 128-bit quad-hash anti-joins in
+    both directions — the audit primitive for KB lifecycle work
+    (did the re-ingest change anything?  what did the compaction
+    drop?).  (The reference's Repository is a single in-memory graph;
+    diffing generations is part of this repo's checkpoint/lineage
+    surface, SURVEY §2.10.)
+
+    Scale shape: each direction probes the OTHER side's persisted hash
+    sidecars (16 bytes/row; recomputed only for pre-sidecar shards) via
+    the shared `hash_anti_join` stage — size-gated broadcast with the
+    h1-bucket distributed fallback — so full triple strings stream only
+    for the side being projected, and only rows that actually differ
+    reach `out_dir` (written as partitioned Parquet when given).
+    Committed KBs are globally deduped by construction (the append
+    anti-join guarantees it), so counts are exact set differences."""
+    import ray.data as rd
+
+    from ..stages.antijoin import hash_anti_join
+    from ..stages.dedup import _quad_key128
+
+    t0 = time.time()
+
+    def _side(files, other_hashes, label):
+        if not files:
+            return None, 0
+        left = rd.read_parquet(files)
+        diff = hash_anti_join(
+            left, other_hashes,
+            hash_fn=lambda b: _quad_key128(b),
+            cols=["conv_id", "turn_idx", "subj", "pred", "obj", "graph"])
+        diff = diff.materialize()  # consumed twice: count + write
+        n = diff.count()
+        if out_dir is not None and n:
+            diff.write_parquet(os.path.join(out_dir, label))
+        return diff, n
+
+    a_files = _stage_parquet_files(dir_a)
+    b_files = _stage_parquet_files(dir_b)
+    _, added = _side(b_files, _existing_hashes_ds(dir_a), "diff=added")
+    _, removed = _side(a_files, _existing_hashes_ds(dir_b), "diff=removed")
+    n_a = sum(pq.read_metadata(f).num_rows for f in a_files)
+    n_b = sum(pq.read_metadata(f).num_rows for f in b_files)
+    return {"added": added, "removed": removed,
+            "n_a": n_a, "n_b": n_b, "common": n_a - removed,
+            "elapsed_sec": time.time() - t0}

@@ -107,6 +107,19 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_diff(args) -> int:
+    import ray
+
+    ray.init(address="local", num_cpus=args.num_cpus,
+             include_dashboard=False, ignore_reinit_error=True,
+             logging_level="ERROR")
+    from rdf_n3_ray.pipelines.kg import kg_diff
+
+    print(kg_diff(args.a, args.b, out_dir=args.out))
+    ray.shutdown()
+    return 0
+
+
 def main() -> int:
     p = argparse.ArgumentParser(prog="n3")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -159,6 +172,17 @@ def main() -> int:
     pc.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     pc.set_defaults(fn=cmd_compact)
+
+    pd_ = sub.add_parser(
+        "diff", help="quad-level diff of two committed KB directories "
+        "(hash-sidecar anti-joins; writes differing quads when --out "
+        "is given)")
+    pd_.add_argument("a")
+    pd_.add_argument("b")
+    pd_.add_argument("--out", default=None)
+    pd_.add_argument("--num-cpus", type=int,
+                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    pd_.set_defaults(fn=cmd_diff)
 
     args = p.parse_args()
     return args.fn(args)

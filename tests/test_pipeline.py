@@ -256,6 +256,38 @@ def test_append_kg_job_incremental(ray_session, tmp_path):
     assert again["resumed"] and again["rows"] == app["rows"]
 
 
+def test_kg_diff(ray_session, tmp_path):
+    """kg_diff between a base KB and base+append reports exactly the
+    appended rows as added (and as removed in the reverse direction),
+    zero diff against itself, and materializes only the differing
+    quads when out_dir is given."""
+    import ray.data as rd
+
+    from rdf_n3_ray.pipelines.kg import append_kg_job, kg_diff
+
+    base = str(tmp_path / "base")
+    b = append_kg_job(base, n_convs=30, lo=0, hi=20, turns_per_conv=5)
+    grown = str(tmp_path / "grown")
+    b2 = append_kg_job(grown, n_convs=30, lo=0, hi=20, turns_per_conv=5)
+    assert b2["rows"] == b["rows"]
+    app = append_kg_job(grown, n_convs=30, lo=20, hi=30, turns_per_conv=5)
+
+    d = kg_diff(base, grown, out_dir=str(tmp_path / "d1"))
+    assert d["added"] == app["rows"] and d["removed"] == 0
+    assert d["n_a"] == b["rows"] and d["n_b"] == b["rows"] + app["rows"]
+    assert d["common"] == b["rows"]
+    added = rd.read_parquet(str(tmp_path / "d1" / "diff=added")).to_pandas()
+    assert len(added) == app["rows"]
+    assert (added["conv_id"] >= "conv-000020").all()
+
+    rev = kg_diff(grown, base)
+    assert rev["added"] == 0 and rev["removed"] == app["rows"]
+
+    self_d = kg_diff(base, base)
+    assert self_d["added"] == 0 and self_d["removed"] == 0
+    assert self_d["common"] == b["rows"]
+
+
 def test_append_kg_job_bucket_fallback(ray_session, tmp_path):
     """hash_broadcast_limit=0 forces the h1-bucket anti-join; output
     must equal the broadcast path row-for-row with identical dtypes."""
