@@ -197,6 +197,30 @@ def _transcripts_conv_range(lo: int, hi: int, n_convs: int, turns_per_conv: int,
 # Incremental append path
 # ----------------------------------------------------------------------
 
+def _typed_sentinels(sch, cols: list[str]):
+    """Dtype-exact filler builder for hash_anti_join's bucket-fallback
+    union (repo idiom: None-filled object columns would coerce the
+    int/string triple columns and drift the written parquet schema).
+    `sch` is a parquet footer schema; only `cols` are filled."""
+    import numpy as np
+
+    types = {c: str(t) for c, t in zip(sch.names, sch.types)}
+
+    def _sentinels(n: int) -> dict:
+        out = {}
+        for c in cols:
+            t = types[c]
+            if t.startswith("int"):
+                out[c] = np.full(n, -1, dtype=t)
+            elif t in ("float", "double") or t.startswith("float"):
+                out[c] = np.full(n, np.nan)
+            else:
+                out[c] = np.full(n, "", dtype=object)
+        return out
+
+    return _sentinels
+
+
 def _stage_parquet_files(out_dir: str) -> list[str]:
     """All committed triple parquet files: the base final stage plus
     every prior append stage."""
@@ -345,18 +369,7 @@ def append_kg_job(
         # schema), hence the typed sentinel fillers.
         sch = pq.read_schema(_stage_parquet_files(out_dir)[0])
         tcols = list(sch.names)
-        ttypes = [str(t) for t in sch.types]
-
-        def _sentinels(n: int) -> dict:
-            out = {}
-            for c, t in zip(tcols, ttypes):
-                if t.startswith("int"):
-                    out[c] = np.full(n, -1, dtype=t)
-                elif t in ("float", "double") or t.startswith("float"):
-                    out[c] = np.full(n, np.nan)
-                else:
-                    out[c] = np.full(n, "", dtype=object)
-            return out
+        _sentinels = _typed_sentinels(sch, tcols)
 
         new_triples = hash_anti_join(
             new_triples, existing, hash_fn=_quad_key128, cols=tcols,
@@ -486,7 +499,9 @@ def compact_kg_job(out_dir: str) -> dict:
     return {**promoted, "elapsed_sec": time.time() - t0}
 
 
-def kg_diff(dir_a: str, dir_b: str, out_dir: str | None = None) -> dict:
+def kg_diff(dir_a: str, dir_b: str, out_dir: str | None = None,
+            hash_broadcast_limit: int = 20_000_000,
+            num_buckets: int = 64) -> dict:
     """Quad-level diff of two committed KBs: triples B added relative
     to A and triples B removed, by 128-bit quad-hash anti-joins in
     both directions — the audit primitive for KB lifecycle work
@@ -510,14 +525,21 @@ def kg_diff(dir_a: str, dir_b: str, out_dir: str | None = None) -> dict:
 
     t0 = time.time()
 
+    cols = ["conv_id", "turn_idx", "subj", "pred", "obj", "graph"]
+
     def _side(files, other_hashes, label):
         if not files:
             return None, 0
-        left = rd.read_parquet(files)
+        left = rd.read_parquet(files, columns=cols)
         diff = hash_anti_join(
             left, other_hashes,
             hash_fn=lambda b: _quad_key128(b),
-            cols=["conv_id", "turn_idx", "subj", "pred", "obj", "graph"])
+            cols=cols,
+            # typed fillers keep the bucket fallback's union from
+            # drifting turn_idx/int columns to object/int64
+            sentinel_fn=_typed_sentinels(pq.read_schema(files[0]), cols),
+            broadcast_limit=hash_broadcast_limit,
+            num_buckets=num_buckets)
         diff = diff.materialize()  # consumed twice: count + write
         n = diff.count()
         if out_dir is not None and n:

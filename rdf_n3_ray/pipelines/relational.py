@@ -1317,6 +1317,18 @@ def decontaminate(sf_dir: str, bench_mod: int = 37, n: int = 13):
 _GRAM_P = np.uint64(1099511628211)  # FNV-1a prime; 64-bit wraparound
 
 
+def _pair_bucket(a: np.ndarray, b: np.ndarray,
+                 num_buckets: int) -> np.ndarray:
+    """THE (a, b) pair-hash bucket: (a * _GRAM_P + b) mod num_buckets
+    over u64 wraparound.  One definition shared by the pair kernel,
+    trade_pagerank's edge dedup, and triangle_count's closure —
+    bucket-local joins between their outputs are only correct while
+    every site hashes identically."""
+    with np.errstate(over="ignore"):  # u64 wraparound hash is the point
+        return ((a.astype(np.uint64) * _GRAM_P + b.astype(np.uint64))
+                % num_buckets).astype("int32")
+
+
 def _gram_pows(n: int) -> np.ndarray:
     pows = np.ones(n, dtype=np.uint64)
     with np.errstate(over="ignore"):  # wraparound mod 2^64 is the point
@@ -1490,10 +1502,8 @@ def _key_group_pair_partials(g: "pd.DataFrame", key_col: str,
     m = (pairs.groupby(["doc_a", "doc_b"], as_index=False).size()
          .rename(columns={"size": "m"}))
     m["m"] = m["m"].astype("int64")
-    with np.errstate(over="ignore"):  # u64 wraparound hash is the point
-        m["pb"] = ((m["doc_a"].to_numpy(np.uint64) * _GRAM_P
-                    + m["doc_b"].to_numpy(np.uint64))
-                   % num_buckets).astype("int32")
+    m["pb"] = _pair_bucket(m["doc_a"].to_numpy(np.int64),
+                           m["doc_b"].to_numpy(np.int64), num_buckets)
     return m
 
 
@@ -2527,10 +2537,9 @@ def trade_pagerank(sf_dir: str, iters: int = 5, num_partitions: int = 64,
             "src": m["v_y"].to_numpy(np.int64) * 2,
             "dst": m["v_x"].to_numpy(np.int64) * 2 + 1,
         }).drop_duplicates()
-        with np.errstate(over="ignore"):  # u64 wraparound hash
-            df["pb"] = ((df["src"].to_numpy(np.uint64) * _GRAM_P
-                         + df["dst"].to_numpy(np.uint64))
-                        % num_partitions).astype("int32")
+        df["pb"] = _pair_bucket(df["src"].to_numpy(np.int64),
+                                df["dst"].to_numpy(np.int64),
+                                num_partitions)
         return df
 
     def dedup_and_symmetrize(g: pd.DataFrame) -> pd.DataFrame:
@@ -2713,10 +2722,9 @@ def triangle_count(sf_dir: str, num_buckets: int = 32,
               .map_groups(src_wedges, batch_format="pandas"))
 
     def edge_tag(b: pd.DataFrame) -> pd.DataFrame:
-        with np.errstate(over="ignore"):  # u64 wraparound hash
-            pb = ((b["doc_a"].to_numpy(np.uint64) * _GRAM_P
-                   + b["doc_b"].to_numpy(np.uint64))
-                  % num_buckets).astype("int32")
+        # MUST match the kernel's bucket (closure is bucket-local)
+        pb = _pair_bucket(b["doc_a"].to_numpy(np.int64),
+                          b["doc_b"].to_numpy(np.int64), num_buckets)
         return pd.DataFrame({"doc_a": b["doc_a"].to_numpy(np.int64),
                              "doc_b": b["doc_b"].to_numpy(np.int64),
                              "m": np.zeros(len(b), np.int64),
@@ -4218,33 +4226,42 @@ def events_profile(sf_dir: str, num_buckets: int = 64):
     dedup is exact.  (column, key) pairs are wholly owned by their
     hash bucket; each bucket emits one partial distinct count per
     column and the driver folds <= num_buckets x n_cols integers.
-    NULLs are excluded from distinct counts (SQL COUNT(DISTINCT)
-    semantics)."""
+    NULLs are excluded from distinct counts but NaN is a VALUE (SQL
+    COUNT / COUNT(DISTINCT) semantics — hence Arrow batches below:
+    pandas cannot tell a float NULL from NaN, and int64-with-NULL
+    columns would coerce through float64 and collapse ids > 2^53)."""
     cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
     ds = _read(sf_dir, "events", columns=cols)
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
+    # Arrow batches, deliberately: pandas float columns CANNOT tell a
+    # SQL NULL from a NaN VALUE (both arrive as NaN — DuckDB counts
+    # NaN in count()/count(DISTINCT)), and an int64 column holding
+    # NULLs coerces to float64, collapsing values above 2^53.  Arrow
+    # keeps validity bitmaps and exact int64 through drop_null.
+    def partial(t) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
         out_col, out_key, out_rows, out_nulls, out_kind = [], [], [], [], []
         for c in cols:
-            s = b[c]
-            nn = s.notna()
+            col = t.column(c)
             out_col.append(c)
             out_key.append("")
-            out_rows.append(len(s))
-            out_nulls.append(int((~nn).sum()))
+            out_rows.append(len(col))
+            out_nulls.append(col.null_count)
             out_kind.append(1)
-            v = s[nn]
+            v = col.drop_null().combine_chunks()
             if c == "value":
-                a = v.to_numpy(np.float64) + 0.0  # -0.0 -> 0.0
-                keys = np.unique(a.view(np.uint64))
+                a = v.to_numpy(zero_copy_only=False) + 0.0  # -0.0 -> 0.0
+                keys = np.unique(a.view(np.uint64))  # NaN = one bit pattern
                 ks = [format(x, "016x") for x in keys]
             elif c == "ts":
-                ks = np.unique(v.to_numpy("datetime64[us]")
+                ks = np.unique(v.to_numpy(zero_copy_only=False)
                                .view(np.int64)).astype(str)
             elif c in ("event_type", "props"):
-                ks = v.unique()
+                ks = pc.unique(v).to_pylist()
             else:
-                ks = np.unique(v.to_numpy(np.int64)).astype(str)
+                ks = np.unique(v.to_numpy(zero_copy_only=False)
+                               .astype(np.int64)).astype(str)
             out_col.extend([c] * len(ks))
             out_key.extend(ks)
             out_rows.extend([0] * len(ks))
@@ -4276,7 +4293,7 @@ def events_profile(sf_dir: str, num_buckets: int = 64):
         m["kind"] = np.int8(0)
         return m[["col", "n_rows", "n_nulls", "n_distinct", "kind"]]
 
-    parts = (ds.map_batches(partial, batch_format="pandas",
+    parts = (ds.map_batches(partial, batch_format="pyarrow",
                             batch_size=131072)
              .groupby("vb").map_groups(bucket_fold, batch_format="pandas"))
     df = _fold_pd(parts, pd.DataFrame({

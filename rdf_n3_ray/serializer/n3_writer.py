@@ -76,6 +76,8 @@ import re as _lex_re
 _INT_LEX_RE = _lex_re.compile(r"[+-]?[0-9]+\Z")
 _DEC_LEX_RE = _lex_re.compile(r"[+-]?[0-9]*\.[0-9]+\Z")
 _DBL_LEX_RE = _lex_re.compile(r"[+-]?(?:[0-9]+\.[0-9]*|\.?[0-9]+)[eE][+-]?[0-9]+\Z")
+# exactly the shape terms.canonical_double PRODUCES on success
+_DBL_CANON_RE = _lex_re.compile(r"-?[0-9]+\.[0-9]+E-?[0-9]+\Z")
 
 _PNAME_SAFE_RE = _re.compile(r"[A-Za-z0-9_\-\.]*[A-Za-z0-9_\-]$|^$")
 
@@ -225,9 +227,16 @@ class N3Writer:
                     value = T.canonical_decimal(value)
                 elif dt == T.XSD_DOUBLE:
                     # the N3 writer downcases the exponent marker
-                    # (writer.rb:295 `.sub('E', 'e')`); the reader-side
-                    # canonical form keeps XSD's uppercase E
-                    value = T.canonical_double(value).replace("E", "e")
+                    # (writer.rb:295 `.sub('E', 'e')`) — but ONLY when
+                    # canonicalization succeeded (canonical_double
+                    # passes invalid lexicals like "brokEn" or NaN
+                    # through unchanged; a blanket replace would mutate
+                    # their content).  The reader-side canonical form
+                    # keeps XSD's uppercase E.
+                    cv = T.canonical_double(value)
+                    if _DBL_CANON_RE.match(cv):
+                        cv = cv.replace("E", "e")
+                    value = cv
                 elif dt == T.XSD_BOOLEAN:
                     value = T.canonical_boolean(value)
                 t = T.literal(value, datatype=dt)

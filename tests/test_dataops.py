@@ -1022,11 +1022,15 @@ def test_events_profile_matches_oracle(ray_session, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
     t = pa.table({
-        "event_id": pa.array([1, 2, None, 4], pa.int64()),
+        # 2^53 + {0,1}: distinct int64s that collapse through float64 —
+        # with a NULL in the same column (the pandas coercion trigger)
+        "event_id": pa.array([9007199254740992, 9007199254740993,
+                              None, 4], pa.int64()),
         "ts": pa.array([1000, None, 1000, 2000], pa.timestamp("us")),
         "user_id": pa.array([7, 7, None, None], pa.int64()),
         "event_type": pa.array(["a", None, "a", "b"], pa.string()),
-        "value": pa.array([0.0, -0.0, None, 1.5], pa.float64()),
+        # NaN is a VALUE (counted, distinct-counted); only None is NULL
+        "value": pa.array([0.0, -0.0, None, float("nan")], pa.float64()),
         "props": pa.array([None, None, "{}", "{}"], pa.string()),
     })
     d = tmp_path / "evp"
@@ -1039,7 +1043,9 @@ def test_events_profile_matches_oracle(ray_session, tmp_path):
     exp = con.execute(EVENTS_PROFILE_SQL).fetchdf()
     _assert_oracle_equal(got, exp)
     row = got.set_index("column")
-    assert row.loc["value", "n_distinct"] == 2  # -0.0 == 0.0
+    assert row.loc["value", "n_distinct"] == 2  # {0.0(-0.0), NaN}
+    assert row.loc["value", "n_nulls"] == 1     # NaN is NOT a null
+    assert row.loc["event_id", "n_distinct"] == 3  # 2^53, 2^53+1, 4
     assert row.loc["props", "n_nulls"] == 2
 
 

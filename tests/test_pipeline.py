@@ -287,6 +287,23 @@ def test_kg_diff(ray_session, tmp_path):
     assert self_d["added"] == 0 and self_d["removed"] == 0
     assert self_d["common"] == b["rows"]
 
+    # hash_broadcast_limit=0 forces the h1-bucket fallback: identical
+    # counts AND no schema drift in the written diff (typed sentinels —
+    # turn_idx must stay int32, the committed KB dtype)
+    import pyarrow.parquet as _pq
+
+    fb = kg_diff(base, grown, out_dir=str(tmp_path / "d2"),
+                 hash_broadcast_limit=0)
+    assert fb["added"] == app["rows"] and fb["removed"] == 0
+    d2 = str(tmp_path / "d2" / "diff=added")
+    import os as _os
+    f = [x for x in _os.listdir(d2) if x.endswith(".parquet")][0]
+    sch = _pq.read_schema(_os.path.join(d2, f))
+    assert str(sch.field("turn_idx").type) == "int32"
+    fb_rows = rd.read_parquet(d2).to_pandas()
+    assert sorted(map(tuple, fb_rows[added.columns].values.tolist())) == \
+        sorted(map(tuple, added.values.tolist()))
+
 
 def test_append_kg_job_bucket_fallback(ray_session, tmp_path):
     """hash_broadcast_limit=0 forces the h1-bucket anti-join; output

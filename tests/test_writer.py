@@ -421,6 +421,12 @@ _CANON_LITERAL_CASES = [
     # canonicalize (writer_spec.rb:420-434 — only the XSD.integer
     # branch bare-tokenizes)
     ('"1"^^xsd:int', r'"1"\^\^xsd:int \.'),
+    # invalid double lexicals pass through UNTOUCHED under
+    # canonicalize — the writer's E->e downcase applies only to
+    # successfully canonicalized forms (review finding: a blanket
+    # replace would mutate "brokEn" to "broken")
+    ('"brokEn"^^xsd:double', r'"brokEn"\^\^xsd:double \.'),
+    ('"NaN"^^xsd:double', r'"NaN"\^\^xsd:double \.'),
 ]
 
 
