@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "above_avg_low_activity": R.above_avg_low_activity,
         "doc_repetition": R.doc_repetition,
         "keyword_search": R.keyword_search,
+        "phrase_search": R.phrase_search,
         "tfidf_search": R.tfidf_search,
         "revenue_forecast": R.revenue_forecast,
         "returned_top_customers": R.returned_top_customers,
@@ -298,6 +299,7 @@ def oracle_sql() -> dict[str, str]:
         "above_avg_low_activity": R.ABOVE_AVG_LOW_ACTIVITY_SQL,
         "doc_repetition": R.DOC_REPETITION_SQL,
         "keyword_search": R.KEYWORD_SEARCH_SQL,
+        "phrase_search": R.PHRASE_SEARCH_SQL,
         "tfidf_search": R.TFIDF_SEARCH_SQL,
         "revenue_forecast": R.REVENUE_FORECAST_SQL,
         "returned_top_customers": R.RETURNED_TOP_CUSTOMERS_SQL,

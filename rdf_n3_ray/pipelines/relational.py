@@ -4815,6 +4815,64 @@ def keyword_search(sf_dir: str, terms: tuple = _SEARCH_TERMS,
             .head(k).reset_index(drop=True))
 
 
+def phrase_search(sf_dir: str, phrase: tuple = ("part", "filter")):
+    """Exact-phrase (adjacent-token) search: docs containing the query
+    tokens at consecutive positions, with occurrence counts — the
+    positional complement of `keyword_search` (bag-of-words) and
+    `search_index` (docs-level postings).
+
+    Scale shape: adjacency is a PER-DOCUMENT property, so the whole
+    operator is one map pass — explode tokens with per-doc positions,
+    match each query token, join pos == pos+1 within the batch, emit
+    at most |hits| rows; NO shuffle, no index, nothing corpus-sized
+    anywhere.  All-integer output."""
+    a, b = phrase
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "n_occ": pd.Series(dtype="int64")})
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.split(" ")
+        ex = pd.DataFrame({"doc_id": batch["doc_id"].astype("int64").values,
+                           "tok": toks.values},
+                          index=batch.index).explode("tok")
+        ex["pos"] = ex.groupby(level=0).cumcount()
+        m1 = ex.loc[ex["tok"] == a, ["doc_id", "pos"]]
+        m2 = ex.loc[ex["tok"] == b, ["doc_id", "pos"]]
+        if m1.empty or m2.empty:
+            return empty.copy()
+        m2 = m2.assign(pos=m2["pos"] - 1)
+        hit = m1.merge(m2, on=["doc_id", "pos"])
+        if hit.empty:
+            return empty.copy()
+        g = hit.groupby("doc_id", as_index=False).size().rename(
+            columns={"size": "n_occ"})
+        g["n_occ"] = g["n_occ"].astype("int64")
+        return g
+
+    out = _fold_pd(ds.map_batches(partial, batch_format="pandas"), empty)
+    if out.empty:
+        return empty
+    # doc_ids are globally unique, so per-batch counts ARE final counts
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+PHRASE_SEARCH_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(coalesce(text, ''), ' ')) AS tok,
+         generate_subscripts(string_split(coalesce(text, ''), ' '), 1)
+           AS pos
+  FROM documents
+)
+SELECT a.doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_occ
+FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+WHERE a.tok = 'part' AND b.tok = 'filter'
+GROUP BY 1 ORDER BY doc_id
+"""
+
+
 KEYWORD_SEARCH_SQL = f"""
 SELECT doc_id, score FROM (
   SELECT doc_id,

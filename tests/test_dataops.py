@@ -1005,6 +1005,24 @@ def test_trade_pagerank_matches_oracle(ray_session):
     assert set(out["kind"]) == {"customer", "supplier"}
 
 
+def test_phrase_search_matches_oracle(ray_session):
+    """Adjacent-token phrase search hash-matches the positional
+    self-join oracle and counts true adjacency (not bag-of-words)."""
+    from rdf_n3_ray.pipelines.relational import (
+        PHRASE_SEARCH_SQL, phrase_search)
+
+    out = phrase_search("/root/testdata/sf0.01")
+    assert len(out) > 0
+    _assert_oracle_equal(out, _duckdb_oracle(PHRASE_SEARCH_SQL))
+    docs = pd.read_parquet("/root/testdata/sf0.01/documents.parquet",
+                           columns=["doc_id", "text"]).set_index("doc_id")
+    for did, n in zip(out["doc_id"].head(5), out["n_occ"].head(5)):
+        words = docs.loc[did, "text"].split(" ")
+        adj = sum(1 for i in range(len(words) - 1)
+                  if words[i] == "part" and words[i + 1] == "filter")
+        assert adj == n
+
+
 def test_events_profile_matches_oracle(ray_session, tmp_path):
     """Column profile hash-matches the UNION-ALL oracle; the injective
     key encoding mirrors SQL semantics on the nasty corners: NULLs
