@@ -550,8 +550,13 @@ class Engine:
         solutions = [s for s in solutions if all(not is_var(v) for v in s.values())]
         rules = [(s, p, o) for s, p, o in ops if p == T.iri_value(LOG_IMPLIES_IRI)]
         others = [(s, p, o) for s, p, o in ops if p != T.iri_value(LOG_IMPLIES_IRI)]
+        # NOT_IMPLEMENTED predicates can never evaluate.  The reference
+        # RAISES NotImplementedError (algebra.rb:142,178, crashing the
+        # run); we tolerate them as inert instead of letting the
+        # kill-on-stall rule below zero the formula (documented
+        # divergence — a stubbed builtin should not silently falsify).
+        remaining = [op_ for op_ in others if op_[1] not in NOT_IMPLEMENTED]
         # ranked evaluation loop (formula.rb:163-186)
-        remaining = list(others)
         while remaining and solutions:
             remaining.sort(key=lambda op_: input_vars(op_[0], op_[2], solutions[0]))
             progressed = None
@@ -563,6 +568,12 @@ class Engine:
                 progressed = op_
                 break
             if progressed is None:
+                # formula.rb:180-184 "unless last_op": no sub-op could
+                # evaluate over the current solutions — the formula has
+                # NO solutions.  An unprovable builtin (e.g. math:sum
+                # on a non-list subject) must falsify the antecedent,
+                # never pass through as vacuously true.
+                solutions = []
                 break
             remaining.remove(progressed)
             if not solutions:

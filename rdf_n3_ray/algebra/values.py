@@ -55,16 +55,15 @@ def is_numeric_literal(term: str) -> bool:
 
 
 def _canonical_double(f: float) -> str:
-    """xsd:double canonical-ish form, as Ruby RDF emits (8.0E0 style)."""
+    """xsd:double canonical form (8.0E0 style), VALUE-EXACT: delegates
+    to terms.canonical_double's shortest-round-trip digits.  The old
+    f"{f:E}" copy here rounded builtin results to 6 significant digits
+    (tan(pi/4) -> "1.0E0"), corrupting downstream comparisons."""
     if math.isnan(f):
         return "NaN"
     if math.isinf(f):
         return "INF" if f > 0 else "-INF"
-    mant, _, exp = f"{f:E}".partition("E")
-    mant = mant.rstrip("0")
-    if mant.endswith("."):
-        mant += "0"
-    return f"{mant}E{int(exp)}"
+    return T.canonical_double(repr(f))
 
 
 def from_number(value) -> str:

@@ -370,11 +370,17 @@ def canonical_double(lex: str) -> str:
         return lex
     if f == 0.0:
         return "-0.0E0" if str(f).startswith("-") else "0.0E0"
-    mant, _, exp = f"{f:E}".partition("E")
-    mant = mant.rstrip("0")
-    if mant.endswith("."):
-        mant += "0"
-    return f"{mant}E{int(exp)}"
+    # shortest round-trip digits (repr), normalized to mantissa in
+    # [1, 10).  The old f"{f:E}" path silently rounded to 6 significant
+    # digits — tan(pi/4) = 0.9999999999999999 became "1.0E0", flipping
+    # downstream math:lessThan comparisons.
+    from decimal import Decimal
+
+    sign, digits, dexp = Decimal(repr(f)).as_tuple()
+    ds = "".join(map(str, digits)).rstrip("0") or "0"
+    exp10 = len(digits) - 1 + dexp
+    mant = ds[0] + "." + (ds[1:] or "0")
+    return f"{'-' if sign else ''}{mant}E{exp10}"
 
 
 def canonical_boolean(lex: str) -> str:

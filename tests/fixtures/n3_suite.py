@@ -2470,3 +2470,101 @@ CASES += [
      '<http://ex/d> <http://ex/has> "5"' + _I + " .\n"
      '<http://ex/d> <http://ex/has> "6"' + _I + " .", dict(_RC4)),
 ]
+
+# --- r4j: cwm math-test composites (reasoner_spec.rb:867-990) ----------
+# The reference's hardest arithmetic cases: `is ... of` inversion with
+# nested `!math:` path antecedents, mixed string/number coercion in
+# combinatorial rules, and the difference/sum/equalTo identity square.
+_P4J = ("@prefix : <http://ex/>. "
+        f"@prefix math: <{MATHNS}>. "
+        f"@prefix string: <{STRNS}>. "
+        f"@prefix list: <{LISTNS}>.\n")
+_RC4J = {"think": False, "conclusions": True}
+_D = '^^<http://www.w3.org/2001/XMLSchema#decimal>'
+
+CASES += [
+    ("r4j_math_nested_rule", "Reason",
+     _P4J + '{ ?x is math:sum of (3 (8 3)!math:difference ) } '
+            '=> { ?x :valueOf "3 + (8 - 3)" } .',
+     '"8"' + _I + ' <http://ex/valueOf> "3 + (8 - 3)" .', dict(_RC4J)),
+    ("r4j_math_big_test", "Reason",
+     _P4J + '{ ( ("7" "2")!math:quotient '
+            '(("7" "2")!math:remainder "10000000")!math:exponentiation '
+            '("a" "b" "c" "d" "e")!list:length ) math:sum ?x } '
+            '=> { ?x :valueOf "res" } .',
+     '"9.5"' + _D + ' <http://ex/valueOf> "res" .', dict(_RC4J)),
+    ("r4j_math_combinatorial_concat", "Reason",
+     _P4J + '"3.14" a :testValue. 2 a :testValue. '
+            '{ ?x a :testValue. ?y a :testValue. (?x ?y) math:sum ?z. '
+            '(?x " + " ?y " = " ?z ) string:concatenation ?s } '
+            '=> { ?s a :RESULT }.',
+     '"2 + 2 = 4" <' + RDFNS + 'type> <http://ex/RESULT> .\n'
+     '"2 + 3.14 = 5.14" <' + RDFNS + 'type> <http://ex/RESULT> .\n'
+     '"3.14 + 2 = 5.14" <' + RDFNS + 'type> <http://ex/RESULT> .\n'
+     '"3.14 + 3.14 = 6.28" <' + RDFNS + 'type> <http://ex/RESULT> .',
+     dict(_RC4J)),
+]
+
+_4J_VALS = ['"3.14"', '"2"' + _I, '"0"' + _I]
+CASES += [
+    ("r4j_math_combinatorial_works_with", "Reason",
+     _P4J + '"3.14" a :testValue. 2 a :testValue. 0 a :testValue. '
+            '{ ?x a :testValue. ?y a :testValue. '
+            '?z is math:sum of (?x (?y ?x)!math:difference). '
+            '?z math:equalTo ?y } => {?x :worksWith ?y}.',
+     "\n".join(f'{v} <{RDFNS}type> <http://ex/testValue> .'
+               for v in _4J_VALS) + "\n" +
+     "\n".join(f'{x} <http://ex/worksWith> {y} .'
+               for x in _4J_VALS for y in _4J_VALS),
+     {"think": False, "data": True}),
+]
+
+# --- r4k: trig-range + kill-on-stall semantics (reasoner_spec.rb
+# :825-866 trig; formula.rb:180-184 "unless last_op" -> NO solutions).
+# These pinned two real engine bugs: (1) an unprovable builtin
+# (math:sum on a non-list subject) passed through as vacuously true;
+# (2) builtin double results were rounded to 6 significant digits
+# (tan(pi/4) -> "1.0E0"), flipping downstream comparisons.
+_P4K = ("@prefix : <http://ex/>. "
+        f"@prefix math: <{MATHNS}>. "
+        f"@prefix string: <{STRNS}>.\n")
+_RC4K = {"think": False, "conclusions": True}
+
+CASES += [
+    ("r4k_trig_tan_pi4_range", "Reason",
+     _P4K + "{ 0.7853981633974483 math:tan _:x . "
+            "_:x math:lessThan 1.0e0 . _:x math:greaterThan 0.9e0 } "
+            "=> { :tan a :SUCCESS } .",
+     f"<{X}tan> <{RDFNS}type> <{X}SUCCESS> .", dict(_RC4K)),
+    ("r4k_trig_cos_pi3_range", "Reason",
+     _P4K + "{ 1.0471975511965976 math:cos _:x . "
+            "_:x math:lessThan 0.51e0 . _:x math:greaterThan 0.49e0 } "
+            "=> { :cos a :SUCCESS } .",
+     f"<{X}cos> <{RDFNS}type> <{X}SUCCESS> .", dict(_RC4K)),
+    ("r4k_trig_cos_pi_exact", "Reason",
+     _P4K + "{ 3.14159265358979323846 math:cos ?x } => { :r :cos ?x } .",
+     f'<{X}r> <{X}cos> "-1.0E0"'
+     '^^<http://www.w3.org/2001/XMLSchema#double> .', dict(_RC4K)),
+    ("r4k_tan_result_full_precision", "Reason",
+     _P4K + "{ 0.7853981633974483 math:tan ?x } => { :r :t ?x } .",
+     f'<{X}r> <{X}t> "9.999999999999999E-1"'
+     '^^<http://www.w3.org/2001/XMLSchema#double> .', dict(_RC4K)),
+    ("r4k_unprovable_sum_falsifies", "Reason",
+     _P4K + "{ 2 math:sum 4 } => { :b a :F } .",
+     "", dict(_RC4K)),
+    ("r4k_unprovable_sum_falsifies_even_if_equal", "Reason",
+     _P4K + "{ 2 math:sum 2 } => { :a a :F } .",
+     "", dict(_RC4K)),
+    # string builtins take [is :p of :s] bnode arguments
+    # (reasoner_spec.rb:1083-1104)
+    ("r4k_startswith_ext_subject", "Reason",
+     _P4K + ':abc :value "abc" . '
+            '{[ is :value of :abc] string:startsWith "a"} '
+            "=> {:test a :Success}.",
+     f"<{X}test> <{RDFNS}type> <{X}Success> .", dict(_RC4K)),
+    ("r4k_startswith_ext_object", "Reason",
+     _P4K + ':a :value "a" . '
+            '{"abc" string:startsWith [is :value of :a]} '
+            "=> {:test a :Success}.",
+     f"<{X}test> <{RDFNS}type> <{X}Success> .", dict(_RC4K)),
+]
