@@ -69,6 +69,9 @@ class EvalContext:
     strings: dict = field(default_factory=dict)
     now: datetime = datetime(2024, 1, 1, tzinfo=timezone.utc)
     fetcher: Callable[[str], str | None] | None = None
+    # outer document base: inherited by log:parsedAsN3's inner parse
+    # (parsed_as_n3.rb:21 passes **@options, which carry base_uri)
+    base_uri: str | None = None
 
 
 def is_var(t) -> bool:

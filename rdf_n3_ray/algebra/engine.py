@@ -898,7 +898,11 @@ def _parsed_as_n3(engine: Engine, s, o, sol):
     s_v = sol.get(s, s) if is_var(s) else s
     if is_var(s_v) or not (isinstance(s_v, str) and T.is_literal(s_v)):
         return None
-    result = parse_n3(string_value(s_v), list_terms=True)
+    # inner parse inherits the outer document's base (parsed_as_n3.rb:21
+    # merges @options, which carry base_uri) — without it the parsed
+    # formula's relative IRIs stay relative and never unify
+    result = parse_n3(string_value(s_v), list_terms=True,
+                      base_uri=engine.ctx.base_uri)
     new_g = _content_graph_id("parsed", [(a, b, c) for a, b, c, _ in result.quads])
 
     def remap(t):
@@ -925,7 +929,11 @@ def _conclusion(engine: Engine, s, o, sol):
         return None
     # formula contents + anything reachable (nested formulae)
     sub_quads = _reachable_quads(graphs, s_g)
-    nested = Engine(sub_quads, ctx=EvalContext(now=engine.ctx.now))
+    # the nested reasoner inherits clock, fetcher AND base: a rule
+    # inside the subject formula may itself use parsedAsN3/content
+    nested = Engine(sub_quads, ctx=EvalContext(
+        now=engine.ctx.now, fetcher=engine.ctx.fetcher,
+        base_uri=engine.ctx.base_uri))
     closure = nested.reason(think=True)
     new_g = _content_graph_id("concl", [(a, b, c) for a, b, c, g in closure.quads])
     for a, b, c, g in closure.quads:
@@ -1113,4 +1121,5 @@ def reason_n3(text: str, think: bool = False, base_uri: str | None = None,
     from ..parser.n3_parser import parse_n3
 
     r = parse_n3(text, base_uri=base_uri, list_terms=True, legacy=legacy)
-    return reason(r.quads, think=think, max_iterations=max_iterations)
+    return reason(r.quads, think=think, max_iterations=max_iterations,
+                  ctx=EvalContext(base_uri=base_uri))

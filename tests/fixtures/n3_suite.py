@@ -2568,3 +2568,19 @@ CASES += [
             "=> {:test a :Success}.",
      f"<{X}test> <{RDFNS}type> <{X}Success> .", dict(_RC4K)),
 ]
+
+# --- r4l: log:conclusion nested-closure cases (reasoner_spec.rb:20-83)
+CASES += [
+    ("r4l_log_conclusion_super_simple", "Reason",
+     "@prefix : <http://ex/>. "
+     f"@prefix log: <{LOG}>.\n"
+     "{ { {:a :b :c} => {:test a :SUCCESS} . :a :b :c. } "
+     "log:conclusion ?y } => { ?y a :TestResult }.",
+     f"<{X}a> <{X}b> <{X}c> _:f2 .\n"
+     f"<{X}test> <{RDFNS}type> <{X}SUCCESS> _:f3 .\n"
+     f"_:f2 <{LOG}implies> _:f3 _:cf .\n"
+     f"<{X}a> <{X}b> <{X}c> _:cf .\n"
+     f"<{X}test> <{RDFNS}type> <{X}SUCCESS> _:cf .\n"
+     f"_:cf <{RDFNS}type> <{X}TestResult> .",
+     {"think": True, "conclusions": True}),
+]

@@ -793,3 +793,20 @@ def test_chain_closure_300_semi_naive():
     reach = sum(1 for q in r.data() if q[1] == "<http://ex/reach>")
     assert reach == n * (n + 1) // 2
     assert elapsed < 30, f"closure too slow: {elapsed:.1f}s"
+
+
+def test_parsedAsN3_inherits_outer_base_uri():
+    """reasoner_spec.rb:273-321 'i18n': the inner parse of
+    log:parsedAsN3 resolves relative IRIs against the OUTER document's
+    base (parsed_as_n3.rb:21 merges @options) — without inheritance the
+    parsed formula's IRIs stay relative and never unify."""
+    from rdf_n3_ray.algebra.engine import reason_n3
+
+    r = reason_n3(
+        '@prefix log: <http://www.w3.org/2000/10/swap/log#>.\n'
+        '{":㐭 :b :c." log:parsedAsN3 ?x} => {?x a log:Formula} .',
+        think=True, base_uri="http://example.com/")
+    inner = [q for q in r.conclusions() if q[1] == "<http://example.com/b>"]
+    assert inner, r.conclusions()
+    assert inner[0][0] == "<http://example.com/㐭>"
+    assert inner[0][2] == "<http://example.com/c>"
