@@ -41,6 +41,7 @@ from .values import (
     is_numeric_literal,
     string_value,
     tz_offset_string,
+    xpath_string,
 )
 
 LOG = T.LOG_NS
@@ -405,7 +406,10 @@ def _str_apply(fn):
 
 
 def _sv(t):
-    return string_value(t)
+    # XPath xs:string cast, NOT the raw lexical: the reference runs
+    # every list member through Expression.cast (concatenation.rb:21)
+    # so (1 01) concatenates to "11" and (0.0 1.23E3) to "01230"
+    return xpath_string(t)
 
 
 list_op(STR + "concatenation", lambda lst, ctx: T.literal("".join(_sv(e) for e in lst)))
@@ -726,7 +730,9 @@ def _output_string_ev(subj, obj, sol, ctx):
         return None
     key = string_value(s) if isinstance(s, str) else str(s)
     ctx.strings.setdefault(key, [])
-    val = string_value(o) if isinstance(o, str) else str(o)
+    # the reference casts the accumulated object via xs:string
+    # (output_string.rb:16 Expression.cast)
+    val = xpath_string(o) if isinstance(o, str) else str(o)
     if val not in ctx.strings[key]:
         ctx.strings[key].append(val)
     return [sol]

@@ -86,6 +86,53 @@ def from_number(value) -> str:
     raise TypeError(f"not a number: {value!r}")
 
 
+def xpath_string(term: str) -> str:
+    """XPath/SPARQL xs:string cast of a term's VALUE — what
+    `SPARQL::Algebra::Expression.cast(RDF::XSD.string, o)` does in the
+    reference (str/concatenation.rb:21, log/output_string.rb:16):
+    integers/decimals/doubles render their canonical value ("01"->"1",
+    0.0->"0", 1.23E3->"1230"; scientific notation only outside the
+    XPath [1e-6, 1e6) window), booleans normalize to true/false.
+    Invalid lexicals and other datatypes keep their raw string form."""
+    if not (isinstance(term, str) and T.is_literal(term)):
+        return string_value(term)
+    value, dt, _lang = T.literal_parts(term)
+    try:
+        if dt == T.XSD_INTEGER:
+            return str(int(value))
+        if dt == T.XSD_BOOLEAN:
+            if value in ("true", "1"):
+                return "true"
+            if value in ("false", "0"):
+                return "false"
+            return value
+        if dt == T.XSD_DECIMAL:
+            s = format(Decimal(value), "f")
+            if "." in s:
+                s = s.rstrip("0").rstrip(".")
+            return s if s not in ("", "-") else "0"
+        if dt in (T.XSD_DOUBLE, _XSD_FLOAT):
+            f = float(value)
+            if math.isnan(f):
+                return "NaN"
+            if math.isinf(f):
+                return "INF" if f > 0 else "-INF"
+            if f == 0.0:
+                return "0"
+            if 1e-6 <= abs(f) < 1e6:
+                s = format(Decimal(repr(f)), "f")
+                if "." in s:
+                    s = s.rstrip("0").rstrip(".")
+                return s
+            return T.canonical_double(repr(f))
+    except (ValueError, ArithmeticError):
+        pass
+    return value
+
+
+_XSD_FLOAT = T.XSD_NS + "float"
+
+
 def from_bool(b: bool) -> str:
     return T.literal("true" if b else "false", datatype=T.XSD_BOOLEAN)
 

@@ -2584,3 +2584,39 @@ CASES += [
      f"_:cf <{RDFNS}type> <{X}TestResult> .",
      {"think": True, "conclusions": True}),
 ]
+
+# --- r4m: string:concatenation xs:string casts (reasoner_spec.rb
+# :991-1074; concatenation.rb:21 Expression.cast) — list members
+# stringify by VALUE, not raw lexical: (1 01) -> "11", 0.0 -> "0",
+# 1.23E3 -> "1230", "0"^^xsd:boolean -> "false".
+_P4M = ("@prefix : <http://ex/>. "
+        f"@prefix string: <{STRNS}>. "
+        f"@prefix xsd: <{XSD}>.\n")
+_RC4M = {"think": False, "conclusions": True}
+CASES += [
+    ("r4m_concat_integer_canonical", "Reason",
+     _P4M + "{(1 01) string:concatenation ?x} => {:test :is ?x}.",
+     f'<{X}test> <{X}is> "11" .', dict(_RC4M)),
+    ("r4m_concat_decimal_values", "Reason",
+     _P4M + "{(0.0 1.0 2.5 -2.5) string:concatenation ?x} "
+            "=> {:test :is ?x}.",
+     f'<{X}test> <{X}is> "012.5-2.5" .', dict(_RC4M)),
+    ("r4m_concat_boolean_normalized", "Reason",
+     _P4M + '{(true false "0"^^xsd:boolean) string:concatenation ?x} '
+            "=> {:test :is ?x}.",
+     f'<{X}test> <{X}is> "truefalsefalse" .', dict(_RC4M)),
+    ("r4m_concat_float_values", "Reason",
+     _P4M + '{("0E1"^^xsd:float "1E0"^^xsd:float "1.25"^^xsd:float '
+            '"-7.875"^^xsd:float) string:concatenation ?x} '
+            "=> {:test :is ?x}.",
+     f'<{X}test> <{X}is> "011.25-7.875" .', dict(_RC4M)),
+    ("r4m_concat_double_integral", "Reason",
+     _P4M + "{(0E1 1E0 1.23E3) string:concatenation ?x} "
+            "=> {:test :is ?x}.",
+     f'<{X}test> <{X}is> "011230" .', dict(_RC4M)),
+    ("r4m_concat_empty_list_is_empty_string", "Reason",
+     _P4M + f"@prefix log: <{LOG}>. "
+            '{ "" log:equalTo [ is string:concatenation of () ] } '
+            "=> {:t13 a :success}.",
+     f"<{X}t13> <{RDFNS}type> <{X}success> .", dict(_RC4M)),
+]

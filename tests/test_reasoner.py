@@ -275,12 +275,15 @@ def test_math_greaterthan_string_coercion():
     )
 
 
-def test_str_concatenation_numeric_lexical():
-    # reasoner_spec.rb "integer" case: lexical forms concatenate ("1"+"01")
+def test_str_concatenation_numeric_value_cast():
+    # reasoner_spec.rb:1002-1009 "integer" case: members cast via
+    # xs:string (concatenation.rb:21 Expression.cast), so 01 -> "1"
+    # and the result is "11" — NOT raw-lexical "101" (the previous pin
+    # here mis-transcribed the reference expectation)
     check_conclusions(
         '@prefix string: <http://www.w3.org/2000/10/swap/string#>.\n'
         '{ (1 01) string:concatenation ?x } => { :t :is ?x }.',
-        ':t :is "101" .',
+        ':t :is "11" .',
     )
 
 
