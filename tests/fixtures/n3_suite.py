@@ -2620,3 +2620,15 @@ CASES += [
             "=> {:t13 a :success}.",
      f"<{X}t13> <{RDFNS}type> <{X}success> .", dict(_RC4M)),
 ]
+
+# --- r4n: chained list:member path (reasoner_spec.rb:495-503
+# "Pythag 3 5": a path-expression member hop feeding a second member)
+CASES += [
+    ("r4n_member_member_path", "Reason",
+     "@prefix : <http://ex/>. "
+     f"@prefix list: <{LISTNS}>.\n"
+     "{ ((3) (5))!list:member list:member ?z } => { ?z a :Pythagorean }.",
+     '"3"' + _I + f" <{RDFNS}type> <{X}Pythagorean> .\n"
+     '"5"' + _I + f" <{RDFNS}type> <{X}Pythagorean> .",
+     {"think": True, "conclusions": True}),
+]
