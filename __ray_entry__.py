@@ -140,6 +140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": R.doc_quality,
         "embed_cosine_dups": R.embed_cosine_dups,
         "sessionize": R.sessionize,
+        "user_event_seq": R.user_event_seq,
+        "event_mad": R.event_mad,
         "asof_join": R.asof_join_orders,
         "range_join_attrib": R.range_join_attrib,
         "revenue_by_priority": R.revenue_by_priority,
@@ -252,6 +254,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": R.DOC_QUALITY_SQL,
         "embed_cosine_dups": R.EMBED_COSINE_DUPS_SQL,
         "sessionize": R.SESSIONIZE_SQL,
+        "user_event_seq": R.USER_EVENT_SEQ_SQL,
+        "event_mad": R.EVENT_MAD_SQL,
         "asof_join": R.ASOF_JOIN_SQL,
         "range_join_attrib": R.RANGE_JOIN_ATTRIB_SQL,
         "revenue_by_priority": R.REVENUE_BY_PRIORITY_SQL,

@@ -927,6 +927,62 @@ def exact_percentiles(ds, col: str, qs=(0.25, 0.5, 0.9, 0.99),
     return out[["q", "value"]].sort_values("q").reset_index(drop=True)
 
 
+def event_mad(sf_dir: str, k: int = 3):
+    """Robust outlier summary of events.value via the exact Median
+    Absolute Deviation: median (exact discrete order statistic), MAD
+    (exact median of |v - median|), and the count of values beyond
+    k*MAD.  The robust-statistics complement of `event_zscore` (whose
+    mean/std an outlier itself can drag).
+
+    Scale shape: two histogram-descent selections (the machinery of
+    `event_percentiles` — no global sort, driver sees <= collect_limit
+    values per descent) plus one integer count pass.  All comparisons
+    are deterministic IEEE float64 ops, identical in both engines; the
+    median/MAD are exact data values, so the oracle matches bit-for-bit."""
+    ds = _read(sf_dir, "events", columns=["value"]).materialize()
+    med_df = exact_percentiles(ds, "value", qs=(0.5,))
+    if med_df.empty or pd.isna(med_df["value"].iloc[0]):
+        return pd.DataFrame({"median": pd.Series(dtype="float64"),
+                             "mad": pd.Series(dtype="float64"),
+                             "n_outliers": pd.Series(dtype="int64")})
+    med = float(med_df["value"].iloc[0])
+
+    def dev(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["value"].to_numpy(np.float64)
+        return pd.DataFrame({"dev": np.abs(v - med)})
+
+    devs = ds.map_batches(dev, batch_format="pandas").materialize()
+    mad = float(exact_percentiles(devs, "dev", qs=(0.5,))
+                ["value"].iloc[0])
+    thresh = k * mad
+
+    def count_out(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n": [int((b["dev"].to_numpy(np.float64) > thresh).sum())]})
+
+    parts = _fold_pd(devs.map_batches(count_out, batch_format="pandas"),
+                     pd.DataFrame({"n": pd.Series(dtype="int64")}))
+    n_out = int(parts["n"].sum()) if len(parts) else 0
+    return pd.DataFrame({"median": pd.Series([med], dtype="float64"),
+                         "mad": pd.Series([mad], dtype="float64"),
+                         "n_outliers": pd.Series([n_out], dtype="int64")})
+
+
+EVENT_MAD_SQL = """
+WITH m AS (
+  SELECT quantile_disc(value, 0.5) AS med FROM events
+  WHERE value IS NOT NULL
+), d AS (
+  SELECT abs(value - m.med) AS dev FROM events, m
+  WHERE value IS NOT NULL
+), md AS (SELECT quantile_disc(dev, 0.5) AS mad FROM d)
+SELECT m.med AS median, md.mad AS mad,
+       (SELECT count(*) FROM d, md WHERE d.dev > 3 * md.mad)::BIGINT
+         AS n_outliers
+FROM m, md
+"""
+
+
 def percentiles_by_type(sf_dir: str, qs=(0.5, 0.9)):
     """Exact per-group order statistics over events: ONE shared
     histogram-descent keyed (group, bin) — every group (and every
@@ -2979,6 +3035,54 @@ SIMHASH_SQL = _simhash_sql()
 # ---------------------------------------------------------------------------
 
 SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def user_event_seq(sf_dir: str, num_buckets: int = 32,
+                   max_len: int = 50):
+    """Per-user ordered event-type sequence — the sequence-mining /
+    behavioral-clone primitive (ordered string_agg): events sorted by
+    (ts, event_id) per user, types joined by '>', truncated to the
+    first `max_len` events on BOTH engines.
+
+    Scale shape: one user-hash bucket shuffle of (user, ts, event_id,
+    type); each bucket owns its users completely, so the ordered
+    concat is a bucket-local vectorized groupby-agg; output is one
+    bounded-length row per user."""
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+
+    def bucketed(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(ub=_user_bucket(b["user_id"], num_buckets))
+
+    def seqs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"],
+                              kind="stable")
+        g = g.assign(rank=g.groupby("user_id").cumcount())
+        out = (g[g["rank"] < max_len]
+               .groupby("user_id", as_index=False)
+               .agg(seq=("event_type", ">".join),
+                    n_events=("event_type", "size")))
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    out = (ev.map_batches(bucketed, batch_format="pandas")
+           .groupby("ub").map_groups(seqs, batch_format="pandas"))
+    return out.sort("user_id")
+
+
+USER_EVENT_SEQ_SQL = """
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rk
+  FROM events
+)
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY rk) AS seq,
+       count(*)::BIGINT AS n_events
+FROM r WHERE rk <= 50
+GROUP BY user_id ORDER BY user_id
+"""
 
 
 def sessionize(sf_dir: str, num_buckets: int = 32):

@@ -1005,6 +1005,45 @@ def test_trade_pagerank_matches_oracle(ray_session):
     assert set(out["kind"]) == {"customer", "supplier"}
 
 
+def test_user_event_seq_matches_oracle(ray_session):
+    """Ordered per-user event-type sequences hash-match the
+    string_agg(ORDER BY) oracle; ordering and truncation verified
+    directly for one user."""
+    from rdf_n3_ray.pipelines.relational import (
+        USER_EVENT_SEQ_SQL, user_event_seq)
+
+    out = user_event_seq("/root/testdata/sf0.01").to_pandas()
+    assert len(out) > 0 and (out["n_events"] <= 50).all()
+    _assert_oracle_equal(out, _duckdb_oracle(USER_EVENT_SEQ_SQL))
+    ev = pd.read_parquet("/root/testdata/sf0.01/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+    uid = out["user_id"].iloc[0]
+    g = (ev[ev["user_id"] == uid]
+         .sort_values(["ts", "event_id"]).head(50))
+    assert out.set_index("user_id").loc[uid, "seq"] == \
+        ">".join(g["event_type"])
+
+
+def test_event_mad_matches_oracle(ray_session):
+    """Exact MAD summary hash-matches the quantile_disc oracle and its
+    values reproduce a driver-side exact recompute."""
+    from rdf_n3_ray.pipelines.relational import EVENT_MAD_SQL, event_mad
+
+    out = event_mad("/root/testdata/sf0.01")
+    assert len(out) == 1
+    _assert_oracle_equal(out, _duckdb_oracle(EVENT_MAD_SQL))
+    v = pd.read_parquet("/root/testdata/sf0.01/events.parquet",
+                        columns=["value"])["value"].dropna().to_numpy()
+    v.sort()
+    med = v[max(1, int(np.ceil(0.5 * len(v)))) - 1]
+    dev = np.sort(np.abs(v - med))
+    mad = dev[max(1, int(np.ceil(0.5 * len(dev)))) - 1]
+    row = out.iloc[0]
+    assert row["median"] == med and row["mad"] == mad
+    assert row["n_outliers"] == int((np.abs(v - med) > 3 * mad).sum())
+
+
 def test_phrase_search_matches_oracle(ray_session):
     """Adjacent-token phrase search hash-matches the positional
     self-join oracle and counts true adjacency (not bag-of-words)."""
