@@ -112,6 +112,16 @@ def _q_media_features(sf_dir: str):
     return features
 
 
+def _q_audio_windows(sf_dir: str):
+    import ray.data as rd
+
+    from rdf_n3_ray.stages.multimodal import (audio_windows,
+                                              synthetic_media_table)
+
+    media = rd.from_arrow(synthetic_media_table(n=48))
+    return audio_windows(media)
+
+
 def _q_embed_kmeans(sf_dir: str):
     import os
 
@@ -159,6 +169,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "lang_id": _q_lang_id,
         "media_features": _q_media_features,
+        # rows-only: stub audio decode (no codecs in-container); the
+        # windowing math is pytest-pinned
+        "audio_windows": _q_audio_windows,
         "ann_ivf": R.ann_ivf,
         # IVF machinery at nprobe == n_clusters is exact -> the brute-
         # force window-rank oracle hash-checks the partition/probe path

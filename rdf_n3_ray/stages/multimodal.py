@@ -146,6 +146,75 @@ class FrameSample:
         )
 
 
+class AudioWindows:
+    """Actor-pool audio windowing stage (STUB decode; real plumbing):
+    payload bytes -> waveform -> fixed-length analysis windows with
+    per-window RMS energy and zero-crossing counts, one output row per
+    window (rows >> input rows, like FrameSample).
+
+    Decode is a clearly-marked deterministic stub — no audio codecs
+    ship in this container (the reference has no audio either; this is
+    the brief's training-data modality plumbing).  A real deployment
+    replaces `_decode` with soundfile/librosa resolved once per actor
+    in __init__; the windowing math below is the real, vectorized
+    product: window/hop arithmetic from duration + sample rate, strided
+    RMS/ZCR without a Python loop over samples."""
+
+    SAMPLE_RATE = 8_000  # stub decode rate; a real decoder reports its own
+
+    def __init__(self, window_ms: int = 200, max_windows: int = 64):
+        self.window = int(self.SAMPLE_RATE * window_ms / 1000)
+        self.max_windows = max_windows
+
+    def _decode(self, payload: bytes, duration_ms: int) -> np.ndarray:
+        # STUB: derive a deterministic waveform from the payload hash —
+        # stable across retries/repartitions, testable without codecs
+        h = hashlib.blake2b(payload, digest_size=16).digest()
+        rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
+        n = max(self.window, int(self.SAMPLE_RATE * duration_ms / 1000))
+        return (rng.standard_normal(n) *
+                np.sin(np.linspace(0, 20 * np.pi, n))).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        dur_col = batch.column("duration_ms")
+        mask = pc.and_kleene(
+            pc.equal(batch.column("kind"), "audio"),
+            pc.greater(pc.coalesce(dur_col, pa.scalar(0, dur_col.type)), 0))
+        aud = batch.filter(mask)
+        mids, widx, rms, zcr = [], [], [], []
+        for mid, payload, dur in zip(
+                aud.column("media_id").to_pylist(),
+                aud.column("payload").to_pylist(),
+                aud.column("duration_ms").to_pylist()):
+            wave = self._decode(payload, int(dur))
+            w = self.window
+            k = min(self.max_windows, len(wave) // w)
+            if k == 0:
+                continue
+            frames = wave[: k * w].reshape(k, w)  # zero-copy view
+            mids.extend([mid] * k)
+            widx.extend(range(k))
+            rms.extend(np.sqrt((frames ** 2).mean(axis=1)).tolist())
+            zcr.extend((np.abs(np.diff(np.signbit(frames),
+                                       axis=1)).sum(axis=1)).tolist())
+        return pa.table({
+            "media_id": pa.array(mids, pa.int64()),
+            "window_idx": pa.array(widx, pa.int32()),
+            "rms": pa.array(np.asarray(rms, np.float32), pa.float32()),
+            "zero_crossings": pa.array(np.asarray(zcr, np.int32),
+                                       pa.int32()),
+        })
+
+
+def audio_windows(media_ds, concurrency: int = 2, batch_size: int = 8):
+    """media table -> per-window audio features (AudioWindows pool)."""
+    return media_ds.map_batches(
+        AudioWindows, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(1, concurrency))
+
+
 def decode_pipeline(media_ds, concurrency: int = 2, batch_size: int = 8):
     """media table -> per-image features + per-video frame rows."""
     try:

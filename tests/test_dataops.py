@@ -214,6 +214,45 @@ def test_multimodal_stub_pipeline(ray_session):
     assert len(frames) > 8  # 8 videos x ~4+ frames each
 
 
+def test_audio_windows_stage(ray_session):
+    """AudioWindows: only audio rows emit; window counts follow the
+    duration/rate/window arithmetic with the max_windows cap; RMS/ZCR
+    match a local recompute on the same stub waveform; deterministic
+    across batch sizes."""
+    import ray.data as rd
+
+    from rdf_n3_ray.stages.multimodal import AudioWindows, audio_windows
+
+    media_t = synthetic_media_table(n=24)
+    media = rd.from_arrow(media_t)
+    out = audio_windows(media, batch_size=8).to_pandas()
+    assert len(out) > 0
+    audio_ids = {m for m, k in zip(media_t["media_id"].to_pylist(),
+                                   media_t["kind"].to_pylist())
+                 if k == "audio"}
+    assert set(out["media_id"]) <= audio_ids
+
+    st = AudioWindows()
+    rows = media_t.to_pylist()
+    for r in rows:
+        if r["kind"] != "audio":
+            continue
+        wave = st._decode(r["payload"], int(r["duration_ms"]))
+        k = min(st.max_windows, len(wave) // st.window)
+        g = out[out["media_id"] == r["media_id"]]
+        assert len(g) == k
+        if k:
+            f0 = wave[: st.window]
+            assert g.sort_values("window_idx")["rms"].iloc[0] == \
+                pytest.approx(float(np.sqrt((f0 ** 2).mean())), rel=1e-6)
+            assert g.sort_values("window_idx")["zero_crossings"].iloc[0] \
+                == int(np.abs(np.diff(np.signbit(f0))).sum())
+
+    out2 = audio_windows(media, batch_size=3).to_pandas()
+    assert out.sort_values(["media_id", "window_idx"])["rms"].tolist() == \
+        out2.sort_values(["media_id", "window_idx"])["rms"].tolist()
+
+
 def test_decode_image_real_codec_when_available():
     """The PIL branch: a real encoded PNG decodes to its actual pixel
     stats (not the deterministic fallback).  Skips where PIL is absent
