@@ -152,6 +152,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": R.sessionize,
         "user_event_seq": R.user_event_seq,
         "event_mad": R.event_mad,
+        "event_quantile_buckets": R.event_quantile_buckets,
+        "rolling_active_users": R.rolling_active_users,
+        "knn_graph": R.knn_graph,
         "asof_join": R.asof_join_orders,
         "range_join_attrib": R.range_join_attrib,
         "revenue_by_priority": R.revenue_by_priority,
@@ -269,6 +272,9 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": R.SESSIONIZE_SQL,
         "user_event_seq": R.USER_EVENT_SEQ_SQL,
         "event_mad": R.EVENT_MAD_SQL,
+        "event_quantile_buckets": R.EVENT_QUANTILE_BUCKETS_SQL,
+        "rolling_active_users": R.ROLLING_ACTIVE_USERS_SQL,
+        "knn_graph": R.KNN_GRAPH_SQL,
         "asof_join": R.ASOF_JOIN_SQL,
         "range_join_attrib": R.RANGE_JOIN_ATTRIB_SQL,
         "revenue_by_priority": R.REVENUE_BY_PRIORITY_SQL,

@@ -2236,7 +2236,7 @@ WITH q AS (
   SELECT vec_id AS query_idx, embedding AS qe FROM embeddings WHERE vec_id < 4
 ), sims AS (
   SELECT q.query_idx, e.vec_id,
-         list_cosine_similarity(e.embedding, q.qe) AS sim
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS sim
   FROM embeddings e CROSS JOIN q
 ), ranked AS (
   SELECT query_idx, vec_id, sim,
@@ -7952,4 +7952,192 @@ SELECT a.doc_id::BIGINT AS a, b.doc_id::BIGINT AS b,
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
 ORDER BY a, b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact kNN graph over the embeddings table (stages/ann.KnnGraph).
+# The oracle self-joins on DOUBLE-cast lists: DuckDB's
+# list_cosine_similarity over FLOAT lists computes in float32, whose
+# ROUND(.,4) can land one ulp across a rounding edge from the numpy
+# float64 kernel (observed at sf0.01: 0.3257 vs 0.3258) — the ::DOUBLE[]
+# casts make both sides the same float64 arithmetic.
+# ---------------------------------------------------------------------------
+
+def knn_graph(sf_dir: str, k: int = 3):
+    from ..stages.ann import knn_graph as _knn
+
+    ds = _strip_meta(_read(sf_dir, "embeddings",
+                           columns=["vec_id", "embedding"]))
+    df = _knn(ds, k=k).to_pandas()
+    if df.empty:
+        return pd.DataFrame({"src": pd.Series(dtype="int64"),
+                             "dst": pd.Series(dtype="int64"),
+                             "sim": pd.Series(dtype="float64")})
+    df["sim"] = df["sim"].round(4)
+    return (df.sort_values(["src", "sim", "dst"],
+                           ascending=[True, False, True])
+            .reset_index(drop=True))
+
+
+KNN_GRAPH_SQL = """
+WITH sims AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         list_cosine_similarity(a.embedding::DOUBLE[],
+                                b.embedding::DOUBLE[]) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT src, dst, sim,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY sim DESC, dst) AS rn
+  FROM sims
+)
+SELECT src, dst, ROUND(sim, 4) AS sim
+FROM ranked WHERE rn <= 3
+ORDER BY src, sim DESC, dst
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day active users: for each event day, how many distinct
+# users had at least one event in the trailing 7-day window (day-6 ..
+# day).  The sliding-DISTINCT shape no plain window partial can fold.
+# ---------------------------------------------------------------------------
+
+def rolling_active_users(sf_dir: str, window_days: int = 7,
+                         num_buckets: int = 64):
+    """Map-side (user, day) pair dedup -> user-hash bucket shuffle (a
+    user's full day set lands in ONE bucket, so per-bucket distinct
+    counts sum exactly across buckets) -> in-bucket vectorized coverage
+    expansion: each active day covers windows ending on day..day+6, so
+    expand each deduped pair to its 7 covered days, dedup (user,
+    covered_day) inside the bucket, and emit per-day partial counts.
+    The driver folds <= num_buckets x n_days rows and intersects with
+    the (tiny, separately folded) real event-day set — covered days
+    that never occur in the data are window ends nobody asks for.
+
+    Raw events never shuffle; the expansion is 7x on DEDUPED pairs
+    (bounded by users x active-days, far below event count); days are
+    bounded by the time range, not the data size."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        b = pd.DataFrame({"user_id": b["user_id"],
+                          "day": b["ts"].dt.floor("D")}).drop_duplicates()
+        return b.assign(ub=_user_bucket(b["user_id"], num_buckets))
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["user_id", "day"])
+        u = np.tile(g["user_id"].to_numpy(), window_days)
+        d = np.concatenate([g["day"].to_numpy() + np.timedelta64(o, "D")
+                            for o in range(window_days)])
+        cov = (pd.DataFrame({"user_id": u, "day": d})
+               .drop_duplicates()
+               .groupby("day", as_index=False)
+               .agg(n=("user_id", "size")))
+        cov["n"] = cov["n"].astype("int64")
+        return cov
+
+    deduped = (ds.map_batches(pairs, batch_format="pandas",
+                              batch_size=131072)
+               .groupby("ub"))
+    parts = deduped.map_groups(bucket_counts, batch_format="pandas")
+    counts = (_fold_pd(parts, pd.DataFrame({
+                  "day": pd.Series(dtype="datetime64[us]"),
+                  "n": pd.Series(dtype="int64")}))
+              .groupby("day", as_index=False).agg(n=("n", "sum")))
+
+    def real_days(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"day": b["ts"].dt.floor("D").unique()})
+
+    days = (_fold_pd(ds.map_batches(real_days, batch_format="pandas"),
+                     pd.DataFrame({"day": pd.Series(
+                         dtype="datetime64[us]")}))
+            .drop_duplicates())
+    out = counts.merge(days, on="day")
+    out = out.rename(columns={"n": "active_users"})
+    out["active_users"] = out["active_users"].astype("int64")
+    return out.sort_values("day").reset_index(drop=True)
+
+
+ROLLING_ACTIVE_USERS_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+), days AS (SELECT DISTINCT day FROM ud)
+SELECT d.day AS day, count(DISTINCT u.user_id)::BIGINT AS active_users
+FROM days d JOIN ud u
+  ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+GROUP BY d.day
+ORDER BY d.day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Global exact-quantile bucketing (NTILE without the tie lottery):
+# bucket boundaries are exact order statistics (quantile_disc parity via
+# the shared histogram descent), each event is assigned 1 + (# of
+# boundaries strictly below it) — a deterministic, rank-free rule both
+# engines evaluate identically, unlike SQL NTILE whose equal-count tiles
+# split ties by physical row order.
+# ---------------------------------------------------------------------------
+
+def event_quantile_buckets(sf_dir: str):
+    """Per (event_type, global value-quartile) counts and cent-exact
+    sums.  One histogram-descent pass fixes the three boundaries
+    (driver sees <= collect_limit values, see event_percentiles), then
+    one map pass emits per-batch partial groupbys and a tiny groupby
+    folds them.  NULL values are excluded on both sides (quantile_disc
+    ignores them; the WHERE clause drops them from the bucketing)."""
+    ds = _read(sf_dir, "events",
+               columns=["event_type", "value"]).materialize()
+    bounds = exact_percentiles(ds, "value", qs=(0.25, 0.5, 0.75))
+    if bounds.empty or bounds["value"].isna().any():
+        return pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                             "bucket": pd.Series(dtype="int32"),
+                             "n": pd.Series(dtype="int64"),
+                             "sum_cents": pd.Series(dtype="int64")})
+    q1, q2, q3 = (float(v) for v in bounds.sort_values("q")["value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["value"].notna()]
+        v = b["value"].to_numpy(np.float64)
+        bucket = (1 + (v > q1).astype(np.int32) + (v > q2) + (v > q3))
+        cents = np.floor(v * 100 + 0.5).astype(np.int64)
+        g = (pd.DataFrame({"event_type": b["event_type"].to_numpy(),
+                           "bucket": bucket.astype(np.int32),
+                           "cents": cents})
+             .groupby(["event_type", "bucket"], as_index=False)
+             .agg(n=("cents", "size"), sum_cents=("cents", "sum")))
+        return g
+
+    parts = _fold_pd(ds.map_batches(partial, batch_format="pandas"),
+                     pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                                   "bucket": pd.Series(dtype="int32"),
+                                   "n": pd.Series(dtype="int64"),
+                                   "sum_cents": pd.Series(dtype="int64")}))
+    out = (parts.groupby(["event_type", "bucket"], as_index=False)
+           .agg(n=("n", "sum"), sum_cents=("sum_cents", "sum")))
+    out["bucket"] = out["bucket"].astype("int32")
+    out["n"] = out["n"].astype("int64")
+    out["sum_cents"] = out["sum_cents"].astype("int64")
+    return (out.sort_values(["event_type", "bucket"])
+            .reset_index(drop=True))
+
+
+EVENT_QUANTILE_BUCKETS_SQL = """
+WITH b AS (
+  SELECT quantile_disc(value, 0.25) AS q1,
+         quantile_disc(value, 0.5)  AS q2,
+         quantile_disc(value, 0.75) AS q3
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type,
+       (1 + CAST(value > b.q1 AS INT) + CAST(value > b.q2 AS INT)
+          + CAST(value > b.q3 AS INT))::INT AS bucket,
+       count(*)::BIGINT AS n,
+       SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))::BIGINT AS sum_cents
+FROM events, b
+WHERE value IS NOT NULL
+GROUP BY 1, 2
+ORDER BY 1, 2
 """

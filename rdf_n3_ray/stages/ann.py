@@ -634,3 +634,69 @@ def ivfpq_topk(embeddings_ds, queries: np.ndarray, k: int = 10,
     partials = codes_ds.map_batches(partial, batch_format="pyarrow",
                                     batch_size=4096)
     return _merge_topk(partials, k)
+
+
+class KnnGraph:
+    """Actor-pool stage for the exact k-nearest-neighbor GRAPH: every
+    row gets its top-k cosine neighbors (self excluded) against the
+    broadcast corpus matrix.  Unlike BruteForceTopK (Q queries, driver
+    merges partials), the broadcast side here is COMPLETE, so each
+    batch emits its rows' final top-k directly — no driver merge, the
+    output stays a distributed Dataset of N*k edges.
+
+    Scale shape: the corpus matrix ships once per actor (documented
+    bound: D=64 float64 at 10M rows is ~5 GB — beyond that use the
+    IVF/LSH paths in this module, the same exact/approx split as
+    embed_cosine_dups vs cosine_dup_pairs_lsh).  Per batch the kernel
+    is one (B, N) matmul plus ONE vectorized lexsort along axis=-1
+    ((-sim, id) keys — exact sim DESC, vec_id ASC tie-break, matching
+    the SQL row_number oracle); no Python loop over rows."""
+
+    def __init__(self, ids: np.ndarray, matrix: np.ndarray, k: int = 3,
+                 dtype=np.float64):
+        self.ids = np.asarray(ids, dtype=np.int64)
+        self.m = _normalize(np.asarray(matrix, dtype=dtype))
+        self.k = k
+        self.dtype = dtype
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        src = batch.column("vec_id").to_numpy()
+        emb = _normalize(_matrix(batch.column("embedding"), self.dtype))
+        if len(src) == 0 or len(self.ids) < 2:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        sims = emb @ self.m.T  # (B, N)
+        # mask self-matches by id (works under duplicates of the id
+        # space being impossible: vec_id is the table key)
+        sims[src[:, None] == self.ids[None, :]] = -np.inf
+        k = min(self.k, len(self.ids) - 1)
+        order = np.lexsort(
+            (np.broadcast_to(self.ids, sims.shape), -sims), axis=-1)[:, :k]
+        dst = self.ids[order]
+        top = np.take_along_axis(sims, order, axis=-1)
+        return pa.table({
+            "src": pa.array(np.repeat(src.astype(np.int64), k), pa.int64()),
+            "dst": pa.array(dst.reshape(-1), pa.int64()),
+            "sim": pa.array(top.reshape(-1), pa.float64()),
+        })
+
+
+def knn_graph(embeddings_ds, k: int = 3, concurrency=None,
+              dtype=np.float64):
+    """Exact kNN graph over an embeddings Dataset -> Dataset of
+    (src, dst, sim) edges, k per src.  One driver-side collect builds
+    the broadcast matrix (exactness baseline; see KnnGraph docstring
+    for the scale bound and the IVF/LSH alternative)."""
+    rows = embeddings_ds.take_all()  # broadcast side: bounded, see above
+    rows.sort(key=lambda r: r["vec_id"])
+    ids = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
+    matrix = np.asarray([r["embedding"] for r in rows], dtype=dtype)
+    return embeddings_ds.map_batches(
+        KnnGraph,
+        fn_constructor_kwargs={"ids": ids, "matrix": matrix, "k": k,
+                               "dtype": dtype},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=concurrency or _elastic_pool(),
+    )

@@ -2900,3 +2900,116 @@ def test_simhash_pairs_ham3_complete(ray_session, tmp_path):
     expect = {(a, b) for a in fp for b in fp if a < b
               and bin(fp[a] ^ fp[b]).count("1") <= 3}
     assert set(zip(out["a"], out["b"])) == expect
+
+
+def test_knn_graph_matches_oracle(ray_session):
+    """Exact kNN graph: every vec gets k=3 neighbors; parity with the
+    DOUBLE-cast DuckDB self-join (float32 list_cosine_similarity would
+    flip ROUND(.,4) on observed edges — see KNN_GRAPH_SQL comment)."""
+    from rdf_n3_ray.pipelines.relational import KNN_GRAPH_SQL, knn_graph
+
+    out = knn_graph("/root/testdata/sf0.01")
+    # 500 vectors x 3 neighbors, none pointing at itself
+    assert len(out) == 1500
+    assert (out["src"] != out["dst"]).all()
+    assert out.groupby("src").size().eq(3).all()
+    _assert_oracle_equal(out, _duckdb_oracle(KNN_GRAPH_SQL))
+
+
+def test_knn_graph_stage_tiebreak_and_self_mask(ray_session):
+    """Duplicate vectors tie at sim=1.0: the lexsort tie-break must
+    pick the smaller vec_id, and the self-row is excluded by id."""
+    import ray.data as rd
+
+    from rdf_n3_ray.stages.ann import knn_graph as knn_stage
+
+    tbl = pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "embedding": pa.array(
+            [[1.0, 0.0], [1.0, 0.0], [1.0, 0.0], [0.0, 1.0]],
+            pa.list_(pa.float32())),
+    })
+    out = (knn_stage(rd.from_arrow(tbl), k=2, concurrency=(1, 2))
+           .to_pandas().sort_values(["src", "dst"]))
+    by_src = {s: sorted(g["dst"]) for s, g in out.groupby("src")}
+    # 0,1,2 are identical: each picks the two OTHER dups (smaller ids
+    # first under ties), never itself; 3 is orthogonal to everyone.
+    assert by_src[0] == [1, 2]
+    assert by_src[1] == [0, 2]
+    assert by_src[2] == [0, 1]
+    assert by_src[3] == [0, 1]  # all sims 0, id-ascending tie-break
+
+
+def test_rolling_active_users_matches_oracle(ray_session):
+    from rdf_n3_ray.pipelines.relational import (
+        ROLLING_ACTIVE_USERS_SQL, rolling_active_users)
+
+    out = rolling_active_users("/root/testdata/sf0.01")
+    assert (out["active_users"] > 0).all()
+    # trailing-window counts are >= the single-day distinct count
+    _assert_oracle_equal(out, _duckdb_oracle(ROLLING_ACTIVE_USERS_SQL))
+
+
+def test_rolling_active_users_window_semantics(ray_session, tmp_path):
+    """A user active once counts toward the next 6 days' windows —
+    but only window-end days that actually occur in the data appear."""
+    import pyarrow.parquet as pq
+
+    from rdf_n3_ray.pipelines.relational import rolling_active_users
+
+    ts = pd.to_datetime([
+        "2024-01-01 12:00",              # u1
+        "2024-01-05 01:00",              # u2: 4 days later (in u1's window)
+        "2024-01-20 09:00",              # u3: far away
+    ])
+    tbl = pa.table({
+        "event_id": pa.array(range(3), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1, 2, 3], pa.int64()),
+        "event_type": pa.array(["view"] * 3),
+        "value": pa.array([1.0] * 3),
+        "props": pa.array(["{}"] * 3),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = rolling_active_users(str(tmp_path))
+    got = {str(d)[:10]: int(n) for d, n in
+           zip(out["day"], out["active_users"])}
+    # only the 3 real event days are reported; Jan 5's trailing week
+    # includes Jan 1, so both users count there
+    assert got == {"2024-01-01": 1, "2024-01-05": 2, "2024-01-20": 1}
+
+
+def test_event_quantile_buckets_matches_oracle(ray_session):
+    from rdf_n3_ray.pipelines.relational import (
+        EVENT_QUANTILE_BUCKETS_SQL, event_quantile_buckets)
+
+    out = event_quantile_buckets("/root/testdata/sf0.01")
+    assert set(out["bucket"]) <= {1, 2, 3, 4}
+    # buckets are global: per-type totals must sum to the type counts
+    _assert_oracle_equal(out, _duckdb_oracle(EVENT_QUANTILE_BUCKETS_SQL))
+
+
+def test_event_quantile_buckets_boundary_rule(ray_session, tmp_path):
+    """Values exactly AT a boundary stay in the lower bucket (rank-free
+    `> boundary` rule, not NTILE's row-order tie lottery)."""
+    import pyarrow.parquet as pq
+
+    from rdf_n3_ray.pipelines.relational import event_quantile_buckets
+
+    vals = [1.0, 1.0, 2.0, 2.0, 3.0, 3.0, 4.0, 4.0]
+    tbl = pa.table({
+        "event_id": pa.array(range(8), pa.int64()),
+        "ts": pa.array(pd.to_datetime(["2024-01-01"] * 8),
+                       pa.timestamp("us")),
+        "user_id": pa.array([1] * 8, pa.int64()),
+        "event_type": pa.array(["view"] * 8),
+        "value": pa.array(vals),
+        "props": pa.array(["{}"] * 8),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = event_quantile_buckets(str(tmp_path))
+    # quantile_disc ranks max(1, ceil(q*8)) = 2, 4, 6 -> boundaries
+    # q1=1.0, q2=2.0, q3=3.0; the boundary VALUES stay in the lower
+    # bucket (`<= q`), so every value lands deterministically
+    got = dict(zip(out["bucket"], out["n"]))
+    assert got == {1: 2, 2: 2, 3: 2, 4: 2}
