@@ -155,6 +155,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_quantile_buckets": R.event_quantile_buckets,
         "rolling_active_users": R.rolling_active_users,
         "knn_graph": R.knn_graph,
+        "source_token_gini": R.source_token_gini,
+        "label_centroids": R.label_centroids,
         "asof_join": R.asof_join_orders,
         "range_join_attrib": R.range_join_attrib,
         "revenue_by_priority": R.revenue_by_priority,
@@ -275,6 +277,8 @@ def oracle_sql() -> dict[str, str]:
         "event_quantile_buckets": R.EVENT_QUANTILE_BUCKETS_SQL,
         "rolling_active_users": R.ROLLING_ACTIVE_USERS_SQL,
         "knn_graph": R.KNN_GRAPH_SQL,
+        "source_token_gini": R.SOURCE_TOKEN_GINI_SQL,
+        "label_centroids": R.LABEL_CENTROIDS_SQL,
         "asof_join": R.ASOF_JOIN_SQL,
         "range_join_attrib": R.RANGE_JOIN_ATTRIB_SQL,
         "revenue_by_priority": R.REVENUE_BY_PRIORITY_SQL,

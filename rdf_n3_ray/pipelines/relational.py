@@ -8141,3 +8141,149 @@ WHERE value IS NOT NULL
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus-balance Gini: how unequally tokens are distributed across the
+# documents of each source (the standard imbalance diagnostic before
+# domain reweighting).  Exact integer arithmetic end-to-end: with docs
+# sorted ascending by token count, G = (2*S1 - (n+1)*S0) / (n*S0) where
+# S0 = sum(x), S1 = sum(rank*x) — reported as floor(1000*G) so no
+# float division touches the hash.  Tie order cannot change S1 (ranks
+# within a tie block permute over EQUAL x), so both engines agree.
+# ---------------------------------------------------------------------------
+
+def source_token_gini(sf_dir: str):
+    """Map-side partial (source, n_tokens) frequency table -> small
+    groupby fold -> driver computes exact Gini per source from the
+    histogram with arbitrary-precision ints.  The shuffled table is
+    bounded by sources x distinct token counts (thousands), never by
+    corpus size; the rank-sum S1 folds from the sorted histogram as
+    sum over values of x * (count-run rank total) without expanding
+    back to per-doc rows."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.DataFrame({"source": b["source"].to_numpy(),
+                           "n_tokens": _n_words(b["text"]).to_numpy()})
+             .groupby(["source", "n_tokens"], as_index=False)
+             .agg(n_docs=("n_tokens", "size")))
+        g["n_docs"] = g["n_docs"].astype("int64")
+        return g
+
+    hist = (_fold_pd(ds.map_batches(partial, batch_format="pandas"),
+                     pd.DataFrame({"source": pd.Series(dtype="object"),
+                                   "n_tokens": pd.Series(dtype="int64"),
+                                   "n_docs": pd.Series(dtype="int64")}))
+            .groupby(["source", "n_tokens"], as_index=False)
+            .agg(n_docs=("n_docs", "sum")))
+    rows = []
+    for src, g in hist.groupby("source"):
+        g = g.sort_values("n_tokens")
+        xs = [int(v) for v in g["n_tokens"]]
+        cs = [int(c) for c in g["n_docs"]]
+        n = sum(cs)
+        s0 = sum(x * c for x, c in zip(xs, cs))
+        # rank total of a run of c equal values starting after `seen`
+        # docs: sum(seen+1 .. seen+c) = c*seen + c*(c+1)/2
+        s1, seen = 0, 0
+        for x, c in zip(xs, cs):
+            s1 += x * (c * seen + c * (c + 1) // 2)
+            seen += c
+        gini_milli = (1000 * (2 * s1 - (n + 1) * s0)) // (n * s0) \
+            if n and s0 else 0
+        rows.append({"source": src, "n_docs": n, "sum_tokens": s0,
+                     "gini_milli": gini_milli})
+    out = pd.DataFrame(rows, columns=["source", "n_docs", "sum_tokens",
+                                      "gini_milli"])
+    for c in ("n_docs", "sum_tokens", "gini_milli"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SOURCE_TOKEN_GINI_SQL = f"""
+WITH t AS (
+  SELECT source, {_N_WORDS_SQL}::HUGEINT AS x
+  FROM documents
+), r AS (
+  SELECT source, x,
+         row_number() OVER (PARTITION BY source ORDER BY x) AS rn
+  FROM t
+), s AS (
+  SELECT source, count(*)::HUGEINT AS n, sum(x) AS s0,
+         sum(rn * x) AS s1
+  FROM r GROUP BY source
+)
+SELECT source, n::BIGINT AS n_docs, s0::BIGINT AS sum_tokens,
+       CASE WHEN n > 0 AND s0 > 0
+            THEN ((1000 * (2 * s1 - (n + 1) * s0)) // (n * s0))::BIGINT
+            ELSE 0 END AS gini_milli
+FROM s
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids (class prototypes): exploded to one
+# (label, dim, value) row per dimension so the hash compare never
+# stringifies a list column.  float64 partial sums fold per (label,
+# dim); ROUND(.,4) absorbs the last-ulp fold-order difference vs the
+# oracle's sequential sum (values are O(1), edges ~1e-12 away).
+# ---------------------------------------------------------------------------
+
+def label_centroids(sf_dir: str):
+    """One map pass emits per-batch partial (label, sum-vector, count);
+    a small driver fold divides.  The shuffled/folded state is labels x
+    (dims + 1) floats — independent of corpus size."""
+    from ..stages.ann import _matrix
+
+    ds = _strip_meta(_read(sf_dir, "embeddings",
+                           columns=["label", "embedding"]))
+
+    def partial(t: "pa.Table") -> pd.DataFrame:
+        labels = t.column("label").to_numpy()
+        m = _matrix(t.column("embedding"), np.float64)
+        if len(labels) == 0:
+            return pd.DataFrame({"label": pd.Series(dtype="int32"),
+                                 "n": pd.Series(dtype="int64"),
+                                 "sums": pd.Series(dtype="object")})
+        order = np.argsort(labels, kind="stable")
+        sl, sm = labels[order], m[order]
+        uniq, starts = np.unique(sl, return_index=True)
+        sums = np.add.reduceat(sm, starts, axis=0)
+        counts = np.diff(np.append(starts, len(sl)))
+        return pd.DataFrame({"label": uniq.astype("int32"),
+                             "n": counts.astype("int64"),
+                             "sums": [row.tobytes() for row in sums]})
+
+    parts = _fold_pd(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        pd.DataFrame({"label": pd.Series(dtype="int32"),
+                      "n": pd.Series(dtype="int64"),
+                      "sums": pd.Series(dtype="object")}))
+    rows = []
+    for lab, g in parts.groupby("label"):
+        total = np.sum([np.frombuffer(b, dtype=np.float64)
+                        for b in g["sums"]], axis=0)
+        n = int(g["n"].sum())
+        cent = np.round(total / n, 4)
+        for d, v in enumerate(cent):
+            rows.append({"label": int(lab), "dim": d + 1,
+                         "centroid": float(v)})
+    out = pd.DataFrame(rows, columns=["label", "dim", "centroid"])
+    out["label"] = out["label"].astype("int32")
+    out["dim"] = out["dim"].astype("int64")
+    return out.sort_values(["label", "dim"]).reset_index(drop=True)
+
+
+LABEL_CENTROIDS_SQL = """
+WITH dims AS (
+  SELECT unnest(generate_series(
+    1, (SELECT max(len(embedding)) FROM embeddings))) AS i
+)
+SELECT e.label, dims.i AS dim,
+       ROUND(AVG((e.embedding::DOUBLE[])[dims.i]), 4) AS centroid
+FROM embeddings e JOIN dims ON dims.i <= len(e.embedding)
+GROUP BY e.label, dims.i
+ORDER BY e.label, dims.i
+"""

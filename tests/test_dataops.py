@@ -3013,3 +3013,49 @@ def test_event_quantile_buckets_boundary_rule(ray_session, tmp_path):
     # bucket (`<= q`), so every value lands deterministically
     got = dict(zip(out["bucket"], out["n"]))
     assert got == {1: 2, 2: 2, 3: 2, 4: 2}
+
+
+def test_source_token_gini_matches_oracle(ray_session):
+    from rdf_n3_ray.pipelines.relational import (
+        SOURCE_TOKEN_GINI_SQL, source_token_gini)
+
+    out = source_token_gini("/root/testdata/sf0.01")
+    assert (out["gini_milli"] >= 0).all()
+    assert (out["gini_milli"] < 1000).all()
+    _assert_oracle_equal(out, _duckdb_oracle(SOURCE_TOKEN_GINI_SQL))
+
+
+def test_source_token_gini_extremes(ray_session, tmp_path):
+    """Equal docs -> Gini 0; one doc holding ~everything -> high Gini.
+    Exact rank-sum formula on the integer histogram."""
+    import pyarrow.parquet as pq
+
+    from rdf_n3_ray.pipelines.relational import source_token_gini
+
+    texts = (["one two three"] * 4                       # eq: 3 tokens each
+             + ["a"] * 4 + [" ".join(["w"] * 996)])      # uneq: 4x1 + 996
+    tbl = pa.table({
+        "doc_id": pa.array(range(9), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 9),
+        "source": pa.array(["eq"] * 4 + ["uneq"] * 5),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = source_token_gini(str(tmp_path))
+    got = dict(zip(out["source"], out["gini_milli"]))
+    assert got["eq"] == 0
+    # exact: n=5, s0=1000, s1=1*1+2*1+3*1+4*1+5*996=4990
+    # G = (2*4990 - 6*1000) / (5*1000) = 3980/5000 -> 796 milli
+    assert got["uneq"] == 796
+
+
+def test_label_centroids_matches_oracle(ray_session):
+    from rdf_n3_ray.pipelines.relational import (
+        LABEL_CENTROIDS_SQL, label_centroids)
+
+    out = label_centroids("/root/testdata/sf0.01")
+    # one row per (label, dim); dims 1-based and complete
+    assert out.groupby("label")["dim"].agg(["min", "max"]).eq(
+        [1, 64]).all().all()
+    _assert_oracle_equal(out, _duckdb_oracle(LABEL_CENTROIDS_SQL))
