@@ -292,6 +292,13 @@ def run_bench() -> dict:
          ("ann_pq", lambda: len(R.ann_pq(sf_dir))),
          ("dup_rate_by_source",
           lambda: len(R.dup_rate_by_source(sf_dir)))],
+        [("knn_graph", lambda: len(R.knn_graph(sf_dir))),
+         ("rolling_active_users",
+          lambda: len(R.rolling_active_users(sf_dir))),
+         ("event_quantile_buckets",
+          lambda: len(R.event_quantile_buckets(sf_dir))),
+         ("source_token_gini", lambda: len(R.source_token_gini(sf_dir))),
+         ("label_centroids", lambda: len(R.label_centroids(sf_dir)))],
     ]
 
     def fresh_session():
