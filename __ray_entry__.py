@@ -157,6 +157,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": R.knn_graph,
         "source_token_gini": R.source_token_gini,
         "label_centroids": R.label_centroids,
+        "session_duration_percentiles": R.session_duration_percentiles,
+        "doc_ttr": R.doc_ttr,
         "asof_join": R.asof_join_orders,
         "range_join_attrib": R.range_join_attrib,
         "revenue_by_priority": R.revenue_by_priority,
@@ -279,6 +281,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph": R.KNN_GRAPH_SQL,
         "source_token_gini": R.SOURCE_TOKEN_GINI_SQL,
         "label_centroids": R.LABEL_CENTROIDS_SQL,
+        "session_duration_percentiles": R.SESSION_DURATION_PERCENTILES_SQL,
+        "doc_ttr": R.DOC_TTR_SQL,
         "asof_join": R.ASOF_JOIN_SQL,
         "range_join_attrib": R.RANGE_JOIN_ATTRIB_SQL,
         "revenue_by_priority": R.REVENUE_BY_PRIORITY_SQL,

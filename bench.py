@@ -298,7 +298,10 @@ def run_bench() -> dict:
          ("event_quantile_buckets",
           lambda: len(R.event_quantile_buckets(sf_dir))),
          ("source_token_gini", lambda: len(R.source_token_gini(sf_dir))),
-         ("label_centroids", lambda: len(R.label_centroids(sf_dir)))],
+         ("label_centroids", lambda: len(R.label_centroids(sf_dir))),
+         ("session_duration_percentiles",
+          lambda: len(R.session_duration_percentiles(sf_dir))),
+         ("doc_ttr", lambda: R.doc_ttr(sf_dir).count())],
     ]
 
     def fresh_session():

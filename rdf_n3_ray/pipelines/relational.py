@@ -8287,3 +8287,98 @@ FROM embeddings e JOIN dims ON dims.i <= len(e.embedding)
 GROUP BY e.label, dims.i
 ORDER BY e.label, dims.i
 """
+
+
+# ---------------------------------------------------------------------------
+# Session-duration distribution: sessionize (the repo's 30-min-gap
+# windows) composed with the exact-percentile descent — the classic
+# "how long do sessions run" report, exact at any scale.  Durations are
+# integer microseconds (timestamp subtraction is exact), so the
+# quantile_disc oracle hashes bit-for-bit.
+# ---------------------------------------------------------------------------
+
+def session_duration_percentiles(sf_dir: str, qs=(0.5, 0.9, 0.99)):
+    """sessionize -> one map pass projecting integer duration_us ->
+    histogram-descent order statistics (driver sees <= collect_limit
+    values; see event_percentiles).  No new shuffle beyond the
+    user-bucket one sessionize already does."""
+    sess = sessionize(sf_dir)
+
+    def dur(b: pd.DataFrame) -> pd.DataFrame:
+        us = ((b["session_end"] - b["session_start"])
+              // pd.Timedelta(microseconds=1)).astype("int64")
+        return pd.DataFrame({"duration_us": us})
+
+    ds = sess.map_batches(dur, batch_format="pandas").materialize()
+    out = exact_percentiles(ds, "duration_us", qs=qs)
+    out["duration_us"] = out["value"].astype("int64")
+    return out[["q", "duration_us"]].reset_index(drop=True)
+
+
+SESSION_DURATION_PERCENTILES_SQL = f"""
+WITH sess AS ({SESSIONIZE_SQL.replace('ORDER BY user_id, session_id', '')}),
+d AS (
+  SELECT epoch_us(session_end) - epoch_us(session_start) AS duration_us
+  FROM sess
+)
+, agg AS (
+  SELECT quantile_disc(duration_us, [0.5, 0.9, 0.99]) AS vs FROM d
+)
+SELECT [0.5, 0.9, 0.99][i] AS q, vs[i]::BIGINT AS duration_us
+FROM agg, (SELECT unnest(generate_series(1, 3)) AS i) t
+ORDER BY q
+"""
+
+
+# ---------------------------------------------------------------------------
+# Type-token ratio per document (lexical-diversity quality feature):
+# distinct lowered whitespace tokens / total tokens, reported as exact
+# integer milli (1000*distinct // total) so no float touches the hash.
+# ---------------------------------------------------------------------------
+
+def doc_ttr(sf_dir: str):
+    """Pure map pass (no shuffle): per-row token explode happens inside
+    the batch, counts are ints.  Empty docs report 0/0/0."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def ttr(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.reset_index(drop=True)
+        text = b["text"].fillna("").str.lower()
+        ex = text.str.split(_ASCII_WS, regex=True).explode().dropna()
+        ex = ex[ex != ""]
+        per = ex.groupby(level=0).agg(["size", "nunique"]) \
+            if len(ex) else pd.DataFrame(columns=["size", "nunique"])
+        n_tok = np.zeros(len(b), dtype=np.int64)
+        n_distinct = np.zeros(len(b), dtype=np.int64)
+        if len(per):
+            idx = per.index.to_numpy()
+            n_tok[idx] = per["size"].to_numpy()
+            n_distinct[idx] = per["nunique"].to_numpy()
+        out = pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "n_tokens": n_tok,
+            "n_distinct": n_distinct})
+        out["ttr_milli"] = np.where(
+            n_tok > 0, 1000 * n_distinct // np.maximum(n_tok, 1),
+            0).astype("int64")
+        return out
+
+    return ds.map_batches(ttr, batch_format="pandas").sort("doc_id")
+
+
+DOC_TTR_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                           '\\s+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       len(list_distinct(toks))::BIGINT AS n_distinct,
+       (CASE WHEN len(toks) > 0
+             THEN (1000 * len(list_distinct(toks))) // len(toks)
+             ELSE 0 END)::BIGINT AS ttr_milli
+FROM t
+ORDER BY doc_id
+"""

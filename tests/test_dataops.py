@@ -3059,3 +3059,46 @@ def test_label_centroids_matches_oracle(ray_session):
     assert out.groupby("label")["dim"].agg(["min", "max"]).eq(
         [1, 64]).all().all()
     _assert_oracle_equal(out, _duckdb_oracle(LABEL_CENTROIDS_SQL))
+
+
+def test_session_duration_percentiles_matches_oracle(ray_session):
+    from rdf_n3_ray.pipelines.relational import (
+        SESSION_DURATION_PERCENTILES_SQL, session_duration_percentiles)
+
+    out = session_duration_percentiles("/root/testdata/sf0.01")
+    assert list(out["q"]) == [0.5, 0.9, 0.99]
+    assert out["duration_us"].is_monotonic_increasing
+    _assert_oracle_equal(out,
+                         _duckdb_oracle(SESSION_DURATION_PERCENTILES_SQL))
+
+
+def test_doc_ttr_matches_oracle(ray_session):
+    from rdf_n3_ray.pipelines.relational import DOC_TTR_SQL, doc_ttr
+
+    out = doc_ttr("/root/testdata/sf0.01").to_pandas()
+    assert (out["n_distinct"] <= out["n_tokens"]).all()
+    assert (out["ttr_milli"] <= 1000).all()
+    _assert_oracle_equal(out, _duckdb_oracle(DOC_TTR_SQL))
+
+
+def test_doc_ttr_empty_and_dup_tokens(ray_session, tmp_path):
+    """Empty doc -> 0/0/0; all-repeated doc -> exact floor milli."""
+    import pyarrow.parquet as pq
+
+    from rdf_n3_ray.pipelines.relational import doc_ttr
+
+    texts = ["", "a a a", "x y z", "The the THE"]
+    tbl = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(["s"] * 4),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = doc_ttr(str(tmp_path)).to_pandas()
+    got = {d: (t, u, m) for d, t, u, m in zip(
+        out["doc_id"], out["n_tokens"], out["n_distinct"],
+        out["ttr_milli"])}
+    assert got == {0: (0, 0, 0), 1: (3, 1, 333), 2: (3, 3, 1000),
+                   3: (3, 1, 333)}  # lowercased dedup
