@@ -3086,6 +3086,15 @@ GROUP BY user_id ORDER BY user_id
 
 
 def sessionize(sf_dir: str, num_buckets: int = 32):
+    """Contract-facing entry: sessionize_core + the presentation sort."""
+    return sessionize_core(sf_dir, num_buckets).sort(
+        ["user_id", "session_id"])
+
+
+def sessionize_core(sf_dir: str, num_buckets: int = 32):
+    """Unsorted session table (user-bucket shuffle only) — for
+    order-insensitive consumers (session_duration_percentiles) that
+    should not pay the final global sort-shuffle."""
     ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
 
     def bucketed(b: pd.DataFrame) -> pd.DataFrame:
@@ -3108,9 +3117,8 @@ def sessionize(sf_dir: str, num_buckets: int = 32):
         out["n_events"] = out["n_events"].astype("int64")
         return out
 
-    out = (ev.map_batches(bucketed, batch_format="pandas")
-           .groupby("ub").map_groups(sessions, batch_format="pandas"))
-    return out.sort(["user_id", "session_id"])
+    return (ev.map_batches(bucketed, batch_format="pandas")
+            .groupby("ub").map_groups(sessions, batch_format="pandas"))
 
 
 SESSIONIZE_SQL = """
@@ -7987,12 +7995,12 @@ WITH sims AS (
                                 b.embedding::DOUBLE[]) AS sim
   FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
 ), ranked AS (
-  SELECT src, dst, sim,
+  SELECT src, dst, ROUND(sim, 4) AS sim,
          row_number() OVER (PARTITION BY src
-                            ORDER BY sim DESC, dst) AS rn
+                            ORDER BY ROUND(sim, 4) DESC, dst) AS rn
   FROM sims
 )
-SELECT src, dst, ROUND(sim, 4) AS sim
+SELECT src, dst, sim
 FROM ranked WHERE rn <= 3
 ORDER BY src, sim DESC, dst
 """
@@ -8036,24 +8044,23 @@ def rolling_active_users(sf_dir: str, window_days: int = 7,
                .groupby("day", as_index=False)
                .agg(n=("user_id", "size")))
         cov["n"] = cov["n"].astype("int64")
-        return cov
+        # the bucket's REAL active days ride the same frame as n=-1
+        # sentinel rows, so the events table is scanned exactly once
+        real = pd.DataFrame({"day": g["day"].unique()})
+        real["n"] = np.int64(-1)
+        return pd.concat([cov, real], ignore_index=True)
 
     deduped = (ds.map_batches(pairs, batch_format="pandas",
                               batch_size=131072)
                .groupby("ub"))
-    parts = deduped.map_groups(bucket_counts, batch_format="pandas")
-    counts = (_fold_pd(parts, pd.DataFrame({
-                  "day": pd.Series(dtype="datetime64[us]"),
-                  "n": pd.Series(dtype="int64")}))
+    parts = _fold_pd(deduped.map_groups(bucket_counts,
+                                        batch_format="pandas"),
+                     pd.DataFrame({
+                         "day": pd.Series(dtype="datetime64[us]"),
+                         "n": pd.Series(dtype="int64")}))
+    days = parts.loc[parts["n"] < 0, ["day"]].drop_duplicates()
+    counts = (parts[parts["n"] >= 0]
               .groupby("day", as_index=False).agg(n=("n", "sum")))
-
-    def real_days(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"day": b["ts"].dt.floor("D").unique()})
-
-    days = (_fold_pd(ds.map_batches(real_days, batch_format="pandas"),
-                     pd.DataFrame({"day": pd.Series(
-                         dtype="datetime64[us]")}))
-            .drop_duplicates())
     out = counts.merge(days, on="day")
     out = out.rename(columns={"n": "active_users"})
     out["active_users"] = out["active_users"].astype("int64")
@@ -8302,7 +8309,7 @@ def session_duration_percentiles(sf_dir: str, qs=(0.5, 0.9, 0.99)):
     histogram-descent order statistics (driver sees <= collect_limit
     values; see event_percentiles).  No new shuffle beyond the
     user-bucket one sessionize already does."""
-    sess = sessionize(sf_dir)
+    sess = sessionize_core(sf_dir)
 
     def dur(b: pd.DataFrame) -> pd.DataFrame:
         us = ((b["session_end"] - b["session_start"])
@@ -8343,9 +8350,7 @@ def doc_ttr(sf_dir: str):
 
     def ttr(b: pd.DataFrame) -> pd.DataFrame:
         b = b.reset_index(drop=True)
-        text = b["text"].fillna("").str.lower()
-        ex = text.str.split(_ASCII_WS, regex=True).explode().dropna()
-        ex = ex[ex != ""]
+        ex = _ws_tokens(b["text"])  # shared oracle-parity tokenizer
         per = ex.groupby(level=0).agg(["size", "nunique"]) \
             if len(ex) else pd.DataFrame(columns=["size", "nunique"])
         n_tok = np.zeros(len(b), dtype=np.int64)

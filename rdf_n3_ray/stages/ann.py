@@ -648,9 +648,14 @@ class KnnGraph:
     bound: D=64 float64 at 10M rows is ~5 GB — beyond that use the
     IVF/LSH paths in this module, the same exact/approx split as
     embed_cosine_dups vs cosine_dup_pairs_lsh).  Per batch the kernel
-    is one (B, N) matmul plus ONE vectorized lexsort along axis=-1
-    ((-sim, id) keys — exact sim DESC, vec_id ASC tie-break, matching
-    the SQL row_number oracle); no Python loop over rows."""
+    is one (B, N) matmul plus ONE vectorized lexsort along axis=-1.
+    Selection ranks on ROUND(sim, 4) DESC, vec_id ASC — matching the
+    SQL oracle, which ranks on the SAME rounded value: ranking on raw
+    floats would let a last-ulp dgemm-vs-sequential-sum difference
+    pick different rank-k edges across engines whenever two candidates
+    near-tie (the regime near-dup corpora live in); after rounding,
+    ties resolve by id identically on both sides.  No Python loop
+    over rows."""
 
     def __init__(self, ids: np.ndarray, matrix: np.ndarray, k: int = 3,
                  dtype=np.float64):
@@ -670,6 +675,7 @@ class KnnGraph:
         # mask self-matches by id (works under duplicates of the id
         # space being impossible: vec_id is the table key)
         sims[src[:, None] == self.ids[None, :]] = -np.inf
+        sims = np.round(sims, 4)  # rank on the reported precision
         k = min(self.k, len(self.ids) - 1)
         order = np.lexsort(
             (np.broadcast_to(self.ids, sims.shape), -sims), axis=-1)[:, :k]
@@ -689,6 +695,13 @@ def knn_graph(embeddings_ds, k: int = 3, concurrency=None,
     the broadcast matrix (exactness baseline; see KnnGraph docstring
     for the scale bound and the IVF/LSH alternative)."""
     rows = embeddings_ds.take_all()  # broadcast side: bounded, see above
+    if not rows:
+        import ray.data as rd
+
+        # _normalize on a (0,) array would AxisError in the actor ctor
+        return rd.from_arrow(pa.table({"src": pa.array([], pa.int64()),
+                                       "dst": pa.array([], pa.int64()),
+                                       "sim": pa.array([], pa.float64())}))
     rows.sort(key=lambda r: r["vec_id"])
     ids = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
     matrix = np.asarray([r["embedding"] for r in rows], dtype=dtype)
