@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": R.label_centroids,
         "session_duration_percentiles": R.session_duration_percentiles,
         "doc_ttr": R.doc_ttr,
+        "heavy_hitter_tokens": R.heavy_hitter_tokens,
         "asof_join": R.asof_join_orders,
         "range_join_attrib": R.range_join_attrib,
         "revenue_by_priority": R.revenue_by_priority,
@@ -283,6 +284,7 @@ def oracle_sql() -> dict[str, str]:
         "label_centroids": R.LABEL_CENTROIDS_SQL,
         "session_duration_percentiles": R.SESSION_DURATION_PERCENTILES_SQL,
         "doc_ttr": R.DOC_TTR_SQL,
+        "heavy_hitter_tokens": R.HEAVY_HITTER_TOKENS_SQL,
         "asof_join": R.ASOF_JOIN_SQL,
         "range_join_attrib": R.RANGE_JOIN_ATTRIB_SQL,
         "revenue_by_priority": R.REVENUE_BY_PRIORITY_SQL,

@@ -301,7 +301,9 @@ def run_bench() -> dict:
          ("label_centroids", lambda: len(R.label_centroids(sf_dir))),
          ("session_duration_percentiles",
           lambda: len(R.session_duration_percentiles(sf_dir))),
-         ("doc_ttr", lambda: R.doc_ttr(sf_dir).count())],
+         ("doc_ttr", lambda: R.doc_ttr(sf_dir).count()),
+         ("heavy_hitter_tokens",
+          lambda: len(R.heavy_hitter_tokens(sf_dir)))],
     ]
 
     def fresh_session():

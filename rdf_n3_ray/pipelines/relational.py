@@ -8387,3 +8387,100 @@ SELECT doc_id,
 FROM t
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Heavy-hitter tokens via a Misra-Gries sketch + exact recount — the
+# mergeable-summaries two-pass pattern (Agarwal/Cormode et al. 2012):
+# pass 1 builds capacity-k MG summaries per batch (vectorized
+# value_counts, subtract the (k+1)-th largest, keep positive) and
+# merges them per token-hash bucket the same way, so every token with
+# true frequency > N/(k+1) PROVABLY survives as a candidate while no
+# stage ever holds more than k rows per unit; pass 2 exactly recounts
+# the <= num_buckets*k candidates in one broadcast map and filters by
+# the integer threshold n*(k+1) > N.  Output is exact (recounted), so
+# the SQL HAVING oracle hashes bit-for-bit — a sketch whose answer is
+# still exact.
+# ---------------------------------------------------------------------------
+
+def heavy_hitter_tokens(sf_dir: str, k: int = 199, num_buckets: int = 32):
+    ds = _read(sf_dir, "documents", columns=["text"]).materialize()
+
+    def _compress(counts: pd.Series, cap: int) -> pd.Series:
+        """MG compress: keep <= cap entries by subtracting the
+        (cap+1)-th largest count from all and dropping <= 0."""
+        if len(counts) <= cap:
+            return counts
+        dec = counts.nlargest(cap + 1).iloc[-1]
+        out = counts - dec
+        return out[out > 0]
+
+    def summary(b: pd.DataFrame) -> pd.DataFrame:
+        toks = _ws_tokens(b["text"])
+        counts = _compress(toks.value_counts(), k)
+        out = counts.rename_axis("token").reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        out["tb"] = (pd.util.hash_pandas_object(out["token"], index=False)
+                     % num_buckets).astype("int32")
+        # sentinel row: this batch's TOTAL token mass (for the driver's
+        # exact N) rides the same frame, tb = -1
+        tot = pd.DataFrame({"token": [""], "n": [np.int64(len(toks))],
+                            "tb": [np.int32(-1)]})
+        return pd.concat([out, tot], ignore_index=True)
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if (g["tb"] < 0).any():      # total-mass sentinels: sum, pass on
+            return pd.DataFrame({
+                "token": [""],
+                "n": [np.int64(g.loc[g["tb"] < 0, "n"].sum())],
+                "tb": [np.int32(-1)]})
+        m = g.groupby("token")["n"].sum()
+        m = _compress(m, k)
+        out = m.rename_axis("token").reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        out["tb"] = g["tb"].iloc[0]
+        return out
+
+    parts = _fold_pd(
+        ds.map_batches(summary, batch_format="pandas")
+        .groupby("tb").map_groups(merge_bucket, batch_format="pandas"),
+        pd.DataFrame({"token": pd.Series(dtype="object"),
+                      "n": pd.Series(dtype="int64"),
+                      "tb": pd.Series(dtype="int32")}))
+    total = int(parts.loc[parts["tb"] < 0, "n"].sum())
+    cand = parts.loc[parts["tb"] >= 0, "token"].unique()
+    if total == 0 or len(cand) == 0:
+        return pd.DataFrame({"token": pd.Series(dtype="object"),
+                             "n": pd.Series(dtype="int64")})
+    cand_set = set(cand)  # <= num_buckets * k entries, broadcast
+
+    def recount(b: pd.DataFrame) -> pd.DataFrame:
+        toks = _ws_tokens(b["text"])
+        hits = toks[toks.isin(cand_set)]
+        out = hits.value_counts().rename_axis("token") \
+            .reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    exact = (_fold_pd(ds.map_batches(recount, batch_format="pandas"),
+                      pd.DataFrame({"token": pd.Series(dtype="object"),
+                                    "n": pd.Series(dtype="int64")}))
+             .groupby("token", as_index=False).agg(n=("n", "sum")))
+    exact = exact[exact["n"] * (k + 1) > total]
+    exact["n"] = exact["n"].astype("int64")
+    return (exact.sort_values(["n", "token"], ascending=[False, True])
+            .reset_index(drop=True))
+
+
+HEAVY_HITTER_TOKENS_SQL = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(
+           regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+           x -> x <> '')) AS token
+  FROM documents
+), tot AS (SELECT count(*)::HUGEINT AS total FROM toks)
+SELECT token, count(*)::BIGINT AS n
+FROM toks, tot GROUP BY token, tot.total
+HAVING count(*) * 200 > tot.total
+ORDER BY n DESC, token
+"""

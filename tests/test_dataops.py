@@ -3102,3 +3102,38 @@ def test_doc_ttr_empty_and_dup_tokens(ray_session, tmp_path):
         out["ttr_milli"])}
     assert got == {0: (0, 0, 0), 1: (3, 1, 333), 2: (3, 3, 1000),
                    3: (3, 1, 333)}  # lowercased dedup
+
+
+def test_heavy_hitter_tokens_matches_oracle(ray_session):
+    from rdf_n3_ray.pipelines.relational import (
+        HEAVY_HITTER_TOKENS_SQL, heavy_hitter_tokens)
+
+    out = heavy_hitter_tokens("/root/testdata/sf0.01")
+    assert len(out) > 0
+    _assert_oracle_equal(out, _duckdb_oracle(HEAVY_HITTER_TOKENS_SQL))
+
+
+def test_heavy_hitter_sketch_guarantee(ray_session, tmp_path):
+    """Tiny capacity (k=3) on an adversarial stream: the MG summary
+    must still surface every token above N/(k+1), and the recount+
+    threshold output is exact — the sketch proposes, the recount
+    decides."""
+    import pyarrow.parquet as pq
+
+    from rdf_n3_ray.pipelines.relational import heavy_hitter_tokens
+
+    # 100 'a', 60 'b', and 140 distinct rare tokens: N=300, N/(k+1)=75
+    texts = (["a " * 10] * 10 + ["b " * 6] * 10
+             + [" ".join(f"r{i}_{j}" for j in range(14))
+                for i in range(10)])
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["s"] * len(texts)),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = heavy_hitter_tokens(str(tmp_path), k=3)
+    got = dict(zip(out["token"], out["n"]))
+    assert got == {"a": 100}  # only freq > 300/4 = 75 qualifies
