@@ -2632,3 +2632,59 @@ CASES += [
      '"5"' + _I + f" <{RDFNS}type> <{X}Pythagorean> .",
      {"think": True, "conclusions": True}),
 ]
+
+
+# --- r4o: bulk/SLOW-shape expansion (suite_helper.rb:124-177 tags
+# 1k-10k-triple documents SLOW; these pin MORE of those shapes at a
+# size CI affords: deep list nesting, bulk formulae, datatype/langtag
+# literal storms, long property paths, comment/whitespace floods, a
+# transitive-closure Reason case over a 60-edge chain) ----------------
+CASES += [
+    ("bulk_deep_list_nesting_40", "PositiveSyntax",
+     "@prefix : <http://ex/>. :s :p " + "(" * 40 + ":x" + ")" * 40
+     + " .", None, {}),
+    ("bulk_formula_300_statements", "PositiveSyntax",
+     "@prefix : <http://ex/>. { "
+     + " ".join(f":s{i} :p :o{i} ." for i in range(300))
+     + " } :says :much .", None, {}),
+    ("bulk_datatyped_literals_300", "Eval",
+     "@prefix : <http://ex/>. @prefix x: <http://www.w3.org/2001/XMLSchema#>. "
+     + " ".join(f':s{i} :p "v{i}"^^x:token .' for i in range(300)),
+     "\n".join(f'<http://ex/s{i}> <http://ex/p> '
+               f'"v{i}"^^<http://www.w3.org/2001/XMLSchema#token> .'
+               for i in range(300)), {}),
+    ("bulk_langtag_literals_300", "Eval",
+     "@prefix : <http://ex/>. "
+     + " ".join(f':s{i} :p "v{i}"@en-GB .' for i in range(300)),
+     "\n".join(f'<http://ex/s{i}> <http://ex/p> "v{i}"@en-gb .'
+               for i in range(300)), {}),
+    ("bulk_path_chain_40", "PositiveSyntax",
+     "@prefix : <http://ex/>. :a" + "!:p" * 40 + " :q :o .", None, {}),
+    ("bulk_comment_flood_5k", "Eval",
+     "\n".join("# filler comment line %d" % i for i in range(5000))
+     + "\n@prefix : <http://ex/>. :a :b :c .",
+     "<http://ex/a> <http://ex/b> <http://ex/c> .", {}),
+    ("bulk_whitespace_flood", "Eval",
+     "@prefix : <http://ex/>." + "\n" * 4000 + ":a\t\t:b\n\n:c\t.",
+     "<http://ex/a> <http://ex/b> <http://ex/c> .", {}),
+    ("bulk_mixed_quotes_200", "PositiveSyntax",
+     "@prefix : <http://ex/>. "
+     + " ".join(f':s{i} :p "d{i}" , \'s{i}\' , """t{i}""" .'
+                for i in range(200)), None, {}),
+    ("bulk_numeric_storm_300", "Eval",
+     "@prefix : <http://ex/>. "
+     + " ".join(f":s{i} :p {i} , {i}.5 , {i}.0e1 ." for i in range(100)),
+     "\n".join(
+         f'<http://ex/s{i}> <http://ex/p> "{i}"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+         f'<http://ex/s{i}> <http://ex/p> "{i}.5"^^<http://www.w3.org/2001/XMLSchema#decimal> .\n'
+         f'<http://ex/s{i}> <http://ex/p> "{i}.0e1"^^<http://www.w3.org/2001/XMLSchema#double> .'
+         for i in range(100)), {}),
+    ("bulk_reason_chain_60", "Reason",
+     "@prefix : <http://ex/>. "
+     + " ".join(f":n{i} :r :n{i+1} ." for i in range(60))
+     + " { ?x :r ?y . ?y :r ?z } => { ?x :r ?z } .",
+     # transitive closure of a 61-node chain: every i<j pair
+     "\n".join(f"<http://ex/n{i}> <http://ex/r> <http://ex/n{j}> ."
+               for i in range(60) for j in range(i + 1, 61)),
+     {"think": True, "data": True}),
+]
