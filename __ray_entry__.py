@@ -160,6 +160,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_duration_percentiles": R.session_duration_percentiles,
         "doc_ttr": R.doc_ttr,
         "heavy_hitter_tokens": R.heavy_hitter_tokens,
+        "event_mad_by_type": R.event_mad_by_type,
+        "user_gap_percentiles": R.user_gap_percentiles,
+        "knn_label_accuracy": R.knn_label_accuracy,
         "asof_join": R.asof_join_orders,
         "range_join_attrib": R.range_join_attrib,
         "revenue_by_priority": R.revenue_by_priority,
@@ -285,6 +288,9 @@ def oracle_sql() -> dict[str, str]:
         "session_duration_percentiles": R.SESSION_DURATION_PERCENTILES_SQL,
         "doc_ttr": R.DOC_TTR_SQL,
         "heavy_hitter_tokens": R.HEAVY_HITTER_TOKENS_SQL,
+        "event_mad_by_type": R.EVENT_MAD_BY_TYPE_SQL,
+        "user_gap_percentiles": R.USER_GAP_PERCENTILES_SQL,
+        "knn_label_accuracy": R.KNN_LABEL_ACCURACY_SQL,
         "asof_join": R.ASOF_JOIN_SQL,
         "range_join_attrib": R.RANGE_JOIN_ATTRIB_SQL,
         "revenue_by_priority": R.REVENUE_BY_PRIORITY_SQL,

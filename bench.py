@@ -303,7 +303,12 @@ def run_bench() -> dict:
           lambda: len(R.session_duration_percentiles(sf_dir))),
          ("doc_ttr", lambda: R.doc_ttr(sf_dir).count()),
          ("heavy_hitter_tokens",
-          lambda: len(R.heavy_hitter_tokens(sf_dir)))],
+          lambda: len(R.heavy_hitter_tokens(sf_dir))),
+         ("event_mad_by_type", lambda: len(R.event_mad_by_type(sf_dir))),
+         ("user_gap_percentiles",
+          lambda: len(R.user_gap_percentiles(sf_dir))),
+         ("knn_label_accuracy",
+          lambda: len(R.knn_label_accuracy(sf_dir)))],
     ]
 
     def fresh_session():

@@ -8484,3 +8484,210 @@ FROM toks, tot GROUP BY token, tot.total
 HAVING count(*) * 200 > tot.total
 ORDER BY n DESC, token
 """
+
+
+# ---------------------------------------------------------------------------
+# Grouped robust outlier stats: per-event-type median + MAD via TWO
+# shared keyed histogram descents (all groups advance through the same
+# full-data passes — the machinery of percentiles_by_type), plus one
+# integer outlier-count pass.  event_mad's grouped sibling.
+# ---------------------------------------------------------------------------
+
+def event_mad_by_type(sf_dir: str, k: int = 3):
+    ds = _read(sf_dir, "events",
+               columns=["event_type", "value"]).materialize()
+    med = grouped_exact_percentiles(ds, "value", qs=(0.5,),
+                                    group_col="event_type")
+    med = med.rename(columns={"group": "event_type",
+                              "value": "median"})[["event_type",
+                                                   "median"]]
+    med = med[med["median"].notna()]
+    med_map = dict(zip(med["event_type"], med["median"]))
+
+    def dev(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["value"].notna() & b["event_type"].isin(med_map)]
+        m = b["event_type"].map(med_map).to_numpy(np.float64)
+        return pd.DataFrame({
+            "event_type": b["event_type"].to_numpy(),
+            "dev": np.abs(b["value"].to_numpy(np.float64) - m)})
+
+    devs = ds.map_batches(dev, batch_format="pandas").materialize()
+    mad = grouped_exact_percentiles(devs, "dev", qs=(0.5,),
+                                    group_col="event_type")
+    mad = mad.rename(columns={"group": "event_type", "value": "mad"})
+    mad_map = dict(zip(mad["event_type"], mad["mad"]))
+
+    def count_out(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["event_type"].map(mad_map).to_numpy(np.float64)
+        out = pd.DataFrame({"event_type": b["event_type"].to_numpy(),
+                            "n": (b["dev"].to_numpy(np.float64)
+                                  > k * t).astype(np.int64)})
+        g = out.groupby("event_type", as_index=False).agg(n=("n", "sum"))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    parts = _fold_pd(devs.map_batches(count_out, batch_format="pandas"),
+                     pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                                   "n": pd.Series(dtype="int64")}))
+    counts = (parts.groupby("event_type", as_index=False)
+              .agg(n=("n", "sum")) if len(parts) else
+              pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                            "n": pd.Series(dtype="int64")}))
+    out = med.merge(mad[["event_type", "mad"]], on="event_type")
+    out = out.merge(counts, on="event_type", how="left")
+    out["n_outliers"] = out["n"].fillna(0).astype("int64")
+    return (out[["event_type", "median", "mad", "n_outliers"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
+EVENT_MAD_BY_TYPE_SQL = """
+WITH m AS (
+  SELECT event_type, quantile_disc(value, 0.5) AS med
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+), d AS (
+  SELECT e.event_type, abs(e.value - m.med) AS dev
+  FROM events e JOIN m ON m.event_type = e.event_type
+  WHERE e.value IS NOT NULL
+), md AS (
+  SELECT event_type, quantile_disc(dev, 0.5) AS mad
+  FROM d GROUP BY event_type
+)
+SELECT m.event_type, m.med AS median, md.mad AS mad,
+       (SELECT count(*) FROM d
+        WHERE d.event_type = m.event_type
+          AND d.dev > 3 * md.mad)::BIGINT AS n_outliers
+FROM m JOIN md ON md.event_type = m.event_type
+ORDER BY m.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Inter-event gap distribution: exact percentiles of the per-user
+# time gaps between consecutive events — the engagement-cadence twin
+# of session_duration_percentiles.  Gaps are exact integer
+# microseconds computed inside user buckets (shifted diff after the
+# same (user, ts, event_id) ordering the sessionizer uses).
+# ---------------------------------------------------------------------------
+
+def user_gap_percentiles(sf_dir: str, qs=(0.5, 0.9, 0.99),
+                         num_buckets: int = 32):
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def bucketed(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(ub=_user_bucket(b["user_id"], num_buckets))
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        same = g["user_id"].eq(g["user_id"].shift())
+        d = (g["ts"].diff() // pd.Timedelta(microseconds=1))
+        out = pd.DataFrame({"gap_us": d[same].astype("int64")})
+        return out
+
+    ds = (ev.map_batches(bucketed, batch_format="pandas")
+          .groupby("ub").map_groups(gaps, batch_format="pandas")
+          ).materialize()
+    out = exact_percentiles(ds, "gap_us", qs=qs)
+    out["gap_us"] = out["value"].astype("int64")
+    return out[["q", "gap_us"]].reset_index(drop=True)
+
+
+USER_GAP_PERCENTILES_SQL = """
+WITH d AS (
+  SELECT epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+), g AS (SELECT gap_us FROM d WHERE gap_us IS NOT NULL),
+agg AS (
+  SELECT quantile_disc(gap_us, [0.5, 0.9, 0.99]) AS vs FROM g
+)
+SELECT [0.5, 0.9, 0.99][i] AS q, vs[i]::BIGINT AS gap_us
+FROM agg, (SELECT unnest(generate_series(1, 3)) AS i) t
+ORDER BY q
+"""
+
+
+# ---------------------------------------------------------------------------
+# kNN label-vote evaluation: leave-one-out classification accuracy of
+# the embeddings' labels under the exact kNN graph — the standard
+# embedding-quality probe.  Majority vote over the k=3 neighbors'
+# labels, ties broken by SMALLEST label (deterministic, rank-free).
+# Counts are exact integers.
+# ---------------------------------------------------------------------------
+
+def knn_label_accuracy(sf_dir: str, k: int = 3):
+    """Composition: stages/ann.knn_graph edges -> broadcast (vec_id ->
+    label) lookup -> per-batch vote partials -> one tiny fold.  The
+    label map is labels-only (8 B/row class column, bounded broadcast
+    like the knn matrix itself; the IVF/LSH path replaces both at
+    beyond-broadcast scale)."""
+    from ..stages.ann import knn_graph as _knn
+
+    ds = _strip_meta(_read(sf_dir, "embeddings",
+                           columns=["vec_id", "embedding", "label"]))
+    # Arrow-native projections: a pandas round-trip would re-encode the
+    # list<float> column as Ray's tensor extension, which _matrix
+    # rejects
+    lab = _fold_pd(
+        ds.select_columns(["vec_id", "label"]),
+        pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                      "label": pd.Series(dtype="int32")}))
+    lab_sorted = lab.sort_values("vec_id")
+    keys = lab_sorted["vec_id"].to_numpy(np.int64)
+    vals = lab_sorted["label"].to_numpy(np.int64)
+    edges = _knn(ds.select_columns(["vec_id", "embedding"]),
+                 k=k).to_pandas()
+    if edges.empty:
+        return pd.DataFrame({"label": pd.Series(dtype="int64"),
+                             "n": pd.Series(dtype="int64"),
+                             "n_correct": pd.Series(dtype="int64")})
+    hit, pos = _semi_probe(keys, edges["src"].to_numpy(np.int64))
+    edges["src_label"] = vals[pos]
+    hit, pos = _semi_probe(keys, edges["dst"].to_numpy(np.int64))
+    edges["dst_label"] = vals[pos]
+    votes = (edges.groupby(["src", "src_label", "dst_label"])
+             .size().rename("c").reset_index())
+    # majority with smallest-label tie-break: sort by (count DESC,
+    # label ASC), take first per src
+    votes = votes.sort_values(["src", "c", "dst_label"],
+                              ascending=[True, False, True])
+    win = votes.drop_duplicates(subset=["src"], keep="first")
+    per = pd.DataFrame({
+        "label": win["src_label"].astype("int64"),
+        "correct": (win["src_label"] == win["dst_label"])
+        .astype("int64")})
+    out = per.groupby("label", as_index=False).agg(
+        n=("correct", "size"), n_correct=("correct", "sum"))
+    out["n"] = out["n"].astype("int64")
+    out["n_correct"] = out["n_correct"].astype("int64")
+    return out.sort_values("label").reset_index(drop=True)
+
+
+KNN_LABEL_ACCURACY_SQL = """
+WITH sims AS (
+  SELECT a.vec_id AS src, a.label AS src_label,
+         b.vec_id AS dst, b.label AS dst_label,
+         ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]), 4) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT src, src_label, dst_label,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY sim DESC, dst) AS rn
+  FROM sims
+), votes AS (
+  SELECT src, src_label, dst_label, count(*) AS c
+  FROM ranked WHERE rn <= 3
+  GROUP BY src, src_label, dst_label
+), win AS (
+  SELECT src, src_label, dst_label,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY c DESC, dst_label) AS wr
+  FROM votes
+)
+SELECT src_label::BIGINT AS label, count(*)::BIGINT AS n,
+       sum(CASE WHEN dst_label = src_label THEN 1 ELSE 0 END)::BIGINT
+         AS n_correct
+FROM win WHERE wr = 1
+GROUP BY src_label
+ORDER BY label
+"""

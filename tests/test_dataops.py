@@ -3137,3 +3137,60 @@ def test_heavy_hitter_sketch_guarantee(ray_session, tmp_path):
     out = heavy_hitter_tokens(str(tmp_path), k=3)
     got = dict(zip(out["token"], out["n"]))
     assert got == {"a": 100}  # only freq > 300/4 = 75 qualifies
+
+
+def test_event_mad_by_type_matches_oracle(ray_session):
+    from rdf_n3_ray.pipelines.relational import (
+        EVENT_MAD_BY_TYPE_SQL, event_mad_by_type)
+
+    out = event_mad_by_type("/root/testdata/sf0.01")
+    assert (out["mad"] >= 0).all()
+    _assert_oracle_equal(out, _duckdb_oracle(EVENT_MAD_BY_TYPE_SQL))
+
+
+def test_user_gap_percentiles_matches_oracle(ray_session):
+    from rdf_n3_ray.pipelines.relational import (
+        USER_GAP_PERCENTILES_SQL, user_gap_percentiles)
+
+    out = user_gap_percentiles("/root/testdata/sf0.01")
+    assert list(out["q"]) == [0.5, 0.9, 0.99]
+    assert (out["gap_us"] >= 0).all()
+    _assert_oracle_equal(out, _duckdb_oracle(USER_GAP_PERCENTILES_SQL))
+
+
+def test_knn_label_accuracy_matches_oracle(ray_session):
+    from rdf_n3_ray.pipelines.relational import (
+        KNN_LABEL_ACCURACY_SQL, knn_label_accuracy)
+
+    out = knn_label_accuracy("/root/testdata/sf0.01")
+    assert (out["n_correct"] <= out["n"]).all()
+    assert int(out["n"].sum()) == 500  # every vector gets one vote
+    _assert_oracle_equal(out, _duckdb_oracle(KNN_LABEL_ACCURACY_SQL))
+
+
+def test_knn_label_vote_tiebreak(ray_session, tmp_path):
+    """1-1 vote splits (k=3 with a duplicate label pair) resolve to the
+    SMALLEST label on both engines."""
+    import pyarrow.parquet as pq
+
+    from rdf_n3_ray.pipelines.relational import knn_label_accuracy
+
+    # vec 0 at origin-ish; neighbors: two label-7 dups and one label-2;
+    # majority 7 wins.  vec 4 equidistant from one 5 and one 9 with
+    # k=1... keep k=3 semantics: craft 4 vectors where votes tie 1-1-1
+    # -> smallest label wins.
+    emb = [[1.0, 0.0, 0.0], [0.9, 0.1, 0.0], [0.9, -0.1, 0.0],
+           [0.8, 0.0, 0.1]]
+    tbl = pa.table({
+        "vec_id": pa.array(range(4), pa.int64()),
+        "embedding": pa.array(emb, pa.list_(pa.float32())),
+        "label": pa.array([4, 7, 2, 9], pa.int32()),
+    })
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    out = knn_label_accuracy(str(tmp_path))
+    # every vec's 3 neighbors are the other 3 vectors -> votes are
+    # 1-1-1 -> winner = smallest neighbor label
+    got = dict(zip(out["label"], zip(out["n"], out["n_correct"])))
+    # vec0(l4): min(7,2,9)=2 wrong; vec1(l7): min(4,2,9)=2 wrong;
+    # vec2(l2): min(4,7,9)=4 wrong; vec3(l9): min(4,7,2)=2 wrong
+    assert got == {4: (1, 0), 7: (1, 0), 2: (1, 0), 9: (1, 0)}
