@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_mad_by_type": R.event_mad_by_type,
         "user_gap_percentiles": R.user_gap_percentiles,
         "knn_label_accuracy": R.knn_label_accuracy,
+        "late_event_audit": R.late_event_audit,
         "asof_join": R.asof_join_orders,
         "range_join_attrib": R.range_join_attrib,
         "revenue_by_priority": R.revenue_by_priority,
@@ -291,6 +292,7 @@ def oracle_sql() -> dict[str, str]:
         "event_mad_by_type": R.EVENT_MAD_BY_TYPE_SQL,
         "user_gap_percentiles": R.USER_GAP_PERCENTILES_SQL,
         "knn_label_accuracy": R.KNN_LABEL_ACCURACY_SQL,
+        "late_event_audit": R.LATE_EVENT_AUDIT_SQL,
         "asof_join": R.ASOF_JOIN_SQL,
         "range_join_attrib": R.RANGE_JOIN_ATTRIB_SQL,
         "revenue_by_priority": R.REVENUE_BY_PRIORITY_SQL,

@@ -308,7 +308,9 @@ def run_bench() -> dict:
          ("user_gap_percentiles",
           lambda: len(R.user_gap_percentiles(sf_dir))),
          ("knn_label_accuracy",
-          lambda: len(R.knn_label_accuracy(sf_dir)))],
+          lambda: len(R.knn_label_accuracy(sf_dir))),
+         ("late_event_audit",
+          lambda: len(R.late_event_audit(sf_dir)))],
     ]
 
     def fresh_session():

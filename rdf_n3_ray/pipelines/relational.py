@@ -8691,3 +8691,113 @@ FROM win WHERE wr = 1
 GROUP BY src_label
 ORDER BY label
 """
+
+
+# ---------------------------------------------------------------------------
+# Watermark / late-data audit — the streaming-ingestion concern over a
+# static table: process events in arrival order (event_id), carry a
+# high-water mark (max event-time seen so far), and flag any event
+# whose timestamp lags the watermark by more than `lateness`.  Reports
+# per tumbling hour-window how much data a streaming job with that
+# allowed-lateness would have dropped.
+#
+# Scale shape is the classic TWO-PASS DISTRIBUTED SCAN: the running
+# max over a global order decomposes into (1) per-range partials
+# (range = event_id block, one map pass emits each range's max ts),
+# (2) a driver-side prefix max over the tiny range table, (3) one more
+# map pass where each range, seeded with the watermark entering it,
+# resolves its events' late flags locally (vectorized cummax).  Raw
+# events shuffle once (range co-location); driver state is O(ranges).
+# ---------------------------------------------------------------------------
+
+def late_event_audit(sf_dir: str, lateness_s: int = 3600,
+                     num_ranges: int = 64):
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"]).materialize()
+    from ray.data.aggregate import Max, Min
+
+    mm = ds.aggregate(Min("event_id"), Max("event_id"))
+    lo, hi = int(mm["min(event_id)"]), int(mm["max(event_id)"])
+    span = max(1, hi - lo + 1)
+    width = -(-span // num_ranges)  # ceil
+    late_us = int(lateness_s) * 1_000_000
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        us = ((b["ts"] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
+              ).to_numpy(np.int64)
+        return pd.DataFrame({
+            "event_id": b["event_id"].to_numpy(np.int64),
+            "us": us,
+            "rg": ((b["event_id"].to_numpy(np.int64) - lo) // width)
+            .astype(np.int32)})
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+
+    # pass 1: per-range max event-time (tiny partials; a range's rows
+    # may span blocks, so fold per-block partials by range)
+    def range_max(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("rg", as_index=False).agg(mx=("us", "max"))
+        g["mx"] = g["mx"].astype("int64")
+        return g
+
+    rmax = (_fold_pd(tagged.map_batches(range_max, batch_format="pandas"),
+                     pd.DataFrame({"rg": pd.Series(dtype="int32"),
+                                   "mx": pd.Series(dtype="int64")}))
+            .groupby("rg", as_index=False).agg(mx=("mx", "max"))
+            .sort_values("rg"))
+    # watermark ENTERING each range = prefix max of earlier ranges
+    enter = dict(zip(rmax["rg"],
+                     rmax["mx"].cummax().shift(1).fillna(-(1 << 62))
+                     .astype("int64")))
+
+    # pass 2: per-range local scan (sort by event_id, cummax seeded
+    # with the entering watermark), then per-window partial counts
+    def audit(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id", kind="stable")
+        us = g["us"].to_numpy(np.int64)
+        seed = int(enter.get(int(g["rg"].iloc[0]), -(1 << 62)))
+        # high-water BEFORE each event: shifted cummax with seed
+        prior = np.empty(len(g), dtype=np.int64)
+        prior[0] = seed
+        if len(g) > 1:
+            np.maximum.accumulate(us[:-1], out=prior[1:])
+            np.maximum(prior[1:], seed, out=prior[1:])
+        late = us + late_us < prior
+        win = us // 3_600_000_000
+        out = (pd.DataFrame({"window_start_s": win * 3600,
+                             "n": np.int64(1),
+                             "n_late": late.astype(np.int64)})
+               .groupby("window_start_s", as_index=False)
+               .agg(n=("n", "sum"), n_late=("n_late", "sum")))
+        for c in ("window_start_s", "n", "n_late"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    parts = _fold_pd(
+        tagged.groupby("rg").map_groups(audit, batch_format="pandas"),
+        pd.DataFrame({"window_start_s": pd.Series(dtype="int64"),
+                      "n": pd.Series(dtype="int64"),
+                      "n_late": pd.Series(dtype="int64")}))
+    out = (parts.groupby("window_start_s", as_index=False)
+           .agg(n=("n", "sum"), n_late=("n_late", "sum")))
+    for c in ("n", "n_late"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("window_start_s").reset_index(drop=True)
+
+
+LATE_EVENT_AUDIT_SQL = """
+WITH w AS (
+  SELECT epoch_us(ts) AS us,
+         max(epoch_us(ts)) OVER (ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS highwater
+  FROM events
+)
+SELECT (us // 3600000000 * 3600)::BIGINT AS window_start_s,
+       count(*)::BIGINT AS n,
+       sum(CASE WHEN highwater IS NOT NULL
+                 AND us + 3600000000 < highwater
+                THEN 1 ELSE 0 END)::BIGINT AS n_late
+FROM w
+GROUP BY 1
+ORDER BY 1
+"""

@@ -3194,3 +3194,47 @@ def test_knn_label_vote_tiebreak(ray_session, tmp_path):
     # vec0(l4): min(7,2,9)=2 wrong; vec1(l7): min(4,2,9)=2 wrong;
     # vec2(l2): min(4,7,9)=4 wrong; vec3(l9): min(4,7,2)=2 wrong
     assert got == {4: (1, 0), 7: (1, 0), 2: (1, 0), 9: (1, 0)}
+
+
+def test_late_event_audit_matches_oracle(ray_session):
+    from rdf_n3_ray.pipelines.relational import (
+        LATE_EVENT_AUDIT_SQL, late_event_audit)
+
+    out = late_event_audit("/root/testdata/sf0.01")
+    assert (out["n_late"] <= out["n"]).all()
+    _assert_oracle_equal(out, _duckdb_oracle(LATE_EVENT_AUDIT_SQL))
+
+
+def test_late_event_audit_out_of_order(ray_session, tmp_path):
+    """Out-of-order arrivals past the allowed lateness are flagged; the
+    watermark carries ACROSS range boundaries (seeded cummax), and
+    in-order or within-lateness events are not flagged."""
+    import pyarrow.parquet as pq
+
+    from rdf_n3_ray.pipelines.relational import late_event_audit
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    # arrival order (event_id): t=0h, t=5h, t=1h (4h late > 1h allowed),
+    # t=4.5h (0.5h late, within lateness), t=6h (on time)
+    offs_h = [0.0, 5.0, 1.0, 4.5, 6.0]
+    ts = [base + pd.Timedelta(hours=h) for h in offs_h]
+    tbl = pa.table({
+        "event_id": pa.array(range(5), pa.int64()),
+        "ts": pa.array(pd.to_datetime(ts), pa.timestamp("us")),
+        "user_id": pa.array([1] * 5, pa.int64()),
+        "event_type": pa.array(["view"] * 5),
+        "value": pa.array([1.0] * 5),
+        "props": pa.array(["{}"] * 5),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    # num_ranges > rows forces 1-row ranges: every watermark hand-off
+    # crosses a range boundary, exercising the seeded prefix max
+    out = late_event_audit(str(tmp_path), lateness_s=3600, num_ranges=8)
+    got = {int(w): (int(n), int(l)) for w, n, l in
+           zip(out["window_start_s"], out["n"], out["n_late"])}
+    e = int(base.timestamp())
+    assert got == {e: (1, 0),                 # t=0h
+                   e + 5 * 3600: (1, 0),      # t=5h (new high water)
+                   e + 1 * 3600: (1, 1),      # t=1h — 4h late: flagged
+                   e + 4 * 3600: (1, 0),      # t=4.5h — within 1h
+                   e + 6 * 3600: (1, 0)}      # t=6h
