@@ -164,6 +164,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_gap_percentiles": R.user_gap_percentiles,
         "knn_label_accuracy": R.knn_label_accuracy,
         "late_event_audit": R.late_event_audit,
+        "dedup_normalized_docs": R.dedup_normalized_docs,
+        "events_heatmap": R.events_heatmap,
         "asof_join": R.asof_join_orders,
         "range_join_attrib": R.range_join_attrib,
         "revenue_by_priority": R.revenue_by_priority,
@@ -293,6 +295,8 @@ def oracle_sql() -> dict[str, str]:
         "user_gap_percentiles": R.USER_GAP_PERCENTILES_SQL,
         "knn_label_accuracy": R.KNN_LABEL_ACCURACY_SQL,
         "late_event_audit": R.LATE_EVENT_AUDIT_SQL,
+        "dedup_normalized_docs": R.DEDUP_NORMALIZED_SQL,
+        "events_heatmap": R.EVENTS_HEATMAP_SQL,
         "asof_join": R.ASOF_JOIN_SQL,
         "range_join_attrib": R.RANGE_JOIN_ATTRIB_SQL,
         "revenue_by_priority": R.REVENUE_BY_PRIORITY_SQL,

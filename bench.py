@@ -310,7 +310,10 @@ def run_bench() -> dict:
          ("knn_label_accuracy",
           lambda: len(R.knn_label_accuracy(sf_dir))),
          ("late_event_audit",
-          lambda: len(R.late_event_audit(sf_dir)))],
+          lambda: len(R.late_event_audit(sf_dir))),
+         ("dedup_normalized_docs",
+          lambda: R.dedup_normalized_docs(sf_dir).count()),
+         ("events_heatmap", lambda: len(R.events_heatmap(sf_dir)))],
     ]
 
     def fresh_session():

@@ -8801,3 +8801,83 @@ FROM w
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Normalization-aware exact dedup: the real-world staple that exact
+# byte dedup misses — casefold and collapse ASCII whitespace runs
+# before keying, keep the smallest doc_id per normalized text.  The
+# normalization is RE2-parity (same _ASCII_WS class every tokenizing
+# oracle uses), so DuckDB reproduces the key byte-for-byte.
+# ---------------------------------------------------------------------------
+
+def dedup_normalized_docs(sf_dir: str):
+    """One map pass mints the normalized key, then the existing exact-
+    dedup machinery (key-hash groupby, min doc_id) — same shuffle
+    shape as dedup_exact_docs."""
+    from ..stages.neardup import exact_dedup_docs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def norm(b: pd.DataFrame) -> pd.DataFrame:
+        t = (b["text"].fillna("").str.lower()
+             .str.replace(_ASCII_WS, " ", regex=True)
+             .str.strip())
+        return pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
+                             "text": t})
+
+    out = exact_dedup_docs(ds.map_batches(norm, batch_format="pandas"),
+                           key_cols=("text",))
+    return out.select_columns(["doc_id"]).sort("doc_id")
+
+
+DEDUP_NORMALIZED_SQL = r"""
+SELECT MIN(doc_id) AS doc_id FROM documents
+GROUP BY trim(regexp_replace(lower(coalesce(text, '')),
+                             '[ \t\n\f\r]+', ' ', 'g'), ' ')
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Activity heatmap: (day-of-week, hour-of-day) event profile — the
+# seasonality report every event pipeline ships.  Pure map-side
+# integer partials; the folded state is 7x24 rows.
+# ---------------------------------------------------------------------------
+
+def events_heatmap(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        dow = b["ts"].dt.dayofweek.to_numpy(np.int64)  # Mon=0
+        hour = b["ts"].dt.hour.to_numpy(np.int64)
+        cents = np.floor(b["value"].to_numpy(np.float64) * 100
+                         + 0.5).astype(np.int64)
+        g = (pd.DataFrame({"dow": dow, "hour": hour, "cents": cents})
+             .groupby(["dow", "hour"], as_index=False)
+             .agg(n=("cents", "size"), sum_cents=("cents", "sum")))
+        for c in ("dow", "hour", "n", "sum_cents"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    parts = _fold_pd(ds.map_batches(partial, batch_format="pandas"),
+                     pd.DataFrame({"dow": pd.Series(dtype="int64"),
+                                   "hour": pd.Series(dtype="int64"),
+                                   "n": pd.Series(dtype="int64"),
+                                   "sum_cents": pd.Series(dtype="int64")}))
+    out = (parts.groupby(["dow", "hour"], as_index=False)
+           .agg(n=("n", "sum"), sum_cents=("sum_cents", "sum")))
+    for c in ("dow", "hour", "n", "sum_cents"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["dow", "hour"]).reset_index(drop=True)
+
+
+EVENTS_HEATMAP_SQL = """
+SELECT (dayofweek(ts) + 6) % 7 AS dow,   -- DuckDB Sun=0 -> Mon=0
+       hour(ts)::BIGINT AS hour,
+       count(*)::BIGINT AS n,
+       SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))::BIGINT AS sum_cents
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

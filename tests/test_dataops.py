@@ -3238,3 +3238,42 @@ def test_late_event_audit_out_of_order(ray_session, tmp_path):
                    e + 1 * 3600: (1, 1),      # t=1h — 4h late: flagged
                    e + 4 * 3600: (1, 0),      # t=4.5h — within 1h
                    e + 6 * 3600: (1, 0)}      # t=6h
+
+
+def test_dedup_normalized_docs_matches_oracle(ray_session):
+    from rdf_n3_ray.pipelines.relational import (
+        DEDUP_NORMALIZED_SQL, dedup_normalized_docs)
+
+    out = dedup_normalized_docs("/root/testdata/sf0.01").to_pandas()
+    _assert_oracle_equal(out, _duckdb_oracle(DEDUP_NORMALIZED_SQL))
+
+
+def test_dedup_normalized_catches_case_and_ws(ray_session, tmp_path):
+    """Case and whitespace variants collapse to the min doc_id; a
+    genuinely different doc survives."""
+    import pyarrow.parquet as pq
+
+    from rdf_n3_ray.pipelines.relational import dedup_normalized_docs
+
+    texts = ["Hello  World", "hello world", "hello\tworld\n",
+             " HELLO WORLD ", "different doc"]
+    tbl = pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 5),
+        "source": pa.array(["s"] * 5),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = dedup_normalized_docs(str(tmp_path)).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 4]
+
+
+def test_events_heatmap_matches_oracle(ray_session):
+    from rdf_n3_ray.pipelines.relational import (
+        EVENTS_HEATMAP_SQL, events_heatmap)
+
+    out = events_heatmap("/root/testdata/sf0.01")
+    assert out["dow"].between(0, 6).all()
+    assert out["hour"].between(0, 23).all()
+    _assert_oracle_equal(out, _duckdb_oracle(EVENTS_HEATMAP_SQL))
