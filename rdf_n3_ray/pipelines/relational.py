@@ -8587,6 +8587,11 @@ def user_gap_percentiles(sf_dir: str, qs=(0.5, 0.9, 0.99),
           .groupby("ub").map_groups(gaps, batch_format="pandas")
           ).materialize()
     out = exact_percentiles(ds, "gap_us", qs=qs)
+    if out.empty:
+        # no user has 2+ events: quantile_disc over zero rows is NULL,
+        # which the oracle expands to one (q, NULL) row per quantile
+        return pd.DataFrame({"q": list(qs),
+                             "gap_us": np.full(len(qs), np.nan)})
     out["gap_us"] = out["value"].astype("int64")
     return out[["q", "gap_us"]].reset_index(drop=True)
 
@@ -8715,7 +8720,12 @@ def late_event_audit(sf_dir: str, lateness_s: int = 3600,
     ds = _read(sf_dir, "events", columns=["event_id", "ts"]).materialize()
     from ray.data.aggregate import Max, Min
 
+    empty = pd.DataFrame({"window_start_s": pd.Series(dtype="int64"),
+                          "n": pd.Series(dtype="int64"),
+                          "n_late": pd.Series(dtype="int64")})
     mm = ds.aggregate(Min("event_id"), Max("event_id"))
+    if mm is None or mm.get("min(event_id)") is None:
+        return empty  # zero-row input: the oracle returns 0 rows too
     lo, hi = int(mm["min(event_id)"]), int(mm["max(event_id)"])
     span = max(1, hi - lo + 1)
     width = -(-span // num_ranges)  # ceil
@@ -8762,7 +8772,11 @@ def late_event_audit(sf_dir: str, lateness_s: int = 3600,
             np.maximum.accumulate(us[:-1], out=prior[1:])
             np.maximum(prior[1:], seed, out=prior[1:])
         late = us + late_us < prior
+        # DuckDB's // TRUNCATES toward zero (SELECT -7 // 2 = -3);
+        # numpy's floors.  Truncating division keeps pre-epoch
+        # timestamps in the same window on both engines.
         win = us // 3_600_000_000
+        win[(us < 0) & (us % 3_600_000_000 != 0)] += 1
         out = (pd.DataFrame({"window_start_s": win * 3600,
                              "n": np.int64(1),
                              "n_late": late.astype(np.int64)})
@@ -8822,7 +8836,8 @@ def dedup_normalized_docs(sf_dir: str):
     def norm(b: pd.DataFrame) -> pd.DataFrame:
         t = (b["text"].fillna("").str.lower()
              .str.replace(_ASCII_WS, " ", regex=True)
-             .str.strip())
+             .str.strip(" "))  # space-only: Python str.strip() would
+        # also eat \x0b/NBSP that the oracle's trim(..., ' ') keeps
         return pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
                              "text": t})
 
@@ -8849,6 +8864,8 @@ def events_heatmap(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["ts", "value"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["value"].notna()]  # oracle filters NULL values too:
+        # floor(NaN).astype(int64) would sum INT64_MIN garbage
         dow = b["ts"].dt.dayofweek.to_numpy(np.int64)  # Mon=0
         hour = b["ts"].dt.hour.to_numpy(np.int64)
         cents = np.floor(b["value"].to_numpy(np.float64) * 100
@@ -8878,6 +8895,7 @@ SELECT (dayofweek(ts) + 6) % 7 AS dow,   -- DuckDB Sun=0 -> Mon=0
        count(*)::BIGINT AS n,
        SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))::BIGINT AS sum_cents
 FROM events
+WHERE value IS NOT NULL
 GROUP BY 1, 2
 ORDER BY 1, 2
 """

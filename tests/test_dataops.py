@@ -3277,3 +3277,124 @@ def test_events_heatmap_matches_oracle(ray_session):
     assert out["dow"].between(0, 6).all()
     assert out["hour"].between(0, 23).all()
     _assert_oracle_equal(out, _duckdb_oracle(EVENTS_HEATMAP_SQL))
+
+
+def test_dedup_normalized_space_only_strip(ray_session, tmp_path):
+    """Trailing \\x0b is NOT stripped (space-only trim parity with the
+    oracle's trim(..., ' ')) — the doc stays distinct."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rdf_n3_ray.pipelines.relational import (
+        DEDUP_NORMALIZED_SQL, dedup_normalized_docs)
+
+    texts = ["hello", "hello\x0b", "hello "]
+    tbl = pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["s"] * 3),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = dedup_normalized_docs(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    oracle = con.execute(DEDUP_NORMALIZED_SQL).fetchdf()
+    assert sorted(out["doc_id"]) == sorted(oracle["doc_id"]) == [0, 1]
+
+
+def test_late_event_audit_pre_epoch_and_empty(ray_session, tmp_path):
+    """Pre-1970 timestamps window via TRUNCATING division (DuckDB //
+    parity), and a zero-row table returns an empty frame."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rdf_n3_ray.pipelines.relational import (
+        LATE_EVENT_AUDIT_SQL, late_event_audit)
+
+    ts = pd.to_datetime(["1969-12-31 23:30:00", "1970-01-01 00:30:00"])
+    tbl = pa.table({
+        "event_id": pa.array(range(2), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1, 1], pa.int64()),
+        "event_type": pa.array(["view"] * 2),
+        "value": pa.array([1.0] * 2),
+        "props": pa.array(["{}"] * 2),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = late_event_audit(str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    oracle = con.execute(LATE_EVENT_AUDIT_SQL).fetchdf()
+    # both events truncate into window 0 (numpy floor would put the
+    # pre-epoch one at -3600), grouped to a single n=2 row
+    assert list(out["window_start_s"]) == \
+        [int(v) for v in oracle["window_start_s"]] == [0]
+    assert int(out["n"].iloc[0]) == int(oracle["n"].iloc[0]) == 2
+
+    empty = pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "user_id": pa.array([], pa.int64()),
+        "event_type": pa.array([], pa.string()),
+        "value": pa.array([], pa.float64()),
+        "props": pa.array([], pa.string()),
+    })
+    pq.write_table(empty, str(tmp_path / "events.parquet"))
+    out = late_event_audit(str(tmp_path))
+    assert len(out) == 0
+
+
+def test_user_gap_percentiles_degenerate_null_rows(ray_session,
+                                                   tmp_path):
+    """Every user has one event -> no gaps -> three (q, NULL) rows,
+    matching the oracle's quantile_disc-over-empty expansion."""
+    import pyarrow.parquet as pq
+
+    from rdf_n3_ray.pipelines.relational import user_gap_percentiles
+
+    tbl = pa.table({
+        "event_id": pa.array(range(3), pa.int64()),
+        "ts": pa.array(pd.to_datetime(["2024-01-01"] * 3),
+                       pa.timestamp("us")),
+        "user_id": pa.array([1, 2, 3], pa.int64()),
+        "event_type": pa.array(["view"] * 3),
+        "value": pa.array([1.0] * 3),
+        "props": pa.array(["{}"] * 3),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = user_gap_percentiles(str(tmp_path))
+    assert list(out["q"]) == [0.5, 0.9, 0.99]
+    assert out["gap_us"].isna().all()
+
+
+def test_events_heatmap_null_values_excluded(ray_session, tmp_path):
+    """NULL event values drop from n AND sum_cents on both engines."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rdf_n3_ray.pipelines.relational import (
+        EVENTS_HEATMAP_SQL, events_heatmap)
+
+    tbl = pa.table({
+        "event_id": pa.array(range(3), pa.int64()),
+        "ts": pa.array(pd.to_datetime(["2024-01-01 10:00"] * 3),
+                       pa.timestamp("us")),
+        "user_id": pa.array([1] * 3, pa.int64()),
+        "event_type": pa.array(["view"] * 3),
+        "value": pa.array([2.5, None, 1.5], pa.float64()),
+        "props": pa.array(["{}"] * 3),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = events_heatmap(str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    oracle = con.execute(EVENTS_HEATMAP_SQL).fetchdf()
+    assert len(out) == len(oracle) == 1
+    assert int(out["n"].iloc[0]) == int(oracle["n"].iloc[0]) == 2
+    assert (int(out["sum_cents"].iloc[0])
+            == int(oracle["sum_cents"].iloc[0]) == 400)
