@@ -1112,14 +1112,17 @@ def reason(quads: list[Quad], think: bool = False,
 
 def reason_n3(text: str, think: bool = False, base_uri: str | None = None,
               legacy: bool = False,
-              max_iterations: int = 100) -> ReasonResult:
+              max_iterations: int = 100,
+              fetcher=None) -> ReasonResult:
     """Parse (list_terms mode, as the reference CLI does —
     format.rb:49) then reason.  ``legacy`` opts into the cwm-era
     @forAll/@forSome/@keywords directives (parse_n3 docstring);
     ``max_iterations`` bounds the fixpoint (deep closures like an
-    n-node chain need n iterations)."""
+    n-node chain need n iterations); ``fetcher`` plugs web dereference
+    for log:content/log:semantics (sources/webfetch.urllib_fetcher is
+    the stdlib-only ready-made)."""
     from ..parser.n3_parser import parse_n3
 
     r = parse_n3(text, base_uri=base_uri, list_terms=True, legacy=legacy)
     return reason(r.quads, think=think, max_iterations=max_iterations,
-                  ctx=EvalContext(base_uri=base_uri))
+                  ctx=EvalContext(base_uri=base_uri, fetcher=fetcher))

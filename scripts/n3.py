@@ -47,12 +47,18 @@ def cmd_reason(args) -> int:
     from rdf_n3_ray.algebra.engine import reason_n3
     from rdf_n3_ray.serializer.n3_writer import serialize_n3, to_ntriples
 
+    fetcher = None
+    if getattr(args, "web", False):
+        from rdf_n3_ray.sources.webfetch import urllib_fetcher
+
+        fetcher = urllib_fetcher()
     for path in args.files:
         text = open(path, encoding="utf-8").read()
         result = reason_n3(text, think=args.think,
                            base_uri=f"file://{os.path.abspath(path)}",
                            legacy=args.legacy,
-                           max_iterations=args.max_iterations)
+                           max_iterations=args.max_iterations,
+                           fetcher=fetcher)
         if args.strings:
             sys.stdout.write(result.strings)
         elif args.conclusions:
@@ -140,6 +146,9 @@ def main() -> int:
     pr.add_argument("--strings", action="store_true")
     pr.add_argument("--legacy", action="store_true",
                     help="accept cwm-era @forAll/@forSome/@keywords")
+    pr.add_argument("--web", action="store_true",
+                    help="dereference http(s) IRIs for log:content/"
+                         "log:semantics (stdlib urllib fetcher)")
     pr.add_argument("--max-iterations", type=int, default=100,
                     help="fixpoint bound (deep closures need more)")
     pr.set_defaults(fn=cmd_reason)
