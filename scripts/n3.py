@@ -21,14 +21,29 @@ from rdf_n3_ray.datatune import tune_data_context  # noqa: E402
 tune_data_context()  # polars sort path for the Ray-backed subcommands
 
 
+def _read_source(path: str) -> tuple[str, str]:
+    """(text, base_uri) for a local path or an http(s) URL — the CLI
+    twin of the reference's RDF::Reader.open, which accepts either
+    (script/parse:26-46)."""
+    if path.startswith(("http://", "https://")):
+        from rdf_n3_ray.sources.webfetch import urllib_fetcher
+
+        text = urllib_fetcher()(path)
+        if text is None:
+            raise OSError(f"could not fetch {path}")
+        return text, path
+    return (open(path, encoding="utf-8").read(),
+            f"file://{os.path.abspath(path)}")
+
+
 def cmd_parse(args) -> int:
     from rdf_n3_ray.parser.n3_parser import parse_n3
     from rdf_n3_ray.serializer.n3_writer import to_ntriples
 
     total, t0, had_errors = 0, time.time(), False
     for path in args.files:
-        text = open(path, encoding="utf-8").read()
-        r = parse_n3(text, base_uri=f"file://{os.path.abspath(path)}",
+        text, base = _read_source(path)
+        r = parse_n3(text, base_uri=base,
                      validate=args.validate, canonicalize=args.canonicalize,
                      legacy=args.legacy)
         for e in r.errors:
@@ -53,9 +68,9 @@ def cmd_reason(args) -> int:
 
         fetcher = urllib_fetcher()
     for path in args.files:
-        text = open(path, encoding="utf-8").read()
+        text, base = _read_source(path)
         result = reason_n3(text, think=args.think,
-                           base_uri=f"file://{os.path.abspath(path)}",
+                           base_uri=base,
                            legacy=args.legacy,
                            max_iterations=args.max_iterations,
                            fetcher=fetcher)

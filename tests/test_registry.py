@@ -41,3 +41,46 @@ def test_read_nt_files_nquads_reload(ray_session, tmp_path):
             r.graph if isinstance(r.graph, str) and r.graph else None)
            for r in df.itertuples()]
     assert isomorphic(got, orig.quads)
+
+
+def test_cli_read_source_url_and_base_resolution():
+    """`n3.py parse <url>` fetches over real HTTP and resolves relative
+    IRIs against the URL (the reference's RDF::Reader.open behavior,
+    script/parse:26-46)."""
+    import http.server
+    import importlib.util
+    import os
+    import threading
+
+    spec = importlib.util.spec_from_file_location(
+        "n3cli", os.path.join(os.path.dirname(__file__), "..",
+                              "scripts", "n3.py"))
+    n3cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(n3cli)
+
+    doc = b"@prefix : <http://ex/> . <rel> :b :c ."
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(doc)))
+            self.end_headers()
+            self.wfile.write(doc)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/dir/doc.n3"
+        text, base = n3cli._read_source(url)
+        assert text == doc.decode() and base == url
+        from rdf_n3_ray.parser.n3_parser import parse_n3
+
+        quads = parse_n3(text, base_uri=base).quads
+        assert quads[0][0] == \
+            f"<http://127.0.0.1:{srv.server_address[1]}/dir/rel>"
+    finally:
+        srv.shutdown()
+        srv.server_close()
