@@ -204,6 +204,21 @@ class N3Writer:
         return None
 
     def _term(self, t: str, graph: str | None, inline_depth: int = 0) -> str:
+        if T.is_list_term(t):
+            # first-class list term (list_terms mode): re-render every
+            # member through _term so numeric/boolean sugar and pname
+            # shortening apply inside `( )` exactly as they do at the
+            # top level (the ladder path below already does; rendering
+            # the raw encoding verbatim printed `("1"^^xsd:integer)`
+            # where the reference writes `(1)`, writer.rb:497-512)
+            members = T.parse_list_term(t) or []
+
+            def render(m) -> str:
+                if isinstance(m, list):
+                    return ("(" + " ".join(render(x) for x in m) + ")")
+                return self._term(m, graph, inline_depth)
+
+            return "(" + " ".join(render(m) for m in members) + ")"
         if T.is_iri(t):
             if t == T.RDF_NIL:
                 return "()"  # the empty collection (before pname sugar)

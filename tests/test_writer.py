@@ -552,3 +552,58 @@ def test_round_trip_full_conformance_suite():
             f"GOT:{back.quads}\nWANT:{orig.quads}")
         checked += 1
     assert checked >= 200, checked
+
+
+def test_list_term_mode_renders_member_sugar():
+    """First-class list terms (list_terms mode) re-render members
+    through the full term formatter: numeric/boolean bare tokens and
+    nested lists — `(1 2 3)`, not `("1"^^xsd:integer ...)` — matching
+    the ladder path and the reference's collection form
+    (writer.rb:497-512)."""
+    from rdf_n3_ray.parser.n3_parser import parse_n3
+    from rdf_n3_ray.serializer.n3_writer import serialize_n3
+
+    q = parse_n3("@prefix : <http://ex/> . :s :p (1 2 3) .",
+                 list_terms=True).quads
+    assert "(1 2 3)" in serialize_n3(q)
+
+    q = parse_n3('@prefix : <http://ex/> . :s :p (1 ("a"@en 2.5) true ()) .',
+                 list_terms=True).quads
+    assert '(1 ("a"@en 2.5) true ())' in serialize_n3(q)
+
+    # subject-position list (rule-style) gets the same treatment
+    q = parse_n3("@prefix : <http://ex/> . (1 2) :sum 3 .",
+                 list_terms=True).quads
+    out = serialize_n3(q)
+    assert "(1 2) <http://ex/sum> 3 ." in out
+
+
+def test_golden_byte_locks():
+    """Byte-level golden locks for canonical writer shapes (ordering,
+    POL grouping, bnode/[ ] sugar, formula rendering) — regression
+    pins on the writer's reference-shaped output."""
+    from rdf_n3_ray.parser.n3_parser import parse_n3
+    from rdf_n3_ray.serializer.n3_writer import serialize_n3
+
+    def rt(src, **kw):
+        return serialize_n3(parse_n3(src, list_terms=True).quads, **kw)
+
+    got = rt("@prefix ex: <http://example.org/> . "
+             "ex:b ex:p ex:o . ex:a ex:p ex:o ; ex:q 5 .")
+    assert got == (
+        "@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .\n\n"
+        "<http://example.org/a> <http://example.org/p> "
+        "<http://example.org/o>;\n"
+        "    <http://example.org/q> 5 .\n"
+        "<http://example.org/b> <http://example.org/p> "
+        "<http://example.org/o> .\n")
+
+    got = rt("@prefix : <http://ex/> . :s :p [ :q :r ] .")
+    assert got == ("<http://ex/s> <http://ex/p> [<http://ex/q> "
+                   "<http://ex/r>] .\n")
+
+    got = rt("@prefix : <http://ex/> . { :a :b :c } => { :d :e :f } .")
+    assert got == (
+        "@prefix log: <http://www.w3.org/2000/10/swap/log#> .\n\n"
+        "{ <http://ex/a> <http://ex/b> <http://ex/c> . } => "
+        "{ <http://ex/d> <http://ex/e> <http://ex/f> . } .\n")
