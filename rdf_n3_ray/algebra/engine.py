@@ -44,6 +44,10 @@ class ReasonResult:
     inferred: list[Quad]       # subset added by rules
     strings: str               # ordered log:outputString concatenation
     iterations: int = 0
+    # reader-declared prefixes, carried so a writer can reuse them the
+    # way the reference CLI does (script/reason passes reader prefixes
+    # to the writer); None when constructed from bare quads
+    prefixes: dict | None = None
 
     def data(self) -> list[Quad]:
         """Ground default-graph projection (reasoner.rb:184-209)."""
@@ -1124,5 +1128,7 @@ def reason_n3(text: str, think: bool = False, base_uri: str | None = None,
     from ..parser.n3_parser import parse_n3
 
     r = parse_n3(text, base_uri=base_uri, list_terms=True, legacy=legacy)
-    return reason(r.quads, think=think, max_iterations=max_iterations,
-                  ctx=EvalContext(base_uri=base_uri, fetcher=fetcher))
+    result = reason(r.quads, think=think, max_iterations=max_iterations,
+                    ctx=EvalContext(base_uri=base_uri, fetcher=fetcher))
+    result.prefixes = dict(r.prefixes)
+    return result

@@ -77,9 +77,11 @@ def cmd_reason(args) -> int:
         if args.strings:
             sys.stdout.write(result.strings)
         elif args.conclusions:
-            sys.stdout.write(serialize_n3(result.conclusions()))
+            sys.stdout.write(serialize_n3(result.conclusions(),
+                                          prefixes=result.prefixes))
         elif args.data:
-            sys.stdout.write(serialize_n3(result.data()))
+            sys.stdout.write(serialize_n3(result.data(),
+                                          prefixes=result.prefixes))
         else:
             sys.stdout.write(to_ntriples(result.quads))
     return 0

@@ -904,3 +904,18 @@ def test_urllib_fetcher_size_cap():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_reason_result_carries_reader_prefixes():
+    """reason_n3 surfaces the document's declared prefixes so the CLI
+    writer reuses them (the reference's script/reason passes reader
+    prefixes to the writer)."""
+    from rdf_n3_ray.algebra.engine import reason_n3
+    from rdf_n3_ray.serializer.n3_writer import serialize_n3
+
+    r = reason_n3("@prefix ex: <http://example.org/> . ex:a ex:p ex:o ."
+                  " { ?x ex:p ex:o } => { ?x a ex:T } .", think=True)
+    assert r.prefixes["ex"] == "http://example.org/"
+    out = serialize_n3(r.conclusions(), prefixes=r.prefixes)
+    assert "@prefix ex: <http://example.org/> ." in out
+    assert "ex:a a ex:T ." in out
