@@ -990,6 +990,23 @@ def parse_ntriples(text: str, validate: bool = True,
                              datatype=T.XSD_DOUBLE), i + 1
         if t.type is None and t.value in ("true", "false"):
             return T.literal(t.value, datatype=T.XSD_BOOLEAN), i + 1
+        if t.type is None and t.value == "(":
+            # first-class list term: an engine dump in list_terms mode
+            # prints `( ... )` terms verbatim (to_ntriples is a raw
+            # term join); rebuild the encoded list so those dumps
+            # reload losslessly like ladders and formula quads do
+            items = []
+            j = i + 1
+            while j < len(tokens) and not (tokens[j].type is None
+                                           and tokens[j].value == ")"):
+                inner, j2 = term_at(j)
+                if inner is None:
+                    return None, i
+                items.append(inner)
+                j = j2
+            if j >= len(tokens):
+                return None, i
+            return T.encode_list(items), j + 1
         return None, i
 
     i, n = 0, len(tokens)

@@ -583,3 +583,21 @@ def test_reference_examples_corpus(rel):
     r2 = parse_n3(out, base_uri="file://" + path)
     assert not r2.errors, f"{rel} round-trip: {r2.errors[:2]}"
     assert isomorphic(r.quads, r2.quads), f"{rel}: round-trip not isomorphic"
+
+
+def test_parse_ntriples_list_term_roundtrip():
+    """Engine dumps in list_terms mode contain first-class `( ... )`
+    terms; parse_ntriples rebuilds them losslessly (same guarantee the
+    fast path already gives ladders and 4-term formula lines)."""
+    from rdf_n3_ray.parser.n3_parser import parse_n3, parse_ntriples
+    from rdf_n3_ray.serializer.n3_writer import to_ntriples
+
+    for src in (
+        "@prefix : <http://ex/> . :s :p (1 2) .",
+        '@prefix : <http://ex/> . :s :p (1 ("a"@en 2.5) ()) .',
+        "@prefix : <http://ex/> . { (1 2) :sum ?x } => { :r :v ?x } .",
+    ):
+        q = parse_n3(src, list_terms=True).quads
+        back = parse_ntriples(to_ntriples(q))
+        assert not back.errors
+        assert back.quads == q
