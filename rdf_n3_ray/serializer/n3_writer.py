@@ -113,6 +113,18 @@ def ntriples_batch(batch) -> "pd.DataFrame":
     return pd.DataFrame({"conv_id": batch["conv_id"], "turn_idx": batch["turn_idx"], "line": line})
 
 
+def _flat_list_members(t: str):
+    """All leaf terms inside a first-class list term (nested included)."""
+    def walk(x):
+        if isinstance(x, list):
+            for m in x:
+                yield from walk(m)
+        else:
+            yield x
+
+    yield from walk(T.parse_list_term(t) or [])
+
+
 class N3Writer:
     """Pretty N3 serializer for one (small) quad set/document."""
 
@@ -139,8 +151,25 @@ class N3Writer:
         # inlining its object occurrence as [ ... ] would sever the
         # identity between the two positions on reparse
         self.ref_count: dict[tuple[str | None, str], int] = defaultdict(int)
+
+        def count_term(g, t):
+            if T.is_list_term(t):
+                # members of a first-class list render through _term,
+                # which may INLINE a bnode member as [ ... ]; count
+                # them like any other occurrence so a bnode shared
+                # between a list member and another position keeps its
+                # label (identity would sever on reparse otherwise)
+                for m in _flat_list_members(t):
+                    count_term(g, m)
+                return
+            self.ref_count[(g, t)] += 1
+
         for s, p, o, g in self.quads:
-            self.ref_count[(g, o)] += 1
+            # subjects do NOT count as references (writer.rb:673-684);
+            # a subject-position LIST's members are object-like though
+            if T.is_list_term(s):
+                count_term(g, s)
+            count_term(g, o)
             if T.is_bnode(p):
                 self.ref_count[(g, p)] += 1
         self.serialized: set[tuple] = set()
@@ -168,8 +197,16 @@ class N3Writer:
         # inversion keeps the LAST writer); the empty prefix ("") is a
         # legal prefix name (writer_spec "pname URIs with empty prefix")
         by_ns = {v: k for k, v in names.items()}
+        def flat_terms(t):
+            if T.is_list_term(t):
+                for m in _flat_list_members(t):
+                    yield m
+            else:
+                yield t
+
         for s, p, o, g in self.quads:
-            for t in (s, p, o):
+            for pos in (s, p, o):
+              for t in flat_terms(pos):
                 if T.is_iri(t):
                     v = T.iri_value(t)
                 elif T.is_literal(t):

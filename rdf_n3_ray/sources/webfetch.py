@@ -43,10 +43,20 @@ def urllib_fetcher(allowed_schemes: tuple[str, ...] = ("http", "https"),
     from urllib.parse import urlsplit
 
     def fetch(iri: str) -> str | None:
-        if urlsplit(iri).scheme not in allowed_schemes:
+        if urlsplit(iri).scheme.lower() not in allowed_schemes:
             return None  # fall through to the engine's file:// path
         req = urllib.request.Request(iri, headers={"Accept": _ACCEPT})
         with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            # re-validate AFTER redirects: CPython's redirect handler
+            # follows http/https/ftp targets, so a 302 could hop to a
+            # scheme the allowlist forbids (or downgrade https->http
+            # when the caller asked for https-only)
+            final = urlsplit(resp.url).scheme.lower()
+            if final not in allowed_schemes:
+                raise ValueError(
+                    f"urllib_fetcher: {iri} redirected to a "
+                    f"{final}:// URL, outside allowed_schemes "
+                    f"{allowed_schemes}")
             data = resp.read(max_bytes + 1)
             if len(data) > max_bytes:
                 raise ValueError(

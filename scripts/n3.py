@@ -25,10 +25,17 @@ def _read_source(path: str) -> tuple[str, str]:
     """(text, base_uri) for a local path or an http(s) URL — the CLI
     twin of the reference's RDF::Reader.open, which accepts either
     (script/parse:26-46)."""
-    if path.startswith(("http://", "https://")):
+    from urllib.parse import urlsplit
+
+    if urlsplit(path).scheme.lower() in ("http", "https"):
         from rdf_n3_ray.sources.webfetch import urllib_fetcher
 
-        text = urllib_fetcher()(path)
+        # document loads get a larger cap than rule-input fetches (a
+        # local file has none); failures surface as clean OSErrors
+        try:
+            text = urllib_fetcher(max_bytes=256 * 1024 * 1024)(path)
+        except Exception as e:
+            raise OSError(f"could not fetch {path}: {e}") from e
         if text is None:
             raise OSError(f"could not fetch {path}")
         return text, path

@@ -607,3 +607,28 @@ def test_golden_byte_locks():
         "@prefix log: <http://www.w3.org/2000/10/swap/log#> .\n\n"
         "{ <http://ex/a> <http://ex/b> <http://ex/c> . } => "
         "{ <http://ex/d> <http://ex/e> <http://ex/f> . } .\n")
+
+
+def test_list_member_bnode_identity_and_prefixes():
+    """Bnodes shared between a list member and another position keep
+    their label (round trip stays isomorphic), and namespaces used
+    ONLY inside a list term still mint a prefix declaration."""
+    from rdf_n3_ray.isomorphism import isomorphic
+    from rdf_n3_ray.parser.n3_parser import parse_n3
+    from rdf_n3_ray.serializer.n3_writer import serialize_n3
+
+    for src in (
+        "@prefix : <http://ex/> . _:b :q :r . :s :p (_:b _:b) .",
+        "@prefix : <http://ex/> . :s :o _:b . :s :p (_:b) .",
+    ):
+        r = parse_n3(src, list_terms=True)
+        back = parse_n3(serialize_n3(r.quads, prefixes=r.prefixes),
+                        list_terms=True).quads
+        assert isomorphic(r.quads, back)
+
+    r = parse_n3("@prefix ex: <http://example.org/> . "
+                 "@prefix : <http://ex/> . :s :p (ex:a ex:b) .",
+                 list_terms=True)
+    out = serialize_n3(r.quads, prefixes=r.prefixes)
+    assert "@prefix ex: <http://example.org/> ." in out
+    assert "(ex:a ex:b)" in out
