@@ -20,6 +20,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..stages.rounding import round_half_away
+
 
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
@@ -308,7 +310,7 @@ def top_events(sf_dir: str, k: int = 100):
     top = combined.to_pandas()  # <= 8*k rows
     top = (top.sort_values(["value", "event_id"], ascending=[False, True])
            .head(k).reset_index(drop=True))
-    top["value"] = top["value"].round(6)
+    top["value"] = round_half_away(top["value"], 6)
     return top
 
 
@@ -2226,7 +2228,7 @@ def ann_topk(sf_dir: str, k: int = 5, n_queries: int = 4):
     queries = np.asarray([r["embedding"] for r in first], dtype=np.float64)
     df = brute_force_topk(ds, queries, k=k, dtype=np.float64)
     df["query_idx"] = df["query_idx"].astype("int64")
-    df["sim"] = df["sim"].round(4)
+    df["sim"] = round_half_away(df["sim"], 4)
     return df.sort_values(["query_idx", "sim", "vec_id"],
                           ascending=[True, False, True]).reset_index(drop=True)
 
@@ -2355,7 +2357,7 @@ def ann_ivf(sf_dir: str, k: int = 5, n_queries: int = 4,
     queries = np.asarray([r["embedding"] for r in first], dtype=np.float64)
     df = ivf_topk(ds, queries, k=k, n_clusters=n_clusters, nprobe=nprobe)
     df["query_idx"] = df["query_idx"].astype("int64")
-    df["sim"] = df["sim"].round(4)
+    df["sim"] = round_half_away(df["sim"], 4)
     return df.reset_index(drop=True)
 
 
@@ -2373,7 +2375,7 @@ def ann_pq(sf_dir: str, k: int = 5, n_queries: int = 4, m: int = 8,
     queries = np.asarray([r["embedding"] for r in first], dtype=np.float64)
     df = pq_topk(ds, queries, k=k, m=m, ks=ks)
     df["query_idx"] = df["query_idx"].astype("int64")
-    df["sim"] = df["sim"].round(4)
+    df["sim"] = round_half_away(df["sim"], 4)
     return df.sort_values(["query_idx", "sim", "vec_id"],
                           ascending=[True, False, True]).reset_index(drop=True)
 
@@ -7982,7 +7984,7 @@ def knn_graph(sf_dir: str, k: int = 3):
         return pd.DataFrame({"src": pd.Series(dtype="int64"),
                              "dst": pd.Series(dtype="int64"),
                              "sim": pd.Series(dtype="float64")})
-    df["sim"] = df["sim"].round(4)
+    df["sim"] = round_half_away(df["sim"], 4)
     return (df.sort_values(["src", "sim", "dst"],
                            ascending=[True, False, True])
             .reset_index(drop=True))
@@ -8273,7 +8275,7 @@ def label_centroids(sf_dir: str):
         total = np.sum([np.frombuffer(b, dtype=np.float64)
                         for b in g["sums"]], axis=0)
         n = int(g["n"].sum())
-        cent = np.round(total / n, 4)
+        cent = round_half_away(total / n, 4)
         for d, v in enumerate(cent):
             rows.append({"label": int(lab), "dim": d + 1,
                          "centroid": float(v)})
@@ -8589,9 +8591,12 @@ def user_gap_percentiles(sf_dir: str, qs=(0.5, 0.9, 0.99),
     out = exact_percentiles(ds, "gap_us", qs=qs)
     if out.empty:
         # no user has 2+ events: quantile_disc over zero rows is NULL,
-        # which the oracle expands to one (q, NULL) row per quantile
+        # which the oracle expands to one (q, NULL) row per quantile —
+        # nullable Int64 NA, not float NaN, so the schema/hash matches
+        # the oracle's BIGINT NULL on this edge dataset
         return pd.DataFrame({"q": list(qs),
-                             "gap_us": np.full(len(qs), np.nan)})
+                             "gap_us": pd.array([pd.NA] * len(qs),
+                                                dtype="Int64")})
     out["gap_us"] = out["value"].astype("int64")
     return out[["q", "gap_us"]].reset_index(drop=True)
 

@@ -206,23 +206,23 @@ class N3Writer:
 
         for s, p, o, g in self.quads:
             for pos in (s, p, o):
-              for t in flat_terms(pos):
-                if T.is_iri(t):
-                    v = T.iri_value(t)
-                elif T.is_literal(t):
-                    # datatype IRIs shorten too (writer.rb:424
-                    # get_pname(statement.object.datatype))
-                    v = T.literal_parts(t)[1]
-                    if v is None:
+                for t in flat_terms(pos):
+                    if T.is_iri(t):
+                        v = T.iri_value(t)
+                    elif T.is_literal(t):
+                        # datatype IRIs shorten too (writer.rb:424
+                        # get_pname(statement.object.datatype))
+                        v = T.literal_parts(t)[1]
+                        if v is None:
+                            continue
+                    else:
                         continue
-                else:
-                    continue
-                if self._relativize(v) is not None:
-                    continue  # relativized form wins over pname
-                for ns, pfx in by_ns.items():
-                    if v.startswith(ns) and _pname_safe(v[len(ns):]):
-                        used[pfx] = ns
-                        break
+                    if self._relativize(v) is not None:
+                        continue  # relativized form wins over pname
+                    for ns, pfx in by_ns.items():
+                        if v.startswith(ns) and _pname_safe(v[len(ns):]):
+                            used[pfx] = ns
+                            break
         return used
 
     def _relativize(self, v: str) -> str | None:

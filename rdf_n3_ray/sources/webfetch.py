@@ -42,21 +42,29 @@ def urllib_fetcher(allowed_schemes: tuple[str, ...] = ("http", "https"),
     import urllib.request
     from urllib.parse import urlsplit
 
+    class _SchemeCheckedRedirect(urllib.request.HTTPRedirectHandler):
+        # Validate the redirect TARGET before urllib follows it:
+        # CPython's handler happily chases http/https/ftp Location
+        # headers, so a post-hoc check on resp.url would only fire
+        # AFTER the request to the off-allowlist (or https->http
+        # downgraded) target had already been sent.
+        def redirect_request(self, req, fp, code, msg, headers, newurl):
+            scheme = urlsplit(newurl).scheme.lower()
+            if scheme not in allowed_schemes:
+                raise ValueError(
+                    f"urllib_fetcher: redirect to a {scheme}:// URL "
+                    f"({newurl!r}), outside allowed_schemes "
+                    f"{allowed_schemes}")
+            return super().redirect_request(
+                req, fp, code, msg, headers, newurl)
+
+    opener = urllib.request.build_opener(_SchemeCheckedRedirect)
+
     def fetch(iri: str) -> str | None:
         if urlsplit(iri).scheme.lower() not in allowed_schemes:
             return None  # fall through to the engine's file:// path
         req = urllib.request.Request(iri, headers={"Accept": _ACCEPT})
-        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
-            # re-validate AFTER redirects: CPython's redirect handler
-            # follows http/https/ftp targets, so a 302 could hop to a
-            # scheme the allowlist forbids (or downgrade https->http
-            # when the caller asked for https-only)
-            final = urlsplit(resp.url).scheme.lower()
-            if final not in allowed_schemes:
-                raise ValueError(
-                    f"urllib_fetcher: {iri} redirected to a "
-                    f"{final}:// URL, outside allowed_schemes "
-                    f"{allowed_schemes}")
+        with opener.open(req, timeout=timeout_s) as resp:
             data = resp.read(max_bytes + 1)
             if len(data) > max_bytes:
                 raise ValueError(

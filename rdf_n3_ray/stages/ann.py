@@ -17,6 +17,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .rounding import round_half_away
+
 
 def _matrix(col, dtype=np.float32) -> np.ndarray:
     """(N, D) matrix from an embedding column.  An Arrow
@@ -675,7 +677,8 @@ class KnnGraph:
         # mask self-matches by id (works under duplicates of the id
         # space being impossible: vec_id is the table key)
         sims[src[:, None] == self.ids[None, :]] = -np.inf
-        sims = np.round(sims, 4)  # rank on the reported precision
+        # rank on the reported precision, half-away like DuckDB ROUND
+        sims = round_half_away(sims, 4)
         k = min(self.k, len(self.ids) - 1)
         order = np.lexsort(
             (np.broadcast_to(self.ids, sims.shape), -sims), axis=-1)[:, :k]

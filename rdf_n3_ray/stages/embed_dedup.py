@@ -28,6 +28,7 @@ import pandas as pd
 import pyarrow as pa
 
 from .ann import _matrix, _normalize
+from .rounding import round_half_away
 
 
 def _pairs_against_matrix(ids_blk, mat_blk, ids_all, mat_all, threshold):
@@ -77,7 +78,7 @@ def cosine_dup_pairs(embeddings_ds, threshold: float = 0.95,
         return pa.table({
             "a": pa.array(a, pa.int64()),
             "b": pa.array(b, pa.int64()),
-            "sim": pa.array(np.round(s, round_to), pa.float64()),
+            "sim": pa.array(round_half_away(s, round_to), pa.float64()),
         })
 
     return selected.map_batches(
@@ -124,7 +125,7 @@ def cosine_dup_pairs_lsh(embeddings_ds, threshold: float = 0.9,
         a2 = np.where(swap, b, a).astype(np.int64)
         b2 = np.where(swap, a, b).astype(np.int64)
         return pd.DataFrame({"a": a2, "b": b2,
-                             "sim": np.round(sims[iu, ju][keep], round_to)})
+                             "sim": round_half_away(sims[iu, ju][keep], round_to)})
 
     # probe dimensionality from one row (cheap; schema-only would not
     # give the list length)

@@ -1,0 +1,38 @@
+"""Half-away-from-zero rounding matching DuckDB's ``ROUND``.
+
+Every contract entry that reports a rounded float (ANN sims, kNN
+edges, label centroids, top-event values) is hash-compared against a
+DuckDB oracle that rounds with ``ROUND(x, d)`` — half-AWAY-from-zero.
+``np.round`` / ``Series.round`` are half-to-EVEN, so a value landing
+exactly on a representable .5 boundary at the target precision would
+diverge between the engines even when the underlying float64 agrees
+(ADVICE r4, stages/ann.py:678).  This helper applies the same
+integer half-away rule on the Ray side: ``sign(x) * floor(|x| *
+10^d + 0.5) / 10^d``.
+
+Residual (documented, not fixable at this layer): the two engines can
+still compute the UNROUNDED float64 differently (dgemm/fold vs
+sequential summation order), so a sim within one ulp of a boundary
+may round apart.  Ranking on the rounded value with id tie-breaks
+(KnnGraph, MaskedTopK) keeps edge SELECTION stable either way; the
+reported value differs only in the final 1e-4 digit in that regime.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["round_half_away"]
+
+
+def round_half_away(x, decimals: int):
+    """Round half away from zero (DuckDB ``ROUND`` semantics).
+
+    Accepts a numpy array / pandas Series / scalar; returns a float64
+    numpy array (or scalar).  NaN propagates (sign/floor of NaN are
+    NaN).  ``-0.0`` survives for tiny negatives, matching what
+    ``np.round`` produced before and what DuckDB returns for the same
+    float64 input.
+    """
+    scale = 10.0 ** decimals
+    arr = np.asarray(x, dtype=np.float64)
+    return np.sign(arr) * np.floor(np.abs(arr) * scale + 0.5) / scale

@@ -3369,6 +3369,9 @@ def test_user_gap_percentiles_degenerate_null_rows(ray_session,
     out = user_gap_percentiles(str(tmp_path))
     assert list(out["q"]) == [0.5, 0.9, 0.99]
     assert out["gap_us"].isna().all()
+    # nullable Int64 NA, not float NaN: the oracle's column is BIGINT,
+    # so the degenerate rows must stay integer-typed NULLs (ADVICE r4)
+    assert str(out["gap_us"].dtype) == "Int64"
 
 
 def test_events_heatmap_null_values_excluded(ray_session, tmp_path):
@@ -3398,3 +3401,26 @@ def test_events_heatmap_null_values_excluded(ray_session, tmp_path):
     assert int(out["n"].iloc[0]) == int(oracle["n"].iloc[0]) == 2
     assert (int(out["sum_cents"].iloc[0])
             == int(oracle["sum_cents"].iloc[0]) == 400)
+
+
+def test_round_half_away_matches_duckdb_round():
+    """stages/rounding.round_half_away == DuckDB ROUND on boundary
+    values where np.round (half-even) diverges (ADVICE r4)."""
+    import duckdb
+
+    from rdf_n3_ray.stages.rounding import round_half_away
+
+    # 0.00005 and friends: representable floats near .5e-4 boundaries
+    vals = [0.00005, 0.00015, -0.00005, -0.00015, 0.12345, -0.98765,
+            1.5, 2.5, -1.5, -2.5, 0.0, 123.00025, -123.00025]
+    ours4 = round_half_away(np.array(vals), 4)
+    con = duckdb.connect()
+    want4 = [con.execute("SELECT ROUND(?::DOUBLE, 4)", [v]).fetchone()[0]
+             for v in vals]
+    assert list(ours4) == want4
+    ours0 = round_half_away(np.array(vals), 0)
+    want0 = [con.execute("SELECT ROUND(?::DOUBLE, 0)", [v]).fetchone()[0]
+             for v in vals]
+    assert list(ours0) == want0
+    # NaN propagates; pandas Series accepted
+    assert np.isnan(round_half_away(pd.Series([np.nan]), 4))[0]

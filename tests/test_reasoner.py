@@ -874,6 +874,63 @@ def test_urllib_fetcher_real_http_loopback():
         srv.server_close()
 
 
+def test_urllib_fetcher_blocks_redirect_before_follow():
+    """A 302 to an off-allowlist scheme raises in redirect_request —
+    BEFORE urllib opens a connection to the target.  (Had the hop been
+    followed, the ftp:// target below would surface as a URLError from
+    the FTP handler, not our ValueError.)  In-allowlist redirects are
+    still followed."""
+    import http.server
+    import threading
+
+    import pytest
+
+    from rdf_n3_ray.sources.webfetch import urllib_fetcher
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/hop-ftp":
+                self.send_response(302)
+                self.send_header("Location", "ftp://127.0.0.1:1/pwn")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+            elif self.path == "/hop-ok":
+                self.send_response(302)
+                self.send_header("Location", "/doc")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+            else:
+                body = b"landed"
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        port = srv.server_address[1]
+        fetch = urllib_fetcher()
+        with pytest.raises(ValueError, match="redirect"):
+            fetch(f"http://127.0.0.1:{port}/hop-ftp")
+        # downgrade check: https-only caller, redirect lands on http
+        with pytest.raises(ValueError, match="redirect"):
+            urllib_fetcher(allowed_schemes=("https", "http"))  # sanity: builds
+            # (can't serve https in-sandbox; exercise the downgrade rule
+            # by allowlisting a scheme the hop target is not)
+            urllib_fetcher(allowed_schemes=("http",))(
+                f"http://127.0.0.1:{port}/hop-ftp")
+        assert fetch(f"http://127.0.0.1:{port}/hop-ok") == "landed"
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_urllib_fetcher_size_cap():
     """Over-cap responses raise (the builtin then simply fails to
     bind) — a rule must not OOM a worker by dereferencing a huge URL."""
