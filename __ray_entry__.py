@@ -135,10 +135,93 @@ def _q_embed_kmeans(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """Contract entries, ordered for the driver's correctness sweep.
+
+    The driver records at most 50 entries per round, taken in dict
+    order.  Across rounds 1-4 it covered 74 of the (now) 111 entries;
+    37 have NEVER received a driver row (they are green under
+    scripts/selfcheck.py — the same gate — but the hard artifact must
+    show it).  Round-5 ordering therefore puts those 37 first, then
+    the 24 last checked in r03, then the 50 the driver hash-verified
+    in r04 — so CORRECTNESS_r05's window lands on exactly the
+    longest-uncovered entries.
+    """
     from rdf_n3_ray.pipelines import relational as R
 
     return {
-        # --- oracle-checked relational/data-processing operators -------
+        # === never driver-checked in ANY round (37; oracle-backed
+        #     first, rows-only last — all inside the 50 window) ====
+        "dup_gram_pairs": R.dup_gram_pairs,
+        "doc_dup_rate": R.doc_dup_rate,
+        "curation_verdict": R.curation_verdict,
+        "source_report": R.source_report,
+        "domain_resample": R.domain_resample,
+        "pack_sequences": R.pack_sequences,
+        "winnow_fingerprints": R.winnow_fingerprints,
+        "winnow_dup_pairs": R.winnow_dup_pairs,
+        "phrase_search": R.phrase_search,
+        "tfidf_search": R.tfidf_search,
+        "revenue_forecast": R.revenue_forecast,
+        "returned_top_customers": R.returned_top_customers,
+        "large_orders": R.large_orders,
+        "nation_trade_volume": R.nation_trade_volume,
+        "brand_disjunct_revenue": R.brand_disjunct_revenue,
+        "doc_rarity": R.doc_rarity,
+        "event_zscore": R.event_zscore,
+        "top_bigrams": R.top_bigrams,
+        "bigram_pmi": R.bigram_pmi,
+        "user_retention": R.user_retention,
+        "event_funnel": R.event_funnel,
+        "sole_late_supplier": R.sole_late_supplier,
+        "market_share": R.market_share,
+        "type_cooccurrence": R.type_cooccurrence,
+        "search_index": R.search_index,
+        "top_supplier_revenue": R.top_supplier_revenue,
+        "late_shipment_priority": R.late_shipment_priority,
+        "simhash_pairs": R.simhash_pairs,
+        "min_cost_supplier": R.min_cost_supplier,
+        "product_type_profit": R.product_type_profit,
+        "important_part_value": R.important_part_value,
+        "supplier_part_counts": R.supplier_part_counts,
+        "top_part_shippers": R.top_part_shippers,
+        # rows-only members of the never-checked group:
+        # ann_pq/ann_ivfpq (k-means PQ codebooks: no SQL twin; ann_
+        # ivfpq at nprobe==all is pytest-pinned == ann_pq),
+        # embed_kmeans (iterative fit; pins blob recovery +
+        # monotone objective), semdedup (keep-list invariants
+        # pytest-pinned)
+        "ann_pq": R.ann_pq,
+        "ann_ivfpq": R.ann_ivfpq,
+        "embed_kmeans": _q_embed_kmeans,
+        "semdedup": R.semdedup,
+        # === last driver-checked in r03 (24; first 13 land in the
+        #     window) =============================================
+        "decontaminate": R.decontaminate,
+        "top_tokens": R.top_tokens,
+        "event_histogram": R.event_histogram,
+        "events_sliding": R.events_sliding,
+        "event_percentiles": R.event_percentiles,
+        "distinct_users_by_type": R.distinct_users_by_type,
+        "percentiles_by_type": R.percentiles_by_type,
+        "shipping_priority": R.shipping_priority,
+        "top_event_per_user": R.top_event_per_user,
+        "user_running_total": R.user_running_total,
+        "local_supplier_volume": R.local_supplier_volume,
+        "small_qty_revenue": R.small_qty_revenue,
+        "events_rollup": R.events_rollup,
+        # --- the 50-entry driver window likely ends here ---------
+        "pii_scrub": R.pii_scrub,
+        "order_priority_exists": R.order_priority_exists,
+        "customer_order_distribution": R.customer_order_distribution,
+        "event_props_agg": R.event_props_agg,
+        "train_val_split": R.train_val_split,
+        "stratified_sample": R.stratified_sample,
+        "promo_revenue": R.promo_revenue,
+        "above_avg_low_activity": R.above_avg_low_activity,
+        "doc_repetition": R.doc_repetition,
+        "keyword_search": R.keyword_search,
+        "approx_distinct_users": R.approx_distinct_users,
+        # === driver hash-verified most recently in r04 (50) ======
         "lineitem_agg": R.lineitem_agg,
         "orders_by_nation": R.orders_by_nation,
         "top_events": R.top_events,
@@ -171,24 +254,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_priority": R.revenue_by_priority,
         "nations_without_suppliers": R.nations_without_suppliers,
         "part_brand_stats": R.part_brand_stats,
-        # --- KG construction / N3 engine (rows-only checks) ------------
         "kg_triples": _q_kg_triples,
         "parse_turns": _q_parse_turns,
         "reason_turns": _q_reason_turns,
         "serialize_turns": _q_serialize_turns,
-        # --- training-data ops ------------------------------------------
-        # (minhash_pairs / simhash / jaccard_dup_groups are oracle-
-        #  checked against exact recomputation SQL; the rest rows-only)
         "minhash_pairs": _q_minhash_pairs,
         "simhash": _q_simhash,
         "lang_id": _q_lang_id,
         "media_features": _q_media_features,
-        # rows-only: stub audio decode (no codecs in-container); the
-        # windowing math is pytest-pinned
         "audio_windows": _q_audio_windows,
         "ann_ivf": R.ann_ivf,
-        # IVF machinery at nprobe == n_clusters is exact -> the brute-
-        # force window-rank oracle hash-checks the partition/probe path
         "ann_ivf_exact": R.ann_ivf_exact,
         "jaccard_dup_groups": R.jaccard_dup_groups,
         "dup_groups_cc": R.dup_groups_cc,
@@ -197,71 +272,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trade_pagerank": R.trade_pagerank,
         "triangle_count": R.triangle_count,
         "events_profile": R.events_profile,
-        "ann_pq": R.ann_pq,
-        "decontaminate": R.decontaminate,
-        "dup_gram_pairs": R.dup_gram_pairs,
-        "doc_dup_rate": R.doc_dup_rate,
-        "curation_verdict": R.curation_verdict,
-        "source_report": R.source_report,
-        "domain_resample": R.domain_resample,
-        "pack_sequences": R.pack_sequences,
-        "winnow_fingerprints": R.winnow_fingerprints,
-        "winnow_dup_pairs": R.winnow_dup_pairs,
-        "top_tokens": R.top_tokens,
-        "event_histogram": R.event_histogram,
-        "events_sliding": R.events_sliding,
-        "event_percentiles": R.event_percentiles,
-        "distinct_users_by_type": R.distinct_users_by_type,
-        "approx_distinct_users": R.approx_distinct_users,
-        "percentiles_by_type": R.percentiles_by_type,
-        "shipping_priority": R.shipping_priority,
-        "top_event_per_user": R.top_event_per_user,
-        "user_running_total": R.user_running_total,
-        "local_supplier_volume": R.local_supplier_volume,
-        "small_qty_revenue": R.small_qty_revenue,
-        "events_rollup": R.events_rollup,
-        "pii_scrub": R.pii_scrub,
-        "order_priority_exists": R.order_priority_exists,
-        "customer_order_distribution": R.customer_order_distribution,
-        "event_props_agg": R.event_props_agg,
-        "train_val_split": R.train_val_split,
-        "stratified_sample": R.stratified_sample,
-        "promo_revenue": R.promo_revenue,
-        "above_avg_low_activity": R.above_avg_low_activity,
-        "doc_repetition": R.doc_repetition,
-        "keyword_search": R.keyword_search,
-        "phrase_search": R.phrase_search,
-        "tfidf_search": R.tfidf_search,
-        "revenue_forecast": R.revenue_forecast,
-        "returned_top_customers": R.returned_top_customers,
-        "large_orders": R.large_orders,
-        "nation_trade_volume": R.nation_trade_volume,
-        "brand_disjunct_revenue": R.brand_disjunct_revenue,
-        "doc_rarity": R.doc_rarity,
-        "event_zscore": R.event_zscore,
-        "top_bigrams": R.top_bigrams,
-        "bigram_pmi": R.bigram_pmi,
-        "user_retention": R.user_retention,
-        "event_funnel": R.event_funnel,
-        "sole_late_supplier": R.sole_late_supplier,
-        "market_share": R.market_share,
-        "type_cooccurrence": R.type_cooccurrence,
-        "search_index": R.search_index,
-        "top_supplier_revenue": R.top_supplier_revenue,
-        "late_shipment_priority": R.late_shipment_priority,
-        # TPC-H Q2/Q9/Q11/Q16/Q20 shapes over lineitem-as-partsupp
-        "simhash_pairs": R.simhash_pairs,
-        "min_cost_supplier": R.min_cost_supplier,
-        "product_type_profit": R.product_type_profit,
-        "important_part_value": R.important_part_value,
-        "supplier_part_counts": R.supplier_part_counts,
-        "top_part_shippers": R.top_part_shippers,
-        # iterative distributed algorithm (non-SQL: rows-only check;
-        # pytest pins blob recovery + monotone objective)
-        "embed_kmeans": _q_embed_kmeans,
-        # rows-only: k-means fit is iterative (no SQL twin); the
-        # keep-list invariants are pytest-pinned (test_dataops)
-        "semdedup": R.semdedup,
     }
 
 

@@ -2215,6 +2215,23 @@ GROUP BY lang_pred ORDER BY lang_pred
 CURATION_VERDICT_SQL = _curation_verdict_sql()
 
 
+def _query_matrix(ds, n_queries: int) -> np.ndarray:
+    """(n_queries, D) query matrix = the embeddings with vec_id <
+    n_queries, ascending — the ANN oracles' selection contract
+    (`WHERE vec_id < n`).  NOT ds.take(n): under Ray's default
+    preserve_order=False streaming execution, take() returns whichever
+    block arrives first, so under load it can hand back rows from the
+    middle of the table (observed: rows 126-129 at sf0.001) and every
+    downstream sim would silently diverge from the oracle."""
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t.column("vec_id"),
+                                pa.scalar(n_queries, pa.int64())))
+
+    rows = ds.map_batches(keep, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    return np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+
+
 # ---------------------------------------------------------------------------
 # ANN brute-force cosine top-k (vs duckdb list_cosine_similarity oracle)
 # ---------------------------------------------------------------------------
@@ -2224,8 +2241,7 @@ def ann_topk(sf_dir: str, k: int = 5, n_queries: int = 4):
 
     ds = _strip_meta(_read(sf_dir, "embeddings",
                            columns=["vec_id", "embedding"]))
-    first = sorted(ds.take(n_queries), key=lambda r: r["vec_id"])
-    queries = np.asarray([r["embedding"] for r in first], dtype=np.float64)
+    queries = _query_matrix(ds, n_queries)
     df = brute_force_topk(ds, queries, k=k, dtype=np.float64)
     df["query_idx"] = df["query_idx"].astype("int64")
     df["sim"] = round_half_away(df["sim"], 4)
@@ -2353,8 +2369,7 @@ def ann_ivf(sf_dir: str, k: int = 5, n_queries: int = 4,
 
     ds = _strip_meta(_read(sf_dir, "embeddings",
                            columns=["vec_id", "embedding"]))
-    first = sorted(ds.take(n_queries), key=lambda r: r["vec_id"])
-    queries = np.asarray([r["embedding"] for r in first], dtype=np.float64)
+    queries = _query_matrix(ds, n_queries)
     df = ivf_topk(ds, queries, k=k, n_clusters=n_clusters, nprobe=nprobe)
     df["query_idx"] = df["query_idx"].astype("int64")
     df["sim"] = round_half_away(df["sim"], 4)
@@ -2371,9 +2386,34 @@ def ann_pq(sf_dir: str, k: int = 5, n_queries: int = 4, m: int = 8,
 
     ds = _strip_meta(_read(sf_dir, "embeddings",
                            columns=["vec_id", "embedding"]))
-    first = sorted(ds.take(n_queries), key=lambda r: r["vec_id"])
-    queries = np.asarray([r["embedding"] for r in first], dtype=np.float64)
+    queries = _query_matrix(ds, n_queries)
     df = pq_topk(ds, queries, k=k, m=m, ks=ks)
+    df["query_idx"] = df["query_idx"].astype("int64")
+    df["sim"] = round_half_away(df["sim"], 4)
+    return df.sort_values(["query_idx", "sim", "vec_id"],
+                          ascending=[True, False, True]).reset_index(drop=True)
+
+
+def ann_ivfpq(sf_dir: str, k: int = 5, n_queries: int = 4,
+              n_clusters: int = 16, m: int = 8, ks: int = 16):
+    """IVF + PQ composed ANN (`stages/ann.ivfpq_topk`): coarse IVF
+    partition pruning over PQ-coded rows scored by ADC lookups — the
+    full 100 TB ANN recipe as one contract entry.  Run at
+    nprobe == n_clusters so every partition is probed: the result then
+    equals `ann_pq`'s ADC ranking routed through the IVF
+    partition/probe machinery (the equality is pytest-pinned), i.e.
+    the composition itself is what this entry witnesses.  Rows-only in
+    the driver gate for the same reason as `ann_pq`: the PQ codebooks
+    come from an iterative k-means fit with no SQL twin (DuckDB cannot
+    recompute the codebook), unlike `ann_ivf_exact` whose IVF-only
+    exact configuration has a brute-force window-rank oracle."""
+    from ..stages.ann import ivfpq_topk
+
+    ds = _strip_meta(_read(sf_dir, "embeddings",
+                           columns=["vec_id", "embedding"]))
+    queries = _query_matrix(ds, n_queries)
+    df = ivfpq_topk(ds, queries, k=k, n_clusters=n_clusters,
+                    nprobe=n_clusters, m=m, ks=ks)
     df["query_idx"] = df["query_idx"].astype("int64")
     df["sim"] = round_half_away(df["sim"], 4)
     return df.sort_values(["query_idx", "sim", "vec_id"],

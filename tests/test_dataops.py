@@ -3424,3 +3424,17 @@ def test_round_half_away_matches_duckdb_round():
     assert list(ours0) == want0
     # NaN propagates; pandas Series accepted
     assert np.isnan(round_half_away(pd.Series([np.nan]), 4))[0]
+
+
+def test_ann_ivfpq_contract_equals_ann_pq(ray_session):
+    """The ann_ivfpq contract entry runs IVF+PQ at nprobe ==
+    n_clusters: every partition probed, so the composed
+    coarse-prune+ADC path must reproduce ann_pq's ranking exactly
+    (same codebooks, same queries, same tie-breaks) — the witness
+    that the composition machinery loses nothing."""
+    from rdf_n3_ray.pipelines.relational import ann_ivfpq, ann_pq
+
+    a = ann_ivfpq("/root/testdata/sf0.001")
+    b = ann_pq("/root/testdata/sf0.001")
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 20  # 4 queries x k=5
