@@ -103,6 +103,11 @@ _TERMINALS: list[tuple[str, str, bool]] = [
     ("__STR__", STR_TERMINAL, False),
     ("PREFIX", PREFIX, False),
     ("BASE", BASE, False),
+    # cwm keyword escapes: LANGTAG's lookahead excludes @is/@has so a
+    # literal's language can never swallow an is-of/has verb; this
+    # token gives them an identity of their own (legacy read_verb
+    # consumes them, default mode rejects like any stray directive)
+    ("KWESC", r"@(?:is|has)(?![a-zA-Z0-9\-])", False),
     ("LANGTAG", LANGTAG, False),
     ("QUICK_VAR_NAME", QUICK_VAR_NAME, True),
     ("BAREWORD", BAREWORD, False),  # last: every real terminal wins first
@@ -139,6 +144,7 @@ _FIRST_CHARS: dict[str, str] = {
     "__STR__": "(){},.;[]a!^<=tfhio",
     "PREFIX": "@pP",
     "BASE": "@bB",
+    "KWESC": "@",
     "LANGTAG": "@",
     "QUICK_VAR_NAME": "?",
     "BAREWORD": _ASCII_LETTERS,

@@ -420,6 +420,22 @@ class N3Parser:
             # @keywords stripped bare `a` of its syntactic role
             self.shift()
             return T.RDF_TYPE, False
+        if self.legacy and token.type == "KWESC" and token.value == "@has":
+            # cwm escape form of the `has` verb (notation3.py keyword
+            # escapes; exercised by N3Tests cwm_list/last.n3)
+            self.shift()
+            return self.read_path(), False
+        if self.legacy and token.type == "KWESC" and token.value == "@is":
+            # cwm escape form of `is ... of` (accepts `of` or `@of`)
+            self.shift()
+            verb = self.read_path()
+            nxt = self.first()
+            if nxt is None or not (
+                    (nxt.type is None and nxt.value == "of")
+                    or (nxt.type == "LANGTAG" and nxt.value == "@of")):
+                self.error("Expected 'of'", nxt)
+            self.shift()
+            return verb, True
         if (self.keywords is not None and v in ("a", "has", "is")
                 and v not in self.keywords):
             # @keywords mode with this word undeclared: it is a plain

@@ -235,14 +235,25 @@ def _stage_parquet_files(out_dir: str) -> list[str]:
     return files
 
 
+_KEYFMT_MARKER = "_KEYFMT_2"
+"""Sidecar hash-format version sentinel.  Format 2 = NUL-separated
+quad key (stages/keys.py); sidecars WITHOUT this marker were written
+by the pre-fix builder whose vectorized concat lost its separators
+(see keys.py module docstring), so their hashes do not match
+recomputation — `_existing_hashes_ds` treats them as absent and
+recomputes from the triples instead."""
+
+
 def _hash_project(b):
-    """(subj, pred, obj, graph) batch -> 16-byte (h1, h2) rows."""
-    import pandas as pd
+    """(subj, pred, obj, graph) Arrow batch -> 16-byte (h1, h2) rows.
+    Arrow-native: the IRI columns never round-trip through pandas."""
+    import pyarrow as pa
 
-    from ..stages.dedup import _quad_key128
+    from ..stages.dedup import _quad_key128_table
 
-    h1, h2 = _quad_key128(b)
-    return pd.DataFrame({"h1": h1, "h2": h2})
+    h1, h2 = _quad_key128_table(b)
+    return pa.table({"h1": pa.array(h1, pa.int64()),
+                     "h2": pa.array(h2, pa.int64())})
 
 
 def _write_hash_sidecar(shard_tmp_dir: str, triple_files: list[str]) -> str:
@@ -259,8 +270,12 @@ def _write_hash_sidecar(shard_tmp_dir: str, triple_files: list[str]) -> str:
     if triple_files:  # a fully-deduped append commits zero files
         (rd.read_parquet(triple_files,
                          columns=["subj", "pred", "obj", "graph"])
-         .map_batches(_hash_project, batch_format="pandas")
+         .map_batches(_hash_project, batch_format="pyarrow")
          .write_parquet(side))
+    # format marker LAST: a crash mid-write leaves an unmarked (hence
+    # ignored, recompute-from-triples) sidecar, never a trusted partial
+    with open(os.path.join(side, _KEYFMT_MARKER), "w"):
+        pass
     return side
 
 
@@ -279,8 +294,14 @@ def _existing_hashes_ds(out_dir: str):
             for sid in m.entries:
                 d = m.shard_dir(sid)
                 side = os.path.join(d, "_hashes")
-                if os.path.isdir(side) and any(
-                        f.endswith(".parquet") for f in os.listdir(side)):
+                # sidecar usable only in the current key format: v1
+                # sidecars (no marker) hold separator-free hashes that
+                # no longer match recomputation — fall back to triples
+                if (os.path.isdir(side)
+                        and os.path.exists(os.path.join(side,
+                                                        _KEYFMT_MARKER))
+                        and any(f.endswith(".parquet")
+                                for f in os.listdir(side))):
                     side_files.extend(
                         os.path.join(side, f)
                         for f in sorted(os.listdir(side))
@@ -296,7 +317,7 @@ def _existing_hashes_ds(out_dir: str):
     if full_files:
         parts.append(rd.read_parquet(
             full_files, columns=["subj", "pred", "obj", "graph"])
-            .map_batches(_hash_project, batch_format="pandas"))
+            .map_batches(_hash_project, batch_format="pyarrow"))
     if not parts:
         return None
     ds = parts[0]

@@ -42,8 +42,9 @@ class ReasonTurns:
         self.conclusions_only = conclusions_only
         # distinct-text result cache (see stages/extract.py): reasoning
         # is pure in the turn text, and duplicate turns dominate
-        self._cache: dict[str, tuple] = {}
-        self._cache_cap = 16384
+        from ..stages.lru import LruDict
+
+        self._cache = LruDict(16384)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         conv = batch.column("conv_id").to_pylist()
@@ -63,9 +64,7 @@ class ReasonTurns:
                     quads = (result.conclusions() if self.conclusions_only
                              else result.data())
                     cached = (quads, set(result.inferred))
-                if len(self._cache) >= self._cache_cap:
-                    self._cache.clear()
-                self._cache[text] = cached
+                self._cache.put(text, cached)  # LRU half-eviction
             quads, inferred_set = cached
             for q in quads:
                 if q[3] is not None:
@@ -183,12 +182,15 @@ def _shrink(x, limit: int):
 
 
 def _key_concat(b: pd.DataFrame, cols) -> pd.Series:
-    """NUL-joined row key over string columns — vectorized string
-    concat, not a per-row ``.agg(join, axis=1)`` Python loop."""
-    key = b[cols[0]].astype(str)
-    for c in cols[1:]:
-        key = key + "\x00" + b[c].astype(str)
-    return key
+    """NUL-joined row key over string columns — Arrow kernel
+    (stages/keys.nul_join), not a per-row ``.agg(join, axis=1)``
+    Python loop.  (The earlier vectorized pandas ``+ "\\x00" +``
+    concat silently LOST the separators to numpy scalar coercion —
+    see keys.py module docstring.)"""
+    from ..stages.keys import nul_join
+
+    arr = nul_join(*[b[c] for c in cols])
+    return pd.Series(arr.to_numpy(zero_copy_only=False), index=b.index)
 
 
 def _coalesce(ds, n_rows: int | None = None, target_rows: int = 500_000,
@@ -510,11 +512,10 @@ def _triple_hash128(b: pd.DataFrame) -> tuple[pd.Series, pd.Series]:
     argument as stages/dedup._quad_key128).  Keys come from the same
     _key_concat builder the dedup/join sites use, so the hash identity
     cannot drift between them."""
-    key = _key_concat(b, _TCOLS)
-    h1 = pd.util.hash_pandas_object(key, index=False).astype(np.int64)
-    h2 = pd.util.hash_pandas_object(
-        "\x02" + key, index=False).astype(np.int64)
-    return h1, h2
+    from ..stages.keys import hash128, nul_join
+
+    h1, h2 = hash128(nul_join(*[b[c] for c in _TCOLS]))
+    return pd.Series(h1, index=b.index), pd.Series(h2, index=b.index)
 
 
 def _triple_hash_ds(triples_ds):

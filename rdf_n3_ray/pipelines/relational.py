@@ -2036,13 +2036,23 @@ def curation_verdict(sf_dir: str, n: int = 5, min_words: int = 5,
          doc_dup_rate).
     Nothing wider than (doc_id, 6 int columns) crosses the final
     shuffle; texts only travel inside the exact-dup bucket exchange,
-    exactly as `dedup_exact_docs` already does."""
+    exactly as `dedup_exact_docs` already does.
+
+    Each of the three branches gets its OWN lazy column-pruned scan
+    (A reads doc_id/text/lang; B and C read doc_id/text): a shared
+    `materialize()` would pin the whole corpus in the object store
+    for the pipeline's lifetime — at 100 TB that forces spill, while
+    three pruned parquet scans stream with backpressure and cost only
+    re-decoding row groups (the cheap part; the dup-mass machinery
+    dominates).  VERDICT r4 watch item #1."""
     from ..stages.text_stats import LangId
 
     import ray
 
-    ds = _read(sf_dir, "documents",
-               columns=["doc_id", "text", "lang"]).materialize()
+    docs_al = _read(sf_dir, "documents",
+                    columns=["doc_id", "text", "lang"])
+    docs_b = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    docs_c = _read(sf_dir, "documents", columns=["doc_id", "text"])
     WIDE = ["doc_id", "lang_match", "quality_ok", "exact_dup",
             "n_grams", "dup_grams", "pb"]
 
@@ -2071,7 +2081,7 @@ def curation_verdict(sf_dir: str, n: int = 5, min_words: int = 5,
         }))
 
     pool_max = max(2, int(ray.cluster_resources().get("CPU", 8)))
-    flags_a = (ds.map_batches(LangId, batch_format="pandas",
+    flags_a = (docs_al.map_batches(LangId, batch_format="pandas",
                               batch_size=4096, concurrency=(1, pool_max))
                .map_batches(lang_quality, batch_format="pandas"))
 
@@ -2088,11 +2098,11 @@ def curation_verdict(sf_dir: str, n: int = 5, min_words: int = 5,
             "doc_id": g["doc_id"],
             "exact_dup": (g["doc_id"] != mn).astype("int64")}))
 
-    flags_b = (ds.map_batches(text_key, batch_format="pandas")
+    flags_b = (docs_b.map_batches(text_key, batch_format="pandas")
                .groupby("dkb").map_groups(dup_flags, batch_format="pandas"))
 
     parts_c = (_doc_dup_partials(
-        ds.select_columns(["doc_id", "text"]), n, max_docs_per_gram,
+        docs_c, n, max_docs_per_gram,
         num_buckets, candidate_broadcast_limit)
         .map_batches(widen, batch_format="pandas"))
 
@@ -4425,8 +4435,9 @@ def events_profile(sf_dir: str, num_buckets: int = 64):
                             "n_rows": np.asarray(out_rows, np.int64),
                             "n_nulls": np.asarray(out_nulls, np.int64),
                             "kind": np.asarray(out_kind, np.int8)})
-        hb = pd.util.hash_pandas_object(out["col"] + "\x00" + out["key"],
-                                        index=False)
+        from ..stages.keys import hash64, nul_join
+
+        hb = hash64(nul_join(out["col"], out["key"]))
         out["vb"] = np.where(out["kind"] == 1, -1,
                              (hb % num_buckets).astype(np.int64)
                              ).astype("int32")

@@ -20,22 +20,40 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+
+from .keys import hash64, hash128, nul_join
 
 _QUAD_COLS = ["subj", "pred", "obj", "graph"]
 
 
-def _quad_key_string(df: pd.DataFrame) -> pd.Series:
-    """Single source of truth for the quad key construction."""
-    return (df["subj"].astype(str)
-            + "\x00" + df["pred"].astype(str)
-            + "\x00" + df["obj"].astype(str)
-            + "\x00" + df["graph"].fillna("\x01").astype(str))
+def _quad_key_table(tbl: pa.Table):
+    """Single source of truth for the quad key construction: NUL-
+    joined (subj, pred, obj, graph) with "\\x01" for an absent graph.
+    Arrow-native (stages/keys.py): the previous pandas string concat
+    both paid an object round trip per batch on every triple in the
+    job AND silently lost its NUL separators to numpy scalar coercion
+    (see keys.py module docstring)."""
+    return nul_join(tbl.column("subj"), tbl.column("pred"),
+                    tbl.column("obj"), tbl.column("graph"),
+                    fill_null="\x01")
+
+
+def _quad_key128_table(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 64-bit hashes of the quad -> 128-bit key,
+    straight off an Arrow batch."""
+    return hash128(_quad_key_table(tbl))
+
+
+def _pd_quads_to_table(df: pd.DataFrame) -> pa.Table:
+    return pa.table({c: pa.array(df[c], type=pa.string(),
+                                 from_pandas=True) for c in _QUAD_COLS})
 
 
 def _quad_key(df: pd.DataFrame) -> pd.Series:
     """64-bit quad hash (one hash pass; the wide path never needs h2)."""
-    return pd.util.hash_pandas_object(
-        _quad_key_string(df), index=False).astype(np.int64)
+    return pd.Series(hash64(_quad_key_table(_pd_quads_to_table(df))),
+                     index=df.index)
 
 
 def local_dedup(batch: pd.DataFrame, num_buckets: int) -> pd.DataFrame:
@@ -64,11 +82,10 @@ def _quad_key128(df: pd.DataFrame) -> tuple[pd.Series, pd.Series]:
     """Two independent 64-bit hashes of the quad -> 128-bit key.
     Collision probability over 10^12 triples ~ 2^-104: exactness is
     cryptographic-negligible rather than compare-full-quad, which is the
-    price of the narrow shuffle below."""
-    key = _quad_key_string(df)
-    h1 = pd.util.hash_pandas_object(key, index=False).astype(np.int64)
-    h2 = pd.util.hash_pandas_object("\x02" + key, index=False).astype(np.int64)
-    return h1, h2
+    price of the narrow shuffle below.  pandas adapter over
+    `_quad_key128_table` (Arrow is the hot path)."""
+    h1, h2 = _quad_key128_table(_pd_quads_to_table(df))
+    return pd.Series(h1, index=df.index), pd.Series(h2, index=df.index)
 
 
 _IDENT_KEY2 = "rdf_n3_ident_2__"  # 16 chars, pandas hash_key contract
@@ -162,12 +179,17 @@ def dedup_triples_narrow(ds, num_buckets: int = 64,
 
     ident = ["conv_id", "turn_idx", "emit_idx"]
 
-    def project(batch: pd.DataFrame) -> pd.DataFrame:
-        h1, h2 = _quad_key128(batch)
-        out = pd.DataFrame({"h1": h1, "h2": h2,
-                            **{c: batch[c] for c in ident}})
-        out["tbucket"] = (out["h1"] % num_buckets).astype(np.int32)
-        return out
+    def project(batch: pa.Table) -> pa.Table:
+        # Arrow-native: the wide IRI columns never convert to pandas;
+        # only the joined key string is materialized for the hasher
+        h1, h2 = _quad_key128_table(batch)
+        cols = {"h1": pa.array(h1, pa.int64()),
+                "h2": pa.array(h2, pa.int64())}
+        for c in ident:
+            cols[c] = batch.column(c)
+        cols["tbucket"] = pa.array((h1 % num_buckets).astype(np.int32),
+                                   pa.int32())
+        return pa.table(cols)
 
     def losers(group: pd.DataFrame) -> pd.DataFrame:
         """128-bit row-id hashes of everything except the min-ident
@@ -179,7 +201,7 @@ def dedup_triples_narrow(ds, num_buckets: int = 64,
         i1, i2 = _ident_key128(group.loc[dup, ident])
         return pd.DataFrame({"i1": i1, "i2": i2})
 
-    lose = (src.map_batches(project, batch_format="pandas")
+    lose = (src.map_batches(project, batch_format="pyarrow")
             .groupby("tbucket").map_groups(losers, batch_format="pandas")
             .materialize())  # narrow (ids only); consumed twice below
     if lose.count() > loser_broadcast_limit:

@@ -42,8 +42,9 @@ class ExtractTurnKG:
         # bnode labels are document-scoped and only get (conv, turn)
         # salt later, in skolemize.  Cache value: (quads, mention_iris,
         # subj_kinds, obj_kinds).
-        self._cache: dict[str, tuple] = {}
-        self._cache_cap = 65536
+        from .lru import LruDict
+
+        self._cache = LruDict(65536)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         conv_ids = batch.column("conv_id").to_pylist()
@@ -76,9 +77,7 @@ class ExtractTurnKG:
                 cached = (result.quads, mention_iris,
                           [kind_of(q[0]) for q in result.quads],
                           [kind_of(q[2]) for q in result.quads])
-                if len(self._cache) >= self._cache_cap:
-                    self._cache.clear()  # simple epoch eviction
-                self._cache[text] = cached
+                self._cache.put(text, cached)  # LRU half-eviction
             quads, mention_iris, skinds, okinds = cached
             emit = 0  # deterministic emission position within the turn:
             # gives every output row a globally unique identity

@@ -1,0 +1,46 @@
+"""Small LRU cache for per-actor distinct-text result caches.
+
+The parse/reason actor stages cache results keyed by turn text
+(duplicate turns dominate transcript corpora).  The original caches
+did wholesale ``clear()`` on reaching capacity — a hot worker lost its
+entire distinct-text working set at once and re-parsed everything
+until the cache refilled (VERDICT r4 watch item #3).  This keeps the
+recently-used half instead: dicts are insertion-ordered, a hit
+re-inserts its key at the MRU end, and eviction drops the oldest half
+in one pass (amortized O(1) per insert, no per-entry bookkeeping
+beyond the dict itself).
+"""
+from __future__ import annotations
+
+from itertools import islice
+
+
+class LruDict:
+    __slots__ = ("cap", "_d")
+
+    def __init__(self, cap: int):
+        self.cap = cap
+        self._d: dict = {}
+
+    def __len__(self) -> int:
+        return len(self._d)
+
+    def __contains__(self, key) -> bool:
+        return key in self._d
+
+    def get(self, key, default=None):
+        d = self._d
+        val = d.get(key)
+        if val is None:
+            return default
+        # refresh recency: delete + re-insert moves to the MRU end
+        del d[key]
+        d[key] = val
+        return val
+
+    def put(self, key, val) -> None:
+        d = self._d
+        if key not in d and len(d) >= self.cap:
+            for k in list(islice(iter(d), len(d) // 2)):
+                del d[k]
+        d[key] = val

@@ -18,9 +18,10 @@ def turn_bucket(batch: pd.DataFrame, num_buckets: int = 64,
                 col: str = "tbucket") -> pd.DataFrame:
     """Bucket by hash(conv_id, turn_idx): keeps each turn's rows
     together while dissolving conversation-level skew entirely."""
-    key = (batch["conv_id"].astype(str) + "\x00"
-           + batch["turn_idx"].astype(str))
-    h = pd.util.hash_pandas_object(key, index=False)
+    from .keys import hash64, nul_join
+
+    h = hash64(nul_join(batch["conv_id"].astype(str),
+                        batch["turn_idx"].astype(str)))
     return batch.assign(**{col: (h % num_buckets).astype("int32")})
 
 

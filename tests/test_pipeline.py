@@ -598,3 +598,77 @@ def test_span_membership_vectorized_probe():
     ref = set(zip(s1.tolist(), s2.tolist()))
     want = np.array([(a, b) in ref for a, b in zip(p1, p2)])
     assert (span_membership(s1, s2, p1, p2) == want).all()
+
+
+def test_append_ignores_unversioned_hash_sidecar(ray_session, tmp_path):
+    """Sidecars written before the key-format fix (no _KEYFMT_2
+    marker) hold hashes of separator-free keys; the append path must
+    treat them as absent and recompute from the triples, or stale
+    hashes would silently fail to dedup re-ingested rows."""
+    import glob
+    import os
+
+    from rdf_n3_ray.pipelines.kg import _KEYFMT_MARKER, append_kg_job
+
+    inc = str(tmp_path / "inc")
+    base = append_kg_job(inc, n_convs=20, lo=0, hi=15, turns_per_conv=5)
+    # simulate a v1 KB: strip every format marker (the hashes
+    # themselves stay — they just must not be trusted)
+    markers = glob.glob(os.path.join(inc, "**", _KEYFMT_MARKER),
+                        recursive=True)
+    assert markers, "sidecar marker expected after append"
+    for m in markers:
+        os.remove(m)
+    # overlapping re-append: with recomputed (trusted) hashes the
+    # overlap dedups exactly; rows = only convs [15, 20)
+    app = append_kg_job(inc, n_convs=20, lo=10, hi=20, turns_per_conv=5)
+    full = str(tmp_path / "full")
+    ref = append_kg_job(full, n_convs=20, lo=0, hi=20, turns_per_conv=5)
+    assert base["rows"] + app["rows"] == ref["rows"]
+
+
+def test_nul_join_keys_preserve_separators():
+    """stages/keys: NUL separators survive the join AND the hash —
+    the two historical failure modes (numpy scalar coercion stripping
+    the separator; hash_pandas_object's categorize path collapsing
+    strings at an embedded NUL) stay fixed."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from rdf_n3_ray.stages.keys import NUL, hash128, nul_join
+
+    key = nul_join(pd.Series(["a", "ab"]), pd.Series(["bc", "c"]))
+    vals = key.to_pylist()
+    assert vals == [f"a{NUL}bc", f"ab{NUL}c"]
+    h1, h2 = hash128(key)
+    assert h1[0] != h1[1] and h2[0] != h2[1]  # boundary shift separates
+    # large_string inputs (parquet reads) join and hash identically
+    big = nul_join(pa.array(["a", "ab"], pa.large_string()),
+                   pa.array(["bc", "c"], pa.large_string()))
+    b1, b2 = hash128(big)
+    assert np.array_equal(b1, h1) and np.array_equal(b2, h2)
+    # null fill: the quad key's absent-graph sentinel
+    filled = nul_join(pd.Series(["s", "s"]), pd.Series(["g", None]),
+                      fill_null="\x01")
+    assert filled.to_pylist() == [f"s{NUL}g", f"s{NUL}\x01"]
+
+
+def test_lru_cache_survives_past_cap():
+    """stages/lru.LruDict: recently-hit entries survive capacity
+    eviction (the old wholesale clear() dropped a hot worker's whole
+    distinct-text working set at once)."""
+    from rdf_n3_ray.stages.lru import LruDict
+
+    c = LruDict(8)
+    for i in range(8):
+        c.put(f"k{i}", i)
+    # touch k0/k1: they move to the MRU end
+    assert c.get("k0") == 0 and c.get("k1") == 1
+    c.put("k8", 8)  # triggers oldest-half eviction (k2..k5 go)
+    assert len(c) == 5
+    assert "k0" in c and "k1" in c and "k8" in c
+    assert c.get("k2") is None and c.get("k5") is None
+    # re-put of an existing key never evicts
+    c.put("k0", 99)
+    assert c.get("k0") == 99 and len(c) == 5

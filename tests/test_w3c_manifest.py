@@ -1,0 +1,267 @@
+"""W3C-manifest-DRIVEN conformance (VERDICT r4 item #6).
+
+The reference runs the official N3 test suite from manifest files
+(spec/suite_parser_spec.rb:18, suite_reasoner_spec.rb:17,
+suite_turtle_spec.rb:8 via suite_helper.rb:71-120), fetching manifests
+and test documents from w3c.github.io at spec time.  This sandbox has
+no network, but the reference vendors the full combined manifest at
+/root/reference/etc/manifests.ttl (468 KB of Turtle, 1500+ typed
+entries) and local copies of the cwm test documents under
+/root/reference/examples/.
+
+This module closes the "hand-vendored, not manifest-driven" gap:
+
+1. the manifest is parsed BY OUR OWN N3 PARSER (a real 7k-line
+   production document — itself a conformance stress case);
+2. the case list is generated from the manifest's typed entries, not
+   hand-ported;
+3. every entry is accounted for: RUN (action document available
+   locally) or SKIPPED with a counted reason (document not vendored by
+   the reference — it downloads them at spec time; or the builtin is
+   NotImplemented in the reference itself, cited).
+
+Files are read from /root/reference at test time (never copied).
+The hand-vendored suite (fixtures/n3_suite.py, P/R gate) is unchanged.
+"""
+from __future__ import annotations
+
+import os
+import re
+from collections import defaultdict
+
+import pytest
+
+MANIFEST = "/root/reference/etc/manifests.ttl"
+EXAMPLES = "/root/reference/examples"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(MANIFEST) or not os.path.isdir(EXAMPLES),
+    reason="reference manifest/examples not present")
+
+MF = "http://www.w3.org/2001/sw/DataAccess/tests/test-manifest#"
+TESTNS = "https://w3c.github.io/N3/tests/test.n3#"
+RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+
+# Reason cases needing builtins the REFERENCE leaves NotImplemented
+# (lib/rdf/n3/algebra.rb:142 log:supports, :178 str:containsRoughly) or
+# absent from its dispatch table (str:uriEncode, algebra.rb:118-205);
+# plus goldens that are zero-byte or predate the builtin's semantics
+# (see tests/test_golden_examples.py module docstring for the pins).
+UPSTREAM_SKIPS = {
+    "cwm_supports_simple": "log:supports NotImplemented upstream (algebra.rb:142; "
+                           "suite_reasoner_spec.rb:27 pending)",
+    "cwm_string_roughly": "str:containsRoughly NotImplemented upstream (algebra.rb:178; "
+                          "suite_reasoner_spec.rb:27 pending)",
+    "cwm_string_uriEncode": "str:uriEncode absent from upstream dispatch "
+                            "(algebra.rb:118-205; suite_reasoner_spec.rb:29 'Blows up')",
+    "cwm_list_append": "upstream skips: suite_reasoner_spec.rb:29 'Blows up' "
+                       "(our golden-pair suite still runs its parse-mode golden)",
+    "cwm_list_builtin_generated_match": "upstream skips: suite_reasoner_spec.rb:32 "
+                                        "'List reification' (we run it legacy-golden)",
+    "cwm_unify_unify1": "upstream pending: suite_reasoner_spec.rb:25 'log:includes etc.' "
+                        "(we run it legacy-golden)",
+    "cwm_unify_unify2": "upstream pending: suite_reasoner_spec.rb:25 (we run it legacy-golden)",
+    "cwm_andy_D": "golden D-ref.n3 is zero-byte upstream",
+    "cwm_includes_concat": "golden concat-ref.n3 is zero-byte upstream",
+    "cwm_includes_conjunction": ("golden predates upstream's own log:conjunction semantics "
+                                 "(pinned divergence, test_golden_examples)"),
+}
+
+
+class ManifestCase:
+    __slots__ = ("id", "types", "action", "result", "options")
+
+    def __init__(self, cid):
+        self.id = cid
+        self.types = set()
+        self.action = None
+        self.result = None
+        self.options = {}
+
+
+def _iri(term):
+    return term[1:-1] if term and term.startswith("<") else None
+
+
+def _load_cases():
+    from rdf_n3_ray.parser.n3_parser import parse_n3
+
+    r = parse_n3(open(MANIFEST, encoding="utf-8").read(), list_terms=True)
+    assert not r.errors, r.errors[:3]
+    cases: dict[str, ManifestCase] = {}
+    opt_nodes: dict[str, dict] = defaultdict(dict)
+    by_subj = defaultdict(list)
+    for q in r.quads:
+        by_subj[q[0]].append(q)
+    for s, quads in by_subj.items():
+        for _, p, o, _ in quads:
+            pi = _iri(p) or ""
+            if pi.startswith(TESTNS) and o.startswith('"'):
+                # option bnode property: test:think / data / conclusions /
+                # rules / strings / filter (the manifest file writes some
+                # with a stray trailing ':' in the local name; booleans
+                # come back as "true"^^xsd:boolean lexical terms)
+                opt_nodes[s][pi[len(TESTNS):].rstrip(":")] = \
+                    o.startswith('"true"')
+    for s, quads in by_subj.items():
+        si = _iri(s) or ""
+        if "#" not in si:
+            continue
+        for _, p, o, _ in quads:
+            if p == RDF_TYPE and (_iri(o) or "").startswith(TESTNS):
+                c = cases.setdefault(si, ManifestCase(si))
+                c.types.add(_iri(o)[len(TESTNS):])
+    for si, c in cases.items():
+        s = f"<{si}>"
+        for _, p, o, _ in by_subj.get(s, []):
+            pi = _iri(p) or ""
+            if pi == MF + "action":
+                c.action = _iri(o)
+            elif pi == MF + "result":
+                c.result = _iri(o)
+            elif pi == TESTNS + "options":
+                c.options = opt_nodes.get(o, {})
+    return list(cases.values())
+
+
+def _local(url: str | None) -> str | None:
+    """Map a w3c.github.io N3Tests/cwm_<dir>/<file> URL to the
+    reference's vendored copy under examples/, if present."""
+    m = re.match(
+        r"https://w3c\.github\.io/N3/tests/N3Tests/cwm_([A-Za-z0-9_]+)/(.+)",
+        url or "")
+    if not m:
+        return None
+    path = os.path.join(EXAMPLES, m.group(1), m.group(2))
+    return path if os.path.exists(path) else None
+
+
+def _short(case_id: str) -> str:
+    """cwm_<dir>_<file> short name from the entry IRI fragment."""
+    frag = case_id.rsplit("#", 1)[1]
+    return re.sub(r"\.(n3|ttl|nt)$", "", frag).replace("-", "_")
+
+
+CASES = _load_cases() if os.path.exists(MANIFEST) else []
+RUNNABLE_SYNTAX = [
+    c for c in CASES
+    if "TestN3PositiveSyntax" in c.types and _local(c.action)
+]
+RUNNABLE_REASON = [
+    c for c in CASES
+    if "TestN3Reason" in c.types and _local(c.action)
+    and (c.result is None or _local(c.result))
+]
+
+
+# cwm-era documents that even legacy mode cannot (and should not)
+# accept, pinned with the reason; the REFERENCE fails each of these
+# outright (its reader has no @forAll/@forSome/@keywords productions
+# at all — zero occurrences in lib/, etc/n3.ebnf), so failing them is
+# at-parity, not a regression.
+EXPECTED_LEGACY_FAILS = {
+    "cwm_includes_concat": (
+        "line 40 `{:www3:is :x}` needs cwm-era ':'-free local names; "
+        "modern PN_LOCAL (reference terminals.rb PN_LOCAL includes ':') "
+        "lexes `:www3:is` as ONE pname"),
+}
+
+
+def test_manifest_parses_and_accounts_for_every_entry():
+    """Structural pins: our parser recovers the full manifest, and the
+    run/skip partition covers every entry exactly once."""
+    by_type = defaultdict(int)
+    for c in CASES:
+        for t in c.types:
+            by_type[t] += 1
+    # the reference's combined manifest: N3Tests parser + extended +
+    # Turtle-as-N3 + reasoner manifests (counts pinned from the
+    # vendored etc/manifests.ttl)
+    assert by_type["TestN3Reason"] == 84
+    assert by_type["TestN3PositiveSyntax"] == 1256
+    assert by_type["TestN3NegativeSyntax"] == 76
+    assert by_type["TestN3Eval"] == 154
+    assert len(CASES) == 1570
+
+    n_syntax_local = len(RUNNABLE_SYNTAX)
+    n_reason_local = len(RUNNABLE_REASON)
+    not_vendored = [c for c in CASES if not _local(c.action)]
+    # counted skip list: every non-local entry's document is one the
+    # reference downloads at spec time (not vendored in-repo); the
+    # partition run/skipped covers the manifest exactly
+    assert len(not_vendored) + len(
+        [c for c in CASES if _local(c.action)]) == len(CASES)
+    # the locally runnable corpus is exactly the examples/ overlap
+    assert n_syntax_local == 67
+    assert n_reason_local == 32
+
+
+@pytest.mark.parametrize(
+    "case", RUNNABLE_SYNTAX, ids=[_short(c.id) for c in RUNNABLE_SYNTAX])
+def test_manifest_positive_syntax(case):
+    """Manifest-driven PositiveSyntax over the vendored documents.
+    cwm-era inputs using legacy directives (@forAll/@forSome/@keywords,
+    @is/@of escapes) parse under the opt-in legacy mode — the
+    reference reader has no such productions and fails these outright,
+    so every legacy-accept here exceeds reference parity; the pinned
+    EXPECTED_LEGACY_FAILS are at-parity failures with cited causes."""
+    from rdf_n3_ray.parser.n3_parser import parse_n3
+
+    text = open(_local(case.action), encoding="utf-8").read()
+    base = "https://w3c.github.io/N3/tests/" + case.action.rsplit(
+        "/N3/tests/", 1)[1]
+    r = parse_n3(text, base_uri=base, validate=True, list_terms=True)
+    if r.errors:
+        r = parse_n3(text, base_uri=base, validate=True, list_terms=True,
+                     legacy=True)
+    short = _short(case.id)
+    if short in EXPECTED_LEGACY_FAILS:
+        assert r.errors, (
+            f"{short} now parses — remove it from EXPECTED_LEGACY_FAILS")
+        return
+    assert not r.errors, (case.id, r.errors[:3])
+
+
+@pytest.mark.parametrize(
+    "case", RUNNABLE_REASON, ids=[_short(c.id) for c in RUNNABLE_REASON])
+def test_manifest_reason(case):
+    """Manifest-driven TestN3Reason: run the action document through
+    the forward-chaining engine per the manifest's test:options
+    (think / data / conclusions), compare against the result document
+    under bnode-bijection graph isomorphism — the reference's
+    suite_reasoner_spec.rb:17 flow, executed offline over its vendored
+    cwm copies.  Entries in UPSTREAM_SKIPS carry the cited reason the
+    REFERENCE cannot run them either."""
+    from rdf_n3_ray.algebra.engine import reason_n3
+    from rdf_n3_ray.isomorphism import isomorphic
+    from rdf_n3_ray.parser.n3_parser import parse_n3
+
+    short = _short(case.id)
+    for key, why in UPSTREAM_SKIPS.items():
+        if short.startswith(key) or key.startswith(short):
+            pytest.skip(why)
+    text = open(_local(case.action), encoding="utf-8").read()
+    reftext = open(_local(case.result), encoding="utf-8").read()
+    base = "https://w3c.github.io/N3/tests/" + case.action.rsplit(
+        "/N3/tests/", 1)[1] + "#"
+    # reference default: think only when the manifest says so
+    # (suite_reasoner_spec.rb:56 `think: !!t.options['think']`)
+    think = bool(case.options.get("think", False))
+    legacy = bool(parse_n3(text, validate=True, list_terms=True).errors)
+    r = reason_n3(text, think=think, base_uri=base, legacy=legacy)
+    if case.options.get("conclusions") and think:
+        got = r.conclusions()
+    else:
+        # think=false "conclusions" goldens are full cwm-apply reprints:
+        # the reference's non-think execute re-adds the whole store with
+        # the inferred flag (reasoner.rb:126-139 `knowledge_base <<
+        # formula` then `@mutable << knowledge_base`), so its
+        # conclusions projection equals the full data projection there —
+        # verified against endsWith-out.n3 (data(think=False) is
+        # isomorphic to the golden; conclusions-only is a strict subset)
+        got = r.data()
+    exp = parse_n3(reftext, base_uri=base, list_terms=True, legacy=legacy)
+    assert not exp.errors, exp.errors[:3]
+    assert isomorphic(got, exp.quads), (
+        f"{short}: GOT ({len(got)}): {sorted(got)[:6]}\n"
+        f"EXP ({len(exp.quads)}): {sorted(exp.quads)[:6]}")
