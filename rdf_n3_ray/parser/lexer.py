@@ -48,7 +48,10 @@ IRIREF = f"<(?:{IRI_RANGE}|{UCHAR})*>"
 PNAME_NS = f"(?:{PN_PREFIX})?:"
 PNAME_LN = f"{PNAME_NS}{PN_LOCAL}"
 BLANK_NODE_LABEL = f"_:(?:[0-9]|{PN_CHARS_U})(?:(?:{PN_CHARS}|\\.)*{PN_CHARS})?"
-LANGTAG = r"@(?!(?:is|has))(?:[a-zA-Z]+(?:-[a-zA-Z0-9]+)*)"
+# exclude EXACTLY @is/@has (the is-of/has verb escapes, KWESC below);
+# tags merely starting with them (@is-IS Icelandic-Iceland, @isl,
+# @hash) are legitimate language tags and must still lex here
+LANGTAG = r"@(?!(?:is|has)(?![a-zA-Z0-9-]))(?:[a-zA-Z]+(?:-[a-zA-Z0-9]+)*)"
 INTEGER = r"[+-]?[0-9]+"
 DECIMAL = r"[+-]?(?:[0-9]*\.[0-9]+)"
 DOUBLE = f"[+-]?(?:[0-9]+\\.[0-9]*{EXPONENT}|\\.?[0-9]+{EXPONENT})"

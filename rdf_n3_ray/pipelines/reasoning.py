@@ -181,18 +181,6 @@ def _shrink(x, limit: int):
     return x.to_pandas()
 
 
-def _key_concat(b: pd.DataFrame, cols) -> pd.Series:
-    """NUL-joined row key over string columns — Arrow kernel
-    (stages/keys.nul_join), not a per-row ``.agg(join, axis=1)``
-    Python loop.  (The earlier vectorized pandas ``+ "\\x00" +``
-    concat silently LOST the separators to numpy scalar coercion —
-    see keys.py module docstring.)"""
-    from ..stages.keys import nul_join
-
-    arr = nul_join(*[b[c] for c in cols])
-    return pd.Series(arr.to_numpy(zero_copy_only=False), index=b.index)
-
-
 def _coalesce(ds, n_rows: int | None = None, target_rows: int = 500_000,
               min_blocks: int = 8):
     """Bound a materialized Dataset's block count.
@@ -217,9 +205,15 @@ def _dedup_bindings_ds(ds, cols):
     cols = list(cols)
 
     def bucket(b: pd.DataFrame) -> pd.DataFrame:
-        key = _key_concat(b, cols)
-        return b.assign(__hb=(pd.util.hash_pandas_object(key, index=False)
-                              % 64).astype("int32"))
+        from ..stages.keys import hash64, nul_join
+
+        # keys.hash64 (categorize=False), NOT hash_pandas_object: the
+        # default hasher truncates at the key's NUL separators, which
+        # would bucket by the FIRST column only — a one-bucket funnel
+        # whenever it is low-cardinality (correctness survives; the
+        # shuffle doesn't)
+        h = hash64(nul_join(*[b[c] for c in cols]))
+        return b.assign(__hb=(h % 64).astype("int32"))
 
     return (ds.map_batches(bucket, batch_format="pandas")
             .groupby("__hb")
@@ -243,9 +237,12 @@ def _bucket_merge(left, right, shared, num_buckets: int = 64):
 
     def tagger(cols, side):
         def tag(b: pd.DataFrame) -> pa.Table:
+            from ..stages.keys import hash64, nul_join
+
             n = len(b)
-            key = _key_concat(b, shared)
-            jb = (pd.util.hash_pandas_object(key, index=False)
+            # see _dedup_bindings_ds: categorize-default hashing would
+            # bucket on the first shared column only
+            jb = (pd.Series(hash64(nul_join(*[b[c] for c in shared])))
                   % num_buckets).astype("int32")
             data = {"__jb": pa.array(jb.to_numpy(), pa.int32()),
                     "__side": pa.array(np.full(n, side, dtype=np.int8))}
@@ -510,8 +507,8 @@ def _triple_hash128(b: pd.DataFrame) -> tuple[pd.Series, pd.Series]:
     """Two independent 64-bit hashes of (subj, pred, obj) -> 128-bit
     key; collision probability over 10^12 triples ~2^-104 (same
     argument as stages/dedup._quad_key128).  Keys come from the same
-    _key_concat builder the dedup/join sites use, so the hash identity
-    cannot drift between them."""
+    stages/keys nul_join+hash128 builder the dedup/join sites use, so
+    the hash identity cannot drift between them."""
     from ..stages.keys import hash128, nul_join
 
     h1, h2 = hash128(nul_join(*[b[c] for c in _TCOLS]))

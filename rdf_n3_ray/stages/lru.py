@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from itertools import islice
 
+_MISSING = object()
+
 
 class LruDict:
     __slots__ = ("cap", "_d")
@@ -30,8 +32,9 @@ class LruDict:
 
     def get(self, key, default=None):
         d = self._d
-        val = d.get(key)
-        if val is None:
+        # sentinel, not None: a cached None value is a legitimate hit
+        val = d.get(key, _MISSING)
+        if val is _MISSING:
             return default
         # refresh recency: delete + re-insert moves to the MRU end
         del d[key]
@@ -40,7 +43,11 @@ class LruDict:
 
     def put(self, key, val) -> None:
         d = self._d
-        if key not in d and len(d) >= self.cap:
+        if key in d:
+            # re-put refreshes recency too (plain reassignment would
+            # keep the old insertion position and age the entry out)
+            del d[key]
+        elif len(d) >= self.cap:
             for k in list(islice(iter(d), len(d) // 2)):
                 del d[k]
         d[key] = val

@@ -524,8 +524,13 @@ def exact_dedup_docs(docs_ds, key_cols=("text",)):
     """Exact dedup on content hash: combiner + groupby(hash).first —
     returns the surviving rows (min doc_id wins, deterministic)."""
     def add_key(batch: pd.DataFrame) -> pd.DataFrame:
-        key = batch[list(key_cols)].astype(str).agg("\x00".join, axis=1)
-        dk = pd.util.hash_pandas_object(key, index=False).astype(np.int64)
+        from .keys import hash64, nul_join
+
+        # NUL-joined key hashed with categorize=False (stages/keys):
+        # the default hasher truncates at the NUL, collapsing the
+        # bucket key to the first column (distribution-only here —
+        # the dedup below compares the full key columns)
+        dk = hash64(nul_join(*[batch[c].astype(str) for c in key_cols]))
         batch = batch.assign(dkb=(dk % 64).astype(np.int32))
         return batch.sort_values("doc_id").drop_duplicates(
             subset=list(key_cols), keep="first")

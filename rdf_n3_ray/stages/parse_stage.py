@@ -56,8 +56,9 @@ class ParseN3Turns:
         self.validate = validate
         # distinct-text parse cache (see stages/extract.py): identical
         # texts parse identically — labels are document-scoped
-        self._cache: dict[str, list] = {}
-        self._cache_cap = 65536
+        from .lru import LruDict
+
+        self._cache = LruDict(65536)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         conv_ids = batch.column("conv_id").to_pylist()
@@ -78,9 +79,7 @@ class ParseN3Turns:
                     list_terms=self.list_terms,
                     validate=self.validate,
                 ).quads
-                if len(self._cache) >= self._cache_cap:
-                    self._cache.clear()
-                self._cache[text] = quads
+                self._cache.put(text, quads)  # LRU half-eviction
             for s, p, o, g in quads:
                 out_conv.append(conv)
                 out_turn.append(turn)

@@ -669,6 +669,13 @@ def test_lru_cache_survives_past_cap():
     assert len(c) == 5
     assert "k0" in c and "k1" in c and "k8" in c
     assert c.get("k2") is None and c.get("k5") is None
-    # re-put of an existing key never evicts
+    # re-put of an existing key never evicts AND refreshes recency
     c.put("k0", 99)
     assert c.get("k0") == 99 and len(c) == 5
+    for i in range(20, 23):
+        c.put(f"k{i}", i)  # one eviction round; k0 must survive (MRU)
+    assert "k0" in c
+    # a cached None value is a hit, not a miss
+    c.put("none-key", None)
+    assert "none-key" in c
+    assert c.get("none-key", "MISS") is None

@@ -237,9 +237,10 @@ def test_manifest_reason(case):
     from rdf_n3_ray.parser.n3_parser import parse_n3
 
     short = _short(case.id)
-    for key, why in UPSTREAM_SKIPS.items():
-        if short.startswith(key) or key.startswith(short):
-            pytest.skip(why)
+    if short in UPSTREAM_SKIPS:  # exact match — a prefix rule would
+        pytest.skip(UPSTREAM_SKIPS[short])  # silently swallow new cases
+    if case.result is None:
+        pytest.skip(f"{short}: manifest entry has no mf:result")
     text = open(_local(case.action), encoding="utf-8").read()
     reftext = open(_local(case.result), encoding="utf-8").read()
     base = "https://w3c.github.io/N3/tests/" + case.action.rsplit(
