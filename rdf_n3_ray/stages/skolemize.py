@@ -29,18 +29,33 @@ def _skolem(conv: str, turn: int, label: str) -> str:
 
 
 def skolemize_batch(batch: pa.Table) -> pa.Table:
-    conv = batch.column("conv_id").to_pylist()
-    turn = batch.column("turn_idx").to_pylist()
+    import numpy as np
+
+    conv = turn = None  # materialized lazily, once, only if needed
+    memo: dict[tuple, str] = {}  # a turn's bnode recurs across quads
     new_cols = {}
     for col in ("subj", "pred", "obj", "graph"):
         vals = batch.column(col)
         mask = pc.starts_with(pc.coalesce(vals, pa.scalar("")), "_:")
-        if pc.any(mask).as_py():
-            out = vals.to_pylist()
-            for i, is_bn in enumerate(mask.to_pylist()):
-                if is_bn:
-                    out[i] = _skolem(conv[i], turn[i], out[i][2:])
-            new_cols[col] = pa.array(out, pa.string())
+        idx = np.nonzero(
+            mask.combine_chunks().to_numpy(zero_copy_only=False))[0]
+        if len(idx):
+            if conv is None:
+                conv = batch.column("conv_id").to_pylist()
+                turn = batch.column("turn_idx").to_pylist()
+            # object view: one conversion pass, then touch ONLY the
+            # bnode rows (the old code python-looped every row of any
+            # column containing a single bnode)
+            out = (vals.combine_chunks()
+                   if isinstance(vals, pa.ChunkedArray) else vals
+                   ).to_numpy(zero_copy_only=False)
+            for i in idx:
+                key = (conv[i], turn[i], out[i])
+                got = memo.get(key)
+                if got is None:
+                    got = memo[key] = _skolem(conv[i], turn[i], out[i][2:])
+                out[i] = got
+            new_cols[col] = pa.array(out, pa.string(), from_pandas=True)
         else:
             new_cols[col] = vals
     arrays = []
