@@ -209,3 +209,33 @@ def test_pack_group_matches_sql_recurrence(tokens):
             off, running = running, running + t
         exp.append((bin_id, off))
     assert list(zip(got["bin_id"], got["off"])) == exp
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(
+    st.tuples(st.text(min_size=0, max_size=12),
+              st.text(min_size=0, max_size=12),
+              st.text(min_size=0, max_size=12)),
+    min_size=1, max_size=50, unique=True))
+def test_nul_join_injective_and_hash_separates(rows):
+    """stages/keys: for NUL-free columns, nul_join is injective
+    (distinct tuples -> distinct key strings) and hash128 separates
+    the keys — the property the dedup/anti-join exactness argument
+    now rests on (keys.py module docstring)."""
+    import pandas as pd
+
+    from rdf_n3_ray.stages.keys import hash128, nul_join
+
+    # strip NULs: the engine's term columns cannot contain raw NUL in
+    # field-ambiguous positions (IRIs/bnodes exclude control chars);
+    # hypothesis text may include them, which WOULD alias boundaries
+    rows = sorted({tuple(c.replace("\x00", " ") for c in t)
+                   for t in rows})
+    a, b, c = (pd.Series([r[i] for r in rows], dtype=object)
+               for i in range(3))
+    key = nul_join(a, b, c)
+    vals = key.to_pylist()
+    assert len(set(vals)) == len(rows), "nul_join must be injective"
+    h1, h2 = hash128(key)
+    seen = set(zip(h1.tolist(), h2.tolist()))
+    assert len(seen) == len(rows), "hash128 collided on tiny input"
