@@ -556,6 +556,17 @@ class N3Parser:
             if nxt is not None and nxt.type == "LANGTAG":
                 self.shift()
                 return T.literal(value, lang=nxt.value[1:].lower())
+            if nxt is not None and nxt.type == "KWESC" and not self.legacy:
+                # bare @is (Icelandic) / @has (Haisla): the reference's
+                # LANGTAG terminal excludes exactly these (terminals.rb
+                # :51 lookahead) so they cannot be language tags — at
+                # parity we reject too, but LOUDLY: silently leaving
+                # the token unconsumed used to drop the tag from the
+                # literal in recovery mode (pinned NegativeSyntax case
+                # r3b_neg_langtag_is keeps the rejection)
+                self.error(
+                    f"{nxt.value!r} cannot be a language tag (reference "
+                    "LANGTAG excludes is/has, terminals.rb:51)", nxt)
             if nxt is not None and nxt.type is None and nxt.value == "^^":
                 self.shift()
                 dt = self.read_iri()

@@ -205,15 +205,9 @@ def _dedup_bindings_ds(ds, cols):
     cols = list(cols)
 
     def bucket(b: pd.DataFrame) -> pd.DataFrame:
-        from ..stages.keys import hash64, nul_join
+        from ..stages.keys import bucket64
 
-        # keys.hash64 (categorize=False), NOT hash_pandas_object: the
-        # default hasher truncates at the key's NUL separators, which
-        # would bucket by the FIRST column only — a one-bucket funnel
-        # whenever it is low-cardinality (correctness survives; the
-        # shuffle doesn't)
-        h = hash64(nul_join(*[b[c] for c in cols]))
-        return b.assign(__hb=(h % 64).astype("int32"))
+        return b.assign(__hb=bucket64(64, *[b[c] for c in cols]))
 
     return (ds.map_batches(bucket, batch_format="pandas")
             .groupby("__hb")
@@ -237,14 +231,11 @@ def _bucket_merge(left, right, shared, num_buckets: int = 64):
 
     def tagger(cols, side):
         def tag(b: pd.DataFrame) -> pa.Table:
-            from ..stages.keys import hash64, nul_join
+            from ..stages.keys import bucket64
 
             n = len(b)
-            # see _dedup_bindings_ds: categorize-default hashing would
-            # bucket on the first shared column only
-            jb = (pd.Series(hash64(nul_join(*[b[c] for c in shared])))
-                  % num_buckets).astype("int32")
-            data = {"__jb": pa.array(jb.to_numpy(), pa.int32()),
+            jb = bucket64(num_buckets, *[b[c] for c in shared])
+            data = {"__jb": pa.array(jb, pa.int32()),
                     "__side": pa.array(np.full(n, side, dtype=np.int8))}
             for c in all_cols:
                 data[c] = (pa.array(b[c].astype(str), pa.string())

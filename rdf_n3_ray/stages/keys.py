@@ -98,3 +98,14 @@ def hash64(key: pa.Array | pa.ChunkedArray) -> np.ndarray:
     """Single 64-bit hash of an Arrow string key column (coarse
     shuffle buckets; identity-bearing callers want `hash128`)."""
     return _hash_obj(key)
+
+
+def bucket64(num_buckets: int, *cols, fill_null: str | None = None) -> np.ndarray:
+    """Shuffle-bucket ids for a NUL-joined multi-column key:
+    ``hash64(nul_join(*cols)) % num_buckets`` as int32.  THE way to
+    bucket on several columns — it carries the categorize=False
+    invariant (the default pandas hasher truncates at the key's NUL
+    separators, which would bucket on the first column only) in one
+    place instead of at every call site."""
+    return (hash64(nul_join(*cols, fill_null=fill_null))
+            % num_buckets).astype(np.int32)

@@ -48,6 +48,8 @@ class LruDict:
             # keep the old insertion position and age the entry out)
             del d[key]
         elif len(d) >= self.cap:
-            for k in list(islice(iter(d), len(d) // 2)):
+            # max(1, ...): at cap=1, len//2 == 0 would evict nothing
+            # and let the dict sit permanently above capacity
+            for k in list(islice(iter(d), max(1, len(d) // 2))):
                 del d[k]
         d[key] = val

@@ -524,14 +524,10 @@ def exact_dedup_docs(docs_ds, key_cols=("text",)):
     """Exact dedup on content hash: combiner + groupby(hash).first —
     returns the surviving rows (min doc_id wins, deterministic)."""
     def add_key(batch: pd.DataFrame) -> pd.DataFrame:
-        from .keys import hash64, nul_join
+        from .keys import bucket64
 
-        # NUL-joined key hashed with categorize=False (stages/keys):
-        # the default hasher truncates at the NUL, collapsing the
-        # bucket key to the first column (distribution-only here —
-        # the dedup below compares the full key columns)
-        dk = hash64(nul_join(*[batch[c].astype(str) for c in key_cols]))
-        batch = batch.assign(dkb=(dk % 64).astype(np.int32))
+        batch = batch.assign(dkb=bucket64(
+            64, *[batch[c].astype(str) for c in key_cols]))
         return batch.sort_values("doc_id").drop_duplicates(
             subset=list(key_cols), keep="first")
 

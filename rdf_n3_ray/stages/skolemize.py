@@ -36,6 +36,12 @@ def skolemize_batch(batch: pa.Table) -> pa.Table:
     new_cols = {}
     for col in ("subj", "pred", "obj", "graph"):
         vals = batch.column(col)
+        if pa.types.is_null(vals.type):
+            # an all-null column (pandas round-trips re-infer an
+            # all-null graph block as type Null) holds no bnodes and
+            # would crash pc.coalesce(null, string)
+            new_cols[col] = vals
+            continue
         mask = pc.starts_with(pc.coalesce(vals, pa.scalar("")), "_:")
         idx = np.nonzero(
             mask.combine_chunks().to_numpy(zero_copy_only=False))[0]

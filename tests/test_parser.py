@@ -601,3 +601,51 @@ def test_parse_ntriples_list_term_roundtrip():
         back = parse_ntriples(to_ntriples(q))
         assert not back.errors
         assert back.quads == q
+
+
+def test_bare_is_langtag_rejected_loudly():
+    """`"x"@is` / `"x"@has`: at parity with the reference's LANGTAG
+    exclusion (terminals.rb:51) these are rejected — and in recovery
+    mode the rejection must be an ERROR, not a silently dropped
+    language tag (pre-fix the quad was emitted with bare '"x"')."""
+    from rdf_n3_ray.parser.n3_parser import parse_n3
+
+    for frag in ("@is", "@has"):
+        r = parse_n3(f'<http://e/s> <http://e/p> "x"{frag} .',
+                     validate=False)
+        assert r.errors and "language tag" in r.errors[0]
+        assert not any('"x"' == q[2] for q in r.quads), (
+            "tag silently dropped")
+    # tags merely STARTING with is/has remain valid language tags
+    r = parse_n3('<http://e/s> <http://e/p> "x"@is-IS .', validate=True)
+    assert not r.errors and r.quads[0][2] == '"x"@is-is'
+    r = parse_n3('<http://e/s> <http://e/p> "x"@hash .', validate=True)
+    assert not r.errors and r.quads[0][2] == '"x"@hash'
+
+
+def test_lru_dict_cap_one():
+    """cap=1: eviction must still fire (len//2 == 0 would let the
+    dict sit above capacity forever)."""
+    from rdf_n3_ray.stages.lru import LruDict
+
+    c = LruDict(1)
+    for i in range(10):
+        c.put(f"k{i}", i)
+    assert len(c) == 1 and c.get("k9") == 9
+
+
+def test_skolemize_null_typed_graph_column():
+    """An all-null graph column typed pa.null() (pandas round-trips
+    re-infer these) must pass through instead of crashing coalesce."""
+    import pyarrow as pa
+
+    from rdf_n3_ray.stages.skolemize import skolemize_batch
+
+    t = pa.table({
+        "conv_id": pa.array(["c"]), "turn_idx": pa.array([0], pa.int32()),
+        "subj": pa.array(["_:b0"]), "pred": pa.array(["<p>"]),
+        "obj": pa.array(['"x"']), "graph": pa.array([None], pa.null()),
+    })
+    out = skolemize_batch(t)
+    assert out.column("subj")[0].as_py().startswith("<urn:skolem:")
+    assert out.column("graph")[0].as_py() is None
