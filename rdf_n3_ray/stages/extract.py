@@ -74,26 +74,39 @@ class ExtractTurnKG:
                         hit = self.index.get(norm)
                         if hit is not None:
                             mention_iris.append(f"<{hit[0]}>")
-                cached = (result.quads, mention_iris,
-                          [kind_of(q[0]) for q in result.quads],
-                          [kind_of(q[2]) for q in result.quads])
+                # cache COLUMNS, not quads: replay below is C-level
+                # list.extend per turn instead of a Python loop per
+                # quad (the ~70%-dup corpora replay far more than
+                # they parse)
+                quads = result.quads
+                cached = (
+                    [q[0] for q in quads],
+                    [q[1] for q in quads],
+                    [q[2] for q in quads],
+                    [q[3] for q in quads],
+                    [kind_of(q[0]) for q in quads],
+                    [kind_of(q[2]) for q in quads],
+                    list(range(len(quads))),
+                    mention_iris,
+                )
                 self._cache.put(text, cached)  # LRU half-eviction
-            quads, mention_iris, skinds, okinds = cached
-            emit = 0  # deterministic emission position within the turn:
-            # gives every output row a globally unique identity
-            # (conv_id, turn_idx, emit_idx) regardless of how Ray later
-            # splits blocks — required by the narrow dedup shuffle
-            for (s, p, o, g), sk, ok in zip(quads, skinds, okinds):
-                oc.append(conv)
-                ot.append(turn)
-                os_.append(s)
-                op.append(p)
-                oo.append(o)
-                og.append(g)
-                oe.append(emit)
-                osk.append(sk)
-                ook.append(ok)
-                emit += 1
+            (c_s, c_p, c_o, c_g, c_sk, c_ok, c_emit,
+             mention_iris) = cached
+            # deterministic emission position within the turn gives
+            # every output row a globally unique identity (conv_id,
+            # turn_idx, emit_idx) regardless of how Ray later splits
+            # blocks — required by the narrow dedup shuffle
+            n = len(c_s)
+            oc.extend([conv] * n)
+            ot.extend([turn] * n)
+            os_.extend(c_s)
+            op.extend(c_p)
+            oo.extend(c_o)
+            og.extend(c_g)
+            oe.extend(c_emit)
+            osk.extend(c_sk)
+            ook.extend(c_ok)
+            emit = n
             for iri in mention_iris:
                 oc.append(conv)
                 ot.append(turn)
