@@ -3505,3 +3505,15 @@ def test_reason_kb_path_million_edge_closure(ray_session, tmp_path):
     assert got == ["<c7n2>", "<c7n3>", "<c7n4>"]
     print(f"million-edge closure: {elapsed:.1f}s, "
           f"driver +{rss_growth_mb:.0f} MB")
+
+
+def test_fingerprints_distinct_on_embedded_nul():
+    """fp_exact/fp_norm are identity columns: binary-ish documents
+    sharing a prefix up to an embedded NUL must NOT collapse to one
+    fingerprint (the default pandas hasher truncates at NUL; see
+    stages/keys.py)."""
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["abc\x00one", "abc\x00two", "abc"]})
+    out = fingerprints(df)
+    assert out["fp_exact"].nunique() == 3
+    assert out["fp_norm"].nunique() == 3
