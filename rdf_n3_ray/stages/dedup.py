@@ -104,10 +104,15 @@ def _ident_key128(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
     (pandas' `hash_key` only seeds object-dtype hashing, so hashing the
     whole frame twice would NOT give two independent hashes of the
     numeric columns — hence the explicit mix.)"""
+    # categorize=False: conv_id is corpus data; the default hasher
+    # truncates at an embedded NUL, which would collapse the row-id
+    # hashes of distinct conversations sharing a prefix (identity-
+    # bearing — drop_losers removes rows by exactly these keys)
     c1 = pd.util.hash_pandas_object(
-        df["conv_id"], index=False).to_numpy()
+        df["conv_id"], index=False, categorize=False).to_numpy()
     c2 = pd.util.hash_pandas_object(
-        df["conv_id"], index=False, hash_key=_IDENT_KEY2).to_numpy()
+        df["conv_id"], index=False, hash_key=_IDENT_KEY2,
+        categorize=False).to_numpy()
     te = ((df["turn_idx"].to_numpy().astype(np.uint64) << np.uint64(32))
           | df["emit_idx"].to_numpy().astype(np.uint64))
     i1 = c1 ^ (te * _MIX1)
