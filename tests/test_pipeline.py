@@ -679,3 +679,31 @@ def test_lru_cache_survives_past_cap():
     c.put("none-key", None)
     assert "none-key" in c
     assert c.get("none-key", "MISS") is None
+
+
+def test_driver_contract_consistency():
+    """Meta-guard on __ray_entry__: every oracle_sql() key has a
+    queries() entry; every rows-only entry (no oracle) carries a
+    documented reason in the dict source; the never-driver-checked
+    entries stay at the FRONT of the dict (the driver records only the
+    first 50 per round — see queries() docstring)."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import __ray_entry__ as E
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    assert set(oracles) <= set(qs), sorted(set(oracles) - set(qs))
+    # dict-order sanity: the first 37 keys were never covered by any
+    # CORRECTNESS_r0{1..4} artifact (the round-5 reorder's invariant)
+    covered = set()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for r in (1, 2, 3, 4):
+        p = os.path.join(root, f"CORRECTNESS_r0{r}.json")
+        if os.path.exists(p):
+            covered |= set(json.load(open(p)))
+    first = list(qs)[:37]
+    assert not (set(first) & covered), sorted(set(first) & covered)
