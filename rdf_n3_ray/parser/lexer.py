@@ -48,9 +48,13 @@ IRIREF = f"<(?:{IRI_RANGE}|{UCHAR})*>"
 PNAME_NS = f"(?:{PN_PREFIX})?:"
 PNAME_LN = f"{PNAME_NS}{PN_LOCAL}"
 BLANK_NODE_LABEL = f"_:(?:[0-9]|{PN_CHARS_U})(?:(?:{PN_CHARS}|\\.)*{PN_CHARS})?"
-# exclude EXACTLY @is/@has (the is-of/has verb escapes, KWESC below);
-# tags merely starting with them (@is-IS Icelandic-Iceland, @isl,
-# @hash) are legitimate language tags and must still lex here
+# exclude EXACTLY @is/@has (the is-of/has verb escapes, KWESC below).
+# DELIBERATE divergence from the reference here: terminals.rb:51 uses
+# a boundary-less lookahead /@(?!(?:is|has))/ that also rejects every
+# tag merely STARTING with is/has (@is-IS Icelandic-Iceland, @isl,
+# @hash) — legitimate language tags with no grammar conflict (the W3C
+# n3.ebnf LANGTAG [145s] has no exclusion at all).  We accept those;
+# only the exact verb-escape words are diverted.
 LANGTAG = r"@(?!(?:is|has)(?![a-zA-Z0-9-]))(?:[a-zA-Z]+(?:-[a-zA-Z0-9]+)*)"
 INTEGER = r"[+-]?[0-9]+"
 DECIMAL = r"[+-]?(?:[0-9]*\.[0-9]+)"

@@ -558,12 +558,13 @@ class N3Parser:
                 return T.literal(value, lang=nxt.value[1:].lower())
             if nxt is not None and nxt.type == "KWESC" and not self.legacy:
                 # bare @is (Icelandic) / @has (Haisla): the reference's
-                # LANGTAG terminal excludes exactly these (terminals.rb
-                # :51 lookahead) so they cannot be language tags — at
-                # parity we reject too, but LOUDLY: silently leaving
-                # the token unconsumed used to drop the tag from the
-                # literal in recovery mode (pinned NegativeSyntax case
-                # r3b_neg_langtag_is keeps the rejection)
+                # LANGTAG lookahead (terminals.rb:51) rejects these (it
+                # also rejects is/has-PREFIXED tags, which we accept —
+                # see lexer.py LANGTAG) so they cannot be language tags
+                # — at parity we reject too, but LOUDLY: silently
+                # leaving the token unconsumed used to drop the tag
+                # from the literal in recovery mode (pinned
+                # NegativeSyntax case r3b_neg_langtag_is)
                 self.error(
                     f"{nxt.value!r} cannot be a language tag (reference "
                     "LANGTAG excludes is/has, terminals.rb:51)", nxt)

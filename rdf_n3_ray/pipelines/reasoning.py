@@ -502,7 +502,10 @@ def _triple_hash128(b: pd.DataFrame) -> tuple[pd.Series, pd.Series]:
     the hash identity cannot drift between them."""
     from ..stages.keys import hash128, nul_join
 
-    h1, h2 = hash128(nul_join(*[b[c] for c in _TCOLS]))
+    # fill_null="None" == the old astype(str) coercion: without a
+    # fill, a null in ANY column nulls the joined key and every such
+    # row would collapse to one 128-bit identity (review r5)
+    h1, h2 = hash128(nul_join(*[b[c] for c in _TCOLS], fill_null="None"))
     return pd.Series(h1, index=b.index), pd.Series(h2, index=b.index)
 
 

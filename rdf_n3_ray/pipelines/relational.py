@@ -2086,8 +2086,9 @@ def curation_verdict(sf_dir: str, n: int = 5, min_words: int = 5,
                .map_batches(lang_quality, batch_format="pandas"))
 
     def text_key(b: pd.DataFrame) -> pd.DataFrame:
-        dk = pd.util.hash_pandas_object(b["text"].fillna(""), index=False,
-                                        categorize=False).astype(np.int64)
+        from ..stages.keys import hash64
+
+        dk = hash64(b["text"].fillna(""))
         return pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
                              "text": b["text"].fillna(""),
                              "dkb": (dk % 64).astype("int32")})

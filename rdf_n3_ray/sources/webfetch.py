@@ -51,6 +51,16 @@ def urllib_fetcher(allowed_schemes: tuple[str, ...] = ("http", "https"),
         def redirect_request(self, req, fp, code, msg, headers, newurl):
             scheme = urlsplit(newurl).scheme.lower()
             if scheme not in allowed_schemes:
+                # close the 302 response before raising: CPython's
+                # http_error_302 drains/closes fp only AFTER this
+                # returns, so raising through it would leak the
+                # socket until GC (one per retried fetch in a
+                # reasoning fixpoint)
+                try:
+                    fp.read()
+                    fp.close()
+                except Exception:
+                    pass
                 raise ValueError(
                     f"urllib_fetcher: redirect to a {scheme}:// URL "
                     f"({newurl!r}), outside allowed_schemes "

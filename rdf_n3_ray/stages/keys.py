@@ -37,8 +37,11 @@ _H2_PREFIX = "\x02"  # second independent hash = hash("\x02" + key)
 def _as_string_array(col) -> pa.Array | pa.ChunkedArray:
     """Arrow string array from an Arrow column or pandas Series.
     All-null (type-null) columns become null string arrays so the
-    join kernels have a concrete type to work on."""
+    join kernels have a concrete type to work on; non-string pandas
+    dtypes stringify (the old pandas key builders' astype(str))."""
     if isinstance(col, pd.Series):
+        if col.dtype != object and not pd.api.types.is_string_dtype(col):
+            col = col.astype(str)
         col = pa.array(col, type=pa.string(), from_pandas=True)
     if pa.types.is_null(col.type):
         return pa.nulls(len(col), pa.string())
@@ -94,9 +97,13 @@ def hash128(key: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
     return h1, h2
 
 
-def hash64(key: pa.Array | pa.ChunkedArray) -> np.ndarray:
-    """Single 64-bit hash of an Arrow string key column (coarse
-    shuffle buckets; identity-bearing callers want `hash128`)."""
+def hash64(key) -> np.ndarray:
+    """Single 64-bit hash of a string column (Arrow array or pandas
+    Series; coarse shuffle buckets OR single-column identity — the
+    categorize=False invariant lives here; identity-bearing
+    multi-column callers want `hash128`)."""
+    if isinstance(key, pd.Series):
+        key = _as_string_array(key)
     return _hash_obj(key)
 
 

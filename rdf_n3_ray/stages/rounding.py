@@ -28,11 +28,24 @@ def round_half_away(x, decimals: int):
     """Round half away from zero (DuckDB ``ROUND`` semantics).
 
     Accepts a numpy array / pandas Series / scalar; returns a float64
-    numpy array (or scalar).  NaN propagates (sign/floor of NaN are
-    NaN).  ``-0.0`` survives for tiny negatives, matching what
-    ``np.round`` produced before and what DuckDB returns for the same
-    float64 input.
+    numpy array (or scalar).  NaN propagates.  ``-0.0`` survives for
+    tiny negatives, matching what ``np.round`` produced before and
+    what DuckDB returns for the same float64 input.
+
+    Implementation note: NOT ``floor(|x|*scale + 0.5)`` — the +0.5
+    addition double-rounds, pushing values one ulp BELOW a .5
+    boundary up (e.g. 4.9999999999999996e-05 at 4 decimals) where
+    C++ ``std::round`` (DuckDB's kernel) correctly rounds down.
+    ``t - trunc(t)`` is exact in IEEE-754 for |t| < 2^52 (and above
+    that every double is an integer, frac = 0), so comparing the
+    exact fraction against 0.5 reproduces std::round bit-for-bit.
     """
     scale = 10.0 ** decimals
     arr = np.asarray(x, dtype=np.float64)
-    return np.sign(arr) * np.floor(np.abs(arr) * scale + 0.5) / scale
+    t = arr * scale  # same pre-scaling DuckDB applies before rounding
+    r = np.trunc(t)
+    frac = t - r
+    out = (r + np.sign(t) * (np.abs(frac) >= 0.5)) / scale
+    # keep NaN and the sign of small negatives (sign(t)*False == 0.0,
+    # so -1e-9 -> -0.0 just as np.round produced)
+    return out

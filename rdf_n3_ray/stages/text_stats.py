@@ -71,14 +71,14 @@ def fingerprints(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     text = batch[text_col].fillna("")
     norm = text.str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
     out = batch.copy()
-    # categorize=False: the default hasher truncates at an embedded
-    # NUL (see stages/keys.py), so binary-ish documents sharing a
-    # prefix up to a NUL would collapse to ONE fingerprint — these
-    # columns are identity, not buckets, so that is a wrong answer
-    out["fp_exact"] = pd.util.hash_pandas_object(
-        text, index=False, categorize=False).astype("int64")
-    out["fp_norm"] = pd.util.hash_pandas_object(
-        norm, index=False, categorize=False).astype("int64")
+    # stages/keys.hash64 carries the categorize=False invariant (the
+    # default hasher truncates at an embedded NUL, which would give
+    # binary-ish documents sharing a prefix ONE fingerprint — these
+    # columns are identity, not buckets, so that is a wrong answer)
+    from .keys import hash64
+
+    out["fp_exact"] = hash64(text)
+    out["fp_norm"] = hash64(norm)
     return out
 
 

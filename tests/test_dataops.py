@@ -3410,9 +3410,13 @@ def test_round_half_away_matches_duckdb_round():
 
     from rdf_n3_ray.stages.rounding import round_half_away
 
-    # 0.00005 and friends: representable floats near .5e-4 boundaries
+    # 0.00005 and friends: representable floats near .5e-4 boundaries,
+    # plus one-ulp-below-boundary values where floor(t+0.5) would
+    # double-round up while std::round (DuckDB) stays down
     vals = [0.00005, 0.00015, -0.00005, -0.00015, 0.12345, -0.98765,
-            1.5, 2.5, -1.5, -2.5, 0.0, 123.00025, -123.00025]
+            1.5, 2.5, -1.5, -2.5, 0.0, 123.00025, -123.00025,
+            4.9999999999999996e-05, -4.9999999999999996e-05,
+            0.49999999999999994, -0.49999999999999994]
     ours4 = round_half_away(np.array(vals), 4)
     con = duckdb.connect()
     want4 = [con.execute("SELECT ROUND(?::DOUBLE, 4)", [v]).fetchone()[0]
