@@ -266,3 +266,34 @@ def test_manifest_reason(case):
     assert isomorphic(got, exp.quads), (
         f"{short}: GOT ({len(got)}): {sorted(got)[:6]}\n"
         f"EXP ({len(exp.quads)}): {sorted(exp.quads)[:6]}")
+
+
+@pytest.mark.parametrize(
+    "case", RUNNABLE_SYNTAX, ids=[_short(c.id) for c in RUNNABLE_SYNTAX])
+def test_manifest_document_round_trips(case):
+    """Writer round-trip over the manifest-driven corpus: every
+    locally-vendored document that parses must serialize back to an
+    isomorphic graph (pretty N3 path).  Extends the hypothesis
+    round-trip property to REAL W3C/cwm documents — prefix soup,
+    formulae, lists, paths and all."""
+    from rdf_n3_ray.isomorphism import isomorphic
+    from rdf_n3_ray.parser.n3_parser import parse_n3
+    from rdf_n3_ray.serializer.n3_writer import serialize_n3
+
+    short = _short(case.id)
+    if short in EXPECTED_LEGACY_FAILS:
+        pytest.skip(EXPECTED_LEGACY_FAILS[short])
+    text = open(_local(case.action), encoding="utf-8").read()
+    base = "https://w3c.github.io/N3/tests/" + case.action.rsplit(
+        "/N3/tests/", 1)[1]
+    r = parse_n3(text, base_uri=base)
+    legacy = bool(r.errors)
+    if legacy:
+        r = parse_n3(text, base_uri=base, legacy=True)
+    assert not r.errors, r.errors[:3]
+    out = serialize_n3(r.quads, formula_labels=r.formula_labels)
+    back = parse_n3(out, base_uri=base)
+    assert not back.errors, (short, back.errors[:3], out[:400])
+    assert isomorphic(r.quads, back.quads), (
+        f"{short}: {len(r.quads)} quads -> {len(back.quads)} after "
+        f"round-trip\n{out[:400]}")
