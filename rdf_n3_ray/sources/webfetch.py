@@ -55,9 +55,12 @@ def urllib_fetcher(allowed_schemes: tuple[str, ...] = ("http", "https"),
                 # http_error_302 drains/closes fp only AFTER this
                 # returns, so raising through it would leak the
                 # socket until GC (one per retried fetch in a
-                # reasoning fixpoint)
+                # reasoning fixpoint).  close() WITHOUT read(): an
+                # unbounded drain would buffer a multi-GB 302 body —
+                # the exact OOM class max_bytes exists to prevent —
+                # and urllib does no connection pooling, so dropping
+                # the socket is fine
                 try:
-                    fp.read()
                     fp.close()
                 except Exception:
                     pass

@@ -41,7 +41,14 @@ def _as_string_array(col) -> pa.Array | pa.ChunkedArray:
     dtypes stringify (the old pandas key builders' astype(str))."""
     if isinstance(col, pd.Series):
         if col.dtype != object and not pd.api.types.is_string_dtype(col):
-            col = col.astype(str)
+            # stringify non-string dtypes but keep MISSING missing —
+            # a plain astype(str) would bake "nan"/"<NA>" into the
+            # key, bypassing nul_join's fill_null sentinel and
+            # colliding with rows whose value IS the string "nan"
+            mask = col.isna()
+            col = col.astype(str).astype(object)
+            if mask.any():
+                col = col.where(~mask, None)
         col = pa.array(col, type=pa.string(), from_pandas=True)
     if pa.types.is_null(col.type):
         return pa.nulls(len(col), pa.string())
@@ -103,6 +110,13 @@ def hash64(key) -> np.ndarray:
     categorize=False invariant lives here; identity-bearing
     multi-column callers want `hash128`)."""
     if isinstance(key, pd.Series):
+        if key.dtype == object or pd.api.types.is_string_dtype(key):
+            # hash the Series directly: the invariant is only
+            # categorize=False, and the Arrow round trip would copy
+            # every string twice on the fingerprint hot path
+            return (pd.util.hash_pandas_object(key, index=False,
+                                               categorize=False)
+                    .to_numpy().astype(np.int64))
         key = _as_string_array(key)
     return _hash_obj(key)
 

@@ -42,10 +42,15 @@ def round_half_away(x, decimals: int):
     """
     scale = 10.0 ** decimals
     arr = np.asarray(x, dtype=np.float64)
-    t = arr * scale  # same pre-scaling DuckDB applies before rounding
-    r = np.trunc(t)
-    frac = t - r
-    out = (r + np.sign(t) * (np.abs(frac) >= 0.5)) / scale
-    # keep NaN and the sign of small negatives (sign(t)*False == 0.0,
-    # so -1e-9 -> -0.0 just as np.round produced)
+    with np.errstate(invalid="ignore", over="ignore"):
+        t = arr * scale  # same pre-scaling DuckDB applies
+        r = np.trunc(t)
+        frac = t - r
+        out = (r + np.sign(t) * (np.abs(frac) >= 0.5)) / scale
+        # DuckDB's RoundOperatorPrecision returns the INPUT when the
+        # scaled intermediate overflows to inf (|x| > ~1.8e308/10^d):
+        # such magnitudes have no fractional part at any precision
+        out = np.where(np.isfinite(t) | ~np.isfinite(arr), out, arr)
+    # NaN propagates; sign of small negatives survives (sign(t)*False
+    # == 0.0, so -1e-9 -> -0.0 just as np.round produced)
     return out
