@@ -49,21 +49,19 @@ def urllib_fetcher(allowed_schemes: tuple[str, ...] = ("http", "https"),
         # AFTER the request to the off-allowlist (or https->http
         # downgraded) target had already been sent.
         def redirect_request(self, req, fp, code, msg, headers, newurl):
+            # Close the 3xx response FIRST, on every path: CPython's
+            # http_error_302 runs an UNBOUNDED fp.read() after this
+            # returns (and only then closes), so a multi-GB redirect
+            # body would be buffered whole — the exact OOM class
+            # max_bytes exists to prevent.  After close(), that
+            # read() safely returns b''; urllib does no connection
+            # pooling, so dropping the socket costs nothing.
+            try:
+                fp.close()
+            except Exception:
+                pass
             scheme = urlsplit(newurl).scheme.lower()
             if scheme not in allowed_schemes:
-                # close the 302 response before raising: CPython's
-                # http_error_302 drains/closes fp only AFTER this
-                # returns, so raising through it would leak the
-                # socket until GC (one per retried fetch in a
-                # reasoning fixpoint).  close() WITHOUT read(): an
-                # unbounded drain would buffer a multi-GB 302 body —
-                # the exact OOM class max_bytes exists to prevent —
-                # and urllib does no connection pooling, so dropping
-                # the socket is fine
-                try:
-                    fp.close()
-                except Exception:
-                    pass
                 raise ValueError(
                     f"urllib_fetcher: redirect to a {scheme}:// URL "
                     f"({newurl!r}), outside allowed_schemes "

@@ -75,19 +75,22 @@ def nul_join(*cols, fill_null: str | None = None):
     return pc.binary_join_element_wise(*arrs, pa.scalar(NUL, typ))
 
 
-def _hash_obj(key: pa.Array | pa.ChunkedArray) -> np.ndarray:
+def _hash_series(s: pd.Series) -> np.ndarray:
     # categorize=False is REQUIRED for correctness, not a tuning knob:
     # hash_pandas_object's default categorize path collapses strings at
     # an embedded NUL (observed: "abc", "abc\x00def", "abc\x00xyz" all
     # hash equal under categorize=True; distinct under False, while
     # NUL-free strings hash identically under both).  With NUL-joined
     # keys the default would merge every row sharing a first field.
+    return (pd.util.hash_pandas_object(s, index=False, categorize=False)
+            .to_numpy().astype(np.int64))
+
+
+def _hash_obj(key: pa.Array | pa.ChunkedArray) -> np.ndarray:
     if isinstance(key, pa.ChunkedArray):
         key = key.combine_chunks()
     obj = key.to_numpy(zero_copy_only=False)
-    return (pd.util.hash_pandas_object(pd.Series(obj, copy=False),
-                                       index=False, categorize=False)
-            .to_numpy().astype(np.int64))
+    return _hash_series(pd.Series(obj, copy=False))
 
 
 def hash128(key: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
@@ -111,12 +114,15 @@ def hash64(key) -> np.ndarray:
     multi-column callers want `hash128`)."""
     if isinstance(key, pd.Series):
         if key.dtype == object or pd.api.types.is_string_dtype(key):
-            # hash the Series directly: the invariant is only
-            # categorize=False, and the Arrow round trip would copy
-            # every string twice on the fingerprint hot path
-            return (pd.util.hash_pandas_object(key, index=False,
-                                               categorize=False)
-                    .to_numpy().astype(np.int64))
+            # hash the Series directly: the invariant lives in
+            # _hash_series, and the Arrow round trip would copy every
+            # string twice on the fingerprint hot path.  Canonicalize
+            # missing to None first so np.nan-missing batches hash
+            # identically to None-missing (and to the Arrow path)
+            na = key.isna()
+            if na.any():
+                key = key.where(~na, None)
+            return _hash_series(key)
         key = _as_string_array(key)
     return _hash_obj(key)
 

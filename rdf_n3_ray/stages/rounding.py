@@ -40,8 +40,16 @@ def round_half_away(x, decimals: int):
     that every double is an integer, frac = 0), so comparing the
     exact fraction against 0.5 reproduces std::round bit-for-bit.
     """
+    if decimals < 0:
+        # DuckDB's negative-precision kernel is divide-then-multiply
+        # with a different overflow rule; no caller needs it, and
+        # claiming parity outside the verified domain would be wrong
+        raise ValueError("round_half_away: decimals must be >= 0")
     scale = 10.0 ** decimals
     arr = np.asarray(x, dtype=np.float64)
+    scalar = arr.ndim == 0
+    if scalar:
+        arr = np.atleast_1d(arr)  # 0-d arrays reject mask assignment
     with np.errstate(invalid="ignore", over="ignore"):
         t = arr * scale  # same pre-scaling DuckDB applies
         r = np.trunc(t)
@@ -49,8 +57,12 @@ def round_half_away(x, decimals: int):
         out = (r + np.sign(t) * (np.abs(frac) >= 0.5)) / scale
         # DuckDB's RoundOperatorPrecision returns the INPUT when the
         # scaled intermediate overflows to inf (|x| > ~1.8e308/10^d):
-        # such magnitudes have no fractional part at any precision
-        out = np.where(np.isfinite(t) | ~np.isfinite(arr), out, arr)
+        # such magnitudes have no fractional part at any precision.
+        # In-place on the (essentially never hit) bad rows only — a
+        # np.where would copy the whole array on every hot-path call.
+        bad = ~np.isfinite(t) & np.isfinite(arr)
+        if bad.any():
+            out[bad] = arr[bad]
     # NaN propagates; sign of small negatives survives (sign(t)*False
     # == 0.0, so -1e-9 -> -0.0 just as np.round produced)
-    return out
+    return np.float64(out[0]) if scalar else out
