@@ -707,3 +707,19 @@ def test_driver_contract_consistency():
             covered |= set(json.load(open(p)))
     first = list(qs)[:37]
     assert not (set(first) & covered), sorted(set(first) & covered)
+
+
+def test_bucket64_numeric_and_null_columns():
+    """keys.bucket64 over mixed dtypes: ints stringify, missing values
+    stay missing (reaching fill_null) instead of baking 'nan' into the
+    key, and buckets land in [0, n)."""
+    import numpy as np
+    import pandas as pd
+
+    from rdf_n3_ray.stages.keys import bucket64, nul_join
+
+    b = bucket64(16, pd.Series([1, 2, 3]), pd.Series(["x", "y", "z"]))
+    assert b.dtype == np.int32 and ((b >= 0) & (b < 16)).all()
+    j = nul_join(pd.Series([1.5, np.nan]), pd.Series(["x", "y"]),
+                 fill_null="\x01")
+    assert j.to_pylist() == ["1.5\x00x", "\x01\x00y"]
